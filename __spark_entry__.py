@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+The actual query surface lives in
+``batch_processing_analysis_spark/plans/`` — each module registers its
+builders (and DuckDB oracle twins) into the shared registry.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Importing the plan modules populates the registry.
+from batch_processing_analysis_spark.plans import registry as _registry
+from batch_processing_analysis_spark.plans import queries_relational  # noqa: F401
+
+try:  # modules added incrementally; keep entry importable mid-build
+    from batch_processing_analysis_spark.plans import queries_eventlog  # noqa: F401
+except ImportError:
+    pass
+try:
+    from batch_processing_analysis_spark.plans import queries_text  # noqa: F401
+except ImportError:
+    pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Batch-instance discovery + per-type waiting-time style rollup — the
+    engine's headline capability (SURVEY §3.1) — exercised through the
+    sessionization query on the events table.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _registry.QUERIES["q11_sessionize"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle twin for each SQL-expressible query."""
+    return dict(_registry.ORACLES)

@@ -1,0 +1,731 @@
+"""Relational operator surface (SURVEY §2.2-2.6) demonstrated on the
+driver's TPC-H-ish testdata, each with a DuckDB oracle twin.
+
+Scale notes are in each docstring: these run at sf0.01 for the
+correctness gate, but every plan is written for the 1000-executor case —
+dims broadcast, filters pushed to the parquet scan, aggregates partial
+(map-side) by construction, windows partitioned by high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# A-series aggregates
+# --------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (A1/A7/A8): scan-filter-agg, fully partial-aggregable.
+
+    Scale: filter pushes to parquet; 2-key groupBy over ~6 groups → one
+    shuffle of tiny partial-agg output. Survives any scale-up.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_project",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+      AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P6: projection + compound predicate, zero shuffle.
+
+    Scale: all three predicates and the 3-column projection reach the
+    parquet reader (PushedFilters/ReadSchema) — IO-bound only.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_totalprice") > 100000)
+        & F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "q03_top_revenue_orders",
+    """
+    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + global top-k: Spark runs TakeOrderedAndProject (no full sort).
+
+    Scale: per-orderkey partial aggregation then a driver-side top-10 of
+    per-partition top-10s — never materializes the full sorted set.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q14_nested_two_level_agg",
+    """
+    SELECT event_type, max(first_seen) AS latest_first_seen, count(*) AS n_users
+    FROM (
+      SELECT event_type, user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_seen
+      FROM events GROUP BY event_type, user_id
+    ) GROUP BY event_type
+    """,
+)
+def q14_nested_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: two-level nested aggregate (max over groups of per-subgroup min).
+
+    Mirrors the reference's batch-instance-enabled computation
+    (utils.py:54-66: max over cases of per-case min). Scale: first
+    groupBy shuffles on (type,user); second reuses the same hash
+    partitioning (type ⊂ (type,user)) so AQE keeps it cheap.
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("first_seen")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.max("first_seen").alias("latest_first_seen"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+@query(
+    "q15_histogram",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+    GROUP BY n_orders
+    """,
+)
+def q15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: histogram via double groupBy (reference: Counter of batch sizes,
+    reporting.py:171,189). Scale: second agg input is one row per
+    customer — already tiny relative to the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q16_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup: the reference's two-pass overall/per-type report levels
+    (reporting.py:149-198) as ONE pass (SURVEY §2.4 note).
+
+    Scale: rollup expands to grouping sets in a single shuffle instead of
+    re-scanning the fact table per level.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "q17_cte_ratio",
+    """
+    SELECT o_orderpriority,
+           CASE WHEN sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) = 0
+                THEN 0.0
+                ELSE round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)
+                           / sum(o_totalprice), 6)
+           END AS cte
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q17_cte_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: sum ratio with zero-guard — the reference's cycle-time-efficiency
+    formula CTE = ΣPT/(ΣPT+ΣWT) with its 0-if-no-PT guard
+    (reporting.py:201-206), transplanted onto orders."""
+    o = _t(spark, sf_dir, "orders")
+    pt = F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0))
+    return o.groupBy("o_orderpriority").agg(
+        F.when(pt == 0, F.lit(0.0)).otherwise(F.round(pt / F.sum("o_totalprice"), 6)).alias("cte")
+    )
+
+
+# --------------------------------------------------------------------------
+# P-series predicates / projections
+# --------------------------------------------------------------------------
+
+@query(
+    "q07_in_case_when",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
+           count(*) AS n
+    FROM lineitem WHERE l_linestatus IN ('O', 'F') GROUP BY l_returnflag
+    """,
+)
+def q07_in_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (IN-list) + P8 (CASE WHEN): both fold into the scan/agg stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_linestatus").isin("O", "F"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)).alias("n_high_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q08_string_ops",
+    """
+    SELECT p_brand, count(*) AS n_matching
+    FROM part
+    WHERE contains(p_name, 'a') AND regexp_matches(upper(trim(p_type)), '^[A-Z]+')
+    GROUP BY p_brand
+    """,
+)
+def q08_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/F7: contains + trim/upper/regexp (reference: handoff string
+    cleanup, handoff_batch.py:83,111)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_name").contains("a")
+            & F.upper(F.trim(F.col("p_type"))).rlike("^[A-Z]+")
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_matching"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J-series joins
+# --------------------------------------------------------------------------
+
+@query(
+    "q04_semi_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-semi join (reference: keep cases containing an activity,
+    handoff_batch.py:66-74). Scale: the key set is aggregated before the
+    join; AQE turns it broadcast when small."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(keys, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q05_anti_join",
+    """
+    SELECT count(*) AS n_unsold, coalesce(min(p_partkey), -1) AS min_unsold_key
+    FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: anti join (reference: blacklist drop, handoff_batch.py:84-94)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    unsold = p.join(
+        li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_anti"
+    )
+    return unsold.agg(
+        F.count(F.lit(1)).alias("n_unsold"),
+        F.coalesce(F.min("p_partkey"), F.lit(-1)).alias("min_unsold_key"),
+    )
+
+
+@query(
+    "q06_regional_revenue",
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q06_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style star join + A2 exact distinct (TPC-H Q5 shape).
+
+    Scale: nation/region/customer are dims → explicit ``broadcast`` so
+    the fact table never shuffles for them; only the lineitem⋈orders join
+    shuffles (both huge, co-partitioned on orderkey).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q18_range_join_workload",
+    """
+    SELECT i.event_id AS instant_id, count(DISTINCT e.user_id) AS workload
+    FROM (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+          WHERE event_id % 199 = 0) i
+    JOIN (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                 CAST(floor(epoch(ts)) AS BIGINT) + CAST(ceil(value) AS BIGINT) AS e
+          FROM events) e
+      ON e.s <= i.t AND i.t <= e.e
+    GROUP BY i.event_id
+    """,
+)
+def q18_range_join_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: point-in-interval (range) join — the reference's workload
+    feature: #distinct cases a resource is busy with at instant t
+    (utils.py:179-196, called per-instant at activation_rules.py:132).
+
+    The reference re-scans the whole log per instant (O(instants×N));
+    here ONE broadcast-nested-loop join against the (small) instant set
+    evaluates all instants in a single pass over the events. Scale: for
+    large instant sets, switch to the bucketed range join in
+    operators/range_join.py (equi-join on time bucket + residual filter).
+    """
+    ev = _t(spark, sf_dir, "events")
+    instants = (
+        ev.filter(F.col("event_id") % 199 == 0)
+        .select(F.col("event_id").alias("instant_id"), F.unix_timestamp("ts").alias("t"))
+    )
+    intervals = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.ceil("value").cast("long")).alias("e"),
+    )
+    return (
+        intervals.join(
+            F.broadcast(instants),
+            (F.col("s") <= F.col("t")) & (F.col("t") <= F.col("e")),
+        )
+        .groupBy("instant_id")
+        .agg(F.countDistinct("user_id").alias("workload"))
+    )
+
+
+@query(
+    "q19_theta_self_join",
+    """
+    WITH err AS (
+      SELECT event_id, user_id % 20 AS resource,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + CAST(ceil(value) AS BIGINT) AS e,
+             value
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.resource AS resource, count(*) AS n_pairs
+    FROM err a JOIN err b
+      ON a.resource = b.resource AND a.event_id <> b.event_id
+     AND b.s >= a.s AND b.s <= a.e AND b.value > a.value
+    GROUP BY a.resource
+    """,
+)
+def q19_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: self theta-join — the reference's prioritization-candidate
+    search (pairs on one resource where one event starts inside the
+    other's execution, handoff_batch.py:163-173).
+
+    Scale: equality on `resource` keeps this a partitioned hash join with
+    a range residual — NOT a cartesian product; skewed resources are
+    AQE-split.
+    """
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        (F.col("user_id") % 20).alias("resource"),
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.ceil("value").cast("long")).alias("e"),
+        "value",
+    )
+    a, b = err.alias("a"), err.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.resource") == F.col("b.resource"))
+            & (F.col("a.event_id") != F.col("b.event_id"))
+            & (F.col("b.s") >= F.col("a.s"))
+            & (F.col("b.s") <= F.col("a.e"))
+            & (F.col("b.value") > F.col("a.value")),
+        )
+        .groupBy(F.col("a.resource").alias("resource"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# W-series windows / ordered operators
+# --------------------------------------------------------------------------
+
+@query(
+    "q10_argmin_first_event",
+    """
+    SELECT user_id, event_type AS first_type, CAST(floor(epoch(ts)) AS BIGINT) AS first_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q10_argmin_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: argmin-row (first event of a case, ties by event_id — the
+    reference's iloc-after-sort idiom, analysis.py:73, utils.py:102-106).
+
+    Scale: single window shuffle on user_id; no driver loop.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_type"),
+            F.unix_timestamp("ts").alias("first_ts"),
+        )
+    )
+
+
+@query(
+    "q11_sessionize",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, t,
+             sum(CASE WHEN prev_t IS NULL OR t - prev_t > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM x
+    ), g AS (
+      SELECT user_id, session_id, count(*) AS n_events, max(t) - min(t) AS dur_s
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+           sum(n_events) AS total_events, max(dur_s) AS max_session_dur_s
+    FROM g GROUP BY user_id
+    """,
+)
+def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 sessionization core: lag + gap flag + running sum = session ids —
+    the exact mechanism the batch detector uses to chain adjacent
+    executions into batch instances (SURVEY §2.5 W1).
+
+    Scale: one shuffle on user_id serves all three window/agg steps
+    (same partitioning reused); no per-group driver iteration.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_timestamp("ts")
+    x = ev.select("user_id", "event_id", t.alias("t")).withColumn(
+        "prev_t", F.lag("t").over(W.partitionBy("user_id").orderBy("t", "event_id"))
+    )
+    s = x.withColumn(
+        "session_id",
+        F.sum(
+            F.when(F.col("prev_t").isNull() | (F.col("t") - F.col("prev_t") > 1800), 1).otherwise(0)
+        ).over(
+            W.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    g = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"), (F.max("t") - F.min("t")).alias("dur_s")
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+        F.max("dur_s").alias("max_session_dur_s"),
+    )
+
+
+@query(
+    "q13_directly_follows",
+    """
+    SELECT src, dst, count(*) AS n
+    FROM (SELECT event_type AS src,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events)
+    WHERE dst IS NOT NULL GROUP BY src, dst
+    """,
+)
+def q13_directly_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directly-follows matrix — stage 1 of the concurrency oracle (U2):
+    per-case lead pairs → pair counts (SURVEY §2.7).
+
+    Scale: window on case key then 2-key agg; output is |activities|² —
+    tiny — so it broadcasts into the next oracle stage.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q09_window_topk",
+    """
+    WITH pr AS (
+      SELECT p_brand, l_partkey, round(sum(l_extendedprice), 2) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, l_partkey
+    )
+    SELECT p_brand, l_partkey, rev, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY rev DESC, l_partkey) AS rn
+      FROM pr
+    ) WHERE rn <= 3
+    """,
+)
+def q09_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: window row_number ≤ k with unique tiebreak.
+
+    Scale: Spark inserts a WindowGroupLimit (partial top-k before the
+    shuffle) — no group ever materializes fully sorted.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pr = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("rev"), "l_partkey")
+    return pr.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "q21_rolling_sequence",
+    """
+    SELECT user_id, count(*) AS n_funnels
+    FROM (SELECT user_id, event_type,
+                 lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+                 lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+          FROM events)
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def q21_rolling_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/W5: ordered rolling sequence match — the reference's
+    subsequence-occurrence counter (utils.py:218-227) vectorized as
+    lead() comparisons instead of a per-case Python loop."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+        )
+        .filter((F.col("event_type") == "view") & (F.col("t1") == "click") & (F.col("t2") == "purchase"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_funnels"))
+    )
+
+
+@query(
+    "q22_dense_rank",
+    """
+    SELECT s_suppkey, s_nationkey,
+           dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+    FROM supplier
+    """,
+)
+def q22_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: dense re-numbering (reference: unified batch-instance ids,
+    discovery.py:161-181, replaced by dense_rank per SURVEY §7.4)."""
+    s = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return s.select("s_suppkey", "s_nationkey", F.dense_rank().over(w).alias("rnk"))
+
+
+@query(
+    "q20_chunking",
+    """
+    SELECT chunk_size, count(*) AS n_chunks FROM (
+      SELECT user_id, CAST(floor((rn - 1) / 5) AS BIGINT) AS chunk, count(*) AS chunk_size
+      FROM (SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events)
+      GROUP BY user_id, chunk
+    ) GROUP BY chunk_size
+    """,
+)
+def q20_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: fixed-size chunking (reference: np.array_split grouping,
+    batch_injection.py:50-51) via row_number + floor-div."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chunks = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("chunk", F.floor((F.col("rn") - 1) / 5))
+        .groupBy("user_id", "chunk")
+        .agg(F.count(F.lit(1)).alias("chunk_size"))
+    )
+    return chunks.groupBy("chunk_size").agg(F.count(F.lit(1)).alias("n_chunks"))
+
+
+@query(
+    "q23_instant_generation",
+    """
+    SELECT o_orderkey, i, CAST(floor(epoch(o_orderdate)) AS BIGINT) + 648000 * i AS instant_s
+    FROM orders, generate_series(1, 3) AS t(i)
+    WHERE o_orderkey % 500 = 0
+    """,
+)
+def q23_instant_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: equally-spaced instant generation (reference: pd.date_range
+    negative-sampling instants, activation_rules.py:58-62) via
+    sequence+explode — n points between two per-row timestamps."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") % 500 == 0)
+        .select("o_orderkey", F.unix_timestamp("o_orderdate").alias("base"))
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.lit(3))))
+        .select("o_orderkey", "i", (F.col("base") + 648000 * F.col("i")).alias("instant_s"))
+    )
+
+
+@query(
+    "q24_union_rekey",
+    """
+    SELECT prefix, count(*) AS n, round(sum(o_totalprice), 2) AS total FROM (
+      SELECT 'closed-' || CAST(o_orderkey AS VARCHAR) AS key, 'closed' AS prefix, o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT 'open-' || CAST(o_orderkey AS VARCHAR), 'open', o_totalprice
+      FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY prefix
+    """,
+)
+def q24_union_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: union with case re-keying (reference: trace append with
+    offsetted case ids, handoff_batch.py:50-59)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def part(status: str, prefix: str) -> DataFrame:
+        return o.filter(F.col("o_orderstatus") == status).select(
+            F.concat(F.lit(prefix + "-"), F.col("o_orderkey").cast("string")).alias("key"),
+            F.lit(prefix).alias("prefix"),
+            "o_totalprice",
+        )
+
+    return (
+        part("F", "closed")
+        .unionByName(part("O", "open"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q25_conditional_pivot",
+    """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS n_click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS n_view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)    AS n_error,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)   AS n_signup
+    FROM events GROUP BY user_id
+    """,
+)
+def q25_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (single shuffle, no pivot
+    metadata pass — the scalable form of groupBy().pivot())."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "error", "signup"]
+    ]
+    return ev.groupBy("user_id").agg(*aggs)

@@ -1,0 +1,176 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()[name]`` from ``__spark_entry__`` on Spark and its
+``oracle_sql()[name]`` twin on DuckDB over the same parquet tables, then
+compares row count, sorted column names, and an order-insensitive value
+hash (cells canonicalized to strings, columns sorted by name, rows
+sorted). Strict hash mismatches are re-checked with a small float
+tolerance so float-noise is distinguishable from real bugs.
+
+Usage: python tools/verify_queries.py [--sf-dir /root/testdata/sf0.01] [--only q1,q2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return sorted(cols), out
+
+
+def value_hash(rows) -> str:
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def tolerant_equal(a_rows, b_rows, tol=1e-6) -> bool:
+    if len(a_rows) != len(b_rows):
+        return False
+    for ra, rb in zip(a_rows, b_rows):
+        if len(ra) != len(rb):
+            return False
+        for ca, cb in zip(ra, rb):
+            if ca == cb:
+                continue
+            try:
+                fa, fb = float(ca), float(cb)
+                if math.isclose(fa, fb, rel_tol=tol, abs_tol=tol):
+                    continue
+            except ValueError:
+                pass
+            return False
+    return True
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from batch_processing_analysis_spark.session import get_spark
+
+    spark = get_spark("verify_queries")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle, rows-only check)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = canon_rows(s_cols, s_rows)
+        dc, dr = canon_rows(d_cols, d_rows)
+        dt = time.time() - t0
+        if sc != dc:
+            print(f"FAIL  {name}: schema mismatch spark={sc} duck={dc}")
+            n_fail += 1
+        elif len(sr) != len(dr):
+            print(f"FAIL  {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            _show_diff(sr, dr)
+            n_fail += 1
+        elif value_hash(sr) != value_hash(dr):
+            if tolerant_equal(sr, dr):
+                print(f"WARN  {name}: strict hash mismatch but within float tolerance "
+                      f"({len(sr)} rows, {dt:.1f}s) — tighten rounding!")
+                _show_diff(sr, dr)
+                n_fail += 1
+            else:
+                print(f"FAIL  {name}: value mismatch ({len(sr)} rows)")
+                _show_diff(sr, dr)
+                n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(sr)} rows, {dt:.1f}s")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+def _show_diff(sr, dr, k=3):
+    shown = 0
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        if a != b:
+            print(f"      row {i}: spark={a}\n             duck ={b}")
+            shown += 1
+            if shown >= k:
+                break
+    if len(sr) != len(dr):
+        extra = sr[len(dr):] if len(sr) > len(dr) else dr[len(sr):]
+        side = "spark" if len(sr) > len(dr) else "duck"
+        for r in extra[:k]:
+            print(f"      only in {side}: {r}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
