@@ -1,0 +1,365 @@
+"""Activation-rule mining (M7+M8; reference: activation_rules.py:33-240).
+
+Two stages:
+
+1. **Features table** (U3 decomposed — no UDF): one row per
+   (batch instance x candidate instant). The reference loops per
+   instance in Python, rescanning the full log per instant for the
+   workload feature (O(instants x N)); here positives and negatives fan
+   out with ``explode``, subset aggregates come from one join + groupBy,
+   and workload is ONE range join over all instants (J2).
+
+2. **Rule induction** (U1): sequential-covering rule miner over each
+   feature group via ``applyInPandas``. The reference calls
+   ``wittgenstein.RIPPER``; that library is not a runtime dependency
+   here, so an equivalent native inducer (IREP/RIPPER-style greedy
+   conjunctive rules maximizing FOIL gain, the published algorithm of
+   Cohen 1995) runs inside the pandas UDF. The accept/remove/repeat
+   loop, support/confidence accounting, and the >30-rows / 2-outcome
+   guards (A14) match the reference loop (activation_rules.py:180-240).
+
+Determinism: the reference samples negatives with unseeded
+``random.sample``; here sampling is ``F.rand(config.random_seed)``
+(SURVEY §7.4 determinism policy).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from ..config import ActivationRulesMode, Configuration
+
+OUTCOME_ACTIVATE = 1
+OUTCOME_NOT_ACTIVATE = 0
+
+
+# --------------------------------------------------------------------------
+# Stage 1: features table
+# --------------------------------------------------------------------------
+
+def _per_case(log: DataFrame, config: Configuration) -> DataFrame:
+    """One row per (batch instance, case): enabled/start scalars +
+    the case's first-event activity (for firing_activity)."""
+    ids = config.log_ids
+    batched = log.filter(F.col(ids.batch_id).isNotNull())
+    return (
+        batched.groupBy(ids.batch_id, ids.case)
+        .agg(
+            F.first(ids.batch_type).alias(ids.batch_type),
+            F.first(ids.resource).alias(ids.resource),
+            # min (start, enabled, activity) = argmin-row start w/ enabled tiebreak
+            F.min(
+                F.struct(
+                    F.unix_micros(F.col(ids.start_time)).alias("s"),
+                    F.unix_micros(F.col(ids.enabled_time)).alias("en"),
+                    F.col(ids.activity).alias("act"),
+                )
+            ).alias("_first"),
+            F.sort_array(F.collect_set(ids.activity)).alias("_acts"),
+        )
+        .select(
+            ids.batch_id,
+            ids.case,
+            ids.batch_type,
+            ids.resource,
+            F.col("_first.s").alias("case_start"),
+            F.col("_first.en").alias("case_enabled"),
+            F.col("_first.act").alias("case_first_activity"),
+            "_acts",
+        )
+    )
+
+
+def features_table(log: DataFrame, config: Configuration) -> DataFrame:
+    """The features table (activation_rules.py:33-150) as one lazy plan.
+
+    Durations are emitted in SECONDS (double) and the instant as epoch
+    seconds, matching the reference's final parsed table
+    (activation_rules.py:159-164). day_of_week is Monday=0 (F3 shift).
+    """
+    ids = config.log_ids
+    cases = _per_case(log, config)
+
+    inst = cases.groupBy(ids.batch_id).agg(
+        F.first(ids.batch_type).alias(ids.batch_type),
+        F.first(ids.resource).alias(ids.resource),
+        F.max("case_enabled").alias("inst_enabled"),     # last-enabled = batch ready
+        F.min("case_enabled").alias("inst_first_enabled"),
+        F.min(F.struct("case_start", "case_enabled", "case_first_activity")).alias("_first"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_acts")))).alias("activities"),
+    ).select(
+        ids.batch_id, ids.batch_type, ids.resource,
+        "inst_enabled", "inst_first_enabled",
+        F.col("_first.case_start").alias("inst_start"),
+        "activities",
+    )
+
+    # --- candidate instants -------------------------------------------------
+    n_ready = config.num_batch_ready_negative_events
+    pos = inst.select(
+        ids.batch_id, F.col("inst_start").alias("instant"),
+        F.lit(OUTCOME_ACTIVATE).alias("outcome"),
+    )
+    # Equi-spaced instants strictly inside (inst_enabled, inst_start):
+    # pd.date_range(start, end, periods=n+2)[1:-1] (activation_rules.py:58-62).
+    step = (F.col("inst_start") - F.col("inst_enabled")) / F.lit(n_ready + 1)
+    neg_ready = (
+        inst.filter(F.col("inst_start") > F.col("inst_enabled"))
+        .select(
+            ids.batch_id,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_ready)),
+                    lambda i: (F.col("inst_enabled") + (i.cast("double") * step)).cast("long"),
+                )
+            ).alias("instant"),
+            F.lit(OUTCOME_NOT_ACTIVATE).alias("outcome"),
+        )
+    )
+    # Up to k case-enablement instants < inst_start, seeded sample per
+    # instance (activation_rules.py:64-71; W7 determinism policy).
+    k = config.num_batch_enabled_negative_events
+    w_samp = W.partitionBy(ids.batch_id).orderBy(F.rand(config.random_seed), ids.case)
+    neg_enabled = (
+        cases.join(inst.select(ids.batch_id, "inst_start"), ids.batch_id)
+        .filter(F.col("case_enabled") < F.col("inst_start"))
+        .withColumn("_rn", F.row_number().over(w_samp))
+        .filter(F.col("_rn") <= k)
+        .select(
+            ids.batch_id, F.col("case_enabled").alias("instant"),
+            F.lit(OUTCOME_NOT_ACTIVATE).alias("outcome"),
+        )
+    )
+    instants = pos.unionByName(neg_ready).unionByName(neg_enabled)
+
+    # --- subset aggregates: cases enabled at or before each instant --------
+    subset = (
+        instants.join(cases.select(ids.batch_id, ids.case, "case_start",
+                                   "case_enabled", "case_first_activity"), ids.batch_id)
+        .filter(F.col("case_enabled") <= F.col("instant"))
+        .groupBy(ids.batch_id, "instant", "outcome")
+        .agg(
+            F.countDistinct(ids.case).alias("num_queue"),
+            F.max("case_enabled").alias("last_enabled"),
+            F.min("case_enabled").alias("first_enabled"),
+            F.min(F.struct("case_start", "case_enabled", "case_first_activity")).alias("_first"),
+        )
+    )
+
+    # t_max_flow: min first-start over the FULL log among the subset's
+    # cases (J6). The subset always contains the earliest-enabled case,
+    # and case subsets grow monotonically with the instant, so the min is
+    # over the instance's cases enabled <= instant.
+    case_first_start = log.groupBy(ids.case).agg(
+        F.min(F.unix_micros(F.col(ids.start_time))).alias("_log_first_start")
+    )
+    flow = (
+        instants.join(cases.select(ids.batch_id, ids.case, "case_enabled"), ids.batch_id)
+        .filter(F.col("case_enabled") <= F.col("instant"))
+        .join(case_first_start, ids.case)
+        .groupBy(ids.batch_id, "instant", "outcome")
+        .agg(F.min("_log_first_start").alias("_min_flow_start"))
+    )
+
+    feat = (
+        subset.join(flow, [ids.batch_id, "instant", "outcome"])
+        .join(inst.select(ids.batch_id, ids.batch_type, ids.resource, "activities"),
+              ids.batch_id)
+    )
+
+    # --- workload: J2 range join over distinct (resource, instant) ---------
+    points = feat.select(ids.resource, "instant").distinct()
+    workload = (
+        points.join(
+            log.select(
+                F.col(ids.resource).alias("_r"),
+                F.unix_micros(F.col(ids.enabled_time)).alias("_en"),
+                F.unix_micros(F.col(ids.end_time)).alias("_end"),
+                F.col(ids.case).alias("_c"),
+            ),
+            (F.col(ids.resource) == F.col("_r"))
+            & (F.col("_en") <= F.col("instant"))
+            & (F.col("instant") <= F.col("_end")),
+            "left",
+        )
+        .groupBy(ids.resource, "instant")
+        .agg(F.countDistinct("_c").alias("workload"))
+    )
+    feat = feat.join(workload, [ids.resource, "instant"], "left")
+
+    ts = F.timestamp_micros(F.col("instant"))
+    us = 1_000_000.0
+    return feat.select(
+        ids.batch_id,
+        ids.batch_type,
+        "activities",
+        F.col("_first.case_first_activity").alias("firing_activity"),
+        (F.col("instant") / us).alias("instant"),
+        "num_queue",
+        ((F.col("instant") - F.col("last_enabled")) / us).alias("t_ready"),
+        ((F.col("instant") - F.col("first_enabled")) / us).alias("t_waiting"),
+        ((F.col("instant") - F.col("_min_flow_start")) / us).alias("t_max_flow"),
+        ((F.dayofweek(ts) + 5) % 7).alias("day_of_week"),     # F3: Monday=0
+        F.dayofmonth(ts).alias("day_of_month"),
+        F.hour(ts).alias("hour_of_day"),
+        F.minute(ts).alias("minute"),
+        F.coalesce("workload", F.lit(0)).alias("workload"),
+        "outcome",
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage 2: native sequential-covering rule induction
+# --------------------------------------------------------------------------
+
+_CATEGORICAL = {"day_of_week", "day_of_month", "hour_of_day", "minute"}
+
+
+def _grow_rule(df: pd.DataFrame, features: list[str]) -> list[tuple[str, str, float]]:
+    """Grow one conjunctive rule (feature, op, value) maximizing FOIL
+    gain per literal (Cohen's RIPPER grow phase, published algorithm)."""
+    import math
+
+    covered = df
+    rule: list[tuple[str, str, float]] = []
+    while True:
+        p = int((covered["outcome"] == 1).sum())
+        n = int((covered["outcome"] == 0).sum())
+        if p == 0 or n == 0:
+            break
+        base = math.log2(p / (p + n))
+        best = None  # (gain, feat, op, value)
+        for feat in features:
+            vals = covered[feat]
+            uniq = sorted(vals.unique())
+            if len(uniq) < 2:
+                continue
+            candidates: list[tuple[str, float]] = []
+            if feat in _CATEGORICAL:
+                candidates += [("==", v) for v in uniq]
+            # numeric thresholds at up to 32 quantile cut points
+            qs = uniq if len(uniq) <= 32 else [
+                vals.quantile(i / 32, interpolation="nearest") for i in range(1, 32)
+            ]
+            for v in qs:
+                candidates += [("<=", v), (">=", v)]
+            for op, v in candidates:
+                mask = (vals == v) if op == "==" else (vals <= v) if op == "<=" else (vals >= v)
+                cp = int(((covered["outcome"] == 1) & mask).sum())
+                cn = int(((covered["outcome"] == 0) & mask).sum())
+                if cp == 0:
+                    continue
+                gain = cp * (math.log2(cp / (cp + cn)) - base)
+                key = (gain, -len(rule), str(feat), op, float(v))
+                if best is None or key > best[0]:
+                    best = (key, feat, op, v, mask)
+        if best is None or best[0][0] <= 1e-12:
+            break
+        _, feat, op, v, mask = best
+        rule.append((feat, op, float(v)))
+        covered = covered[mask]
+        if int((covered["outcome"] == 0).sum()) == 0:
+            break
+    return rule
+
+
+def _rule_mask(df: pd.DataFrame, rule: list[tuple[str, str, float]]) -> pd.Series:
+    mask = pd.Series(True, index=df.index)
+    for feat, op, v in rule:
+        col = df[feat]
+        mask &= (col == v) if op == "==" else (col <= v) if op == "<=" else (col >= v)
+    return mask
+
+
+def _format_rule(rule: list[tuple[str, str, float]]) -> str:
+    def lit(feat, op, v):
+        s = f"{v:g}"
+        return f"{feat}={s}" if op == "==" else f"{feat}=<{s}" if op == "<=" else f"{feat}=>{s}"
+
+    return "[" + " ^ ".join(lit(*l) for l in rule) + "]"
+
+
+def mine_rules_pdf(pdf: pd.DataFrame, features: list[str], max_rules: int,
+                   min_rule_support: float) -> dict:
+    """The reference's accept/remove/repeat loop (activation_rules.py:190-240)
+    with the native grower standing in for wittgenstein.RIPPER."""
+    data = pdf
+    filtered = pdf
+    ruleset: list[list[tuple[str, str, float]]] = []
+    while len(ruleset) < max_rules:
+        rule = _grow_rule(filtered, features)
+        if not rule:
+            break
+        preds = _rule_mask(filtered, rule)
+        tp = int((preds & (filtered["outcome"] == 1)).sum())
+        if tp / len(data) < min_rule_support:
+            break
+        ruleset.append(rule)
+        filtered = filtered[~preds]
+        if filtered.empty or (filtered["outcome"] == 1).sum() == 0:
+            break
+    if not ruleset:
+        return {}
+    preds = pd.Series(False, index=data.index)
+    for rule in ruleset:
+        preds |= _rule_mask(data, rule)
+    tp = int((preds & (data["outcome"] == 1)).sum())
+    npred = int(preds.sum())
+    return {
+        "num_obs": len(data),
+        "model": " v ".join(_format_rule(r) for r in ruleset),
+        "confidence": tp / npred if npred else 0.0,
+        "support": tp / len(data),
+    }
+
+
+_RULES_SCHEMA = T.StructType([
+    T.StructField("group_key", T.StringType()),
+    T.StructField("num_obs", T.LongType()),
+    T.StructField("model", T.StringType()),
+    T.StructField("confidence", T.DoubleType()),
+    T.StructField("support", T.DoubleType()),
+])
+
+_FEATURES = ["instant", "num_queue", "t_ready", "t_waiting", "t_max_flow",
+             "day_of_week", "day_of_month", "hour_of_day", "minute", "workload"]
+
+
+def get_activation_rules(
+    feat: DataFrame,
+    config: Configuration,
+    mode: ActivationRulesMode = ActivationRulesMode.PER_BATCH_TYPE,
+) -> DataFrame:
+    """Group the features table per mode (A15), apply the >30-rows /
+    2-outcome guards (A14) JVM-side, then mine rules per group in
+    ``applyInPandas`` (groups are tiny: tens to thousands of rows)."""
+    ids = config.log_ids
+    if mode == ActivationRulesMode.PER_ACTIVITY:
+        key = F.col("firing_activity")
+    elif mode == ActivationRulesMode.PER_BATCH:
+        key = F.concat_ws("|", "activities")
+    else:
+        key = F.concat_ws("|", F.concat_ws("|", "activities"), ids.batch_type)
+    feat = feat.withColumn("group_key", key)
+
+    w = W.partitionBy("group_key")
+    guarded = (
+        feat.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_k", F.size(F.collect_set("outcome").over(w)))
+        .filter((F.col("_n") > 30) & (F.col("_k") > 1))
+        .select("group_key", *_FEATURES, "outcome")
+    )
+
+    max_rules, min_support = config.max_rules, config.min_rule_support
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = mine_rules_pdf(pdf, _FEATURES, max_rules, min_support)
+        if not res:
+            return pd.DataFrame(columns=[f.name for f in _RULES_SCHEMA.fields])
+        return pd.DataFrame([{"group_key": pdf["group_key"].iloc[0], **res}])
+
+    return guarded.groupBy("group_key").applyInPandas(mine, schema=_RULES_SCHEMA)

@@ -1,0 +1,403 @@
+"""Batch discovery: BAMA-style detection + repair passes (SURVEY §2.5 W1-W3,
+§2.2 P9, §2.4 A12-A13; reference: discovery.py:212-265 + external
+batch_detection.R + the bamalog package by Martin et al., public at
+github.com/nielsmartin/bama).
+
+The reference round-trips the log through a temp CSV into an R subprocess
+and then repairs the result with four pandas passes of per-group driver
+loops. Here detection is native: lag-classification + running-sum
+sessionization per (resource, activity) — one window shuffle — and every
+repair is a window/agg pass. The only procedural piece (the
+enabled-after-start fixpoint split, discovery.py:12-81) runs as
+``applyInPandas`` over per-instance case aggregates: groups are batch
+instances (tens of cases), so the Python loop touches KB-sized groups
+while the heavy lifting stays JVM-side.
+
+Adjacency semantics (validated against the reference's golden outputs):
+ordered by (start, end, case) within (resource, activity):
+- *simultaneous*: identical start AND end as previous;
+- *sequential*: starts within ``gap`` seconds after previous end;
+- *concurrent*: overlaps previous execution;
+chains extend while the pairwise class stays the same.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..config import BatchType, Configuration, EventLogIDs
+
+RAW_SIMULTANEOUS = "simultaneous"
+RAW_SEQUENTIAL = "sequential"
+RAW_CONCURRENT = "concurrent"
+
+_RAW_TASK_RENAME = {
+    RAW_SIMULTANEOUS: BatchType.parallel,
+    RAW_SEQUENTIAL: BatchType.task_sequential,
+    RAW_CONCURRENT: BatchType.task_concurrent,
+}
+_RAW_SUB_RENAME = {
+    RAW_SIMULTANEOUS: BatchType.parallel,
+    "sequential case-based": BatchType.case_sequential,
+    "concurrent case-based": BatchType.case_concurrent,
+}
+
+
+def _pair_class(prev_start: Column, prev_end: Column, start: Column, end: Column,
+                gap_seconds: int) -> Column:
+    """Classify a row against its predecessor (batch_detection.R:54-77
+    driver semantics; gap default 0, discovery.py:239)."""
+    gap_us = int(gap_seconds * 1_000_000)
+    return (
+        F.when(prev_start.isNull(), F.lit(None).cast("string"))
+        .when((start == prev_start) & (end == prev_end), F.lit(RAW_SIMULTANEOUS))
+        .when(
+            (start >= prev_end)
+            & (F.unix_micros(start) - F.unix_micros(prev_end) <= gap_us),
+            F.lit(RAW_SEQUENTIAL),
+        )
+        .when(start < prev_end, F.lit(RAW_CONCURRENT))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _chain(df: DataFrame, part_keys: list[str], order_cols: list, cls_col: str,
+           grp_col: str) -> DataFrame:
+    """Chain classified pairs into instances: new chain when the class is
+    null or changes vs the previous pair (running-sum sessionization)."""
+    w = W.partitionBy(*part_keys).orderBy(*order_cols)
+    w_run = w.rowsBetween(W.unboundedPreceding, 0)
+    prev_cls = F.lag(cls_col).over(w)
+    boundary = (
+        F.col(cls_col).isNull()
+        | (prev_cls.isNotNull() & (F.col(cls_col) != prev_cls))
+    )
+    return df.withColumn(grp_col, F.sum(boundary.cast("long")).over(w_run))
+
+
+def detect_task_batches(log: DataFrame, ids: EventLogIDs, gap_seconds: int = 0) -> DataFrame:
+    """Task-level detection (W1): adjacency of executions of the SAME
+    activity by the SAME resource.
+
+    Adds ``_task_grp`` (long, chain index within (resource, activity)),
+    ``_task_type`` (raw class, null for unbatched/singleton rows).
+    Scale: one window shuffle on (resource, activity); no skew risk
+    beyond a hot resource-activity pair, which AQE handles.
+    """
+    res = F.coalesce(F.col(ids.resource), F.lit("NOT_SET"))  # F9, batch_detection.R:50
+    order_cols = [F.col(ids.start_time), F.col(ids.end_time), F.col(ids.case)]
+    w = W.partitionBy("_res", ids.activity).orderBy(*order_cols)
+    df = (
+        log.withColumn("_res", res)
+        .withColumn(
+            "_cls",
+            _pair_class(
+                F.lag(ids.start_time).over(w),
+                F.lag(ids.end_time).over(w),
+                F.col(ids.start_time),
+                F.col(ids.end_time),
+                gap_seconds,
+            ),
+        )
+    )
+    df = _chain(df, ["_res", ids.activity], order_cols, "_cls", "_grp")
+    # Chain type = the (single) pairwise class inside the chain; null ⇒ singleton.
+    w_grp = W.partitionBy("_res", ids.activity, "_grp")
+    df = df.withColumn("_task_type", F.max("_cls").over(w_grp))
+    return (
+        df.withColumn(
+            "_task_grp",
+            F.when(
+                F.col("_task_type").isNotNull(),
+                F.concat_ws("\x1f", "_res", ids.activity, F.col("_grp").cast("string")),
+            ),
+        )
+        .drop("_cls", "_grp", "_res")
+    )
+
+
+def detect_case_batches(log: DataFrame, ids: EventLogIDs, gap_seconds: int = 0) -> DataFrame:
+    """Case-level (subprocess) detection (W2): per-case maximal runs of
+    consecutive events executed by one resource form sub-process
+    envelopes [min start, max end]; envelopes with the same (resource,
+    activity-sequence) are then chained exactly like task batches.
+
+    This is the bounded variant of the reference's subsequence
+    enumeration (batch_detection.R:57-65): maximal same-resource runs
+    instead of ALL contiguous subsequences, so each event belongs to at
+    most one envelope and no conflict resolution is needed — the "freq"
+    spirit (config.py:76) without the quadratic blow-up at scale.
+
+    Adds ``_sub_grp`` / ``_sub_type`` (raw class with ' case-based'
+    suffix for sequential/concurrent).
+    """
+    res = F.coalesce(F.col(ids.resource), F.lit("NOT_SET"))
+    w_case = W.partitionBy(ids.case).orderBy(ids.start_time, ids.end_time, ids.activity)
+    w_run = w_case.rowsBetween(W.unboundedPreceding, 0)
+    df = log.withColumn("_res", res).withColumn(
+        "_run",
+        F.sum(
+            (F.coalesce(F.lag("_res").over(w_case) != F.col("_res"), F.lit(True))).cast("long")
+        ).over(w_run),
+    )
+    env = (
+        df.groupBy(ids.case, "_run")
+        .agg(
+            F.first("_res").alias("_res"),
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ids.start_time).alias("s"),
+                                F.col(ids.end_time).alias("e"),
+                                F.col(ids.activity).alias("a"),
+                            )
+                        )
+                    ),
+                    lambda x: x["a"],
+                ),
+            ).alias("_acts"),
+            F.min(ids.start_time).alias("_env_start"),
+            F.max(ids.end_time).alias("_env_end"),
+            F.count(F.lit(1)).alias("_n_events"),
+        )
+        .filter(F.col("_n_events") >= 2)  # a subprocess needs ≥2 activities
+    )
+    order_cols = [F.col("_env_start"), F.col("_env_end"), F.col(ids.case)]
+    w = W.partitionBy("_res", "_acts").orderBy(*order_cols)
+    env = env.withColumn(
+        "_cls",
+        _pair_class(
+            F.lag("_env_start").over(w),
+            F.lag("_env_end").over(w),
+            F.col("_env_start"),
+            F.col("_env_end"),
+            gap_seconds,
+        ),
+    )
+    env = _chain(env, ["_res", "_acts"], order_cols, "_cls", "_grp")
+    w_grp = W.partitionBy("_res", "_acts", "_grp")
+    env = env.withColumn("_raw", F.max("_cls").over(w_grp)).withColumn(
+        "_sub_type",
+        F.when(F.col("_raw") == RAW_SEQUENTIAL, F.lit("sequential case-based"))
+        .when(F.col("_raw") == RAW_CONCURRENT, F.lit("concurrent case-based"))
+        .otherwise(F.col("_raw")),  # simultaneous or null
+    )
+    env = env.select(
+        ids.case,
+        "_run",
+        F.when(
+            F.col("_sub_type").isNotNull(),
+            F.concat_ws("\x1f", "_res", "_acts", F.col("_grp").cast("string")),
+        ).alias("_sub_grp"),
+        "_sub_type",
+    )
+    return (
+        df.join(env, [ids.case, "_run"], "left")
+        .withColumn("_sub_type", F.when(F.col("_sub_grp").isNotNull(), F.col("_sub_type")))
+        .drop("_run", "_res")
+    )
+
+
+def _split_mixed_type_subprocess(df: DataFrame) -> DataFrame:
+    """Repair pass 1 (discovery.py:117-125): a subprocess instance whose
+    events carry >1 task-level class loses its subprocess identity.
+
+    Computed as agg + broadcast join-back, NOT a window over the nullable
+    group key — a window would funnel every unbatched row into one
+    null-key partition (the classic skew trap at scale).
+    """
+    mixed_keys = (
+        df.filter(F.col("_sub_grp").isNotNull())
+        .groupBy("_sub_grp")
+        .agg(F.countDistinct(F.coalesce(F.col("_task_type"), F.lit("\x00"))).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_sub_grp", F.lit(True).alias("_mixed"))
+    )
+    out = df.join(F.broadcast(mixed_keys), "_sub_grp", "left")
+    keep = F.col("_mixed").isNull()
+    return (
+        out.withColumn("_sub_grp", F.when(keep, F.col("_sub_grp")))
+        .withColumn("_sub_type", F.when(keep, F.col("_sub_type")))
+        .drop("_mixed")
+    )
+
+
+def _split_wrong_enabled(df: DataFrame, ids: EventLogIDs, grp_col: str,
+                         analysis_rows: Column) -> DataFrame:
+    """Repair pass 3 (discovery.py:12-81): iteratively split off batch
+    cases whose enabled time is after the instance's first start (they
+    could not have been part of that batch accumulation).
+
+    The reference is a driver-side fixpoint loop over the whole frame;
+    here per-(instance, case) aggregates (tiny) run the same fixpoint
+    inside ``applyInPandas`` per instance, and the resulting sub-index
+    joins back in one pass.
+    """
+    rows = df.filter(analysis_rows & F.col(grp_col).isNotNull())
+    # Batch-case enabled = min enabled among rows at the case's min start
+    # (utils.py:93-106); batch-case start = min start.
+    per_case = (
+        rows.groupBy(grp_col, ids.case)
+        .agg(
+            F.min(F.struct(F.unix_micros(F.col(ids.start_time)).alias("s"),
+                           F.unix_micros(F.col(ids.enabled_time)).alias("en"))).alias("_first"),
+        )
+        .select(
+            grp_col,
+            ids.case,
+            F.col("_first.s").alias("_case_start"),
+            F.col("_first.en").alias("_case_enabled"),
+        )
+    )
+
+    # NOTE _first picks min (start, enabled) lexicographically == min enabled
+    # among min-start rows — exactly the reference's argmin-then-min.
+
+    def fixpoint(pdf: pd.DataFrame) -> pd.DataFrame:
+        current = list(pdf.itertuples(index=False))
+        sub = 0
+        out = []
+        while current:
+            if len({c[1] for c in current}) <= 1:
+                out += [(c[0], c[1], sub) for c in current]
+                break
+            inst_start = min(c[2] for c in current)
+            violators = [c for c in current if c[3] > inst_start]
+            kept = [c for c in current if c[3] <= inst_start]
+            if not kept:
+                # Every remaining case violates (possible only when the
+                # input breaks the enabled<=start invariant that estimated
+                # enabled times guarantee); the reference's loop would not
+                # terminate here — keep them together and stop.
+                out += [(c[0], c[1], sub) for c in current]
+                break
+            out += [(c[0], c[1], sub) for c in kept]
+            current = violators
+            sub += 1
+        return pd.DataFrame(out, columns=[grp_col, "case", "_sub_idx"])
+
+    splits = per_case.groupBy(grp_col).applyInPandas(
+        fixpoint, schema=f"`{grp_col}` string, case string, _sub_idx int"
+    ).withColumnRenamed("case", ids.case)
+    out = df.join(splits, [grp_col, ids.case], "left")
+    return out.withColumn(
+        grp_col,
+        F.when(
+            F.col(grp_col).isNotNull(),
+            F.concat_ws("\x1d", grp_col, F.coalesce(F.col("_sub_idx"), F.lit(0)).cast("string")),
+        ),
+    ).drop("_sub_idx")
+
+
+def _min_size_filter(df: DataFrame, ids: EventLogIDs, min_size: int) -> DataFrame:
+    """Repair pass 4 (discovery.py:128-158): drop instances with fewer
+    than ``min_size`` distinct cases. Subprocess level first — removing a
+    subprocess batch clears the task-level info of its rows too
+    (discovery.py:140-143) — then task level over the remaining rows."""
+    small_sub = (
+        df.filter(F.col("_sub_grp").isNotNull())
+        .groupBy("_sub_grp")
+        .agg(F.countDistinct(ids.case).alias("_n"))
+        .filter(F.col("_n") < min_size)
+        .select("_sub_grp", F.lit(True).alias("_small_sub"))
+    )
+    df = df.join(F.broadcast(small_sub), "_sub_grp", "left")
+    keep = F.col("_small_sub").isNull()
+    df = (
+        df.withColumn("_task_grp", F.when(keep, F.col("_task_grp")))
+        .withColumn("_task_type", F.when(keep, F.col("_task_type")))
+        .withColumn("_sub_grp", F.when(keep, F.col("_sub_grp")))
+        .withColumn("_sub_type", F.when(keep, F.col("_sub_type")))
+        .drop("_small_sub")
+    )
+    # Task level: size counted over rows NOT in a surviving subprocess batch
+    # (reference filters sub-isna rows before grouping, discovery.py:148).
+    small_task = (
+        df.filter(F.col("_task_grp").isNotNull() & F.col("_sub_type").isNull())
+        .groupBy("_task_grp")
+        .agg(F.countDistinct(ids.case).alias("_n"))
+        .filter(F.col("_n") < min_size)
+        .select("_task_grp", F.lit(True).alias("_small_task"))
+    )
+    df = df.join(F.broadcast(small_task), "_task_grp", "left")
+    keep_t = F.col("_small_task").isNull()
+    return (
+        df.withColumn("_task_grp", F.when(keep_t, F.col("_task_grp")))
+        .withColumn("_task_type", F.when(keep_t, F.col("_task_type")))
+        .drop("_small_task")
+    )
+
+
+def _unify(df: DataFrame, ids: EventLogIDs) -> DataFrame:
+    """Repair pass 5 (discovery.py:161-209): one id space 1..B (task
+    instances then subprocess instances) + canonical type names.
+
+    ID labels come from dense_rank (SURVEY §7.4: equivalence classes
+    match the reference, labels are canonicalized). dense_rank is a
+    global sort of the (small) instance-key set, not of the events.
+    """
+    is_task_row = F.col("_sub_type").isNull() & F.col("_task_type").isNotNull()
+    is_sub_row = F.col("_sub_grp").isNotNull()
+    task_keys = (
+        df.filter(is_task_row).select(F.col("_task_grp").alias("_tk")).distinct()
+        .withColumn("_tid", F.dense_rank().over(W.orderBy("_tk")))
+    )
+    sub_keys = (
+        df.filter(is_sub_row).select(F.col("_sub_grp").alias("_sk")).distinct()
+        .withColumn("_sid", F.dense_rank().over(W.orderBy("_sk")))
+    )
+    n_task = task_keys.count()
+    out = (
+        df.join(F.broadcast(task_keys), df["_task_grp"] == task_keys["_tk"], "left").drop("_tk")
+        .join(F.broadcast(sub_keys), df["_sub_grp"] == sub_keys["_sk"], "left").drop("_sk")
+    )
+    raw_type = F.when(is_sub_row, F.col("_sub_type")).otherwise(F.col("_task_type"))
+    type_map = F.create_map(
+        *[F.lit(x) for kv in {**_RAW_TASK_RENAME, **_RAW_SUB_RENAME}.items() for x in kv]
+    )
+    return (
+        out.withColumn(
+            ids.batch_id,
+            F.when(is_sub_row, F.col("_sid") + F.lit(n_task)).otherwise(
+                F.when(is_task_row, F.col("_tid"))
+            ).cast("long"),
+        )
+        .withColumn(
+            ids.batch_type,
+            F.when(F.col(ids.batch_id).isNotNull(), type_map[raw_type]),
+        )
+        .drop("_task_grp", "_task_type", "_sub_grp", "_sub_type", "_tid", "_sid")
+    )
+
+
+def discover_batches(log: DataFrame, config: Configuration,
+                     detect_case_level: bool = True) -> DataFrame:
+    """Full discovery pipeline (reference: discover_batches_martins21,
+    discovery.py:212-265, minus the CSV/R subprocess round-trip — S5
+    eliminated per SURVEY §2.1).
+
+    Input: event log with enabled_time already present (see
+    operators/enablement.py). Output: log + batch_instance_id (long,
+    null = unbatched) + batch_instance_type (5 canonical values).
+    """
+    ids = config.log_ids
+    df = detect_task_batches(log, ids, config.gap_seconds)
+    if detect_case_level:
+        df = detect_case_batches(df, ids, config.gap_seconds)
+    else:
+        df = df.withColumn("_sub_grp", F.lit(None).cast("string")).withColumn(
+            "_sub_type", F.lit(None).cast("string")
+        )
+    df = _split_mixed_type_subprocess(df)
+    # Resource split (discovery.py:84-114) is a no-op here: both detectors
+    # already partition by resource, so an instance can never span two.
+    df = _split_wrong_enabled(df, ids, "_task_grp", F.col("_sub_type").isNull())
+    df = _split_wrong_enabled(df, ids, "_sub_grp", F.col("_sub_type").isNotNull())
+    df = _min_size_filter(df, ids, config.min_batch_instance_size)
+    return _unify(df, ids)
