@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a count-collapsing action so timing
+covers the full plan execution, not driver-side result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: one per capability family (SURVEY §2) — relational agg,
+# scan-filter, joins, windows/sessionization, event-log pipeline, text.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q06_regional_revenue",
+    "q09_window_topk",
+    "q11_sessionize",
+    "q13_directly_follows",
+    "q18_range_join_workload",
+]
+# Added incrementally as plan modules land; missing names are skipped.
+HEADLINE += [
+    "q30_enabled_times",
+    "q32_batch_discovery_stats",
+    "q34_waiting_time_report",
+    "q40_dedup_exact",
+    "q41_dedup_minhash_lsh",
+    "q45_ann_cosine_topk",
+    "q47_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = None
+    try:
+        # sf encoded in the dir name, e.g. .../sf0.1
+        tail = Path(sf_dir).name
+        if tail.startswith("sf"):
+            sf = float(tail[2:])
+    except ValueError:
+        pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        try:  # warm the IO/codegen path once so timings measure the plan
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a broken query shows as null, not a crash
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = None
+
+    ok = [v for v in timings.values() if v is not None]
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(ok), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
