@@ -1,0 +1,313 @@
+"""Deduplication operators for large-scale document corpora (M10 scale
+extensions; BASELINE.json north star — beyond reference parity, the
+reference has no document operators).
+
+Four dedup families over a ``documents(doc_id, text, ...)`` table:
+
+- **exact**: hash-groupBy on normalized text. One map-side-combinable
+  aggregation; the canonical-row choice is a deterministic ``min`` so
+  re-runs (and other engines) agree.
+- **MinHash + LSH**: word-shingle sets → H minhash values → B bands of
+  R rows → bucket-join → candidate pairs → exact-Jaccard verification.
+  The banding join is the scale trick: candidate generation is
+  O(Σ bucket²) instead of O(n²); with H=8, B=4, R=2 the probability a
+  pair with Jaccard j becomes a candidate is 1-(1-j²)⁴ (≈0.998 at
+  j=0.9).
+- **SimHash**: per-token sign-vote signature (Charikar 2002), banded on
+  signature bytes for candidate generation, Hamming-distance verify.
+- **n-gram Jaccard**: character-n-gram sets with *rare-gram blocking*
+  (only grams with document frequency in [2, df_max] generate candidate
+  pairs) — the classic suffix-array-free near-dup join.
+
+All hashing is ``md5``-derived 60-bit integers (`hash60`) so results
+are engine-portable and deterministic — no dependence on Spark's
+Murmur3 seed or partitioning. Every operator returns a DataFrame and
+never collects.
+
+Scale notes (100 TB): every stage is a hash-partitioned groupBy/join on
+bounded-cardinality keys (shingle, band-key, gram). Skew guard: bucket
+keys whose population exceeds ``max_bucket`` are dropped before the
+pair join (a single 10M-doc bucket would otherwise produce 10¹⁴ pairs);
+this is standard LSH practice and is applied identically in the DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash (first 15 hex digits of md5).
+
+    Portable across engines: DuckDB twin is
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``. 60 bits keeps
+    the value positive in a signed 64-bit long in both engines.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empty-string-free (portable split)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of ``text`` (space-joined)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_grams(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of ``text``."""
+    return F.when(
+        F.length(text) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text) - (n - 1)),
+                lambda i: F.substring(text, i, n),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate clustering on whitespace-normalized lowercase text.
+
+    Output: one row per input doc with its content-hash cluster size and
+    whether it is the cluster's canonical row (min id). A downstream
+    "keep canonicals" filter is then ``is_canonical = 1``.
+
+    Scale: one shuffle on the 128-bit content hash; cluster stats via a
+    window over the same key reuse that shuffle (no second exchange).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    w = W.partitionBy("content_hash")
+    return (
+        docs.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "content_hash",
+            "cluster_size",
+            (F.col(id_col) == F.col("canonical_id")).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       num_hashes: int = 8) -> DataFrame:
+    """Per-doc minhash signature: sig_h = min over shingles of
+    hash60(h || '|' || shingle).
+
+    One explode + one groupBy computing all H minima in a single pass
+    (map-side partial aggregation; no per-hash re-shuffle).
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    aggs = [
+        F.min(hash60(F.concat_ws("|", F.lit(str(h)), F.col("shingle")))).alias(f"sig{h}")
+        for h in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, rows_per_band: int = 2,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Banded LSH: docs sharing any full band of the signature become a
+    candidate pair (id_a < id_b, distinct).
+
+    ``max_bucket`` drops degenerate buckets before the self-join — the
+    skew guard that keeps the pair count bounded at corpus scale.
+    """
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        key = F.concat_ws(
+            "_", *[F.col(f"sig{b * rows_per_band + r}").cast("string")
+                   for r in range(rows_per_band)]
+        )
+        bands.append(
+            sigs.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey"))
+        )
+    exploded = bands[0]
+    for extra in bands[1:]:
+        exploded = exploded.unionByName(extra)
+    pop = W.partitionBy("band", "bkey")
+    exploded = exploded.withColumn("_n", F.count(F.lit(1)).over(pop)).filter(
+        F.col("_n") <= max_bucket
+    ).drop("_n")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, shingle_sets: DataFrame,
+                   id_col: str = "doc_id",
+                   set_col: str = "shingles") -> DataFrame:
+    """Exact Jaccard on candidate pairs: |A∩B| / |A∪B|.
+
+    Two broadcast-friendly equi joins bring each side's (distinct)
+    shingle set onto the pair row; the set arithmetic stays JVM-side
+    (``array_intersect``/``array_union`` inside codegen).
+    """
+    sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("_sa"))
+    sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash, term-frequency weighted (Charikar 2002 as used
+    for near-dup web pages): bit b of the signature is 1 iff
+    Σ_token-occurrences (2·((hash60(tok)>>b)&1) − 1) > 0 (ties → 0).
+    Tokens explode WITH multiplicity — tf weighting is what makes the
+    signature discriminative when documents share a vocabulary.
+
+    All ``bits`` sign-votes are computed in ONE groupBy pass (bits
+    conditional sums), then folded into a single long — no per-bit
+    shuffle, no UDF.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", hash60(F.col("tok")))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                  bits: int = 32, band_bits: int = 8,
+                  max_hamming: int = 2) -> DataFrame:
+    """Candidate pairs sharing ≥1 signature byte-band; verified by
+    Hamming distance ≤ ``max_hamming`` (bit_count of XOR, JVM-side)."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bands = None
+    for k in range(n_bands):
+        part = sigs.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(k).alias("band"),
+            F.shiftright(F.col("simhash"), k * band_bits).bitwiseAND(F.lit(mask)).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard with rare-gram blocking
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5,
+                        df_max: int = 10, threshold: float = 0.5) -> DataFrame:
+    """Character-n-gram Jaccard near-dup join.
+
+    Blocking: only grams with document frequency in [2, df_max] generate
+    candidates (a gram seen in half the corpus carries no signal and
+    would explode the join). Near-identical docs share many rare grams,
+    so recall for high-Jaccard pairs is ~1.
+
+    Scale: gram df is a partial-aggregable count; the candidate join is
+    on (gram) with bounded fan-out ≤ df_max choose 2.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("gid"), char_grams(F.col(text_col), n).alias("grams")
+    )
+    ex = grams.select("gid", F.explode("grams").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    rare = ex.join(
+        dfreq.filter((F.col("df") >= 2) & (F.col("df") <= df_max)), "g"
+    ).select("gid", "g")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.gid") < F.col("b.gid")))
+        .select(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
+        .distinct()
+    )
+    ga = grams.select(F.col("gid").alias("id_a"), F.col("grams").alias("_ga"))
+    gb = grams.select(F.col("gid").alias("id_b"), F.col("grams").alias("_gb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_ga", "_gb"))
+                / F.size(F.array_union("_ga", "_gb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -394,10 +394,24 @@ def discover_batches(log: DataFrame, config: Configuration,
         df = df.withColumn("_sub_grp", F.lit(None).cast("string")).withColumn(
             "_sub_type", F.lit(None).cast("string")
         )
+    # Every repair pass below joins the frame against aggregates derived
+    # FROM that same frame (a lineage diamond). Persisting the detection
+    # output makes each small key-table a cheap pass over the cache —
+    # without it the enablement + detection window stack recomputes once
+    # per fork (exponential in the number of passes). At cluster scale
+    # the equivalent move is a checkpoint of this event-grain frame to
+    # durable storage between discovery phases.
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df = _split_mixed_type_subprocess(df)
     # Resource split (discovery.py:84-114) is a no-op here: both detectors
     # already partition by resource, so an instance can never span two.
     df = _split_wrong_enabled(df, ids, "_task_grp", F.col("_sub_type").isNull())
     df = _split_wrong_enabled(df, ids, "_sub_grp", F.col("_sub_type").isNotNull())
+    # Same reasoning: min-size (2 forks) + unify (2 forks + a count
+    # action) all branch off the post-split frame; cache it so the
+    # applyInPandas split stages run once, not once per fork.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df = _min_size_filter(df, ids, config.min_batch_instance_size)
     return _unify(df, ids)

@@ -85,7 +85,10 @@ def summarize_batch_waiting_times(log: DataFrame, config: Configuration) -> Data
                 F.map_from_arrays(
                     F.collect_list("size"), F.collect_list("n")
                 ).alias("size_distribution"),
-                F.count(F.lit(1)).alias("num_instances"),
+                # total instances = Σ per-size counts (count(1) here would
+                # count the number of distinct sizes — reference counts
+                # instances, reporting.py:45).
+                F.sum("n").alias("num_instances"),
             )
         )
         stats = df_case.groupBy("activities", type_col).agg(
@@ -99,6 +102,12 @@ def summarize_batch_waiting_times(log: DataFrame, config: Configuration) -> Data
             F.avg("other_wt").alias("avg_other_wt"),
             F.sum("pt").alias("sum_pt"),
             F.sum("wt").alias("sum_wt"),
+            # Exact integer sums (long µs): reproducible avg = sum/count in
+            # any engine, immune to float-summation order differences.
+            F.sum("total_wt").alias("sum_total_wt"),
+            F.sum("creation_wt").alias("sum_creation_wt"),
+            F.sum("ready_wt").alias("sum_ready_wt"),
+            F.sum("other_wt").alias("sum_other_wt"),
         )
         return stats.join(sizes, ["activities", type_col])
 

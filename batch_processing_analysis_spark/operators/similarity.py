@@ -1,0 +1,164 @@
+"""Embedding similarity search (M10 scale extensions).
+
+Operators over an ``embeddings(vec_id, embedding array<float>, label)``
+table:
+
+- **cosine brute-force top-k**: the exactness baseline. Query set ×
+  corpus cross join with the dot product evaluated by JVM higher-order
+  functions (``zip_with`` + ``aggregate``) — no Python in the hot path.
+- **IVF (inverted-file) top-k**: the scale path. Corpus vectors are
+  assigned to their nearest centroid once (a broadcast join — the
+  centroid table is tiny); each query probes only its ``nprobe``
+  nearest centroids' buckets, turning O(|Q|·N) into
+  O(|Q|·N·nprobe/C). Centroid selection here is a deterministic
+  subsample (every ``stride``-th vector) so results are reproducible
+  and oracle-checkable; swapping in k-means centroids changes recall,
+  not the plan shape.
+- **embedding near-dup pairs**: all pairs above a cosine threshold,
+  LSH-free exact variant for modest corpora (the MinHash/SimHash
+  pattern in ``dedup.py`` is the n² escape hatch at corpus scale).
+
+Arithmetic notes: float inputs are cast to double BEFORE any multiply,
+and sums run sequentially in array order (``F.aggregate``) — bitwise
+identical to the DuckDB oracle's ``list_reduce`` over ``::DOUBLE[]``,
+so rounded values hash-match across engines.
+
+Scale (100 TB): the corpus side stays partitioned; only queries and
+centroids broadcast. At 10⁹ vectors the IVF bucket assignment is a
+narrow map (broadcast centroids), and the probe join shuffles queries
+(small) to bucket partitions (large) — never the reverse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
+                              lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cos(a, b) with order-stable double arithmetic."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Plan: broadcast(queries) × corpus → per-query window top-k. The
+    window partitions by query id, so ranking never shuffles the corpus
+    twice; ties break on neighbor id for determinism.
+    """
+    corpus = _as_double(corpus, vec_col)
+    queries = _as_double(queries, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    sims = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cent_id: str = "centroid_id") -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    ties → min centroid id). Centroids broadcast; one narrow pass."""
+    c = centroids.select(F.col(cent_id), F.col(vec_col).alias("_centv"))
+    scored = corpus.join(F.broadcast(c)).select(
+        F.col(id_col), F.col(vec_col), F.col(cent_id),
+        cosine(F.col(vec_col), F.col("_centv")).alias("_cs"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc(cent_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, cent_id)
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             stride: int = 50, nprobe: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: deterministic-subsample centroids →
+    bucket assignment → probe the ``nprobe`` nearest buckets per query
+    → exact cosine within probed buckets → top-k.
+
+    Same output schema as :func:`brute_force_topk`; recall < 1 by
+    construction (that is the accuracy/cost dial).
+    """
+    corpus = _as_double(corpus, vec_col)
+    queries = _as_double(queries, vec_col)
+    centroids = corpus.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    # per query: nprobe nearest centroids
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    qc = q.join(F.broadcast(centroids.withColumnRenamed(vec_col, "_centv"))).select(
+        "query_id", "_qv", "centroid_id",
+        cosine(F.col("_qv"), F.col("_centv")).alias("_cs"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "centroid_id")
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("_qv"), F.col(vec_col)).alias("sim"),
+        )
+        # a vector can reach a query through one bucket only (unique
+        # assignment), so no distinct needed before ranking
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def neardup_pairs(corpus: DataFrame, threshold: float,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All vector pairs with cosine ≥ threshold (exact, id_a < id_b)."""
+    corpus = _as_double(corpus, vec_col)
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis operators for training-data pipelines (M10).
+
+- **language ID**: corpus-trained character-trigram profiles — the
+  n-gram heuristic (Cavnar & Trenkle 1994) expressed as two aggregation
+  passes; no model artifact, no UDF.
+- **quality scoring**: length / punctuation / stopword-ratio features +
+  a bounded composite score, all built-in expressions.
+- **token counting**: whitespace tokens and a BPE-ish regex token
+  stream (letter runs | digit runs | single punctuation) —
+  ``regexp_extract_all`` stays inside codegen.
+- **document fingerprinting**: winnowing (Schleimer et al. 2003):
+  rolling k-char-gram hashes, minimum per sliding window of w hashes,
+  distinct mins = the fingerprint set. Used for plagiarism-style
+  containment detection; here surfaced as (count, digest) per doc.
+
+Hashes are the portable 60-bit md5 prefix (`dedup.hash60`), so every
+operator has an exact DuckDB oracle twin.
+
+Scale: everything is per-row expression work except the trigram-profile
+build (one groupBy(lang, trigram) count + top-N window — tiny output,
+broadcast back). No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .dedup import hash60, tokens
+
+STOPWORDS = ("a", "the", "of", "and", "in", "to", "is")
+
+
+def char_trigrams(text: Column) -> Column:
+    """Distinct lowercase character trigrams."""
+    t = F.lower(text)
+    return F.when(
+        F.length(t) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: F.substring(t, i, 3),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", lang_col: str = "lang",
+                profile_size: int = 20) -> DataFrame:
+    """Predict language by trigram-profile coverage.
+
+    Pass 1 (train): per-language top-``profile_size`` trigrams by corpus
+    frequency (ties → lexicographic). Pass 2 (score): coverage =
+    |doc trigrams ∩ profile| / |doc trigrams| per language; prediction =
+    argmax coverage (ties → lang asc).
+
+    Output: (doc_id, predicted_lang, actual_lang, hit).
+    """
+    tg = docs.select(
+        F.col(id_col), F.col(lang_col),
+        F.explode(char_trigrams(F.col(text_col))).alias("tg"),
+    )
+    prof_w = W.partitionBy(lang_col).orderBy(F.desc("n"), F.asc("tg"))
+    profile = (
+        tg.groupBy(lang_col, "tg").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_rn", F.row_number().over(prof_w))
+        .filter(F.col("_rn") <= profile_size)
+        .select(F.col(lang_col).alias("cand_lang"), "tg")
+    )
+    doc_n = tg.groupBy(id_col).agg(
+        F.countDistinct("tg").alias("n_tg"), F.first(lang_col).alias("actual_lang")
+    )
+    hits = (
+        tg.select(id_col, "tg").distinct()
+        .join(F.broadcast(profile), "tg")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    scored = doc_n.join(hits, id_col, "left").select(
+        id_col, "actual_lang",
+        F.coalesce("cand_lang", F.lit("??")).alias("cand_lang"),
+        F.coalesce(F.col("n_hit") / F.col("n_tg"), F.lit(0.0)).alias("coverage"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("coverage"), F.asc("cand_lang"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("cand_lang").alias("predicted_lang"),
+            "actual_lang",
+            (F.col("cand_lang") == F.col("actual_lang")).cast("int").alias("hit"),
+            F.round("coverage", 6).alias("coverage"),
+        )
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + composite score (all codegen exprs).
+
+    punct_ratio uses the regexp-strip idiom (length delta), stopword
+    ratio an array filter — no explode, no shuffle: purely narrow.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    punct_ratio = (F.length(F.regexp_replace(t, r"[a-z0-9\s]", "")) / n_chars)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n_tok
+    )
+    avg_tok_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        / n_tok
+    )
+    score = (
+        F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.25)))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace vs BPE-ish token counts (letter runs | digit runs |
+    single non-alnum glyph) + bytes — the cost accounting a training
+    pipeline runs over every shard."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens(t)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "bpe_tokens"
+        ),
+        F.octet_length(t).alias("n_bytes"),
+    )
+
+
+def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8,
+                           window: int = 4) -> DataFrame:
+    """Winnowing fingerprint set per doc: distinct minima of each
+    sliding window of ``window`` consecutive k-gram hashes.
+
+    Output: (doc_id, n_fingerprints, fp_digest) where fp_digest is the
+    md5 of the sorted fingerprint list — a containment-comparable
+    summary. Array work is all JVM higher-order functions; nothing
+    explodes, so a 100 TB corpus stays one narrow pass.
+    """
+    t = F.col(text_col)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: hash60(F.substring(t, i, k)),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(hashes) - (window - 1)),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    fps = F.array_sort(F.array_distinct(mins))
+    return docs.filter(F.length(t) >= k + window - 1).select(
+        F.col(id_col),
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")).alias(
+            "fp_digest"
+        ),
+    )

@@ -1,0 +1,679 @@
+"""Event-log pipeline queries (SURVEY §2.5 W1-W3, §2.7 U2, §3.1) on the
+driver's `events` table adapted into an event log, each with a DuckDB
+oracle twin that re-derives the same semantics in pure SQL.
+
+The shared adapter (sources/event_log.py:events_as_event_log) maps
+user_id→case, event_type→activity, ts→start, ts+ceil(value)s→end,
+'r'||user_id%20→resource; its SQL twin is ``LOG_SQL`` below. All
+timestamps compare as epoch MICROSECONDS (Spark ``unix_micros`` ≡ DuckDB
+``epoch_us``) — the reference's data is µs-precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..config import Configuration, EventLogIDs
+from ..operators.enablement import add_enabled_times, directly_follows_matrix
+from ..operators.discovery import detect_task_batches, discover_batches
+from ..operators.reporting import batch_report
+from ..operators.waiting_time import add_waiting_times
+from ..sources.event_log import events_as_event_log
+from .registry import query
+
+IDS = EventLogIDs()
+
+# SQL twin of events_as_event_log: one row per event with epoch-µs
+# start/end. chr(31) = the \x1f separator used by engine-internal keys.
+LOG_SQL = """
+  log AS (
+    SELECT event_id,
+           CAST(user_id AS VARCHAR)                                   AS case_id,
+           event_type                                                 AS activity,
+           'r' || CAST(user_id % 20 AS VARCHAR)                       AS resource,
+           epoch_us(ts)                                               AS s,
+           epoch_us(ts) + CAST(ceil(value) AS BIGINT) * 1000000       AS e
+    FROM events
+  )
+"""
+
+# Directly-follows matrix + concurrency relation (U2 steps 1-2;
+# reference semantics: Heuristics-Miner measure, threshold 0.1 —
+# operators/enablement.py docstring).
+DF_CONC_SQL = """
+  pairs AS (
+    SELECT activity AS a,
+           lead(activity) OVER (PARTITION BY case_id ORDER BY s, e, activity) AS b
+    FROM log
+  ),
+  dfm AS (
+    SELECT a, b, count(*) AS n FROM pairs WHERE b IS NOT NULL GROUP BY a, b
+  ),
+  conc AS (
+    SELECT x.a AS a, x.b AS b, x.n AS nab, y.n AS nba
+    FROM dfm x JOIN dfm y ON x.a = y.b AND x.b = y.a
+    WHERE abs(x.n - y.n) * 1.0 / (x.n + y.n + 1) < 0.1
+  )
+"""
+
+# Enabled time per event (U2 step 3): max end over same-case,
+# non-concurrent, non-self predecessors with end <= start; fallback =
+# case first start. Self = ANY event with the same (s, e, activity)
+# triple — mirrors the engine's is_self exclusion.
+ENABLED_SQL = """
+  firsts AS (
+    SELECT case_id, min(s) AS first_s FROM log GROUP BY case_id
+  ),
+  en AS (
+    SELECT l.event_id, max(p.e) AS enabler
+    FROM log l
+    JOIN log p
+      ON p.case_id = l.case_id
+     AND p.e <= l.s
+     AND NOT (p.s = l.s AND p.e = l.e AND p.activity = l.activity)
+     AND p.activity || chr(31) || l.activity NOT IN (SELECT a || chr(31) || b FROM conc)
+    GROUP BY l.event_id
+  ),
+  enabled AS MATERIALIZED (
+    SELECT l.*, COALESCE(en.enabler, f.first_s) AS en_us
+    FROM log l
+    JOIN firsts f USING (case_id)
+    LEFT JOIN en USING (event_id)
+  )
+"""
+
+
+def _event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_event_log(spark, sf_dir, IDS)
+
+
+@query(
+    "q30_enabled_times",
+    f"""
+    WITH {LOG_SQL}, {DF_CONC_SQL}, {ENABLED_SQL}
+    SELECT event_id, case_id, activity, en_us AS enabled_us
+    FROM enabled
+    """,
+)
+def q30_enabled_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 concurrency oracle end-to-end: directly-follows matrix →
+    concurrency pairs (broadcast) → per-event enabled time via a
+    higher-order filter over the case's own events (JVM-side, no
+    self-join, no Python).
+
+    Scale: one window shuffle on case; the |activities|² concurrency
+    relation is collected and inlined as a literal — it is metadata,
+    not data. The SQL twin uses the equivalent self-join formulation.
+    """
+    log = _event_log(spark, sf_dir)
+    out = add_enabled_times(log, IDS, concurrency_threshold=0.1)
+    return out.select(
+        "event_id",
+        F.col(IDS.case).alias("case_id"),
+        F.col(IDS.activity).alias("activity"),
+        F.unix_micros(F.col(IDS.enabled_time)).alias("enabled_us"),
+    )
+
+
+@query(
+    "q35_concurrency_pairs",
+    f"""
+    WITH {LOG_SQL}, {DF_CONC_SQL}
+    SELECT a, b, nab, nba FROM conc
+    """,
+)
+def q35_concurrency_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 steps 1-2 in isolation: the Heuristics-Miner concurrency
+    relation (both directions emitted). Tiny output — |activities|²."""
+    log = _event_log(spark, sf_dir)
+    dfm = directly_follows_matrix(log, IDS)
+    x, y = dfm.alias("x"), dfm.alias("y")
+    return (
+        x.join(y, (F.col("x.a") == F.col("y.b")) & (F.col("x.b") == F.col("y.a")))
+        .filter(
+            F.abs(F.col("x.n") - F.col("y.n")) / (F.col("x.n") + F.col("y.n") + 1)
+            < 0.1
+        )
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.col("x.n").alias("nab"),
+            F.col("y.n").alias("nba"),
+        )
+    )
+
+
+# Task-level batch detection (W1): lag-classify adjacent executions of
+# the same activity by the same resource, chain while the class repeats.
+TASK_CHAIN_SQL = """
+  t1 AS (
+    SELECT *,
+           lag(s) OVER w AS ps, lag(e) OVER w AS pe
+    FROM log
+    WINDOW w AS (PARTITION BY resource, activity ORDER BY s, e, case_id)
+  ),
+  t2 AS (
+    SELECT *,
+           CASE WHEN ps IS NULL THEN NULL
+                WHEN s = ps AND e = pe THEN 'simultaneous'
+                WHEN s >= pe AND s - pe <= 0 THEN 'sequential'
+                WHEN s < pe THEN 'concurrent'
+                ELSE NULL END AS cls
+    FROM t1
+  ),
+  t3 AS (
+    SELECT *, lag(cls) OVER w AS pcls
+    FROM t2
+    WINDOW w AS (PARTITION BY resource, activity ORDER BY s, e, case_id)
+  ),
+  t4 AS (
+    SELECT *,
+           sum(CASE WHEN cls IS NULL OR cls <> pcls THEN 1 ELSE 0 END)
+             OVER (PARTITION BY resource, activity ORDER BY s, e, case_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+    FROM t3
+  ),
+  task_chains AS (
+    SELECT resource, activity, grp,
+           max(cls)                AS batch_kind,
+           count(*)                AS n_events,
+           count(DISTINCT case_id) AS n_cases,
+           min(s)                  AS chain_start_us
+    FROM t4
+    GROUP BY resource, activity, grp
+  )
+"""
+
+
+@query(
+    "q31_task_batches",
+    f"""
+    WITH {LOG_SQL}, {TASK_CHAIN_SQL}
+    SELECT resource, activity, batch_kind, n_events, n_cases, chain_start_us
+    FROM task_chains
+    WHERE batch_kind IS NOT NULL
+    """,
+)
+def q31_task_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 task-level detection: one row per detected chain (raw BAMA
+    class, pre-repair). Gap = 0 (reference default, discovery.py:239).
+
+    Scale: single window shuffle on (resource, activity); the chain
+    summary is a partial-aggregable groupBy over the same keys — AQE
+    coalesces the tiny output.
+    """
+    log = _event_log(spark, sf_dir)
+    det = detect_task_batches(log, IDS, gap_seconds=0)
+    return (
+        det.filter(F.col("_task_type").isNotNull())
+        .groupBy("_task_grp")
+        .agg(
+            F.first(IDS.resource).alias("resource"),
+            F.first(IDS.activity).alias("activity"),
+            F.first("_task_type").alias("batch_kind"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(IDS.case).alias("n_cases"),
+            F.min(F.unix_micros(F.col(IDS.start_time))).alias("chain_start_us"),
+        )
+        .drop("_task_grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Full discovery pipeline oracle (SURVEY §3.1 stages 1-2): enablement →
+# task + case detection → mixed-type split → wrong-enabled fixpoint
+# (recursive CTE: thr_{k+1} = min case-start among cases enabled after
+# thr_k; a case's split index = the first k whose threshold admits it —
+# provably identical to the reference's iterative re-splitting loop,
+# discovery.py:12-81, given the enabled≤start invariant the estimator
+# guarantees) → min-size filter → canonical type names.
+# --------------------------------------------------------------------------
+
+DISCOVERY_SQL = """
+  d1 AS (
+    SELECT * FROM (
+      SELECT *, lag(s) OVER dw1 AS ps, lag(e) OVER dw1 AS pe
+      FROM enabled
+      WINDOW dw1 AS (PARTITION BY resource, activity ORDER BY s, e, case_id)
+    )
+  ),
+  d2 AS (
+    SELECT *, CASE WHEN ps IS NULL THEN NULL
+                   WHEN s = ps AND e = pe THEN 'simultaneous'
+                   WHEN s >= pe AND s - pe <= 0 THEN 'sequential'
+                   WHEN s < pe THEN 'concurrent' END AS cls
+    FROM d1
+  ),
+  d3 AS (
+    SELECT *, lag(cls) OVER dw3 AS pcls
+    FROM d2
+    WINDOW dw3 AS (PARTITION BY resource, activity ORDER BY s, e, case_id)
+  ),
+  d4 AS (
+    SELECT *, sum(CASE WHEN cls IS NULL OR cls <> pcls THEN 1 ELSE 0 END)
+                OVER (PARTITION BY resource, activity ORDER BY s, e, case_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tgrp
+    FROM d3
+  ),
+  d5 AS (
+    SELECT *, max(cls) OVER (PARTITION BY resource, activity, tgrp) AS task_type
+    FROM d4
+  ),
+  tev AS MATERIALIZED (
+    SELECT event_id, case_id, activity, resource, s, e, en_us, task_type,
+           CASE WHEN task_type IS NOT NULL
+                THEN resource || chr(31) || activity || chr(31) || CAST(tgrp AS VARCHAR)
+           END AS task_grp
+    FROM d5
+  ),
+  c1 AS (
+    SELECT *, lag(resource) OVER cw1 AS pres
+    FROM tev
+    WINDOW cw1 AS (PARTITION BY case_id ORDER BY s, e, activity)
+  ),
+  c2 AS MATERIALIZED (
+    SELECT *, sum(CASE WHEN pres IS NULL OR pres <> resource THEN 1 ELSE 0 END)
+                OVER (PARTITION BY case_id ORDER BY s, e, activity
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM c1
+  ),
+  env0 AS (
+    SELECT case_id, run, any_value(resource) AS eres,
+           string_agg(activity, chr(31) ORDER BY s, e, activity) AS acts,
+           min(s) AS es, max(e) AS ee
+    FROM c2 GROUP BY case_id, run HAVING count(*) >= 2
+  ),
+  e1 AS (
+    SELECT *, lag(es) OVER ew1 AS eps, lag(ee) OVER ew1 AS epe
+    FROM env0
+    WINDOW ew1 AS (PARTITION BY eres, acts ORDER BY es, ee, case_id)
+  ),
+  e2 AS (
+    SELECT *, CASE WHEN eps IS NULL THEN NULL
+                   WHEN es = eps AND ee = epe THEN 'simultaneous'
+                   WHEN es >= epe AND es - epe <= 0 THEN 'sequential'
+                   WHEN es < epe THEN 'concurrent' END AS ecls
+    FROM e1
+  ),
+  e3 AS (
+    SELECT *, lag(ecls) OVER ew3 AS epcls
+    FROM e2
+    WINDOW ew3 AS (PARTITION BY eres, acts ORDER BY es, ee, case_id)
+  ),
+  e4 AS (
+    SELECT *, sum(CASE WHEN ecls IS NULL OR ecls <> epcls THEN 1 ELSE 0 END)
+                OVER (PARTITION BY eres, acts ORDER BY es, ee, case_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS egrp
+    FROM e3
+  ),
+  e5 AS (
+    SELECT *, max(ecls) OVER (PARTITION BY eres, acts, egrp) AS eraw FROM e4
+  ),
+  envs AS MATERIALIZED (
+    SELECT case_id, run,
+           CASE WHEN eraw IS NOT NULL
+                THEN eres || chr(31) || acts || chr(31) || CAST(egrp AS VARCHAR)
+           END AS sub_grp,
+           CASE WHEN eraw = 'sequential' THEN 'sequential case-based'
+                WHEN eraw = 'concurrent' THEN 'concurrent case-based'
+                ELSE eraw END AS sub_type0
+    FROM e5
+  ),
+  sev AS (
+    SELECT c2.event_id, c2.case_id, c2.activity, c2.resource, c2.s, c2.e,
+           c2.en_us, c2.task_grp, c2.task_type, envs.sub_grp,
+           CASE WHEN envs.sub_grp IS NOT NULL THEN envs.sub_type0 END AS sub_type
+    FROM c2 LEFT JOIN envs USING (case_id, run)
+  ),
+  mixed AS MATERIALIZED (
+    SELECT sub_grp FROM sev WHERE sub_grp IS NOT NULL
+    GROUP BY sub_grp
+    HAVING count(DISTINCT COALESCE(task_type, '~null~')) > 1
+  ),
+  m1 AS MATERIALIZED (
+    SELECT sev.* REPLACE (
+      CASE WHEN sub_grp IN (SELECT sub_grp FROM mixed) THEN NULL ELSE sub_grp END AS sub_grp,
+      CASE WHEN sub_grp IN (SELECT sub_grp FROM mixed) THEN NULL ELSE sub_type END AS sub_type)
+    FROM sev
+  ),
+  pt0 AS (
+    SELECT task_grp AS grp, case_id, s, en_us,
+           min(s) OVER (PARTITION BY task_grp, case_id) AS ms
+    FROM m1 WHERE sub_type IS NULL AND task_grp IS NOT NULL
+  ),
+  pt1 AS MATERIALIZED (
+    SELECT grp, case_id, min(s) AS cs, min(en_us) AS ce
+    FROM pt0 WHERE s = ms GROUP BY grp, case_id
+  ),
+  fpt AS (
+    SELECT grp, 0 AS k, min(cs) AS thr FROM pt1 GROUP BY grp
+    UNION ALL
+    SELECT pt1.grp, fpt.k + 1 AS k, min(pt1.cs) AS thr
+    FROM pt1 JOIN fpt ON pt1.grp = fpt.grp AND pt1.ce > fpt.thr
+    GROUP BY pt1.grp, fpt.k
+  ),
+  sxt AS MATERIALIZED (
+    SELECT pt1.grp, pt1.case_id, min(fpt.k) AS sub_idx
+    FROM pt1 JOIN fpt ON pt1.grp = fpt.grp AND pt1.ce <= fpt.thr
+    GROUP BY pt1.grp, pt1.case_id
+  ),
+  m2 AS MATERIALIZED (
+    SELECT m1.* REPLACE (
+      CASE WHEN m1.task_grp IS NOT NULL
+           THEN m1.task_grp || chr(29) || CAST(COALESCE(sxt.sub_idx, 0) AS VARCHAR)
+      END AS task_grp)
+    FROM m1 LEFT JOIN sxt ON m1.task_grp = sxt.grp AND m1.case_id = sxt.case_id
+  ),
+  ps0 AS (
+    SELECT sub_grp AS grp, case_id, s, en_us,
+           min(s) OVER (PARTITION BY sub_grp, case_id) AS ms
+    FROM m2 WHERE sub_type IS NOT NULL AND sub_grp IS NOT NULL
+  ),
+  ps1 AS MATERIALIZED (
+    SELECT grp, case_id, min(s) AS cs, min(en_us) AS ce
+    FROM ps0 WHERE s = ms GROUP BY grp, case_id
+  ),
+  fps AS (
+    SELECT grp, 0 AS k, min(cs) AS thr FROM ps1 GROUP BY grp
+    UNION ALL
+    SELECT ps1.grp, fps.k + 1 AS k, min(ps1.cs) AS thr
+    FROM ps1 JOIN fps ON ps1.grp = fps.grp AND ps1.ce > fps.thr
+    GROUP BY ps1.grp, fps.k
+  ),
+  sxs AS MATERIALIZED (
+    SELECT ps1.grp, ps1.case_id, min(fps.k) AS sub_idx
+    FROM ps1 JOIN fps ON ps1.grp = fps.grp AND ps1.ce <= fps.thr
+    GROUP BY ps1.grp, ps1.case_id
+  ),
+  m3 AS MATERIALIZED (
+    SELECT m2.* REPLACE (
+      CASE WHEN m2.sub_grp IS NOT NULL
+           THEN m2.sub_grp || chr(29) || CAST(COALESCE(sxs.sub_idx, 0) AS VARCHAR)
+      END AS sub_grp)
+    FROM m2 LEFT JOIN sxs ON m2.sub_grp = sxs.grp AND m2.case_id = sxs.case_id
+  ),
+  small_sub AS MATERIALIZED (
+    SELECT sub_grp FROM m3 WHERE sub_grp IS NOT NULL
+    GROUP BY sub_grp HAVING count(DISTINCT case_id) < 2
+  ),
+  m4 AS MATERIALIZED (
+    SELECT m3.* REPLACE (
+      CASE WHEN sub_grp IN (SELECT sub_grp FROM small_sub) THEN NULL ELSE task_grp END AS task_grp,
+      CASE WHEN sub_grp IN (SELECT sub_grp FROM small_sub) THEN NULL ELSE task_type END AS task_type,
+      CASE WHEN sub_grp IN (SELECT sub_grp FROM small_sub) THEN NULL ELSE sub_type END AS sub_type,
+      CASE WHEN sub_grp IN (SELECT sub_grp FROM small_sub) THEN NULL ELSE sub_grp END AS sub_grp)
+    FROM m3
+  ),
+  small_task AS MATERIALIZED (
+    SELECT task_grp FROM m4 WHERE task_grp IS NOT NULL AND sub_type IS NULL
+    GROUP BY task_grp HAVING count(DISTINCT case_id) < 2
+  ),
+  m5 AS MATERIALIZED (
+    SELECT m4.* REPLACE (
+      CASE WHEN task_grp IN (SELECT task_grp FROM small_task) THEN NULL ELSE task_grp END AS task_grp,
+      CASE WHEN task_grp IN (SELECT task_grp FROM small_task) THEN NULL ELSE task_type END AS task_type)
+    FROM m4
+  ),
+  final AS MATERIALIZED (
+    SELECT *,
+      CASE WHEN sub_grp IS NOT NULL THEN 'S' || chr(30) || sub_grp
+           WHEN task_type IS NOT NULL THEN 'T' || chr(30) || task_grp END AS bkey,
+      CASE WHEN sub_grp IS NOT NULL THEN
+             CASE sub_type WHEN 'simultaneous' THEN 'Parallel'
+                           WHEN 'sequential case-based' THEN 'Sequential case-based'
+                           WHEN 'concurrent case-based' THEN 'Concurrent case-based' END
+           WHEN task_type IS NOT NULL THEN
+             CASE task_type WHEN 'simultaneous' THEN 'Parallel'
+                            WHEN 'sequential' THEN 'Sequential task-based'
+                            WHEN 'concurrent' THEN 'Concurrent task-based' END
+      END AS btype
+    FROM m5
+  )
+"""
+
+PIPELINE_PREFIX = (
+    "WITH RECURSIVE " + LOG_SQL + ", " + DF_CONC_SQL + ", " + ENABLED_SQL + ", "
+    + DISCOVERY_SQL
+)
+
+# Per-(instance, case) waiting-time scalars on top of `final`
+# (reference: analysis.py:51-105; engine: operators/waiting_time.py).
+WT_SQL = """
+  wt0 AS (
+    SELECT bkey, btype, case_id, activity, s, e, en_us,
+           min(s) OVER (PARTITION BY bkey, case_id) AS ms
+    FROM final WHERE bkey IS NOT NULL
+  ),
+  wtc AS (
+    SELECT bkey, case_id, any_value(btype) AS btype,
+           min(s) AS cs,
+           min(CASE WHEN s = ms THEN en_us END) AS ce,
+           max(e) AS pe,
+           count(*) AS n_events
+    FROM wt0 GROUP BY bkey, case_id
+  ),
+  wti AS MATERIALIZED (
+    SELECT *,
+           min(cs) OVER (PARTITION BY bkey) AS inst_s,
+           max(ce) OVER (PARTITION BY bkey) AS inst_en
+    FROM wtc
+  )
+"""
+
+
+def _discovered(spark: SparkSession, sf_dir: str, checkpoints: bool = False):
+    cfg = Configuration(report_batch_checkpoints=checkpoints)
+    log = add_enabled_times(_event_log(spark, sf_dir), IDS, concurrency_threshold=0.1)
+    return discover_batches(log, cfg), cfg
+
+
+@query(
+    "q32_batch_discovery_stats",
+    PIPELINE_PREFIX
+    + """
+    SELECT btype AS batch_instance_type,
+           count(DISTINCT bkey)    AS num_instances,
+           count(*)                AS num_events,
+           count(DISTINCT case_id) AS num_cases
+    FROM final WHERE bkey IS NOT NULL GROUP BY btype
+    """,
+)
+def q32_batch_discovery_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship discovery pipeline end-to-end (§3.1 stages 1-2):
+    enablement oracle → task+case detection → all repair passes →
+    per-type instance/event/case counts.
+
+    Scale: windows shuffle on (resource, activity) / case / instance
+    keys; every repair is agg + broadcast join-back; the fixpoint split
+    runs in applyInPandas over per-(instance,case) aggregates — KB-sized
+    groups. The oracle re-derives the whole pipeline in SQL, fixpoint
+    included (recursive CTE).
+    """
+    disc, cfg = _discovered(spark, sf_dir)
+    ids = cfg.log_ids
+    return (
+        disc.filter(F.col(ids.batch_id).isNotNull())
+        .groupBy(F.col(ids.batch_type).alias("batch_instance_type"))
+        .agg(
+            F.countDistinct(ids.batch_id).alias("num_instances"),
+            F.count(F.lit(1)).alias("num_events"),
+            F.countDistinct(ids.case).alias("num_cases"),
+        )
+    )
+
+
+@query(
+    "q33_waiting_time_decomposition",
+    PIPELINE_PREFIX + ", " + WT_SQL
+    + """
+    SELECT case_id, btype AS batch_instance_type,
+           inst_s          AS inst_start_us,
+           cs - ce         AS total_wt_us,
+           inst_en - ce    AS creation_wt_us,
+           inst_s - inst_en AS ready_wt_us,
+           cs - inst_s     AS other_wt_us,
+           pe - cs         AS pt_us
+    FROM wti
+    """,
+)
+def q33_waiting_time_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WT decomposition (§3.1 stage 3): one row per batch case with the
+    exact split total = creation + ready + other (invariant by
+    construction). Labels are engine-internal, so the instance is
+    identified by its start instant, not its id.
+
+    Scale: two window passes — (instance, case) then (instance) — zero
+    joins (J1 via windows).
+    """
+    disc, cfg0 = _discovered(spark, sf_dir, checkpoints=True)
+    cfg = Configuration(report_batch_checkpoints=True)
+    ids = cfg.log_ids
+    wt = add_waiting_times(disc, cfg)
+    return (
+        wt.filter(F.col(ids.batch_id).isNotNull())
+        .groupBy(ids.batch_id, ids.case)
+        .agg(
+            F.first(ids.batch_type).alias("batch_instance_type"),
+            F.unix_micros(F.first(ids.batch_start_time)).alias("inst_start_us"),
+            F.first(ids.batch_total_wt).alias("total_wt_us"),
+            F.first(ids.batch_creation_wt).alias("creation_wt_us"),
+            F.first(ids.batch_ready_wt).alias("ready_wt_us"),
+            F.first(ids.batch_other_wt).alias("other_wt_us"),
+            F.first(ids.batch_pt).alias("pt_us"),
+        )
+        .select(
+            F.col(ids.case).alias("case_id"),
+            "batch_instance_type", "inst_start_us", "total_wt_us",
+            "creation_wt_us", "ready_wt_us", "other_wt_us", "pt_us",
+        )
+    )
+
+
+@query(
+    "q34_waiting_time_report",
+    PIPELINE_PREFIX + ", " + WT_SQL
+    + """
+    , inst_acts AS (
+      SELECT bkey, string_agg(activity, chr(31) ORDER BY activity) AS acts
+      FROM (SELECT DISTINCT bkey, activity FROM final WHERE bkey IS NOT NULL)
+      GROUP BY bkey
+    ),
+    percase AS MATERIALIZED (
+      SELECT w.*, ia.acts FROM wti w JOIN inst_acts ia USING (bkey)
+    ),
+    lv AS (
+      SELECT acts, btype AS batch_type, count(DISTINCT bkey) AS num_instances,
+             count(*) AS num_cases, sum(n_events) AS num_events,
+             sum(pe - cs) AS sum_pt_us, sum(cs - ce) AS sum_wt_us,
+             sum(cs - ce) AS sum_total_wt_us, sum(inst_en - ce) AS sum_creation_wt_us,
+             sum(inst_s - inst_en) AS sum_ready_wt_us, sum(cs - inst_s) AS sum_other_wt_us
+      FROM percase GROUP BY acts, btype
+      UNION ALL
+      SELECT acts, '__overall__', count(DISTINCT bkey), count(*), sum(n_events),
+             sum(pe - cs), sum(cs - ce), sum(cs - ce), sum(inst_en - ce),
+             sum(inst_s - inst_en), sum(cs - inst_s)
+      FROM percase GROUP BY acts
+    ),
+    instg AS MATERIALIZED (
+      SELECT acts, btype, bkey, count(*) AS sz FROM percase GROUP BY acts, btype, bkey
+    ),
+    sized AS (
+      SELECT acts, batch_type, string_agg(sz || ':' || n, ',' ORDER BY sz) AS size_distribution
+      FROM (
+        SELECT acts, btype AS batch_type, sz, count(*) AS n FROM instg GROUP BY acts, btype, sz
+        UNION ALL
+        SELECT acts, '__overall__', sz, count(*) FROM instg GROUP BY acts, sz
+      ) GROUP BY acts, batch_type
+    ),
+    keysd AS MATERIALIZED (SELECT DISTINCT acts FROM inst_acts),
+    singled AS (
+      SELECT k.acts, (SELECT count(*) FROM log WHERE log.activity = k.acts) AS occ
+      FROM keysd k WHERE strpos(k.acts, chr(31)) = 0
+    ),
+    case_seqs AS MATERIALIZED (
+      SELECT case_id, list(activity ORDER BY s, e, activity) AS seq
+      FROM log GROUP BY case_id
+    ),
+    multik AS (
+      SELECT acts, len(string_split(acts, chr(31))) AS kk FROM keysd
+      WHERE strpos(acts, chr(31)) > 0
+    ),
+    multid AS (
+      SELECT acts, count(*) AS occ FROM (
+        SELECT mk.acts, mk.kk, cs.seq,
+               unnest(range(1, len(cs.seq) - mk.kk + 2)) AS i
+        FROM multik mk JOIN case_seqs cs ON len(cs.seq) >= mk.kk
+      )
+      WHERE array_to_string(list_sort(seq[i : i + kk - 1]), chr(31)) = acts
+      GROUP BY acts
+    ),
+    denom AS (
+      SELECT acts, occ FROM singled
+      UNION ALL
+      SELECT mk.acts, COALESCE(md.occ, 0) FROM multik mk LEFT JOIN multid md USING (acts)
+    )
+    SELECT lv.acts AS activities, lv.batch_type, lv.num_instances, lv.num_cases,
+           lv.num_events,
+           round(CAST(lv.sum_pt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_pt_s,
+           round(CAST(lv.sum_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_wt_s,
+           round(CAST(lv.sum_total_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_total_wt_s,
+           round(CAST(lv.sum_creation_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_creation_wt_s,
+           round(CAST(lv.sum_ready_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_ready_wt_s,
+           round(CAST(lv.sum_other_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_other_wt_s,
+           CASE WHEN lv.sum_pt_us = 0 THEN 0.0
+                ELSE round(CAST(lv.sum_pt_us AS BIGINT) * 1.0
+                           / (CAST(lv.sum_pt_us AS BIGINT) + CAST(lv.sum_wt_us AS BIGINT)), 6)
+           END AS cte,
+           d.occ AS total_occurrences,
+           round(lv.num_events * 1.0 / (CASE WHEN d.occ <= 0 THEN 1 ELSE d.occ END), 6) AS frequency,
+           sized.size_distribution
+    FROM lv
+    JOIN denom d ON d.acts = lv.acts
+    JOIN sized ON sized.acts = lv.acts AND sized.batch_type = lv.batch_type
+    """,
+)
+def q34_waiting_time_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report aggregation (§3.2; reference reporting.py:11-206): per
+    (batch key, type) + type-pooled stats, occurrence denominators
+    (single-activity count / W5 rolling-subsequence count), CTE with the
+    reference's zero-guard, frequency with the clamp-to-1 guard.
+
+    Scale: output is O(#batch keys) — independent of log size; the
+    rolling-window denominator is the only full-log pass. Averages are
+    derived from exact integer sums so Spark and the oracle agree
+    bit-for-bit.
+    """
+    disc, _ = _discovered(spark, sf_dir)
+    cfg = Configuration()
+    wt = add_waiting_times(disc, cfg)
+    rep = batch_report(wt, cfg)
+    us = 1_000_000
+
+    def avg_s(sum_col):
+        return F.round(F.col(sum_col) / F.col("num_cases") / us, 6)
+
+    return rep.select(
+        F.concat_ws("\x1f", "activities").alias("activities"),
+        F.col(cfg.log_ids.batch_type).alias("batch_type"),
+        "num_instances", "num_cases", "num_events",
+        avg_s("sum_pt").alias("avg_pt_s"),
+        avg_s("sum_wt").alias("avg_wt_s"),
+        avg_s("sum_total_wt").alias("avg_total_wt_s"),
+        avg_s("sum_creation_wt").alias("avg_creation_wt_s"),
+        avg_s("sum_ready_wt").alias("avg_ready_wt_s"),
+        avg_s("sum_other_wt").alias("avg_other_wt_s"),
+        F.when(F.col("sum_pt") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("sum_pt") / (F.col("sum_pt") + F.col("sum_wt")), 6))
+        .alias("cte"),
+        "total_occurrences",
+        F.round("frequency", 6).alias("frequency"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.map_entries("size_distribution")),
+                lambda kv: F.concat_ws(":", kv["key"].cast("string"), kv["value"].cast("string")),
+            ),
+        ).alias("size_distribution"),
+    )

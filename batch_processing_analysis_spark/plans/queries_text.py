@@ -1,0 +1,470 @@
+"""Training-data pipeline queries (M10; BASELINE.json north star):
+dedup, similarity search, text analysis, multimodal plumbing over the
+driver's ``documents`` / ``embeddings`` tables — each with a DuckDB
+oracle twin built from the SAME deterministic primitives (md5-derived
+60-bit hashes, order-stable double summation), so value hashes match
+across engines.
+
+Oracle-generation note: the repetitive SQL (8 minhash mins, 32 simhash
+bit-votes) is produced by Python loops at import time — the SQL text is
+long but the semantics are the loop, which mirrors the Spark builder
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text_analysis as TA
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments
+# ---------------------------------------------------------------------------
+
+HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+TOKS_SQL = r"""
+  toks AS (
+    SELECT doc_id, lang, text,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+    FROM documents
+  )
+"""
+
+SHINGLES_SQL = """
+  sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' '))) AS s
+    FROM toks WHERE len(tk) >= 3
+  )
+"""
+
+MINHASH_SIGS_SQL = (
+    "  sigs AS (\n    SELECT doc_id, "
+    + ", ".join(
+        "min(" + HASH60.format(x=f"'{h}|' || shi") + f") AS sig{h}" for h in range(8)
+    )
+    + "\n    FROM (SELECT doc_id, unnest(s) AS shi FROM sh) GROUP BY doc_id\n  )"
+)
+
+MINHASH_BANDS_SQL = (
+    "  bands AS (\n"
+    + "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, CAST(sig{2*b} AS VARCHAR) || '_' || "
+        f"CAST(sig{2*b+1} AS VARCHAR) AS bkey FROM sigs"
+        for b in range(4)
+    )
+    + "\n  ),\n"
+    "  guarded AS (\n"
+    "    SELECT doc_id, band, bkey FROM (\n"
+    "      SELECT *, count(*) OVER (PARTITION BY band, bkey) AS _n FROM bands\n"
+    "    ) WHERE _n <= 1000\n  )"
+)
+
+SIMHASH_VOTES = ", ".join(
+    f"sum(2 * ((h >> {b}) & 1) - 1) AS v{b}" for b in range(32)
+)
+SIMHASH_SIG = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32)
+)
+
+# cosine over DOUBLE[] with the same evaluation order as the Spark side
+# (sequential left fold) so doubles are bitwise identical.
+COS = (
+    "(list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y))))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@query(
+    "q40_dedup_exact",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+    )
+    SELECT doc_id, content_hash,
+           count(*) OVER (PARTITION BY content_hash) AS cluster_size,
+           CAST(doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS INT)
+             AS is_canonical
+    FROM h
+    """,
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text (operators/dedup.py).
+
+    Scale: one shuffle on the content hash; window stats reuse it."""
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+@query(
+    "q41_dedup_minhash_lsh",
+    "WITH " + TOKS_SQL + ", " + SHINGLES_SQL + ",\n"
+    + MINHASH_SIGS_SQL + ",\n" + MINHASH_BANDS_SQL + ",\n"
+    + """
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM guarded a JOIN guarded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.s, sb.s)) * 1.0
+                 / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+    """,
+)
+def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(H=8) + LSH(4 bands × 2 rows) near-dup pairs, verified by
+    exact Jaccard ≥ 0.5 on 3-word shingle sets.
+
+    Scale: candidate generation is the banded bucket join (skew-guarded)
+    — never an n² comparison; verification touches candidates only."""
+    docs = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(docs)
+    pairs = D.lsh_candidate_pairs(sigs)
+    sets_ = docs.select(
+        F.col("doc_id"), D.word_shingles(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    return (
+        D.verify_jaccard(pairs, sets_)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@query(
+    "q42_dedup_simhash",
+    "WITH " + TOKS_SQL + ",\n"
+    + f"""
+      tokex AS (
+        SELECT doc_id, {HASH60.format(x='tok')} AS h
+        FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+      ),
+      votes AS (SELECT doc_id, {SIMHASH_VOTES} FROM tokex GROUP BY doc_id),
+      sigs AS (SELECT doc_id, {SIMHASH_SIG} AS sig FROM votes),
+      bands AS (
+    """
+    + "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, sig, {k} AS band, (sig >> {8*k}) & 255 AS bkey FROM sigs"
+        for k in range(4)
+    )
+    + """
+      )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    """,
+)
+def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit, tf-weighted) near-dup pairs: byte-banded
+    candidates, Hamming ≤ 2 verify. All bit arithmetic JVM-side
+    (operators/dedup.py)."""
+    sigs = D.simhash_signatures(_docs(spark, sf_dir))
+    return D.simhash_pairs(sigs)
+
+
+@query(
+    "q43_dedup_ngram_jaccard",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(text) - 3),
+                                          i -> text[i:i+4])) AS g
+      FROM documents WHERE len(text) >= 5
+    ),
+    ex AS (SELECT doc_id, unnest(g) AS gr FROM grams),
+    dfreq AS (SELECT gr, count(*) AS df FROM ex GROUP BY gr),
+    rare AS (
+      SELECT ex.doc_id, ex.gr FROM ex JOIN dfreq USING (gr)
+      WHERE df BETWEEN 2 AND 10
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(ga.g, gb.g)) * 1.0
+                 / len(list_distinct(list_concat(ga.g, gb.g))), 6) AS jaccard
+    FROM cand
+    JOIN grams ga ON ga.doc_id = id_a
+    JOIN grams gb ON gb.doc_id = id_b
+    WHERE len(list_intersect(ga.g, gb.g)) * 1.0
+          / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.5
+    """,
+)
+def q43_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup join with rare-gram blocking
+    (df ∈ [2,10]) — candidates only through discriminative grams."""
+    return (
+        D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, df_max=10, threshold=0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+EMB_SQL = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+
+@query(
+    "q44_embedding_neardup",
+    f"""
+    WITH {EMB_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({COS.format(a='a.v', b='b.v')}, 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {COS.format(a='a.v', b='b.v')} >= 0.4
+    """,
+)
+def q44_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (exact cosine ≥ 0.4). The exact variant
+    of the LSH/banding escape hatch in dedup.py."""
+    return S.neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+@query(
+    "q45_ann_cosine_topk",
+    f"""
+    WITH {EMB_SQL},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {COS.format(a='q.qv', b='e.v')} AS sim
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q45_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors — the
+    exactness baseline for ANN (operators/similarity.py)."""
+    embs = _embs(spark, sf_dir)
+    return S.brute_force_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "q46_ann_ivf_topk",
+    f"""
+    WITH {EMB_SQL},
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {COS.format(a='e.v', b='cent.cv')} DESC, cent.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {COS.format(a='q.qv', b='cent.cv')} DESC, cent.centroid_id
+               ) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= 3
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {COS.format(a='p.qv', b='a.v')} AS sim
+      FROM probes p JOIN assigned a USING (centroid_id)
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q46_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5: deterministic-subsample centroids (vec_id % 50 = 0),
+    nprobe=3. The bucketed scale path — probes touch N·nprobe/C of the
+    corpus instead of all of it."""
+    embs = _embs(spark, sf_dir)
+    return S.ivf_topk(embs, embs.filter(F.col("vec_id") < 10), k=5,
+                      stride=50, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "q47_text_quality",
+    "WITH " + TOKS_SQL + r"""
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           len(text) AS n_chars,
+           round(list_reduce(list_transform(tk, x -> len(x)), (x, y) -> x + y)
+                 * 1.0 / len(tk), 6) AS avg_token_len,
+           round(len(regexp_replace(text, '[a-z0-9\s]', '', 'g')) * 1.0
+                 / len(text), 6) AS punct_ratio,
+           round(len(list_filter(tk, x -> x IN
+                     ('a','the','of','and','in','to','is'))) * 1.0 / len(tk), 6)
+             AS stopword_ratio,
+           round(least(1.0, len(tk) / 100.0)
+                 * (1.0 - len(regexp_replace(text, '[a-z0-9\s]', '', 'g')) * 1.0
+                          / len(text))
+                 * (1.0 - abs(len(list_filter(tk, x -> x IN
+                        ('a','the','of','and','in','to','is'))) * 1.0 / len(tk)
+                        - 0.25)), 6) AS quality_score
+    FROM toks
+    """,
+)
+def q47_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword features + composite
+    score; purely narrow codegen expressions — zero shuffles."""
+    return TA.quality_features(_docs(spark, sf_dir))
+
+
+@query(
+    "q48_lang_id",
+    """
+    WITH tg AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(range(1, len(lower(text)) - 1),
+                                  i -> lower(text)[i:i+2]))) AS tg
+      FROM documents WHERE len(text) >= 3
+    ),
+    profile AS (
+      SELECT lang AS cand_lang, tg FROM (
+        SELECT lang, tg, count(*) AS n,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tg) AS rn
+        FROM tg GROUP BY lang, tg
+      ) WHERE rn <= 20
+    ),
+    doc_n AS (
+      SELECT doc_id, any_value(lang) AS actual_lang, count(DISTINCT tg) AS n_tg
+      FROM tg GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT t.doc_id, p.cand_lang, count(*) AS n_hit
+      FROM (SELECT DISTINCT doc_id, tg FROM tg) t JOIN profile p USING (tg)
+      GROUP BY t.doc_id, p.cand_lang
+    ),
+    cov AS (
+      SELECT dn.doc_id, dn.actual_lang,
+             COALESCE(h.cand_lang, '??') AS cand_lang,
+             COALESCE(h.n_hit * 1.0 / dn.n_tg, 0.0) AS coverage
+      FROM doc_n dn LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT doc_id, cand_lang AS predicted_lang, actual_lang,
+           CAST(cand_lang = actual_lang AS INT) AS hit,
+           round(coverage, 6) AS coverage
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY coverage DESC, cand_lang) AS rn
+      FROM cov
+    ) WHERE rn = 1
+    """,
+)
+def q48_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via corpus-trained char-trigram profiles (top-20 per
+    language, coverage argmax). Profile is tiny → broadcast back."""
+    return TA.language_id(_docs(spark, sf_dir))
+
+
+@query(
+    "q49_token_count",
+    r"""
+    WITH """ + TOKS_SQL + r"""
+    SELECT doc_id, len(tk) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+           octet_length(encode(text)) AS n_bytes
+    FROM toks
+    """,
+)
+def q49_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token accounting per document."""
+    return TA.token_counts(_docs(spark, sf_dir))
+
+
+@query(
+    "q50_fingerprint",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(text) - 6),
+                            i -> {HASH60.format(x='text[i:i+7]')}) AS hs
+      FROM documents WHERE len(text) >= 11
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
+                       i -> list_aggregate(hs[i:i+3], 'min')))) AS fps
+      FROM h
+    )
+    SELECT doc_id, len(fps) AS n_fingerprints,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM fp
+    """,
+)
+def q50_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8 char-grams, window=4): rolling-hash
+    minima per sliding window, digest of the distinct set."""
+    return TA.winnowing_fingerprints(_docs(spark, sf_dir))
+
+
+@query(
+    "q51_multimodal_features",
+    """
+    SELECT doc_id, 'text' AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           list_aggregate(list_transform(string_split(text, ''),
+                                         c -> unicode(c)), 'sum') % 997
+             AS byte_checksum,
+           64 AS feature_dim
+    FROM documents
+    """,
+)
+def q51_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    mapInPandas feature extraction (operators/multimodal.py). Codec is
+    a deterministic byte-level stand-in (real codecs absent here); the
+    schema/batching/partitioning path is the real one."""
+    return M.binary_features(_docs(spark, sf_dir))
