@@ -395,23 +395,23 @@ def discover_batches(log: DataFrame, config: Configuration,
             "_sub_type", F.lit(None).cast("string")
         )
     # Every repair pass below joins the frame against aggregates derived
-    # FROM that same frame (a lineage diamond). Persisting the detection
-    # output makes each small key-table a cheap pass over the cache —
-    # without it the enablement + detection window stack recomputes once
-    # per fork (exponential in the number of passes). At cluster scale
-    # the equivalent move is a checkpoint of this event-grain frame to
-    # durable storage between discovery phases.
-    from pyspark import StorageLevel
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # FROM that same frame (a lineage diamond), and downstream consumers
+    # (WT decomposition, reporting) fork it several more times. Plain
+    # persist() caches the DATA but Catalyst still re-analyzes the full
+    # logical plan — two detection window stacks + applyInPandas — at
+    # every fork, which dominates wall-clock once the plan is this deep.
+    # localCheckpoint truncates the lineage so each fork starts from a
+    # flat cached scan. On a real cluster, swap for checkpoint() to
+    # durable storage if fault-tolerance across the discovery boundary
+    # matters; the plan-truncation effect is the same.
+    df = df.localCheckpoint(eager=True)
     df = _split_mixed_type_subprocess(df)
     # Resource split (discovery.py:84-114) is a no-op here: both detectors
     # already partition by resource, so an instance can never span two.
     df = _split_wrong_enabled(df, ids, "_task_grp", F.col("_sub_type").isNull())
     df = _split_wrong_enabled(df, ids, "_sub_grp", F.col("_sub_type").isNotNull())
     # Same reasoning: min-size (2 forks) + unify (2 forks + a count
-    # action) all branch off the post-split frame; cache it so the
-    # applyInPandas split stages run once, not once per fork.
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # action) all branch off the post-split frame.
+    df = df.localCheckpoint(eager=True)
     df = _min_size_filter(df, ids, config.min_batch_instance_size)
     return _unify(df, ids)

@@ -164,12 +164,20 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.sequence(F.lit(1), F.length(t) - (k - 1)),
         lambda i: hash60(F.substring(t, i, k)),
     )
+    # Materialize the k-gram hash array as a column BEFORE the window
+    # pass: referencing the `hashes` expression inside the next transform
+    # would re-evaluate all L md5s per window position (O(L^2) hashing
+    # per doc — measured 13x slower at sf0.01).
+    hashed = docs.filter(F.length(t) >= k + window - 1).select(
+        F.col(id_col), hashes.alias("_hashes")
+    )
+    h = F.col("_hashes")
     mins = F.transform(
-        F.sequence(F.lit(1), F.size(hashes) - (window - 1)),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+        F.sequence(F.lit(1), F.size(h) - (window - 1)),
+        lambda i: F.array_min(F.slice(h, i, window)),
     )
     fps = F.array_sort(F.array_distinct(mins))
-    return docs.filter(F.length(t) >= k + window - 1).select(
+    return hashed.select(
         F.col(id_col),
         F.size(fps).alias("n_fingerprints"),
         F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")).alias(
