@@ -90,6 +90,9 @@ class Configuration:
     num_batch_enabled_negative_events: int = 2
     max_rules: int = 3
     min_rule_support: float = 0.1
+    # Min feature rows per group before mining (reference hard-codes >30,
+    # activation_rules.py:181; parameterized so small logs can mine too).
+    min_rule_obs: int = 30
     # Determinism policy (SURVEY §7.4): the reference samples unseeded;
     # we always seed (rule outputs match in distribution, not bytes).
     random_seed: int = 42

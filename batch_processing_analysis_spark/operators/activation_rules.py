@@ -121,9 +121,15 @@ def features_table(log: DataFrame, config: Configuration) -> DataFrame:
         )
     )
     # Up to k case-enablement instants < inst_start, seeded sample per
-    # instance (activation_rules.py:64-71; W7 determinism policy).
+    # instance (activation_rules.py:64-71; W7 determinism policy). The
+    # sample key is md5(seed, case): uniform like rand() but reproducible
+    # in ANY engine — rand(seed) is partition-layout-dependent in Spark
+    # and unportable to the DuckDB oracle.
     k = config.num_batch_enabled_negative_events
-    w_samp = W.partitionBy(ids.batch_id).orderBy(F.rand(config.random_seed), ids.case)
+    samp_key = F.md5(
+        F.concat_ws("\x1f", F.lit(str(config.random_seed)), F.col(ids.case))
+    )
+    w_samp = W.partitionBy(ids.batch_id).orderBy(samp_key, ids.case)
     neg_enabled = (
         cases.join(inst.select(ids.batch_id, "inst_start"), ids.batch_id)
         .filter(F.col("case_enabled") < F.col("inst_start"))
@@ -350,7 +356,7 @@ def get_activation_rules(
     guarded = (
         feat.withColumn("_n", F.count(F.lit(1)).over(w))
         .withColumn("_k", F.size(F.collect_set("outcome").over(w)))
-        .filter((F.col("_n") > 30) & (F.col("_k") > 1))
+        .filter((F.col("_n") > config.min_rule_obs) & (F.col("_k") > 1))
         .select("group_key", *_FEATURES, "outcome")
     )
 

@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..config import Configuration, EventLogIDs
+from ..config import ActivationRulesMode, Configuration, EventLogIDs
+from ..operators.activation_rules import features_table, get_activation_rules
 from ..operators.enablement import add_enabled_times, directly_follows_matrix
 from ..operators.discovery import detect_task_batches, discover_batches
 from ..operators.reporting import batch_report
@@ -677,3 +678,183 @@ def q34_waiting_time_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("size_distribution"),
     )
+
+
+# --------------------------------------------------------------------------
+# Activation-rule mining (SURVEY §2.7 U1/U3, §3.3): features table +
+# sequential-covering rule induction.
+# --------------------------------------------------------------------------
+
+_CFG = Configuration()
+_N_READY = _CFG.num_batch_ready_negative_events
+_K_ENABLED = _CFG.num_batch_enabled_negative_events
+_SEED = _CFG.random_seed
+
+# SQL twin of operators/activation_rules.features_table. The sampled
+# negatives use the same md5(seed, case) key as the engine (W7
+# determinism policy), so the whole table is reproducible cross-engine.
+FEATURES_SQL = f"""
+  , pc0 AS (
+    SELECT bkey, btype, resource, case_id, activity, s, e, en_us,
+           row_number() OVER (PARTITION BY bkey, case_id
+                              ORDER BY s, en_us, activity) AS rn
+    FROM final WHERE bkey IS NOT NULL
+  ),
+  pcase AS MATERIALIZED (
+    SELECT bkey, btype, resource, case_id,
+           s AS case_start, en_us AS case_enabled,
+           activity AS case_first_activity
+    FROM pc0 WHERE rn = 1
+  ),
+  iacts AS (
+    SELECT bkey, string_agg(activity, chr(31) ORDER BY activity) AS acts
+    FROM (SELECT DISTINCT bkey, activity FROM final WHERE bkey IS NOT NULL)
+    GROUP BY bkey
+  ),
+  insts AS MATERIALIZED (
+    SELECT bkey, any_value(btype) AS btype, any_value(resource) AS resource,
+           max(case_enabled) AS inst_enabled,
+           min(case_enabled) AS inst_first_enabled,
+           min(case_start)   AS inst_start
+    FROM pcase GROUP BY bkey
+  ),
+  pos AS (SELECT bkey, inst_start AS instant, 1 AS outcome FROM insts),
+  negr AS (
+    SELECT bkey,
+           CAST(floor(inst_enabled
+                      + i * ((inst_start - inst_enabled) / {_N_READY + 1}))
+                AS BIGINT) AS instant,
+           0 AS outcome
+    FROM (SELECT bkey, inst_enabled, inst_start,
+                 unnest(range(1, {_N_READY + 1})) AS i
+          FROM insts WHERE inst_start > inst_enabled)
+  ),
+  nege AS (
+    SELECT bkey, case_enabled AS instant, 0 AS outcome
+    FROM (
+      SELECT p.bkey, p.case_enabled,
+             row_number() OVER (
+               PARTITION BY p.bkey
+               ORDER BY md5('{_SEED}' || chr(31) || p.case_id), p.case_id) AS srn
+      FROM pcase p JOIN insts i2 USING (bkey)
+      WHERE p.case_enabled < i2.inst_start
+    ) WHERE srn <= {_K_ENABLED}
+  ),
+  instants AS MATERIALIZED (
+    SELECT * FROM pos UNION ALL SELECT * FROM negr UNION ALL SELECT * FROM nege
+  ),
+  sub0 AS (
+    SELECT it.bkey, it.instant, it.outcome, p.case_id, p.case_start,
+           p.case_enabled, p.case_first_activity,
+           row_number() OVER (
+             PARTITION BY it.bkey, it.instant, it.outcome
+             ORDER BY p.case_start, p.case_enabled, p.case_first_activity) AS frn
+    FROM instants it JOIN pcase p USING (bkey)
+    WHERE p.case_enabled <= it.instant
+  ),
+  subs AS MATERIALIZED (
+    SELECT bkey, instant, outcome,
+           count(DISTINCT case_id) AS num_queue,
+           max(case_enabled) AS last_enabled,
+           min(case_enabled) AS first_enabled,
+           min(CASE WHEN frn = 1 THEN case_first_activity END) AS firing_activity
+    FROM sub0 GROUP BY bkey, instant, outcome
+  ),
+  cfs AS MATERIALIZED (
+    SELECT case_id, min(s) AS log_first_s FROM log GROUP BY case_id
+  ),
+  flows AS MATERIALIZED (
+    SELECT it.bkey, it.instant, it.outcome, min(c.log_first_s) AS min_flow_start
+    FROM instants it
+    JOIN pcase p USING (bkey)
+    JOIN cfs c ON c.case_id = p.case_id
+    WHERE p.case_enabled <= it.instant
+    GROUP BY it.bkey, it.instant, it.outcome
+  ),
+  pts AS MATERIALIZED (
+    SELECT DISTINCT i2.resource, it.instant
+    FROM instants it JOIN insts i2 USING (bkey)
+  ),
+  wl AS MATERIALIZED (
+    SELECT p.resource, p.instant, count(DISTINCT e2.case_id) AS workload
+    FROM pts p
+    LEFT JOIN enabled e2
+      ON e2.resource = p.resource AND e2.en_us <= p.instant
+     AND p.instant <= e2.e
+    GROUP BY p.resource, p.instant
+  ),
+  features AS (
+    SELECT ia.acts AS activities,
+           i2.btype AS batch_instance_type,
+           s1.firing_activity,
+           round(s1.instant / 1000000.0, 6) AS instant_s,
+           s1.num_queue,
+           round((s1.instant - s1.last_enabled) / 1000000.0, 6)   AS t_ready,
+           round((s1.instant - s1.first_enabled) / 1000000.0, 6)  AS t_waiting,
+           round((s1.instant - f2.min_flow_start) / 1000000.0, 6) AS t_max_flow,
+           isodow(make_timestamp(s1.instant)) - 1 AS day_of_week,
+           day(make_timestamp(s1.instant))        AS day_of_month,
+           hour(make_timestamp(s1.instant))       AS hour_of_day,
+           minute(make_timestamp(s1.instant))     AS minute,
+           COALESCE(w2.workload, 0) AS workload,
+           s1.outcome
+    FROM subs s1
+    JOIN flows f2 USING (bkey, instant, outcome)
+    JOIN insts i2 USING (bkey)
+    JOIN iacts ia USING (bkey)
+    LEFT JOIN wl w2 ON w2.resource = i2.resource AND w2.instant = s1.instant
+  )
+"""
+
+
+@query(
+    "q36_activation_features",
+    PIPELINE_PREFIX + FEATURES_SQL + "SELECT * FROM features",
+)
+def q36_activation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Features table for rule mining (U3 decomposed; reference:
+    activation_rules.py:33-150): per (instance, instant) — 1 positive at
+    the instance start, equi-spaced ready-interval negatives (W6), seeded
+    sampled enablement negatives (W7), queue/ready/waiting/flow features
+    (A3-A5, J6), calendar features Monday=0 (F3-F4), and workload via ONE
+    range join over all distinct (resource, instant) points (J2).
+
+    Scale: instants fan out with explode (no driver loop); the workload
+    join keeps resource equality as the hash key with the range as a
+    residual; everything else is window/agg over instance-sized groups.
+    """
+    disc, cfg = _discovered(spark, sf_dir)
+    feat = features_table(disc, cfg)
+    return feat.select(
+        F.concat_ws("\x1f", "activities").alias("activities"),
+        F.col(cfg.log_ids.batch_type).alias("batch_instance_type"),
+        "firing_activity",
+        F.round("instant", 6).alias("instant_s"),
+        "num_queue",
+        F.round("t_ready", 6).alias("t_ready"),
+        F.round("t_waiting", 6).alias("t_waiting"),
+        F.round("t_max_flow", 6).alias("t_max_flow"),
+        "day_of_week", "day_of_month", "hour_of_day", "minute",
+        "workload", "outcome",
+    )
+
+
+@query("q37_activation_rules")  # no oracle: iterative rule induction (SURVEY §2.7 U1)
+def q37_activation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation-rule mining end-to-end (U1 + A14/A15 guards):
+    features table → group per batch type → sequential-covering rule
+    induction (FOIL-gain grower, accept/remove/repeat with the
+    reference's support threshold) inside ``applyInPandas``.
+
+    Not SQL-expressible (iterative covering loop) — driver records the
+    rows-only check. Groups are tiny (≤ thousands of rows), so the
+    pandas hop is O(#groups), not O(log).
+    """
+    disc, cfg = _discovered(spark, sf_dir)
+    feat = features_table(disc, cfg)
+    # Reference guard is >30 rows/group; at sf0.01 the largest group is
+    # exactly 30, so mine per firing activity with a lower floor to
+    # exercise the full induction path at test scale.
+    mine_cfg = Configuration(min_rule_obs=20)
+    rules = get_activation_rules(feat, mine_cfg, ActivationRulesMode.PER_ACTIVITY)
+    return rules.orderBy("group_key")
