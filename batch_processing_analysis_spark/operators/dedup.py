@@ -118,17 +118,26 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        num_hashes: int = 8) -> DataFrame:
-    """Per-doc minhash signature: sig_h = min over shingles of
-    hash60(h || '|' || shingle).
+    """Per-doc minhash signature via double hashing (Kirsch &
+    Mitzenmacher 2006): hash_i(s) = h1(s) + i*h2(s), with h1/h2 the two
+    60-bit halves of ONE md5 per shingle — 8x less hashing than 8
+    independent md5s, same LSH quality. h2 is masked to 56 bits so
+    h1 + 7*h2 < 2^61 never overflows a signed 64-bit long (DuckDB
+    errors on overflow; Spark would silently wrap).
 
     One explode + one groupBy computing all H minima in a single pass
     (map-side partial aggregation; no per-hash re-shuffle).
     """
     sh = docs.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    ).withColumn("_m", F.md5("shingle"))
+    h1 = F.conv(F.substring("_m", 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring("_m", 16, 15), 16, 10).cast("long").bitwiseAND(
+        F.lit((1 << 56) - 1)
     )
+    sh = sh.select(id_col, h1.alias("_h1"), h2.alias("_h2"))
     aggs = [
-        F.min(hash60(F.concat_ws("|", F.lit(str(h)), F.col("shingle")))).alias(f"sig{h}")
+        F.min(F.col("_h1") + F.lit(h) * F.col("_h2")).alias(f"sig{h}")
         for h in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -143,18 +152,23 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     ``max_bucket`` drops degenerate buckets before the self-join — the
     skew guard that keeps the pair count bounded at corpus scale.
     """
-    bands = []
-    for b in range(num_hashes // rows_per_band):
-        key = F.concat_ws(
-            "_", *[F.col(f"sig{b * rows_per_band + r}").cast("string")
-                   for r in range(rows_per_band)]
+    # One posexplode over an inline band array — NOT a per-band union:
+    # each union branch would re-evaluate the whole signature pipeline
+    # (explode + groupBy) once per band per join side.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"sig{b * rows_per_band + r}").cast("string")
+                       for r in range(rows_per_band)]
+            ).alias("bkey"),
         )
-        bands.append(
-            sigs.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey"))
-        )
-    exploded = bands[0]
-    for extra in bands[1:]:
-        exploded = exploded.unionByName(extra)
+        for b in range(num_hashes // rows_per_band)
+    ]
+    exploded = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("_bb"))
+        .select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey"))
+    )
     pop = W.partitionBy("band", "bkey")
     exploded = exploded.withColumn("_n", F.count(F.lit(1)).over(pop)).filter(
         F.col("_n") <= max_bucket
@@ -238,15 +252,23 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id",
     Hamming distance ≤ ``max_hamming`` (bit_count of XOR, JVM-side)."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    bands = None
-    for k in range(n_bands):
-        part = sigs.select(
-            F.col(id_col),
-            F.col("simhash"),
+    # Single explode over the band array (see lsh_candidate_pairs: a
+    # per-band union re-evaluates the signature aggregation per branch).
+    band_structs = [
+        F.struct(
             F.lit(k).alias("band"),
-            F.shiftright(F.col("simhash"), k * band_bits).bitwiseAND(F.lit(mask)).alias("bkey"),
+            F.shiftright(F.col("simhash"), k * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("bkey"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for k in range(n_bands)
+    ]
+    bands = (
+        sigs.select(F.col(id_col), F.col("simhash"),
+                    F.explode(F.array(*band_structs)).alias("_bb"))
+        .select(id_col, "simhash", F.col("_bb.band").alias("band"),
+                F.col("_bb.bkey").alias("bkey"))
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

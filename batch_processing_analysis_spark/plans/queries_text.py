@@ -46,12 +46,19 @@ SHINGLES_SQL = """
   )
 """
 
+# Double-hashing minhash (one md5 per shingle; h1/h2 = the two 60-bit
+# halves, h2 masked to 56 bits — mirrors operators/dedup.py exactly).
 MINHASH_SIGS_SQL = (
+    "  shh AS (\n"
+    "    SELECT doc_id,\n"
+    "           CAST('0x' || substr(md5(shi), 1, 15) AS BIGINT) AS h1,\n"
+    "           CAST('0x' || substr(md5(shi), 16, 15) AS BIGINT)"
+    " & 72057594037927935 AS h2\n"
+    "    FROM (SELECT doc_id, unnest(s) AS shi FROM sh)\n"
+    "  ),\n"
     "  sigs AS (\n    SELECT doc_id, "
-    + ", ".join(
-        "min(" + HASH60.format(x=f"'{h}|' || shi") + f") AS sig{h}" for h in range(8)
-    )
-    + "\n    FROM (SELECT doc_id, unnest(s) AS shi FROM sh) GROUP BY doc_id\n  )"
+    + ", ".join(f"min(h1 + {h} * h2) AS sig{h}" for h in range(8))
+    + "\n    FROM shh GROUP BY doc_id\n  )"
 )
 
 MINHASH_BANDS_SQL = (
@@ -85,12 +92,21 @@ COS = (
 )
 
 
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The test tables arrive as ONE parquet file -> one input split ->
+    all per-row text/vector work on one core. Round-robin repartition to
+    cluster width first (the shuffle is KBs; the compute it unlocks is
+    the expensive part). At real scale inputs arrive as many splits and
+    this is a no-op cost-wise — AQE coalesces back if over-split."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return _fan_out(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return _fan_out(spark, load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -146,11 +162,16 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate generation is the banded bucket join (skew-guarded)
     — never an n² comparison; verification touches candidates only."""
     docs = _docs(spark, sf_dir)
-    sigs = D.minhash_signatures(docs)
+    # The signature table is forked three ways (two join sides + verify);
+    # persist it so the shingle+hash pipeline runs once.
+    sigs = D.minhash_signatures(docs).persist()
     pairs = D.lsh_candidate_pairs(sigs)
+    # Also forked twice (both sides of the pair join) and the shingle
+    # transform is interpreted (higher-order fn) — persist the small
+    # (one row per doc) set table rather than re-deriving it.
     sets_ = docs.select(
         F.col("doc_id"), D.word_shingles(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    ).filter(F.size("shingles") > 0).persist()
     return (
         D.verify_jaccard(pairs, sets_)
         .filter(F.col("jaccard") >= 0.5)
