@@ -1,0 +1,115 @@
+"""Golden-file replay against the reference's shipped outputs
+(SURVEY §5.1-5.2: the reference validates by golden artifacts in
+/root/reference/outputs; these tests replay them on our engine).
+
+Key parity result (established by row-level diffing, see
+operators/discovery.py docstring): on the Loan log — which ships its
+own ``enabled_time``, removing the estimator as a variable — our
+detection + repair pipeline reproduces the reference's discovered batch
+set EXACTLY (same 7,635 rows, same 587-instance partition, same types)
+once ``min_batch_instance_size=10``. The reference's R detector applies
+an internal filter that rejects the log's organic busy-resource runs;
+on this log that filter is extensionally equivalent to a min-instance
+-size threshold, which this engine exposes as configuration.
+
+Reference timestamps are second-truncated (the R CSV round-trip drops
+fractional seconds), so rows are matched on (case, activity,
+floor-to-second start).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from batch_processing_analysis_spark.config import Configuration
+from batch_processing_analysis_spark.operators.discovery import discover_batches
+from batch_processing_analysis_spark.operators.enablement import add_enabled_times
+
+LOGS = Path("/root/reference/logs")
+OUTS = Path("/root/reference/outputs")
+
+pytestmark = pytest.mark.skipif(
+    not LOGS.exists(), reason="reference artifacts not available"
+)
+
+
+def _load(spark, path, ids, with_enabled):
+    cols = [ids.start_time, ids.end_time] + ([ids.enabled_time] if with_enabled else [])
+    df = spark.read.option("header", True).csv(str(path))
+    for c in cols:
+        df = df.withColumn(c, F.to_timestamp(c))
+    return df
+
+
+def _row_keys(pdf, case, act, start):
+    st = pd.to_datetime(pdf[start], utc=True, format="mixed").dt.floor("s")
+    return list(zip(pdf[case].astype(str), pdf[act].str.strip(), st))
+
+
+def test_loan_golden_exact(spark):
+    """Loan log (shipped enabled_time) at min_batch_instance_size=10:
+    batched row set, instance partition, and per-instance types all
+    equal the reference's golden output bit-for-bit."""
+    cfg = Configuration(min_batch_instance_size=10)
+    ids = cfg.log_ids
+    log = _load(spark, LOGS / "Loan_Application_batched.csv.gz", ids,
+                with_enabled=True).drop("batch_instance_id")
+    disc = discover_batches(log, cfg)
+    ours = disc.filter(F.col(ids.batch_id).isNotNull()).select(
+        ids.case, ids.activity, ids.start_time, ids.batch_id, ids.batch_type
+    ).toPandas()
+    ours["k"] = _row_keys(ours, ids.case, ids.activity, ids.start_time)
+
+    ref = pd.read_csv(OUTS / "Loan_Application_WTs.csv.gz", low_memory=False)
+    refb = ref[ref.batch_instance_id.notna()].copy()
+    refb["k"] = _row_keys(refb, "case_id", "Activity", "start_time")
+
+    assert set(ours.k) == set(refb.k)                       # same batched rows
+    ours_part = {frozenset(g.k) for _, g in ours.groupby(ids.batch_id)}
+    ref_part = {frozenset(g.k) for _, g in refb.groupby("batch_instance_id")}
+    assert ours_part == ref_part                            # same instances
+    ours_t = {frozenset(g.k): g[ids.batch_type].iloc[0]
+              for _, g in ours.groupby(ids.batch_id)}
+    ref_t = {frozenset(g.k): g["batch_instance_type"].iloc[0]
+             for _, g in refb.groupby("batch_instance_id")}
+    assert ours_t == ref_t                                  # same types
+
+
+def test_production_agreement(spark):
+    """Production log (enabled_time re-used from the golden output so
+    the estimator is out of scope): row-level agreement with the golden
+    batched set >= 95% F1 at reference defaults. Residual divergence is
+    the reference's R-side second-truncation and chain tie-breaks."""
+    cfg = Configuration()
+    ids = cfg.log_ids
+    log = _load(spark, LOGS / "Production.csv.gz", ids, with_enabled=False)
+
+    ref = pd.read_csv(OUTS / "Production_WTs.csv.gz", low_memory=False)
+    en = ref[["case_id", "Activity", "start_time", "end_time", "enabled_time"]]
+    en = en.drop_duplicates(["case_id", "Activity", "start_time", "end_time"])
+    en_df = spark.createDataFrame(en)
+    for c in ["start_time", "end_time", "enabled_time"]:
+        en_df = en_df.withColumn(c, F.to_timestamp(c))
+    log = log.join(
+        en_df.withColumnRenamed("enabled_time", ids.enabled_time),
+        [ids.case, ids.activity, ids.start_time, ids.end_time], "left",
+    )
+    assert log.filter(F.col(ids.enabled_time).isNull()).count() == 0
+
+    disc = discover_batches(log, cfg)
+    ours = disc.filter(F.col(ids.batch_id).isNotNull()).select(
+        ids.case, ids.activity, ids.start_time
+    ).toPandas()
+    ok = set(_row_keys(ours, ids.case, ids.activity, ids.start_time))
+    refb = ref[ref.batch_instance_id.notna()]
+    rk = set(_row_keys(refb, "case_id", "Activity", "start_time"))
+
+    tp = len(ok & rk)
+    precision = tp / len(ok)
+    recall = tp / len(rk)
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.95, (precision, recall, f1)
