@@ -858,3 +858,43 @@ def q37_activation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     mine_cfg = Configuration(min_rule_obs=20)
     rules = get_activation_rules(feat, mine_cfg, ActivationRulesMode.PER_ACTIVITY)
     return rules.orderBy("group_key")
+
+
+@query(
+    "q38_interval_sweep",
+    f"""
+    WITH {LOG_SQL}, {DF_CONC_SQL}, {ENABLED_SQL},
+    ev AS (
+      SELECT case_id, en_us AS t, 1 AS kind, 1 AS de, 0 AS dp FROM enabled
+      UNION ALL SELECT case_id, s, 2, -1, 1 FROM enabled
+      UNION ALL SELECT case_id, e, 3, 0, -1 FROM enabled
+    ),
+    runx AS (
+      SELECT case_id, t,
+             sum(de) OVER w AS ne, sum(dp) OVER w AS np,
+             lead(t) OVER (PARTITION BY case_id ORDER BY t, kind) AS nt
+      FROM ev
+      WINDOW w AS (PARTITION BY case_id ORDER BY t, kind
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT case_id,
+           sum(CASE WHEN np > 0 THEN nt - t ELSE 0 END) AS sweep_pt,
+           sum(CASE WHEN np = 0 AND ne > 0 THEN nt - t ELSE 0 END) AS sweep_wt
+    FROM runx WHERE nt IS NOT NULL GROUP BY case_id
+    """,
+)
+def q38_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle interval-union sweep (W4; reference utils.py:127-176,
+    a per-case Python loop there): explode each event into three
+    lifecycle instants, run enabled/processing counters with one
+    windowed pass, accrue processing vs waiting segment durations.
+
+    Scale: explode is narrow (3x rows); one window shuffle on the group
+    key; segments with dur=0 make tie order irrelevant (deterministic).
+    """
+    from ..operators.kernels import interval_sweep_pt_wt
+
+    log = add_enabled_times(_event_log(spark, sf_dir), IDS, concurrency_threshold=0.1)
+    return interval_sweep_pt_wt(log, IDS, [IDS.case]).select(
+        F.col(IDS.case).alias("case_id"), "sweep_pt", "sweep_wt"
+    )
