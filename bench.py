@@ -33,11 +33,15 @@ HEADLINE = [
 HEADLINE += [
     "q30_enabled_times",
     "q32_batch_discovery_stats",
+    "q33_waiting_time_decomposition",
     "q34_waiting_time_report",
+    "q38_interval_sweep",
     "q40_dedup_exact",
     "q41_dedup_minhash_lsh",
+    "q42_dedup_simhash",
     "q45_ann_cosine_topk",
     "q47_text_quality",
+    "q50_fingerprint",
 ]
 
 
