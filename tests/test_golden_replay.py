@@ -113,3 +113,23 @@ def test_production_agreement(spark):
     recall = tp / len(rk)
     f1 = 2 * precision * recall / (precision + recall)
     assert f1 >= 0.95, (precision, recall, f1)
+
+
+def test_enablement_estimator_exact(spark):
+    """M2 validation (SURVEY §7.1): our native concurrency-oracle
+    enablement estimator reproduces the reference's
+    ``estimate_start_times`` output microsecond-for-microsecond on all
+    70,162 Loan events (the log ships the package's enabled_time)."""
+    cfg = Configuration()
+    ids = cfg.log_ids
+    log = (
+        _load(spark, LOGS / "Loan_Application_batched.csv.gz", ids,
+              with_enabled=False)
+        .withColumn("_ref_en", F.to_timestamp(ids.enabled_time))
+        .drop(ids.enabled_time, "batch_instance_id")
+    )
+    est = add_enabled_times(log, ids, concurrency_threshold=0.1)
+    n_diff = est.filter(
+        F.unix_micros(F.col(ids.enabled_time)) != F.unix_micros("_ref_en")
+    ).count()
+    assert n_diff == 0
