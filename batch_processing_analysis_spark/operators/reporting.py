@@ -189,8 +189,11 @@ def batch_report(log: DataFrame, config: Configuration) -> DataFrame:
     clamped = F.when(F.col("total_occurrences") <= 0, F.lit(1)).otherwise(
         F.col("total_occurrences")
     )
+    # freq_occurrence = num_cases / total_occurrences (reference
+    # reporting.py:66,69 — cases, not events: a k-activity case-based
+    # batch contributes 1, not k).
     return out.withColumn(
-        "frequency", F.col("num_events") / clamped
+        "frequency", F.col("num_cases") / clamped
     )
 
 
@@ -248,7 +251,9 @@ def render_report(report_rows, config: Configuration) -> str:
         out.append(f"Batch formed by activities: {tuple(key)}")
         if overall is not None:
             out.append(f"\tNum occurrences: {overall['total_occurrences']}")
-            out.append(f"\tNum occurrences in batch: {overall['num_events']}")
+            # batched_total_occurrences = Σ per-type num_cases (reference
+            # reporting.py:67-68) = the pooled level's num_cases.
+            out.append(f"\tNum occurrences in batch: {overall['num_cases']}")
             out.append("\tFrequency occurrences in batch: "
                        f"{100 * overall['frequency']:.2f}%")
             out.extend(block(overall, 1, with_instances=False))

@@ -616,19 +616,19 @@ def q33_waiting_time_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT mk.acts, COALESCE(md.occ, 0) FROM multik mk LEFT JOIN multid md USING (acts)
     )
     SELECT lv.acts AS activities, lv.batch_type, lv.num_instances, lv.num_cases,
-           lv.num_events,
-           round(CAST(lv.sum_pt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_pt_s,
-           round(CAST(lv.sum_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_wt_s,
-           round(CAST(lv.sum_total_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_total_wt_s,
-           round(CAST(lv.sum_creation_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_creation_wt_s,
-           round(CAST(lv.sum_ready_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_ready_wt_s,
-           round(CAST(lv.sum_other_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000, 6) AS avg_other_wt_s,
+           CAST(lv.num_events AS BIGINT) AS num_events,
+           CAST(lv.sum_pt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000 AS avg_pt_s,
+           CAST(lv.sum_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000 AS avg_wt_s,
+           CAST(lv.sum_total_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000 AS avg_total_wt_s,
+           CAST(lv.sum_creation_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000 AS avg_creation_wt_s,
+           CAST(lv.sum_ready_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000 AS avg_ready_wt_s,
+           CAST(lv.sum_other_wt_us AS BIGINT) * 1.0 / lv.num_cases / 1000000 AS avg_other_wt_s,
            CASE WHEN lv.sum_pt_us = 0 THEN 0.0
-                ELSE round(CAST(lv.sum_pt_us AS BIGINT) * 1.0
-                           / (CAST(lv.sum_pt_us AS BIGINT) + CAST(lv.sum_wt_us AS BIGINT)), 6)
+                ELSE CAST(lv.sum_pt_us AS BIGINT) * 1.0
+                     / (CAST(lv.sum_pt_us AS BIGINT) + CAST(lv.sum_wt_us AS BIGINT))
            END AS cte,
            d.occ AS total_occurrences,
-           round(lv.num_events * 1.0 / (CASE WHEN d.occ <= 0 THEN 1 ELSE d.occ END), 6) AS frequency,
+           lv.num_cases * 1.0 / (CASE WHEN d.occ <= 0 THEN 1 ELSE d.occ END) AS frequency,
            sized.size_distribution
     FROM lv
     JOIN denom d ON d.acts = lv.acts
@@ -642,9 +642,9 @@ def q34_waiting_time_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's zero-guard, frequency with the clamp-to-1 guard.
 
     Scale: output is O(#batch keys) — independent of log size; the
-    rolling-window denominator is the only full-log pass. Averages are
-    derived from exact integer sums so Spark and the oracle agree
-    bit-for-bit.
+    rolling-window denominator is the only full-log pass. Averages and
+    ratios are SINGLE IEEE divisions of exact integer sums (no decimal
+    round()), so Spark and the oracle produce bitwise-identical doubles.
     """
     disc, _ = _discovered(spark, sf_dir)
     cfg = Configuration()
@@ -653,7 +653,7 @@ def q34_waiting_time_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = 1_000_000
 
     def avg_s(sum_col):
-        return F.round(F.col(sum_col) / F.col("num_cases") / us, 6)
+        return F.col(sum_col) / F.col("num_cases") / us
 
     return rep.select(
         F.concat_ws("\x1f", "activities").alias("activities"),
@@ -666,10 +666,10 @@ def q34_waiting_time_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_s("sum_ready_wt").alias("avg_ready_wt_s"),
         avg_s("sum_other_wt").alias("avg_other_wt_s"),
         F.when(F.col("sum_pt") == 0, F.lit(0.0))
-        .otherwise(F.round(F.col("sum_pt") / (F.col("sum_pt") + F.col("sum_wt")), 6))
+        .otherwise(F.col("sum_pt") / (F.col("sum_pt") + F.col("sum_wt")))
         .alias("cte"),
         "total_occurrences",
-        F.round("frequency", 6).alias("frequency"),
+        F.col("frequency").alias("frequency"),
         F.concat_ws(
             ",",
             F.transform(
@@ -878,8 +878,9 @@ def q37_activation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT case_id,
-           sum(CASE WHEN np > 0 THEN nt - t ELSE 0 END) AS sweep_pt,
-           sum(CASE WHEN np = 0 AND ne > 0 THEN nt - t ELSE 0 END) AS sweep_wt
+           CAST(sum(CASE WHEN np > 0 THEN nt - t ELSE 0 END) AS BIGINT) AS sweep_pt,
+           CAST(sum(CASE WHEN np = 0 AND ne > 0 THEN nt - t ELSE 0 END) AS BIGINT)
+             AS sweep_wt
     FROM runx WHERE nt IS NOT NULL GROUP BY case_id
     """,
 )

@@ -216,7 +216,8 @@ def q17_cte_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_in_case_when",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
+           CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_disc,
            count(*) AS n
     FROM lineitem WHERE l_linestatus IN ('O', 'F') GROUP BY l_returnflag
     """,
@@ -488,7 +489,8 @@ def q10_argmin_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s GROUP BY user_id, session_id
     )
     SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
-           sum(n_events) AS total_events, max(dur_s) AS max_session_dur_s
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           max(dur_s) AS max_session_dur_s
     FROM g GROUP BY user_id
     """,
 )
@@ -712,11 +714,11 @@ def q24_union_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q25_conditional_pivot",
     """
     SELECT user_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS n_click,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS n_view,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)    AS n_error,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)   AS n_signup
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)    AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)     AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)    AS n_error,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)   AS n_signup
     FROM events GROUP BY user_id
     """,
 )

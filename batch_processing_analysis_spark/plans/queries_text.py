@@ -172,11 +172,19 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets_ = docs.select(
         F.col("doc_id"), D.word_shingles(F.col("text")).alias("shingles")
     ).filter(F.size("shingles") > 0).persist()
-    return (
+    out = (
         D.verify_jaccard(pairs, sets_)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # Materialize the (tiny: O(near-dup pairs)) result eagerly so the
+    # persisted intermediates can be dropped before returning — without
+    # this every invocation leaks two cached tables for the session's
+    # lifetime. localCheckpoint also truncates the 3-fork lineage.
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    sets_.unpersist()
+    return out
 
 
 @query(
@@ -474,13 +482,18 @@ def q50_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q51_multimodal_features",
     """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+      FROM documents
+    )
     SELECT doc_id, 'text' AS modality,
-           octet_length(encode(text)) AS n_bytes,
-           list_aggregate(list_transform(string_split(text, ''),
-                                         c -> unicode(c)), 'sum') % 997
-             AS byte_checksum,
+           nb AS n_bytes,
+           CAST(COALESCE(list_aggregate(
+                  list_transform(range(1, nb + 1),
+                                 i -> CAST('0x' || substr(h, 2 * i - 1, 2) AS BIGINT)),
+                  'sum'), 0) % 997 AS BIGINT) AS byte_checksum,
            64 AS feature_dim
-    FROM documents
+    FROM hx
     """,
 )
 def q51_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,10 +81,14 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        try:  # warm the IO/codegen path once so timings measure the plan
-            df = fn(spark, sf_dir)
+        try:
+            # Untimed warm-up: build AND materialize once (covers IO
+            # cache, codegen, and any eager checkpoint inside fn). Then
+            # time a full second run — fn() inside the timed region so
+            # eager work during plan construction is counted too.
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # a broken query shows as null, not a crash
             print(f"bench: {name} failed: {e}", file=sys.stderr)
