@@ -14,9 +14,18 @@ table:
   subsample (every ``stride``-th vector) so results are reproducible
   and oracle-checkable; swapping in k-means centroids changes recall,
   not the plan shape.
-- **embedding near-dup pairs**: all pairs above a cosine threshold,
-  LSH-free exact variant for modest corpora (the MinHash/SimHash
-  pattern in ``dedup.py`` is the n² escape hatch at corpus scale).
+- **embedding near-dup pairs, exact**: all pairs above a cosine
+  threshold via an O(n²) self-join — the SMALL-CORPUS baseline and
+  oracle twin only; never run this at corpus scale.
+- **embedding near-dup pairs, hyperplane LSH (SRP)**: the scale path.
+  Sign-of-dot-product against P seeded random hyperplanes (Charikar
+  2002 signed random projections) gives a P-bit signature whose bit
+  agreement estimates 1 − θ/π; banding the signature (reusing the
+  SimHash band/bucket/skew-guard machinery from ``dedup.py``) yields
+  candidate pairs from bucket joins — O(Σ bucket²), never n² — which
+  are then verified with EXACT cosine. Hyperplane components are
+  md5-derived doubles generated once at plan-build time and embedded
+  as literals in both engines, so signatures are bit-reproducible.
 
 Arithmetic notes: float inputs are cast to double BEFORE any multiply,
 and sums run sequentially in array order (``F.aggregate``) — bitwise
@@ -150,9 +159,117 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def hyperplanes(num_bits: int, dim: int, seed: str = "srp") -> list[list[float]]:
+    """``num_bits`` hyperplane normals in R^dim with md5-derived
+    components uniform in [-1, 1) — deterministic, engine-independent
+    (the same literals are embedded in the Spark plan and the DuckDB
+    oracle SQL). Uniform-cube normals are isotropic enough for SRP;
+    what matters for LSH quality is independence across planes, which
+    the per-(plane, dim) hash gives."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}_{p}_{d}".encode()).hexdigest()[:15], 16)
+            / float(1 << 60) * 2.0 - 1.0
+            for d in range(dim)
+        ]
+        for p in range(num_bits)
+    ]
+
+
+def srp_signatures(corpus: DataFrame, num_bits: int = 32, dim: int = 64,
+                   seed: str = "srp", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """P-bit signed-random-projection signature per vector: bit p is 1
+    iff dot(v, plane_p) > 0 (ties → 0). P(bit match) = 1 − θ/π for
+    angle θ, so Hamming distance estimates angular distance.
+
+    All P dot products are narrow higher-order-function expressions —
+    one scan, zero shuffles, no Python. ``dim`` must be ≥ the vector
+    length (components beyond it are simply never read)."""
+    corpus = _as_double(corpus, vec_col)
+
+    def _proj(hp):
+        return lambda x, i: x * F.element_at(hp, i + 1)
+
+    sig = None
+    for p, plane in enumerate(hyperplanes(num_bits, dim, seed)):
+        hp = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.transform(F.col(vec_col), _proj(hp)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return corpus.select(id_col, vec_col, sig.alias("srp_sig"))
+
+
+def srp_neardup_pairs(corpus: DataFrame, threshold: float,
+                      num_bits: int = 32, band_bits: int = 8,
+                      max_bucket: int = 1000, dim: int = 64,
+                      seed: str = "srp", id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs (exact cosine ≥ threshold) with SRP-LSH candidate
+    generation — the scale-safe replacement for :func:`neardup_pairs`.
+
+    Pipeline: signatures → band explode (``num_bits/band_bits`` bands)
+    → bucket self-join on (band, band-key) with the ``max_bucket`` skew
+    guard → exact-cosine verify on candidates only. The plan contains
+    NO cross join: the candidate join is a hash equi-join, and recall
+    is the banding curve 1 − (1 − (1 − θ/π)^band_bits)^n_bands
+    (≈0.95+ for sim ≥ 0.8 at 32/8; raise num_bits and band_bits
+    together at corpus scale so buckets stay small)."""
+    sigs = srp_signatures(corpus, num_bits, dim, seed, id_col, vec_col)
+    n_bands = num_bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.shiftright(F.col("srp_sig"), k * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("bkey"),
+        )
+        for k in range(n_bands)
+    ]
+    bands = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("_bb"))
+        .select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey"))
+    )
+    pop = W.partitionBy("band", "bkey")
+    bands = bands.withColumn("_n", F.count(F.lit(1)).over(pop)).filter(
+        F.col("_n") <= max_bucket
+    ).drop("_n")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    vecs = _as_double(corpus, vec_col)
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def neardup_pairs(corpus: DataFrame, threshold: float,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """All vector pairs with cosine ≥ threshold (exact, id_a < id_b)."""
+    """All vector pairs with cosine ≥ threshold (exact, id_a < id_b).
+
+    O(n²) self-join — small-corpus baseline / oracle twin ONLY. The
+    registered query path is :func:`srp_neardup_pairs`."""
     corpus = _as_double(corpus, vec_col)
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))

@@ -264,21 +264,80 @@ def q43_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_SQL = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 
+# Hyperplane normals for SRP-LSH, generated ONCE and embedded as
+# literals in BOTH engines (Python float repr round-trips exactly, so
+# the DuckDB literal parses to the identical double).
+# 8 bands x 4 bits: banding recall ~0.75 at sim 0.4, ~0.9 at 0.6 (the
+# testdata's near-dup range). At corpus scale widen num_bits/band_bits
+# together (e.g. 128/16) so buckets stay small — plan shape unchanged.
+_SRP_BITS, _SRP_BAND_BITS, _SRP_DIM = 32, 4, 64
+_SRP_HP_SQL = (
+    "hp AS (SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({p}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(S.hyperplanes(_SRP_BITS, _SRP_DIM))
+    )
+    + ") AS t(p, w))"
+)
+
 
 @query(
     "q44_embedding_neardup",
     f"""
-    WITH {EMB_SQL}
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({COS.format(a='a.v', b='b.v')}, 6) AS sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {COS.format(a='a.v', b='b.v')} >= 0.4
+    WITH {EMB_SQL},
+    {_SRP_HP_SQL},
+    dots AS (
+      SELECT e.vec_id, hp.p,
+             list_reduce(list_transform(range(1, len(e.v) + 1),
+                                        i -> e.v[i] * hp.w[i]),
+                         (x, y) -> x + y) AS dot
+      FROM e CROSS JOIN hp
+    ),
+    sigs AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY vec_id
+    ),
+    bands AS (
+    """
+    + "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, {k} AS band, (sig >> {_SRP_BAND_BITS * k})"
+        f" & {(1 << _SRP_BAND_BITS) - 1} AS bkey FROM sigs"
+        for k in range(_SRP_BITS // _SRP_BAND_BITS)
+    )
+    + f"""
+    ),
+    guarded AS (
+      SELECT vec_id, band, bkey FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bkey) AS _n FROM bands
+      ) WHERE _n <= 1000
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM guarded a JOIN guarded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round({COS.format(a='ea.v', b='eb.v')}, 6) AS sim
+    FROM cand
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e eb ON eb.vec_id = id_b
+    WHERE {COS.format(a='ea.v', b='eb.v')} >= 0.4
     """,
 )
 def q44_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (exact cosine ≥ 0.4). The exact variant
-    of the LSH/banding escape hatch in dedup.py."""
-    return S.neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
+    """Embedding near-dup pairs via hyperplane-LSH (SRP) banding with
+    exact-cosine verification of candidates only — NO cross join in the
+    plan (the former exact O(n²) variant survives as
+    ``similarity.neardup_pairs``, the small-corpus oracle twin).
+
+    Scale: candidate generation is a hash equi-join on (band, band-key)
+    with a skew guard; at 10⁹ vectors widen num_bits/band_bits so
+    buckets stay small — the plan shape is unchanged."""
+    return S.srp_neardup_pairs(
+        _embs(spark, sf_dir), threshold=0.4,
+        num_bits=_SRP_BITS, band_bits=_SRP_BAND_BITS, dim=_SRP_DIM,
+    )
 
 
 @query(

@@ -39,6 +39,7 @@ HEADLINE += [
     "q40_dedup_exact",
     "q41_dedup_minhash_lsh",
     "q42_dedup_simhash",
+    "q44_embedding_neardup",
     "q45_ann_cosine_topk",
     "q47_text_quality",
     "q50_fingerprint",
