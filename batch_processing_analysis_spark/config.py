@@ -81,7 +81,13 @@ class Configuration:
 
     # Batch discovery
     gap_seconds: int = 0  # max gap between sequential executions (discovery.py:239)
-    subsequence_mode: str = "freq"  # "all" | "freq" (config.py:76, batch_detection.R:57-65)
+    # "freq": maximal same-resource runs (the golden-validated default);
+    # "all": enumerate ALL bounded-length contiguous subsequences as
+    # candidate envelopes (reference batch_detection.R:57-65 "enum").
+    subsequence_mode: str = "freq"  # "all" | "freq" (config.py:76)
+    # Length bound for "all"-mode enumeration (Spark-only scale knob —
+    # the reference enumerates unbounded, which is quadratic per trace).
+    subsequence_max_len: int = 8
     min_batch_instance_size: int = 2  # discovery.py:128-158
     report_batch_checkpoints: bool = False
 

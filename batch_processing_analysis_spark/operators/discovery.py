@@ -217,6 +217,129 @@ def detect_case_batches(log: DataFrame, ids: EventLogIDs, gap_seconds: int = 0) 
     )
 
 
+def detect_case_batches_all(log: DataFrame, ids: EventLogIDs,
+                            gap_seconds: int = 0, max_len: int = 8) -> DataFrame:
+    """Case-level detection, ``subsequence_mode="all"`` (reference
+    batch_detection.R:61-64: bamalog ``enumerate_subsequences``): every
+    contiguous same-resource subsequence of length 2..max_len is a
+    candidate envelope, not just the maximal run. Envelopes with the
+    same (resource, activity-sequence) chain exactly like task batches.
+
+    Because envelopes overlap, an event can be claimed by several
+    chains; the reference resolves conflicts inside bamalog. Here the
+    resolution is declarative and deterministic: each event joins the
+    candidate chain with the most distinct cases (ties → longer
+    subsequence → lexicographic chain key) — one window over the
+    per-event candidate set, no driver loop. Instances that lose events
+    below ``min_batch_instance_size`` fall out in the later repair.
+
+    Scale: enumeration fans out ≤ max_len envelopes per event (bounded,
+    narrow after one per-case window shuffle); chaining and stats are
+    hash aggregations on (resource, acts) — same shape as "freq" mode.
+    """
+    res = F.coalesce(F.col(ids.resource), F.lit("NOT_SET"))
+    w_case = W.partitionBy(ids.case).orderBy(ids.start_time, ids.end_time, ids.activity)
+    w_run = w_case.rowsBetween(W.unboundedPreceding, 0)
+    df = log.withColumn("_res", res).withColumn(
+        "_run",
+        F.sum(
+            (F.coalesce(F.lag("_res").over(w_case) != F.col("_res"), F.lit(True))).cast("long")
+        ).over(w_run),
+    )
+    w_in_run = W.partitionBy(ids.case, "_run").orderBy(
+        ids.start_time, ids.end_time, ids.activity
+    )
+    df = df.withColumn("_rn", F.row_number().over(w_in_run))
+
+    runs = (
+        df.groupBy(ids.case, "_run")
+        .agg(
+            F.first("_res").alias("_res"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ids.start_time).alias("s"),
+                        F.col(ids.end_time).alias("e"),
+                        F.col(ids.activity).alias("a"),
+                    )
+                )
+            ).alias("_evs"),
+        )
+        .filter(F.size("_evs") >= 2)
+    )
+    n = F.size("_evs")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(2), F.least(n, F.lit(max_len))),
+            lambda k: F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.struct(i.alias("i"), k.alias("k")),
+            ),
+        )
+    )
+    env = (
+        runs.select(ids.case, "_run", "_res", "_evs", F.explode(combos).alias("_ik"))
+        .select(
+            ids.case,
+            "_run",
+            "_res",
+            F.col("_ik.i").alias("_i"),
+            F.col("_ik.k").alias("_k"),
+            F.concat_ws(
+                "\x1f",
+                F.transform(F.slice("_evs", F.col("_ik.i"), F.col("_ik.k")), lambda x: x["a"]),
+            ).alias("_acts"),
+            F.element_at("_evs", F.col("_ik.i"))["s"].alias("_env_start"),
+            F.array_max(
+                F.transform(F.slice("_evs", F.col("_ik.i"), F.col("_ik.k")), lambda x: x["e"])
+            ).alias("_env_end"),
+        )
+    )
+    order_cols = [F.col("_env_start"), F.col("_env_end"), F.col(ids.case), F.col("_i")]
+    w = W.partitionBy("_res", "_acts").orderBy(*order_cols)
+    env = env.withColumn(
+        "_cls",
+        _pair_class(
+            F.lag("_env_start").over(w),
+            F.lag("_env_end").over(w),
+            F.col("_env_start"),
+            F.col("_env_end"),
+            gap_seconds,
+        ),
+    )
+    env = _chain(env, ["_res", "_acts"], order_cols, "_cls", "_grp")
+    w_grp = W.partitionBy("_res", "_acts", "_grp")
+    env = env.withColumn("_raw", F.max("_cls").over(w_grp)).withColumn(
+        "_sub_type",
+        F.when(F.col("_raw") == RAW_SEQUENTIAL, F.lit("sequential case-based"))
+        .when(F.col("_raw") == RAW_CONCURRENT, F.lit("concurrent case-based"))
+        .otherwise(F.col("_raw")),
+    ).filter(F.col("_raw").isNotNull())
+    env = env.withColumn(
+        "_sub_grp", F.concat_ws("\x1f", "_res", "_acts", F.col("_grp").cast("string"))
+    )
+    # Chain priority = #distinct cases (how batch-like the chain is).
+    stats = env.groupBy("_sub_grp").agg(F.countDistinct(ids.case).alias("_n_cases"))
+    env = env.join(stats, "_sub_grp")
+    # Envelope -> event membership; each event keeps its best chain.
+    member = env.select(
+        ids.case, "_run", "_sub_grp", "_sub_type", "_n_cases", "_k",
+        F.explode(F.sequence(F.col("_i"), F.col("_i") + F.col("_k") - 1)).alias("_rn"),
+    ).dropDuplicates([ids.case, "_run", "_rn", "_sub_grp"])
+    w_ev = W.partitionBy(ids.case, "_run", "_rn").orderBy(
+        F.desc("_n_cases"), F.desc("_k"), F.asc("_sub_grp")
+    )
+    winner = (
+        member.withColumn("_pick", F.row_number().over(w_ev))
+        .filter(F.col("_pick") == 1)
+        .select(ids.case, "_run", "_rn", "_sub_grp", "_sub_type")
+    )
+    return (
+        df.join(winner, [ids.case, "_run", "_rn"], "left")
+        .drop("_run", "_rn", "_res")
+    )
+
+
 def _split_mixed_type_subprocess(df: DataFrame) -> DataFrame:
     """Repair pass 1 (discovery.py:117-125): a subprocess instance whose
     events carry >1 task-level class loses its subprocess identity.
@@ -401,7 +524,11 @@ def discover_batches(log: DataFrame, config: Configuration,
     """
     ids = config.log_ids
     df = detect_task_batches(log, ids, config.gap_seconds)
-    if detect_case_level:
+    if detect_case_level and config.subsequence_mode == "all":
+        df = detect_case_batches_all(
+            df, ids, config.gap_seconds, config.subsequence_max_len
+        )
+    elif detect_case_level:
         df = detect_case_batches(df, ids, config.gap_seconds)
     else:
         df = df.withColumn("_sub_grp", F.lit(None).cast("string")).withColumn(

@@ -145,3 +145,51 @@ def test_detect_task_batches_marks_raw_chains(ground_truth_log):
     assert typed[("c2", "B")] == "sequential"
     assert typed[("c1", "C")] == "concurrent"
     assert typed[("c1", "D")] is None
+
+
+def test_subsequence_mode_all_finds_embedded_subsequences(spark):
+    # Each case runs [A, B, X_i] contiguously on r1 with a DIFFERENT
+    # trailing activity, at identical times across cases. "freq"
+    # (maximal runs) sees three distinct activity sequences -> no
+    # case-level batch; "all" enumerates the embedded [A, B]
+    # subsequence shared by all three -> a Parallel subprocess batch.
+    rows = []
+    for c, tail in [("c1", "C"), ("c2", "D"), ("c3", "E")]:
+        rows += [
+            (c, "A", "r1", ts(10), ts(10, 30), ts(9)),
+            (c, "B", "r1", ts(10, 30), ts(11), ts(9)),
+            (c, tail, "r1", ts(11), ts(11, 30), ts(9)),
+        ]
+    log = make_log(spark, rows)
+
+    out_freq = discover_batches(log, Configuration(subsequence_mode="freq"))
+    g_freq = groups(out_freq)
+    # freq: only task-level batches (A-parallel, B-parallel, no sub).
+    assert BatchType.case_sequential not in g_freq
+    assert BatchType.case_concurrent not in g_freq
+    assert frozenset({(c, a) for c in ["c1", "c2", "c3"] for a in ["A", "B"]}) \
+        not in g_freq.get(BatchType.parallel, set())
+
+    out_all = discover_batches(log, Configuration(subsequence_mode="all"))
+    g_all = groups(out_all)
+    # all: the [A, B] envelope chains across the three cases
+    # (identical envelope times -> simultaneous -> Parallel).
+    assert frozenset({(c, a) for c in ["c1", "c2", "c3"] for a in ["A", "B"]}) \
+        in g_all.get(BatchType.parallel, set())
+
+
+def test_subsequence_mode_all_matches_freq_on_exact_runs(spark):
+    # When maximal runs ARE the shared subsequence (no embedding), the
+    # two modes must agree: conflict resolution prefers the longest
+    # highest-support chain, which is the maximal run itself.
+    rows = []
+    for i, c in enumerate(["c1", "c2", "c3"]):
+        base = 10 + i
+        rows += [
+            (c, "X", "r1", ts(base), ts(base, 30), ts(9)),
+            (c, "Y", "r1", ts(base, 30), ts(base + 1), ts(9)),
+        ]
+    log = make_log(spark, rows)
+    g_freq = groups(discover_batches(log, Configuration(subsequence_mode="freq")))
+    g_all = groups(discover_batches(log, Configuration(subsequence_mode="all")))
+    assert g_freq[BatchType.case_sequential] == g_all[BatchType.case_sequential]
