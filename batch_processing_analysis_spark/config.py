@@ -91,9 +91,11 @@ class Configuration:
     min_batch_instance_size: int = 2  # discovery.py:128-158
     report_batch_checkpoints: bool = False
 
-    # Activation-rule mining (config.py:77-79)
-    num_batch_ready_negative_events: int = 2
-    num_batch_enabled_negative_events: int = 2
+    # Activation-rule mining (reference config.py:78-81: max_rules=3,
+    # min_rule_support=0.1, ready/enabled negative events = 1/1 — the
+    # 1/1 defaults are what produced the golden ActivationRules files)
+    num_batch_ready_negative_events: int = 1
+    num_batch_enabled_negative_events: int = 1
     max_rules: int = 3
     min_rule_support: float = 0.1
     # Min feature rows per group before mining (reference hard-codes >30,

@@ -335,6 +335,15 @@ _FEATURES = ["instant", "num_queue", "t_ready", "t_waiting", "t_max_flow",
              "day_of_week", "day_of_month", "hour_of_day", "minute", "workload"]
 
 
+def _group_key_expr(mode: ActivationRulesMode, ids) -> F.Column:
+    """Grouping key per mode (A15; reference activation_rules.py:165-177)."""
+    if mode == ActivationRulesMode.PER_ACTIVITY:
+        return F.col("firing_activity")
+    if mode == ActivationRulesMode.PER_BATCH:
+        return F.concat_ws("|", "activities")
+    return F.concat_ws("|", F.concat_ws("|", "activities"), ids.batch_type)
+
+
 def get_activation_rules(
     feat: DataFrame,
     config: Configuration,
@@ -344,13 +353,7 @@ def get_activation_rules(
     2-outcome guards (A14) JVM-side, then mine rules per group in
     ``applyInPandas`` (groups are tiny: tens to thousands of rows)."""
     ids = config.log_ids
-    if mode == ActivationRulesMode.PER_ACTIVITY:
-        key = F.col("firing_activity")
-    elif mode == ActivationRulesMode.PER_BATCH:
-        key = F.concat_ws("|", "activities")
-    else:
-        key = F.concat_ws("|", F.concat_ws("|", "activities"), ids.batch_type)
-    feat = feat.withColumn("group_key", key)
+    feat = feat.withColumn("group_key", _group_key_expr(mode, ids))
 
     w = W.partitionBy("group_key")
     guarded = (
@@ -369,3 +372,83 @@ def get_activation_rules(
         return pd.DataFrame([{"group_key": pdf["group_key"].iloc[0], **res}])
 
     return guarded.groupBy("group_key").applyInPandas(mine, schema=_RULES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# S6: rules report sink (reference layout: outputs/*_ActivationRules.txt,
+# produced by preprocessing/main.py:28-43 print statements)
+# --------------------------------------------------------------------------
+
+def render_activation_rules(
+    feat: DataFrame,
+    rules: DataFrame,
+    config: Configuration,
+    mode: ActivationRulesMode = ActivationRulesMode.PER_BATCH,
+) -> str:
+    """Driver-side text renderer of the mined rules in the reference's
+    ``*_ActivationRules.txt`` layout: per sorted group key either a
+    guard message (low size / one outcome), a rule block
+    (# Observations / Confidence / Support / bracketed ruleset with
+    ``V``-joined disjuncts), or the no-rules-matched line. Blocks are
+    separated by two blank lines with no trailing newline — byte-shaped
+    like the golden files (reference main.py:29-43,
+    activation_rules.py:185-187).
+
+    Both collects are O(#groups) — group stats and rule rows, never the
+    features table itself — so the sink is log-size-independent.
+    """
+    ids = config.log_ids
+    stats = (
+        feat.withColumn("group_key", _group_key_expr(mode, ids))
+        .groupBy("group_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("outcome").alias("k"),
+        )
+        .collect()
+    )
+    rule_rows = {r["group_key"]: r for r in rules.collect()}
+
+    def key_str(gk: str) -> str:
+        parts = (gk,) if mode == ActivationRulesMode.PER_ACTIVITY else tuple(gk.split("|"))
+        return str(parts)
+
+    blocks = []
+    guard_msgs, rule_blocks = [], []
+    for r in sorted(stats, key=lambda r: r["group_key"]):
+        gk, n, k = r["group_key"], r["n"], r["k"]
+        key = key_str(gk)
+        # Guard order mirrors the reference: size first, then outcomes
+        # (activation_rules.py:181-187). Guard messages print during
+        # mining, rule blocks after — hence the two-phase layout.
+        if n <= config.min_rule_obs:
+            guard_msgs.append(
+                f"Not extracting rules from batch {key} due to low size: {n}")
+        elif k < 2:
+            guard_msgs.append(
+                f"Not extracting rules from batch {key} due to only one "
+                "outcome in training!")
+        elif gk in rule_rows and rule_rows[gk]["model"]:
+            rr = rule_rows[gk]
+            # str(list-of-rule-strings) -> compact -> ' V\n\t' disjuncts
+            # (main.py:31-34's exact replace chain).
+            ruleset_str = (
+                str(rr["model"].split(" v "))
+                .replace(" ", "")
+                .replace(",", " V\n\t")
+                .replace("'", "")
+                .replace("^", " ^ ")
+            )
+            rule_blocks.append(
+                "Batch: {}:\n\t# Observations: {}\n\tConfidence: {:.2f}"
+                "\n\tSupport: {:.2f}\n\t{}".format(
+                    key, rr["num_obs"], round(rr["confidence"], 2),
+                    round(rr["support"], 2), ruleset_str)
+            )
+        else:
+            rule_blocks.append(
+                "Batch: {}: No rules could match the specified criterion "
+                "(support >= {}).".format(key, config.min_rule_support)
+            )
+    blocks = guard_msgs + rule_blocks
+    return "\n\n" + "\n\n\n".join(blocks) if blocks else ""
