@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..config import Configuration
+from ..config import BatchType, Configuration
 
 OVERALL = "__overall__"  # batch_type marker for the type-pooled level
 
@@ -75,16 +75,34 @@ def summarize_batch_waiting_times(log: DataFrame, config: Configuration) -> Data
         per_case.groupBy("activities", ids.batch_type, ids.batch_id)
         .agg(F.count(F.lit(1)).alias("size"))
     )
+    # Counter-rendering tie order (reference reporting.py:150-171): the
+    # pooled size list concatenates the per-type lists in FIXED type
+    # order, each in batch-id iteration order — encode (type index,
+    # batch id) as one orderable key per instance.
+    type_idx = F.lit(len(BatchType.ALL))
+    for i, t in enumerate(BatchType.ALL):
+        type_idx = F.when(F.col(ids.batch_type) == t, F.lit(i)).otherwise(type_idx)
+    inst = inst.withColumn(
+        "_okey", type_idx.cast("long") * F.lit(10**12) + F.col(ids.batch_id)
+    )
 
     def level(df_case, inst_df, type_col):
         sizes = (
             inst_df.groupBy("activities", type_col, "size")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # Counter ties break by FIRST ENCOUNTER in the
+                # reference's concatenation order — min (type, id) key.
+                F.min("_okey").alias("_first_seen"),
+            )
             .groupBy("activities", type_col)
             .agg(
                 F.map_from_arrays(
                     F.collect_list("size"), F.collect_list("n")
                 ).alias("size_distribution"),
+                F.map_from_arrays(
+                    F.collect_list("size"), F.collect_list("_first_seen")
+                ).alias("size_first_seen"),
                 # total instances = Σ per-size counts (count(1) here would
                 # count the number of distinct sizes — reference counts
                 # instances, reporting.py:45).
@@ -128,16 +146,73 @@ def summarize_batch_waiting_times(log: DataFrame, config: Configuration) -> Data
 
 
 def occurrence_denominators(log: DataFrame, summary: DataFrame,
-                            config: Configuration) -> DataFrame:
-    """total_occurrences per batch key (reporting.py:37, utils.py:199-229):
-    count of the activity in the WHOLE log for single-activity keys;
-    count of the exact ordered subsequence per case for multi-activity
-    keys (W5 rolling window, vectorized — the reference loops per case).
+                            config: Configuration,
+                            order_col: str | None = None) -> DataFrame:
+    """total_occurrences per batch key — reference-faithful semantics
+    (reporting.py:36-37, utils.py:199-229):
+
+    The reference derives a PATTERN per key from the first batch
+    instance encountered (min batch id) — specifically the ordered
+    activity list of that instance's first case, duplicates included.
+    A 1-activity pattern counts plain activity executions in the whole
+    log; a longer pattern counts exact ORDERED rolling-window matches
+    per case (so a key whose first case executed its activity twice is
+    counted as the 2-gram ['A','A'], the quirk the reference itself
+    warns about when the count lands on 0).
+
+    ``order_col``: explicit row-order column standing in for the
+    reference's DataFrame row order (its iloc[0] / stable sorts). When
+    None, the canonical order (start, end, activity) is used — same
+    result whenever timestamps are unique.
+
+    Scale: pattern extraction is one aggregation over batched rows
+    (O(#instances) output); each distinct pattern length adds one
+    rolling window pass over the log.
     """
     ids = config.log_ids
-    keys = summary.select("activities").distinct()
-    single = keys.filter(F.size("activities") == 1).select(
-        "activities", F.element_at("activities", 1).alias("_act")
+    ord_cols = (
+        [F.col(order_col)] if order_col
+        else [F.col(ids.start_time), F.col(ids.end_time), F.col(ids.activity)]
+    )
+    batched = log.filter(F.col(ids.batch_id).isNotNull())
+
+    # Instance -> (key, first case by row order); key's pattern instance
+    # = min batch id (reference iterates groupby(batch_id) ascending).
+    inst = batched.groupBy(ids.batch_id).agg(
+        F.sort_array(F.collect_set(ids.activity)).alias("activities"),
+        F.min(F.struct(*[c.alias(f"o{i}") for i, c in enumerate(ord_cols)],
+                       F.col(ids.case).alias("c")))["c"].alias("_first_case"),
+    )
+    w_key = W.partitionBy("activities").orderBy(ids.batch_id)
+    pat_inst = (
+        inst.withColumn("_rn", F.row_number().over(w_key))
+        .filter(F.col("_rn") == 1)
+        .select(ids.batch_id, "activities", "_first_case")
+    )
+    # Pattern = ordered activity list of that (instance, case)'s rows,
+    # sorted by (start, end) with row-order tiebreak (the reference's
+    # stable sort over file order, utils.py:210-211).
+    pattern = (
+        batched.join(
+            F.broadcast(pat_inst.withColumnRenamed("_first_case", ids.case)),
+            [ids.batch_id, ids.case],
+        )
+        .groupBy("activities")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col(ids.start_time).alias("s"), F.col(ids.end_time).alias("e"),
+                    *[c.alias(f"o{i}") for i, c in enumerate(ord_cols)],
+                    F.col(ids.activity).alias("a"),
+                ))),
+                lambda x: x["a"],
+            ).alias("pattern"),
+        )
+    )
+    keys = summary.select("activities").distinct().join(pattern, "activities", "left")
+
+    single = keys.filter(F.size("pattern") == 1).select(
+        "activities", F.element_at("pattern", 1).alias("_act")
     )
     act_counts = log.groupBy(F.col(ids.activity).alias("_act")).agg(
         F.count(F.lit(1)).alias("total_occurrences")
@@ -148,41 +223,43 @@ def occurrence_denominators(log: DataFrame, summary: DataFrame,
                 F.coalesce("total_occurrences", F.lit(0)).alias("total_occurrences"))
     )
 
-    multi = keys.filter(F.size("activities") > 1)
-    if multi.isEmpty():
+    multi = keys.filter(F.size("pattern") > 1).select("activities", "pattern")
+    lengths = [r["k"] for r in
+               multi.select(F.size("pattern").alias("k")).distinct().collect()]
+    if not lengths:
         return single_out
-    # Rolling windows of each length k present among multi keys; the
-    # batch key is a SORTED activity set, so compare sorted window
-    # contents (the reference counts ordered windows of the trace whose
-    # sorted tuple equals the key, utils.py:218-227).
-    lengths = [r["k"] for r in multi.select(F.size("activities").alias("k")).distinct().collect()]
-    w_case = W.partitionBy(ids.case).orderBy(ids.start_time, ids.end_time, ids.activity)
+    # Ordered rolling windows of each pattern length over every case
+    # (utils.py:218-227), matched by exact array equality.
+    w_case = W.partitionBy(ids.case).orderBy(
+        ids.start_time, ids.end_time, *([order_col] if order_col else [ids.activity])
+    )
     parts = []
     for k in lengths:
         wk = w_case.rowsBetween(0, k - 1)
         rolled = (
             log.withColumn("_win", F.collect_list(ids.activity).over(wk))
             .filter(F.size("_win") == k)
-            .select(F.array_sort("_win").alias("activities"))
+            .select(F.col("_win").alias("pattern"))
         )
         parts.append(
-            rolled.join(F.broadcast(multi), "activities")
+            rolled.join(F.broadcast(multi.filter(F.size("pattern") == k)), "pattern")
             .groupBy("activities")
             .agg(F.count(F.lit(1)).alias("total_occurrences"))
         )
     multi_out = parts[0]
     for p in parts[1:]:
         multi_out = multi_out.unionByName(p)
-    multi_out = multi.join(multi_out, "activities", "left").select(
+    multi_out = multi.select("activities").join(multi_out, "activities", "left").select(
         "activities", F.coalesce("total_occurrences", F.lit(0)).alias("total_occurrences")
     )
     return single_out.unionByName(multi_out)
 
 
-def batch_report(log: DataFrame, config: Configuration) -> DataFrame:
+def batch_report(log: DataFrame, config: Configuration,
+                 order_col: str | None = None) -> DataFrame:
     """Full report table: summary + occurrence denominators + frequency."""
     summary = summarize_batch_waiting_times(log, config)
-    denom = occurrence_denominators(log, summary, config)
+    denom = occurrence_denominators(log, summary, config, order_col)
     out = summary.join(F.broadcast(denom), "activities", "left")
     # Zero-guard: clamp to 1 with the reference's warning semantics
     # (reporting.py:38-42) — frequency vs a 0 denominator is undefined.
@@ -195,6 +272,36 @@ def batch_report(log: DataFrame, config: Configuration) -> DataFrame:
     return out.withColumn(
         "frequency", F.col("num_cases") / clamped
     )
+
+
+def format_timedelta_ns(ns: int | None) -> str:
+    """str(pandas.Timedelta) for an integer-ns duration: 'D days
+    HH:MM:SS' + 9 fractional digits when sub-µs ns are present, 6 when
+    only µs, none when whole seconds — the reference report's duration
+    format (numpy mean of Timedeltas, printed via str)."""
+    if ns is None:
+        return "NaT"
+    sign = "-" if ns < 0 else ""
+    total = abs(int(ns))
+    days, rem = divmod(total, 86_400_000_000_000)
+    hours, rem = divmod(rem, 3_600_000_000_000)
+    minutes, rem = divmod(rem, 60_000_000_000)
+    seconds, frac_ns = divmod(rem, 1_000_000_000)
+    if frac_ns % 1000:
+        frac = f".{frac_ns:09d}"
+    elif frac_ns:
+        frac = f".{frac_ns // 1000:06d}"
+    else:
+        frac = ""
+    return f"{sign}{days} days {hours:02d}:{minutes:02d}:{seconds:02d}{frac}"
+
+
+def mean_timedelta_ns(sum_us: int, n: int) -> int:
+    """Average duration in ns with pandas-mean semantics: the exact ns
+    sum converts to float64 (rounding once the sum exceeds 2^53), the
+    float division result TRUNCATES to integer ns (pd.Timedelta/int).
+    Reproduces the golden reports' last digits bit-for-bit."""
+    return int(float(sum_us * 1000) / n)
 
 
 def format_timedelta_us(us: float | int | None) -> str:
@@ -214,52 +321,71 @@ def format_timedelta_us(us: float | int | None) -> str:
 
 
 def render_report(report_rows, config: Configuration) -> str:
-    """Driver-side text renderer (reference layout, reporting.py:142-198).
+    """Driver-side text renderer (reference layout, reporting.py:142-198;
+    golden-diffed byte-for-byte against outputs/Production_Report.txt in
+    tests/test_report_golden.py).
 
-    ``report_rows`` = collected rows of :func:`batch_report`.
+    ``report_rows`` = collected rows of :func:`batch_report`. Averages
+    are recomputed from the exact integer-µs sums with pandas-mean
+    semantics (ns truncation), durations render like str(pd.Timedelta),
+    batch types print in the reference's fixed order, and size
+    distributions print as Counter (most-common-first).
     """
+    from collections import Counter
+
     ids = config.log_ids
     by_key: dict[tuple, dict] = {}
     for r in report_rows:
         key = tuple(r["activities"])
         by_key.setdefault(key, {})[r[ids.batch_type]] = r
 
+    def counter(r):
+        dist, seen = r["size_distribution"], r["size_first_seen"]
+        c = Counter()
+        # Insertion order = first-encounter order; Counter.most_common
+        # (used by its repr) is stable, so ties keep this order — the
+        # reference's exact Counter rendering.
+        for k in sorted(dist, key=lambda s: seen[s]):
+            c[k] = dist[k]
+        return c
+
     def block(r, indent, with_instances):
         pad = "\t" * indent
         lines = []
         if with_instances:
             lines.append(f"{pad}Num batch instances: {r['num_instances']}")
-        dist = dict(sorted(r["size_distribution"].items()))
-        lines.append(f"{pad}Batch size distribution: Counter({dist})")
+        lines.append(f"{pad}Batch size distribution: {counter(r)}")
         if with_instances:
             lines.append(f"{pad}Num batch cases: {r['num_cases']}")
-            lines.append(f"{pad}Frequency: {100 * r['frequency']:.2f}%")
-        lines.append(f"{pad}Average overall processing time: "
-                     f"{format_timedelta_us(r['avg_pt'])} sec")
-        lines.append(f"{pad}Average overall waiting time: "
-                     f"{format_timedelta_us(r['avg_wt'])} sec")
-        lines.append(f"{pad}CTE: {r['cte']:.2f}")
+            lines.append(f"{pad}Frequency: {round(100 * r['frequency'], 2):.2f}%")
+
+        def avg(sum_col):
+            return format_timedelta_ns(mean_timedelta_ns(r[sum_col], r["num_cases"]))
+
+        lines.append(f"{pad}Average overall processing time: {avg('sum_pt')} sec")
+        lines.append(f"{pad}Average overall waiting time: {avg('sum_wt')} sec")
+        lines.append(f"{pad}CTE: {round(r['cte'], 2):.2f}")
         for name in ("total", "creation", "ready", "other"):
-            lines.append(f"{pad}Average {name} wt: "
-                         f"{format_timedelta_us(r[f'avg_{name}_wt'])} sec")
+            lines.append(f"{pad}Average {name} wt: {avg(f'sum_{name}_wt')} sec")
         return lines
 
-    out = []
+    blocks = []
     for key in sorted(by_key):
         types = by_key[key]
         overall = types.get(OVERALL)
-        out.append(f"Batch formed by activities: {tuple(key)}")
+        out = [f"Batch formed by activities: {tuple(key)}"]
         if overall is not None:
             out.append(f"\tNum occurrences: {overall['total_occurrences']}")
             # batched_total_occurrences = Σ per-type num_cases (reference
             # reporting.py:67-68) = the pooled level's num_cases.
             out.append(f"\tNum occurrences in batch: {overall['num_cases']}")
             out.append("\tFrequency occurrences in batch: "
-                       f"{100 * overall['frequency']:.2f}%")
+                       f"{round(100 * overall['frequency'], 2):.2f}%")
             out.extend(block(overall, 1, with_instances=False))
-        for btype, r in sorted((k, v) for k, v in types.items() if k != OVERALL):
-            out.append(f"\t- Batch type: {btype}")
-            out.extend(block(r, 2, with_instances=True))
-        out.append("")
-        out.append("")
-    return "\n".join(out)
+        # Fixed type order (reference reporting.py:180-184), not sorted.
+        for btype in BatchType.ALL:
+            if btype in types:
+                out.append(f"\t- Batch type: {btype}")
+                out.extend(block(types[btype], 2, with_instances=True))
+        blocks.append("\n".join(out))
+    return "\n\n\n".join(blocks)

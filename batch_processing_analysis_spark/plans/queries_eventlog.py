@@ -588,32 +588,50 @@ def q33_waiting_time_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
         SELECT acts, '__overall__', sz, count(*) FROM instg GROUP BY acts, sz
       ) GROUP BY acts, batch_type
     ),
-    keysd AS MATERIALIZED (SELECT DISTINCT acts FROM inst_acts),
-    singled AS (
-      SELECT k.acts, (SELECT count(*) FROM log WHERE log.activity = k.acts) AS occ
-      FROM keysd k WHERE strpos(k.acts, chr(31)) = 0
+    fc0 AS (
+      SELECT bkey, case_id,
+             row_number() OVER (PARTITION BY bkey
+                                ORDER BY s, e, activity, case_id) AS frn
+      FROM final WHERE bkey IS NOT NULL
+    ),
+    fcase AS (SELECT bkey, case_id AS first_case FROM fc0 WHERE frn = 1),
+    patsel0 AS (
+      SELECT ia.acts, ia.bkey, fcase.first_case,
+             row_number() OVER (PARTITION BY ia.acts ORDER BY
+               CASE WHEN substr(ia.bkey, 1, 1) = 'T' THEN 0 ELSE 1 END,
+               substr(ia.bkey, 3)) AS prn
+      FROM inst_acts ia JOIN fcase USING (bkey)
+    ),
+    pat AS MATERIALIZED (
+      SELECT p.acts, list(f.activity ORDER BY f.s, f.e, f.activity) AS pattern
+      FROM (SELECT acts, bkey, first_case FROM patsel0 WHERE prn = 1) p
+      JOIN final f ON f.bkey = p.bkey AND f.case_id = p.first_case
+      GROUP BY p.acts
     ),
     case_seqs AS MATERIALIZED (
       SELECT case_id, list(activity ORDER BY s, e, activity) AS seq
       FROM log GROUP BY case_id
     ),
-    multik AS (
-      SELECT acts, len(string_split(acts, chr(31))) AS kk FROM keysd
-      WHERE strpos(acts, chr(31)) > 0
+    singled AS (
+      SELECT p.acts, (SELECT count(*) FROM log WHERE log.activity = p.pattern[1]) AS occ
+      FROM pat p WHERE len(p.pattern) = 1
     ),
     multid AS (
       SELECT acts, count(*) AS occ FROM (
-        SELECT mk.acts, mk.kk, cs.seq,
-               unnest(range(1, len(cs.seq) - mk.kk + 2)) AS i
-        FROM multik mk JOIN case_seqs cs ON len(cs.seq) >= mk.kk
+        SELECT p.acts, p.pattern, cs.seq,
+               unnest(range(1, len(cs.seq) - len(p.pattern) + 2)) AS i
+        FROM (SELECT * FROM pat WHERE len(pattern) > 1) p
+        JOIN case_seqs cs ON len(cs.seq) >= len(p.pattern)
       )
-      WHERE array_to_string(list_sort(seq[i : i + kk - 1]), chr(31)) = acts
+      WHERE seq[i : i + len(pattern) - 1] = pattern
       GROUP BY acts
     ),
     denom AS (
       SELECT acts, occ FROM singled
       UNION ALL
-      SELECT mk.acts, COALESCE(md.occ, 0) FROM multik mk LEFT JOIN multid md USING (acts)
+      SELECT p.acts, COALESCE(md.occ, 0)
+      FROM pat p LEFT JOIN multid md USING (acts)
+      WHERE len(p.pattern) > 1
     )
     SELECT lv.acts AS activities, lv.batch_type, lv.num_instances, lv.num_cases,
            CAST(lv.num_events AS BIGINT) AS num_events,

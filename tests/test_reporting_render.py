@@ -43,13 +43,14 @@ def test_render_report_layout():
         "frequency": 0.5,
         "total_occurrences": 18,
         "size_distribution": {3: 3},
-        "avg_pt": 60_000_000.0,
-        "avg_wt": 120_000_000.0,
+        "size_first_seen": {3: 1},
         "cte": 0.3333,
-        "avg_total_wt": 120_000_000.0,
-        "avg_creation_wt": 60_000_000.0,
-        "avg_ready_wt": 30_000_000.0,
-        "avg_other_wt": 30_000_000.0,
+        "sum_pt": 9 * 60_000_000,
+        "sum_wt": 9 * 120_000_000,
+        "sum_total_wt": 9 * 120_000_000,
+        "sum_creation_wt": 9 * 60_000_000,
+        "sum_ready_wt": 9 * 30_000_000,
+        "sum_other_wt": 9 * 30_000_000,
     }
     overall = dict(row, **{IDS.batch_type: OVERALL})
     text = render_report([row, overall], Configuration())
