@@ -470,28 +470,62 @@ def _min_size_filter(df: DataFrame, ids: EventLogIDs, min_size: int) -> DataFram
     )
 
 
+def _dense_ids(keys: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Dense ids 1..N in global key order WITHOUT a single-partition
+    window (the classic dense_rank-over-orderBy funnel) and without a
+    driver action: range-partition the key set (global order becomes
+    (partition id, local rank)), rank locally, and add per-partition
+    offsets computed with a triangular self-join over the tiny
+    per-partition count table. AQE partition coalescing preserves range
+    order, so ids stay dense and deterministic at any parallelism."""
+    ranked = (
+        keys.repartitionByRange(F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrank", F.row_number().over(W.partitionBy("_pid").orderBy(key_col))
+        )
+    )
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._n"), F.lit(0)).alias("_ofs"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .select(key_col, (F.col("_ofs") + F.col("_lrank")).cast("long").alias(id_col))
+    )
+
+
 def _unify(df: DataFrame, ids: EventLogIDs) -> DataFrame:
     """Repair pass 5 (discovery.py:161-209): one id space 1..B (task
     instances then subprocess instances) + canonical type names.
 
-    ID labels come from dense_rank (SURVEY §7.4: equivalence classes
-    match the reference, labels are canonicalized). dense_rank is a
-    global sort of the (small) instance-key set, not of the events.
+    ID labels are dense in global key-string order (SURVEY §7.4:
+    equivalence classes match the reference, labels are canonicalized)
+    via :func:`_dense_ids` — no unpartitioned window, and the task-id
+    count offset for subprocess ids is a lazy broadcast scalar, not a
+    plan-build-time ``count()`` action.
     """
     is_task_row = F.col("_sub_type").isNull() & F.col("_task_type").isNotNull()
     is_sub_row = F.col("_sub_grp").isNotNull()
-    task_keys = (
-        df.filter(is_task_row).select(F.col("_task_grp").alias("_tk")).distinct()
-        .withColumn("_tid", F.dense_rank().over(W.orderBy("_tk")))
+    task_keys = _dense_ids(
+        df.filter(is_task_row).select(F.col("_task_grp").alias("_tk")).distinct(),
+        "_tk", "_tid",
     )
-    sub_keys = (
-        df.filter(is_sub_row).select(F.col("_sub_grp").alias("_sk")).distinct()
-        .withColumn("_sid", F.dense_rank().over(W.orderBy("_sk")))
+    sub_keys = _dense_ids(
+        df.filter(is_sub_row).select(F.col("_sub_grp").alias("_sk")).distinct(),
+        "_sk", "_sid",
     )
-    n_task = task_keys.count()
+    # max dense task id == #task instances; lazy 1-row broadcast.
+    n_task_df = task_keys.agg(
+        F.coalesce(F.max("_tid"), F.lit(0).cast("long")).alias("_n_task")
+    )
     out = (
         df.join(F.broadcast(task_keys), df["_task_grp"] == task_keys["_tk"], "left").drop("_tk")
         .join(F.broadcast(sub_keys), df["_sub_grp"] == sub_keys["_sk"], "left").drop("_sk")
+        .crossJoin(F.broadcast(n_task_df))
     )
     raw_type = F.when(is_sub_row, F.col("_sub_type")).otherwise(F.col("_task_type"))
     type_map = F.create_map(
@@ -500,7 +534,7 @@ def _unify(df: DataFrame, ids: EventLogIDs) -> DataFrame:
     return (
         out.withColumn(
             ids.batch_id,
-            F.when(is_sub_row, F.col("_sid") + F.lit(n_task)).otherwise(
+            F.when(is_sub_row, F.col("_sid") + F.col("_n_task")).otherwise(
                 F.when(is_task_row, F.col("_tid"))
             ).cast("long"),
         )
@@ -508,7 +542,8 @@ def _unify(df: DataFrame, ids: EventLogIDs) -> DataFrame:
             ids.batch_type,
             F.when(F.col(ids.batch_id).isNotNull(), type_map[raw_type]),
         )
-        .drop("_task_grp", "_task_type", "_sub_grp", "_sub_type", "_tid", "_sid")
+        .drop("_task_grp", "_task_type", "_sub_grp", "_sub_type",
+              "_tid", "_sid", "_n_task")
     )
 
 
