@@ -108,3 +108,9 @@ class Configuration:
     # Spark-only knobs
     shuffle_partitions: int | None = None  # None = leave session setting alone
     broadcast_dimension_threshold: int = 10_000_000  # rows below this: hint broadcast
+    # Workload (J2) range-join strategy: None broadcasts the instant set
+    # (right while #instants fits the broadcast budget); a width in
+    # seconds switches to the bucketed equi-join in operators/range_join
+    # for instant sets too large to broadcast (scale dial — both
+    # strategies produce identical pairs, see tests/test_range_join.py).
+    workload_bucket_seconds: int | None = None

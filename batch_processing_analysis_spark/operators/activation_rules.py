@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 from ..config import ActivationRulesMode, Configuration
+from .range_join import workload_at_instants
 
 OUTCOME_ACTIVATE = 1
 OUTCOME_NOT_ACTIVATE = 0
@@ -178,22 +179,28 @@ def features_table(log: DataFrame, config: Configuration) -> DataFrame:
     )
 
     # --- workload: J2 range join over distinct (resource, instant) ---------
+    # Strategy per config.workload_bucket_seconds: broadcast instants
+    # (default) or the bucketed equi-join for huge instant sets.
     points = feat.select(ids.resource, "instant").distinct()
-    workload = (
-        points.join(
-            log.select(
-                F.col(ids.resource).alias("_r"),
-                F.unix_micros(F.col(ids.enabled_time)).alias("_en"),
-                F.unix_micros(F.col(ids.end_time)).alias("_end"),
-                F.col(ids.case).alias("_c"),
-            ),
-            (F.col(ids.resource) == F.col("_r"))
-            & (F.col("_en") <= F.col("instant"))
-            & (F.col("instant") <= F.col("_end")),
-            "left",
-        )
-        .groupBy(ids.resource, "instant")
-        .agg(F.countDistinct("_c").alias("workload"))
+    bucket_us = (
+        config.workload_bucket_seconds * 1_000_000
+        if config.workload_bucket_seconds
+        else None
+    )
+    workload = workload_at_instants(
+        log.select(
+            ids.resource,
+            F.unix_micros(F.col(ids.enabled_time)).alias("_en_us"),
+            F.unix_micros(F.col(ids.end_time)).alias("_end_us"),
+            ids.case,
+        ),
+        points,
+        resource=ids.resource,
+        instant="instant",
+        enabled="_en_us",
+        end="_end_us",
+        case=ids.case,
+        bucket=bucket_us,
     )
     feat = feat.join(workload, [ids.resource, "instant"], "left")
 

@@ -25,11 +25,23 @@ plateau, self-exclusion, first-start fallback) reproduces 70,162/70,162
 values; end-ordered df or thresholds outside the plateau do not.
 
 Scale: the df matrix is |activities|² — collected and broadcast as a
-literal set; the per-event max is a windowed collect over the case's own
-events filtered with a higher-order function (JVM-side, no self-join, no
-Python). Traces are short (tens of events), so the per-row array stays
-small; for pathological trace lengths switch to the sort-merge self-join
-variant.
+literal set. Two physical strategies for the per-event max:
+
+- ``array`` (default): windowed collect of the case's own events
+  filtered with a higher-order function (JVM-side, no self-join, no
+  Python). Right for process logs — traces are tens of events — but the
+  per-row array copy is O(trace_len²) memory per case.
+- ``join``: sort-merge self-join on the case key (predecessor end ≤
+  event start, non-concurrent, non-self) + partial-aggregated max.
+  O(trace_len²) *compute* but streamed — memory stays bounded however
+  long the trace, so this is the fallback for pathological traces.
+- ``auto``: one cheap max-trace-length probe (single groupBy count —
+  an action, documented) picks ``join`` above ``long_trace_threshold``.
+
+Both strategies produce identical values by construction (the join's
+self-exclusion predicate mirrors the array path's triple equality);
+tests/test_enablement.py asserts equality including on a 10k-event
+trace.
 """
 
 from __future__ import annotations
@@ -83,12 +95,30 @@ def concurrency_pairs(df_matrix: DataFrame, threshold: float = 1.0) -> set[tuple
 
 
 def add_enabled_times(
-    log: DataFrame, ids: EventLogIDs, concurrency_threshold: float = 0.1
+    log: DataFrame,
+    ids: EventLogIDs,
+    concurrency_threshold: float = 0.1,
+    strategy: str = "array",
+    long_trace_threshold: int = 2_000,
 ) -> DataFrame:
-    """Add ``ids.enabled_time`` to every event (reference: analysis.py:43)."""
+    """Add ``ids.enabled_time`` to every event (reference: analysis.py:43).
+
+    ``strategy``: ``"array"`` (HOF over per-case collected events),
+    ``"join"`` (sort-merge self-join — the long-trace fallback), or
+    ``"auto"`` (probe max trace length once, pick accordingly).
+    """
     pairs = concurrency_pairs(directly_follows_matrix(log, ids), concurrency_threshold)
     # Broadcast the concurrency relation as a literal set of "a\x1fb" keys.
     pair_keys = F.array(*[F.lit(a + "\x1f" + b) for a, b in sorted(pairs)]) if pairs else F.array().cast("array<string>")
+
+    if strategy == "auto":
+        longest = (
+            log.groupBy(ids.case).agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m")).first()["m"]
+        ) or 0
+        strategy = "join" if longest > long_trace_threshold else "array"
+    if strategy == "join":
+        return _enabled_times_join(log, ids, pair_keys)
 
     w_case = W.partitionBy(ids.case)
     # All (start, end, activity) triples of the case, then per row: max
@@ -124,3 +154,66 @@ def add_enabled_times(
         ids.enabled_time,
         F.timestamp_micros(F.coalesce(enabler_end, F.col("_case_first_start"))),
     ).drop("_case_events", "_case_first_start")
+
+
+def _enabled_times_join(log: DataFrame, ids: EventLogIDs, pair_keys) -> DataFrame:
+    """Sort-merge self-join enablement: for each distinct event triple
+    (start, end, activity) of a case, max predecessor end among events
+    with ``end ≤ start``, a different triple (mirrors the array path's
+    self-exclusion exactly), and a non-concurrent activity.
+
+    Scale: every join/groupBy keys on the case id (plus the triple), so
+    a long trace streams through sort-merge + partial agg instead of
+    materializing an O(trace_len²) array copy per row.
+    """
+    s_us = F.unix_micros(F.col(ids.start_time))
+    e_us = F.unix_micros(F.col(ids.end_time))
+    ev = log.select(
+        F.col(ids.case).alias("_c"),
+        s_us.alias("_s"),
+        e_us.alias("_e"),
+        F.col(ids.activity).alias("_a"),
+    ).distinct()
+    pred = log.select(
+        F.col(ids.case).alias("_pc"),
+        s_us.alias("_ps"),
+        e_us.alias("_pe"),
+        F.col(ids.activity).alias("_pa"),
+    )
+    not_self = ~(
+        (F.col("_ps") == F.col("_s"))
+        & (F.col("_pe") == F.col("_e"))
+        & (F.col("_pa") == F.col("_a"))
+    )
+    enab = (
+        ev.join(
+            pred,
+            (F.col("_pc") == F.col("_c"))
+            & (F.col("_pe") <= F.col("_s"))
+            & not_self
+            & ~F.array_contains(
+                pair_keys, F.concat(F.col("_pa"), F.lit("\x1f"), F.col("_a"))
+            ),
+            "left",
+        )
+        .groupBy("_c", "_s", "_e", "_a")
+        .agg(F.max("_pe").alias("_enabler_end"))
+    )
+    first_start = log.groupBy(F.col(ids.case).alias("_fc")).agg(
+        F.min(s_us).alias("_first_start")
+    )
+    return (
+        log.join(
+            enab,
+            (F.col(ids.case) == F.col("_c"))
+            & (s_us == F.col("_s"))
+            & (e_us == F.col("_e"))
+            & (F.col(ids.activity) == F.col("_a")),
+        )
+        .join(first_start, F.col(ids.case) == F.col("_fc"))
+        .withColumn(
+            ids.enabled_time,
+            F.timestamp_micros(F.coalesce(F.col("_enabler_end"), F.col("_first_start"))),
+        )
+        .drop("_c", "_s", "_e", "_a", "_enabler_end", "_fc", "_first_start")
+    )

@@ -870,10 +870,10 @@ def q37_activation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     disc, cfg = _discovered(spark, sf_dir)
     feat = features_table(disc, cfg)
-    # Reference guard is >30 rows/group; at sf0.01 the largest group is
-    # exactly 30, so mine per firing activity with a lower floor to
+    # Reference guard is >30 rows/group; at sf0.01 the largest group has
+    # 18 feature rows, so mine per firing activity with a lower floor to
     # exercise the full induction path at test scale.
-    mine_cfg = Configuration(min_rule_obs=20)
+    mine_cfg = Configuration(min_rule_obs=10)
     rules = get_activation_rules(feat, mine_cfg, ActivationRulesMode.PER_ACTIVITY)
     return rules.orderBy("group_key")
 

@@ -365,10 +365,11 @@ def q18_range_join_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     (utils.py:179-196, called per-instant at activation_rules.py:132).
 
     The reference re-scans the whole log per instant (O(instants×N));
-    here ONE broadcast-nested-loop join against the (small) instant set
+    here ONE broadcast hash join against the (small) instant set
     evaluates all instants in a single pass over the events. Scale: for
-    large instant sets, switch to the bucketed range join in
-    operators/range_join.py (equi-join on time bucket + residual filter).
+    instant sets too large to broadcast, q29 runs the same workload
+    through the bucketed range join in operators/range_join.py
+    (equi-join on time bucket + residual filter).
     """
     ev = _t(spark, sf_dir, "events")
     instants = (
@@ -387,6 +388,53 @@ def q18_range_join_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("instant_id")
         .agg(F.countDistinct("user_id").alias("workload"))
+    )
+
+
+@query(
+    "q29_range_join_bucketed",
+    """
+    SELECT i.event_id AS instant_id, count(DISTINCT e.user_id) AS workload
+    FROM (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+          WHERE event_id % 199 = 0) i
+    JOIN (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                 CAST(floor(epoch(ts)) AS BIGINT) + CAST(ceil(value) AS BIGINT) AS e
+          FROM events) e
+      ON e.s <= i.t AND i.t <= e.e
+    GROUP BY i.event_id
+    """,
+)
+def q29_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 at scale: the same workload query as q18, but through the
+    bucketed point-in-interval join (operators/range_join.py) — points
+    quantize to one time bucket, intervals explode into covered buckets,
+    and the join is a shuffled equi-join on bucket + exact residual.
+    Identical results to the broadcast path by construction (each point
+    is in exactly one bucket → no duplicate pairs).
+
+    Scale: this is the path for instant sets too large to broadcast —
+    shuffle ∝ data × bounded fan-out, never |points|×|intervals|; the
+    span guard routes pathologically long intervals through the
+    keys-equality residual join instead of unbounded explode.
+    """
+    from ..operators.range_join import point_in_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    instants = (
+        ev.filter(F.col("event_id") % 199 == 0)
+        .select(F.col("event_id").alias("instant_id"), F.unix_timestamp("ts").alias("t"))
+    )
+    intervals = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.ceil("value").cast("long")).alias("e"),
+    )
+    pairs = point_in_interval_join(
+        instants, intervals, point="t", start="s", end="e", bucket=3600,
+        broadcast_points=False,
+    )
+    return pairs.groupBy("instant_id").agg(
+        F.countDistinct("user_id").alias("workload")
     )
 
 

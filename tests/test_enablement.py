@@ -74,3 +74,57 @@ def test_enabler_must_finish_before_start(spark):
     out = {r[IDS.activity]: r[IDS.enabled_time]
            for r in add_enabled_times(log, IDS).collect()}
     assert out["B"] == ts(9)
+
+
+def _as_rows(df):
+    cols = [IDS.case, IDS.activity, IDS.start_time, IDS.end_time, IDS.enabled_time]
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_join_strategy_matches_array_on_handcrafted(spark):
+    log = make_log(spark, [
+        ("c1", "A", "r1", ts(8), ts(9)),
+        ("c1", "X", "r1", ts(9), ts(10)),
+        ("c1", "Y", "r1", ts(10, 12), ts(11)),
+        ("c2", "Y", "r1", ts(8), ts(9)),
+        ("c2", "X", "r1", ts(9), ts(10)),
+        ("c3", "A", "r1", ts(9), ts(11)),
+        ("c3", "B", "r2", ts(10), ts(12)),
+    ])
+    arr = _as_rows(add_enabled_times(log, IDS, strategy="array"))
+    jn = _as_rows(add_enabled_times(log, IDS, strategy="join"))
+    assert arr == jn
+
+
+def test_join_strategy_long_trace(spark):
+    # A pathological 10k-event single trace: the array path would copy a
+    # 10k-struct array onto every row; the join path must agree on a
+    # sampled subset (full array-path comparison at this length is the
+    # exact memory blowup the fallback exists to avoid).
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1)
+    n = 10_000
+    rows = []
+    for i in range(n):
+        s = base + timedelta(seconds=10 * i)
+        rows.append(("big", f"act{i % 5}", "r1", s, s + timedelta(seconds=8)))
+    log = make_log(spark, rows)
+    out = add_enabled_times(log, IDS, strategy="auto", long_trace_threshold=1_000)
+    got = {r[IDS.start_time]: r[IDS.enabled_time] for r in out.collect()}
+    assert len(got) == n
+    # Sequential non-concurrent trace: enabled(i) = end(i-1); first = own start.
+    assert got[base] == base
+    for i in (1, 17, 4_242, n - 1):
+        s = base + timedelta(seconds=10 * i)
+        assert got[s] == base + timedelta(seconds=10 * (i - 1) + 8), i
+
+
+def test_auto_picks_array_below_threshold(spark):
+    log = make_log(spark, [
+        ("c1", "A", "r1", ts(9), ts(10)),
+        ("c1", "B", "r1", ts(10, 30), ts(11)),
+    ])
+    out = {r[IDS.activity]: r[IDS.enabled_time]
+           for r in add_enabled_times(log, IDS, strategy="auto").collect()}
+    assert out["B"] == ts(10)

@@ -1,0 +1,81 @@
+"""Bucketed vs broadcast point-in-interval join equivalence (J2;
+reference workload semantics: utils.py:179-196)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_analysis_spark.operators.range_join import (
+    point_in_interval_join,
+    workload_at_instants,
+)
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = random.Random(7)
+    points = [(i, rng.randint(0, 10_000), f"r{rng.randint(0, 4)}") for i in range(300)]
+    intervals = []
+    for j in range(400):
+        s = rng.randint(0, 10_000)
+        # Mix of short intervals and a few very long ones (span-guard path).
+        length = rng.randint(0, 50) if j % 20 else rng.randint(5_000, 9_000)
+        intervals.append((j, s, s + length, f"r{rng.randint(0, 4)}", f"c{j % 37}"))
+    p = spark.createDataFrame(points, "pid int, t long, res string")
+    iv = spark.createDataFrame(intervals, "iid int, s long, e long, res string, cid string")
+    return p, iv
+
+
+def _pairs(df):
+    return sorted((r["pid"], r["iid"]) for r in df.select("pid", "iid").collect())
+
+
+def test_bucketed_matches_broadcast_keyed(data):
+    p, iv = data
+    base = _pairs(point_in_interval_join(
+        p, iv, point="t", start="s", end="e", keys=["res"]))
+    assert base  # non-degenerate fixture
+    for bucket in (10, 100, 4096):
+        got = _pairs(point_in_interval_join(
+            p, iv, point="t", start="s", end="e", keys=["res"], bucket=bucket))
+        assert got == base, f"bucket={bucket}"
+
+
+def test_bucketed_matches_broadcast_unkeyed(data):
+    # Unkeyed join: column names must be disjoint across sides.
+    p, iv = data
+    p = p.drop("res")
+    base = _pairs(point_in_interval_join(p, iv, point="t", start="s", end="e"))
+    got = _pairs(point_in_interval_join(
+        p, iv, point="t", start="s", end="e", bucket=64))
+    assert got == base
+
+
+def test_span_guard_routes_long_intervals(data):
+    # max_span=1 forces nearly everything through the residual path;
+    # results must not change.
+    p, iv = data
+    base = _pairs(point_in_interval_join(
+        p, iv, point="t", start="s", end="e", keys=["res"]))
+    got = _pairs(point_in_interval_join(
+        p, iv, point="t", start="s", end="e", keys=["res"], bucket=50, max_span=1))
+    assert got == base
+
+
+def test_workload_both_strategies(data):
+    p, iv = data
+    log = iv.select("res", F.col("s").alias("en_us"), F.col("e").alias("end_us"), "cid")
+    pts = p.select("res", F.col("t").alias("instant")).distinct()
+
+    def rows(bucket):
+        out = workload_at_instants(
+            log, pts, resource="res", instant="instant",
+            enabled="en_us", end="end_us", case="cid", bucket=bucket)
+        return sorted(map(tuple, out.collect()))
+
+    broadcast, bucketed = rows(None), rows(100)
+    assert broadcast == bucketed
+    assert broadcast  # non-degenerate
