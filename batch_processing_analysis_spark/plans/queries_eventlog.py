@@ -917,3 +917,187 @@ def q38_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_sweep_pt_wt(log, IDS, [IDS.case]).select(
         F.col(IDS.case).alias("case_id"), "sweep_pt", "sweep_wt"
     )
+
+
+# --------------------------------------------------------------------------
+# X-series preprocessing operators (SURVEY §2.9 X3/X5/X6;
+# reference: src/preprocessing/handoff_batch.py:66-215)
+# --------------------------------------------------------------------------
+
+@query(
+    "q26_trace_subset",
+    f"""
+    WITH {LOG_SQL},
+    c AS (SELECT DISTINCT case_id FROM log WHERE activity = 'purchase'),
+    r AS (SELECT case_id, row_number() OVER (ORDER BY case_id) AS rn,
+                 count(*) OVER () AS n
+          FROM c),
+    kept AS (SELECT case_id FROM r
+             WHERE rn <= CAST(floor(n * 0.4 + 0.5) AS BIGINT))
+    SELECT l.event_id, l.case_id, l.activity
+    FROM log l JOIN kept USING (case_id)
+    """,
+)
+def q26_trace_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 trace-subset extraction (reference handoff_batch.py:66-74):
+    events of the first round(n*40%) case ids among cases containing
+    the target activity.
+
+    Scale: the ordered window runs on the distinct matching case-id
+    table (metadata-sized), never the events; the kept set semi-joins
+    back broadcast. Rounding is half-up in both dialects.
+    """
+    from ..preprocessing import extract_traces_containing
+
+    log = _event_log(spark, sf_dir)
+    sub = extract_traces_containing(log, IDS, "purchase", 0.4)
+    return sub.select(
+        "event_id",
+        F.col(IDS.case).alias("case_id"),
+        F.col(IDS.activity).alias("activity"),
+    )
+
+
+@query(
+    "q27_calendar_displacement",
+    f"""
+    WITH {LOG_SQL},
+    rl AS (
+      SELECT event_id, s,
+             CASE WHEN user_id % 3 = 0 THEN 'Loan Officer ' || resource
+                  ELSE 'Senior Officer ' || resource END AS rname
+      FROM log JOIN events USING (event_id)
+    ),
+    comp AS (
+      SELECT event_id, s, rname,
+             ((s // 86400000000) + 3) % 7          AS dow,
+             (s % 86400000000) // 3600000000       AS hh,
+             (s % 3600000000) // 60000000          AS mi,
+             (s % 60000000) // 1000000             AS ss,
+             s % 1000000                           AS mc
+      FROM rl
+    )
+    SELECT event_id,
+           CASE
+             WHEN rname LIKE '%Loan Officer%' AND dow >= 3
+             THEN s + ((6 - dow) * 86400
+                       + (((8 - hh) % 24 + 24) % 24) * 3600
+                       + (59 - mi) * 60 + (59 - ss)) * 1000000
+                    + (1000000 - mc)
+             WHEN rname LIKE '%Senior Officer%' AND dow <= 2
+             THEN s + ((2 - dow) * 86400
+                       + (((8 - hh) % 24 + 24) % 24) * 3600
+                       + (59 - mi) * 60 + (59 - ss)) * 1000000
+                    + (1000000 - mc)
+             ELSE s
+           END AS new_start_us
+    FROM comp
+    """,
+)
+def q27_calendar_displacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 calendar-displacement repair (reference handoff_batch.py:
+    101-140): events of a resource outside its working calendar move
+    forward to the next working window via exact component arithmetic
+    (day → target weekday, hour → target+rollover, minute/second/µs →
+    :59:59.999999→next second). The oracle re-derives the components
+    from epoch-µs integer arithmetic (1970-01-01 = Thursday = 3,
+    Monday=0 convention) — no timezone functions on either side.
+
+    Scale: pure whole-stage-codegen CASE WHEN; zero shuffles.
+    """
+    from ..preprocessing import displace_calendar_unavailability
+
+    log = _event_log(spark, sf_dir).withColumn(
+        IDS.resource,
+        F.concat(
+            F.when((F.col(IDS.case).cast("bigint") % 3) == 0,
+                   F.lit("Loan Officer ")).otherwise(F.lit("Senior Officer ")),
+            F.col(IDS.resource),
+        ),
+    )
+    out = displace_calendar_unavailability(log, IDS)
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col(IDS.start_time)).alias("new_start_us"),
+    )
+
+
+# q28 log shape: hour-aligned starts with 1-3h durations. The raw
+# µs-jittered adapter log admits no e2.start == e1.end matches at all
+# (exact-equality candidate condition, reference handoff_batch.py:170),
+# and a constant duration leaves no strictly-interior hour for
+# enabled_2 — variable-length aligned intervals make the candidate
+# condition realizable while keeping every engine/oracle comparison
+# exact integer arithmetic.
+HOUR_LOG_SQL = """
+  log AS (
+    SELECT event_id,
+           CAST(user_id AS VARCHAR)                                 AS case_id,
+           event_type                                               AS activity,
+           'r' || CAST(user_id % 20 AS VARCHAR)                     AS resource,
+           epoch_us(ts) - epoch_us(ts) % 3600000000                 AS s,
+           epoch_us(ts) - epoch_us(ts) % 3600000000
+             + (1 + event_id % 3) * 3600000000                      AS e
+    FROM events
+  )
+"""
+
+
+@query(
+    "q28_prioritization_pairs",
+    f"""
+    WITH {HOUR_LOG_SQL}, {DF_CONC_SQL}, {ENABLED_SQL},
+    e1 AS (
+      SELECT case_id, activity, resource, en_us, s, e
+      FROM enabled WHERE en_us = s
+    ),
+    cand AS (
+      SELECT e1.case_id AS case_1, e1.activity AS activity_1,
+             e1.resource AS resource, e1.en_us AS enabled_1,
+             e1.s AS start_1, e1.e AS end_1,
+             e2.case_id AS case_2, e2.activity AS activity_2,
+             e2.en_us AS enabled_2, e2.s AS start_2, e2.e AS end_2,
+             row_number() OVER (
+               PARTITION BY e1.case_id, e1.activity, e1.resource,
+                            e1.en_us, e1.s, e1.e
+               ORDER BY e2.en_us, e2.s, e2.e, e2.case_id, e2.activity
+             ) AS rn
+      FROM e1
+      JOIN enabled e2
+        ON e2.resource = e1.resource
+       AND e2.en_us > e1.en_us
+       AND e2.en_us < e1.e
+       AND e2.s = e1.e
+    )
+    SELECT case_1, activity_1, resource, enabled_1, start_1, end_1,
+           case_2, activity_2, enabled_2, start_2, end_2
+    FROM cand WHERE rn = 1
+    """,
+)
+def q28_prioritization_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 prioritization-candidate detection (reference
+    handoff_batch.py:162-173): zero-wait events e1 paired with the
+    first same-resource event e2 enabled strictly inside e1's execution
+    and starting exactly at e1's end. "First" is an explicit total
+    order (the reference's frame-order iloc[0], §7.4 determinism).
+
+    Scale: equi-join on resource + range residual (J2 family), per-e1
+    min via partial-aggregated struct-min — no driver loop over events
+    (the reference iterates candidate rows in Python).
+    """
+    from ..preprocessing import find_prioritization_pairs
+
+    H = 3_600_000_000
+    us = F.unix_micros(F.col(IDS.start_time))
+    log = (
+        _event_log(spark, sf_dir)
+        .withColumn("_s_us", us - us % H)
+        .withColumn(
+            IDS.end_time,
+            F.timestamp_micros(F.col("_s_us") + (1 + F.col("event_id") % 3) * H),
+        )
+        .withColumn(IDS.start_time, F.timestamp_micros(F.col("_s_us")))
+        .drop("_s_us")
+    )
+    log = add_enabled_times(log, IDS, concurrency_threshold=0.1)
+    return find_prioritization_pairs(log, IDS, activity=None)
