@@ -193,3 +193,22 @@ def test_subsequence_mode_all_matches_freq_on_exact_runs(spark):
     g_freq = groups(discover_batches(log, Configuration(subsequence_mode="freq")))
     g_all = groups(discover_batches(log, Configuration(subsequence_mode="all")))
     assert g_freq[BatchType.case_sequential] == g_all[BatchType.case_sequential]
+
+
+def test_gap_tolerance_merges_separated_runs(ground_truth_log):
+    """W3: a nonzero gap chains executions the strict (gap=0) pass
+    leaves unbatched (reference batch_detection.R:54-77 gap driver;
+    config.py gap_seconds). The two E executions sit exactly 3600 s
+    apart, so gap=3600 merges them and gap=3599 must not."""
+    g = groups(discover_batches(ground_truth_log, Configuration(gap_seconds=3600),
+                                detect_case_level=False))
+    assert frozenset({("c1", "E"), ("c2", "E")}) in g[BatchType.task_sequential]
+    # Other ground-truth batches are unaffected by the wider gap.
+    assert frozenset({("c1", "A"), ("c2", "A"), ("c3", "A")}) in g[BatchType.parallel]
+    assert frozenset({("c1", "B"), ("c2", "B"), ("c3", "B")}) \
+        in g[BatchType.task_sequential]
+
+    g_short = groups(discover_batches(ground_truth_log, Configuration(gap_seconds=3599),
+                                      detect_case_level=False))
+    assert frozenset({("c1", "E"), ("c2", "E")}) \
+        not in g_short.get(BatchType.task_sequential, set())
