@@ -589,4 +589,9 @@ def discover_batches(log: DataFrame, config: Configuration,
     # action) all branch off the post-split frame.
     df = df.localCheckpoint(eager=True)
     df = _min_size_filter(df, ids, config.min_batch_instance_size)
-    return _unify(df, ids)
+    # Consumers (features table, WT decomposition, reporting) fork the
+    # returned frame up to 5 ways; without truncation each fork re-runs
+    # min-size + unify (agg + join-back) from the checkpoint above.
+    # Eager checkpoint = one execution — the same work a single consumer
+    # would trigger anyway — so multi-fork callers get it 1× not 5×.
+    return _unify(df, ids).localCheckpoint(eager=True)
