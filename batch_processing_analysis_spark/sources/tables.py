@@ -32,20 +32,32 @@ TS_NANO_COLS = {
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Make a caller-provided session (e.g. the driver's) compatible.
 
-    Both confs are runtime SQL confs, safe to set after session start.
+    All three are runtime SQL confs, safe to set after session start.
     UTC is load-bearing for oracle comparability; nanosAsLong for reading
-    the testdata's TIMESTAMP(NANOS) columns at all.
+    TIMESTAMP(NANOS) columns at all; inferTimestampNTZ off so micros
+    columns without tz metadata arrive as TIMESTAMP (LTZ), not
+    TIMESTAMP_NTZ (which unix_micros et al. reject). Testdata precision
+    differs per scale factor, so both paths are live.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in TS_NANO_COLS.get(name, []):
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+        if col not in df.columns:
+            continue
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # Belt-and-braces: if the file was scanned before the conf
+            # above took effect (cached FileIndex), reinterpret the NTZ
+            # wall-clock as UTC — identical micros under a UTC session.
+            df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
     return df
 
 
