@@ -111,6 +111,23 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def exact_pair_edges(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact-duplicate graph edges: one (id_a=canonical min id,
+    id_b=duplicate) row per non-canonical member of a content-hash
+    cluster — the star-shaped edge set feeding connected-components
+    clustering (operators/graph.py). Same single content-hash shuffle
+    as :func:`exact_dedup`."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    w = W.partitionBy("content_hash")
+    return (
+        docs.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        .withColumn("_canon", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("_canon"))
+        .select(F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -1,0 +1,105 @@
+"""Connected components over near-duplicate pair graphs.
+
+Dedup at corpus scale needs *clusters*, not pairs: the near-dup
+operators (operators/dedup.py) emit edges (id_a, id_b); a training-data
+pipeline keeps one canonical document per connected component. The
+reference has no graph operators (it is a process-mining pipeline), so
+this is an M10 scale extension like the dedup family itself.
+
+Algorithm: iterative min-label propagation with pointer jumping — the
+standard Pregel-style CC (GraphX/GraphFrames do the same shape):
+
+1. every node starts labeled with itself;
+2. **propagate**: each node takes the min label over itself and its
+   neighbors (one shuffle: edge-join + groupBy on node id);
+3. **pointer-jump**: each node re-labels to its label's label
+   (one self-join on label == id), halving label-chain depth;
+4. repeat until no label changes.
+
+Plain propagation needs O(diameter) supersteps; the pointer jump makes
+the combined loop converge in O(log n) — near-dup components are
+shallow (typical diameter 2-4), so 2-3 supersteps in practice.
+
+Driver coordination: iterative fixpoints are the one place a driver
+loop is the *correct* distributed shape (same as GraphX Pregel) — each
+superstep is a fully distributed join/agg; the driver only evaluates a
+scalar convergence count. Each iteration is eager-localCheckpointed so
+lineage stays flat (without it, iteration k re-executes iterations
+1..k-1 at every action — exponential re-analysis).
+
+Scale notes (100 TB): state is one (id, comp) row per node — orders of
+magnitude smaller than the corpus; every superstep is hash-partitioned
+on node id. Skewed mega-components (one comp label on many rows) don't
+skew the propagate step, which shuffles on *node* id, never on comp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every node, where component = min node id
+    reachable through ``edges`` (undirected); isolated nodes map to
+    themselves. ``nodes`` must contain ``id_col`` (other columns are
+    ignored); ``edges`` rows are unordered pairs.
+
+    Deterministic: the fixpoint of min-propagation is unique, so the
+    result is independent of partitioning and iteration interleaving.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        nodes.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .withColumn("_comp", F.col("_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # Propagate: min over own label and every neighbor's label.
+        nbr = (
+            sym.join(labels, sym["_dst"] == labels["_id"])
+            .select(F.col("_src").alias("_id"), "_comp")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("_id")
+            .agg(F.min("_comp").alias("_comp"))
+        )
+        # Pointer jump: follow the label one hop (comp <- comp's comp).
+        jump = labels.select(
+            F.col("_id").alias("_jid"), F.col("_comp").alias("_jcomp")
+        )
+        new = (
+            new.join(jump, new["_comp"] == jump["_jid"], "left")
+            .select("_id", F.coalesce("_jcomp", "_comp").alias("_comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "_id")
+            .filter(F.col("n._comp") != F.col("o._comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("_id").alias(id_col), F.col("_comp").alias("component")
+    )

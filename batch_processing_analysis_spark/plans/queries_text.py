@@ -15,8 +15,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..operators import dedup as D
+from ..operators import graph as G
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text_analysis as TA
@@ -256,6 +258,81 @@ def q43_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, df_max=10, threshold=0.5)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+@query(
+    "q52_dedup_components",
+    r"""
+    WITH RECURSIVE hx AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+      FROM documents
+    ),
+    epairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT min(doc_id) OVER (PARTITION BY ch) AS id_a, doc_id AS id_b
+        FROM hx
+      ) WHERE id_a <> id_b
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(text) - 3),
+                                          i -> text[i:i+4])) AS g
+      FROM documents WHERE len(text) >= 5
+    ),
+    ex AS (SELECT doc_id, unnest(g) AS gr FROM grams),
+    dfreq AS (SELECT gr, count(*) AS df FROM ex GROUP BY gr),
+    rare AS (
+      SELECT ex.doc_id, ex.gr FROM ex JOIN dfreq USING (gr)
+      WHERE df BETWEEN 2 AND 10
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    ),
+    npairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN grams ga ON ga.doc_id = id_a
+      JOIN grams gb ON gb.doc_id = id_b
+      WHERE len(list_intersect(ga.g, gb.g)) * 1.0
+            / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.5
+    ),
+    allp AS (SELECT * FROM epairs UNION SELECT * FROM npairs),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM allp
+      UNION SELECT id_b, id_a FROM allp
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component
+              FROM reach GROUP BY id)
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comps
+    """,
+)
+def q52_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup *clusters*: union exact-duplicate edges with n-gram-Jaccard
+    near-dup edges (q43's parameters), then label each document with its
+    connected component (min reachable doc id) — the keep-one-per-cluster
+    primitive of a dedup pipeline.
+
+    Spark side: iterative min-label propagation + pointer jumping
+    (operators/graph.py, O(log n) driver-coordinated supersteps, each a
+    hash join/agg on node id). Oracle: recursive-CTE transitive closure
+    — exponentially more work, viable only at oracle scale, which is the
+    point of the distributed formulation."""
+    docs = _docs(spark, sf_dir)
+    edges = D.exact_pair_edges(docs).unionByName(
+        D.ngram_jaccard_pairs(docs, n=5, df_max=10, threshold=0.5)
+        .select("id_a", "id_b")
+    )
+    cc = G.connected_components(docs.select("doc_id"), edges)
+    w = W.partitionBy("component")
+    return cc.withColumn("cluster_size", F.count(F.lit(1)).over(w))
 
 
 # ---------------------------------------------------------------------------
