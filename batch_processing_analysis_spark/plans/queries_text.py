@@ -527,10 +527,10 @@ def q47_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.quality_features(_docs(spark, sf_dir))
 
 
-@query(
-    "q48_lang_id",
-    """
-    WITH tg AS (
+# Trigram-profile language-ID chain, shared by q48 and the composite
+# corpus filter (q53): cov(doc_id, actual_lang, cand_lang, coverage).
+LANGID_CTES = """
+    tg AS (
       SELECT doc_id, lang,
              unnest(list_distinct(list_transform(range(1, len(lower(text)) - 1),
                                   i -> lower(text)[i:i+2]))) AS tg
@@ -558,6 +558,12 @@ def q47_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(h.n_hit * 1.0 / dn.n_tg, 0.0) AS coverage
       FROM doc_n dn LEFT JOIN hits h USING (doc_id)
     )
+"""
+
+
+@query(
+    "q48_lang_id",
+    "WITH " + LANGID_CTES + """
     SELECT doc_id, cand_lang AS predicted_lang, actual_lang,
            CAST(cand_lang = actual_lang AS INT) AS hit,
            round(coverage, 6) AS coverage
@@ -587,6 +593,69 @@ def q48_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q49_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token accounting per document."""
     return TA.token_counts(_docs(spark, sf_dir))
+
+
+@query(
+    "q53_corpus_filter",
+    "WITH " + TOKS_SQL + ",\n" + LANGID_CTES + r""",
+    qual AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             round(least(1.0, len(tk) / 100.0)
+                   * (1.0 - len(regexp_replace(text, '[a-z0-9\s]', '', 'g')) * 1.0
+                            / len(text))
+                   * (1.0 - abs(len(list_filter(tk, x -> x IN
+                          ('a','the','of','and','in','to','is'))) * 1.0 / len(tk)
+                          - 0.25)), 6) AS quality_score
+      FROM toks
+    ),
+    pred AS (
+      SELECT doc_id, cand_lang AS predicted_lang
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY coverage DESC, cand_lang) AS rn
+        FROM cov
+      ) WHERE rn = 1
+    ),
+    canon AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS c
+        FROM documents
+      ) WHERE doc_id = c
+    )
+    SELECT q.doc_id, p.predicted_lang, q.n_tokens, q.quality_score
+    FROM qual q
+    JOIN canon USING (doc_id)
+    JOIN pred p USING (doc_id)
+    WHERE q.quality_score >= 0.2 AND q.n_tokens BETWEEN 5 AND 10000
+    """,
+)
+def q53_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-corpus filter — the operators composed the way
+    a real data pipeline chains them: keep documents that are (a) the
+    canonical row of their exact-duplicate cluster, (b) quality-scored
+    >= 0.2, (c) 5..10000 tokens long; attach the predicted language.
+
+    Scale: quality features are narrow codegen over the scan; the dedup
+    keep-list is one content-hash shuffle semi-joined back; language ID
+    broadcasts its tiny trigram profile. One wide input pass total —
+    composition adds no extra scan of the corpus."""
+    docs = _docs(spark, sf_dir)
+    qual = TA.quality_features(docs).select("doc_id", "n_tokens", "quality_score")
+    pred = TA.language_id(docs).select("doc_id", "predicted_lang")
+    canon = (
+        D.exact_dedup(docs).filter(F.col("is_canonical") == 1).select("doc_id")
+    )
+    return (
+        qual.filter(
+            (F.col("quality_score") >= 0.2) & F.col("n_tokens").between(5, 10000)
+        )
+        .join(canon, "doc_id", "left_semi")
+        .join(pred, "doc_id")
+        .select("doc_id", "predicted_lang", "n_tokens", "quality_score")
+    )
 
 
 @query(
