@@ -74,6 +74,100 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 32,
+                  every_n: int = 2) -> DataFrame:
+    """Frame sampling over binary payloads: split each payload into
+    fixed-size frames and keep every ``every_n``-th — one output row per
+    sampled frame (a 1→N Arrow-batched explode, the UDTF shape of video
+    frame extraction).
+
+    The frame *splitter* here is a byte-slicer standing in for the real
+    container demuxer (``av``/ffmpeg frame iteration — swap inside
+    ``_frames`` where noted); the Spark plumbing — binary column in,
+    multiplied rows out through ``mapInPandas``, partition-parallel —
+    is exactly what the real codec path runs. Deterministic, so the
+    DuckDB oracle reproduces it from the same bytes.
+
+    Scale: output fan-out is |payload|/frame_size per row; upstream
+    ``repartitionByRange`` on payload size keeps one task from holding
+    all the 4 GB videos while another holds thumbnails.
+    """
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # REAL CODEC POINT: replace byte-slicing with demuxed
+                # frame iteration; rest of the plumbing is unchanged.
+                for k in range(0, -(-len(payload) // frame_size), every_n):
+                    fr = payload[k * frame_size:(k + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    sizes.append(len(fr))
+                    sums.append(sum(fr) % 997)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_index": pd.Series(idxs, dtype="int64"),
+                 "frame_bytes": pd.Series(sizes, dtype="int64"),
+                 "frame_checksum": pd.Series(sums, dtype="int64")}
+            )
+
+    return media.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def resize_payload(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Payload resize: byte-stride downsample by ``factor`` — binary in,
+    smaller binary out, summarized as (size, checksum). Stand-in for
+    image resize (PIL ``thumbnail`` at the marked line); the payload
+    transform pipeline — decode-ish, shrink, re-emit — runs for real
+    through Arrow batches.
+    """
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # REAL CODEC POINT: decode payload, resize, re-encode.
+            resized = [p[::factor] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "n_bytes": pdf["payload"].map(len).astype("int64"),
+                 "resized_bytes": pd.Series([len(r) for r in resized],
+                                            dtype="int64"),
+                 "resized_checksum": pd.Series([sum(r) % 997 for r in resized],
+                                               dtype="int64")}
+            )
+
+    return media.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+def as_binary_payloads(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, modality, payload binary) adapter — UTF-8 bytes of
+    ``text`` stand in for media blobs so the binary path runs for real
+    (see :func:`binary_features`)."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lit("text").alias("modality"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
 def binary_features(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Adapt the documents table into (id, modality, binary payload) and
@@ -84,9 +178,5 @@ def binary_features(docs: DataFrame, id_col: str = "doc_id",
     path — binary column, metadata, Arrow exchange, batch-shaped UDF —
     executes for real.
     """
-    payloads = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.lit("text").alias("modality"),
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
-    )
+    payloads = as_binary_payloads(docs, id_col, text_col)
     return payloads.mapInPandas(_feature_batches, FEATURE_SCHEMA)

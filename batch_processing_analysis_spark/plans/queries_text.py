@@ -707,3 +707,58 @@ def q51_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic byte-level stand-in (real codecs absent here); the
     schema/batching/partitioning path is the real one."""
     return M.binary_features(_docs(spark, sf_dir))
+
+
+@query(
+    "q54_frame_sample",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, h, nb,
+             unnest(range(0, CAST(ceil(nb / 32.0) AS BIGINT))) AS frame_index
+      FROM hx
+    )
+    SELECT doc_id, frame_index,
+           least(32, nb - frame_index * 32) AS frame_bytes,
+           CAST(COALESCE(list_aggregate(
+                  list_transform(range(1, least(32, nb - frame_index * 32) + 1),
+                                 i -> CAST('0x' || substr(h, frame_index * 64
+                                           + 2 * i - 1, 2) AS BIGINT)),
+                  'sum'), 0) % 997 AS BIGINT) AS frame_checksum
+    FROM fr WHERE frame_index % 2 = 0
+    """,
+)
+def q54_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-style 1→N extraction): payload split into
+    32-byte frames, every 2nd kept, one row per sampled frame via
+    Arrow-batched mapInPandas (operators/multimodal.py:sample_frames)."""
+    return M.sample_frames(
+        M.as_binary_payloads(_docs(spark, sf_dir)), frame_size=32, every_n=2
+    )
+
+
+@query(
+    "q55_payload_resize",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT doc_id, nb AS n_bytes,
+           CAST(ceil(nb / 4.0) AS BIGINT) AS resized_bytes,
+           CAST(COALESCE(list_aggregate(
+                  list_transform(range(0, CAST(ceil(nb / 4.0) AS BIGINT)),
+                                 i -> CAST('0x' || substr(h, 8 * i + 1, 2)
+                                           AS BIGINT)),
+                  'sum'), 0) % 997 AS BIGINT) AS resized_checksum
+    FROM hx
+    """,
+)
+def q55_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload resize (image-style shrink): byte-stride downsample by 4
+    through the binary-in/binary-out mapInPandas path
+    (operators/multimodal.py:resize_payload)."""
+    return M.resize_payload(M.as_binary_payloads(_docs(spark, sf_dir)), factor=4)

@@ -1,0 +1,36 @@
+"""Multimodal binary plumbing: frame sampling and payload resize
+(operators/multimodal.py) on payloads with edge-case sizes."""
+
+from __future__ import annotations
+
+from batch_processing_analysis_spark.operators import multimodal as M
+
+
+def _payloads(spark, items):
+    return spark.createDataFrame(
+        [(i, "blob", bytearray(b)) for i, b in items],
+        "doc_id long, modality string, payload binary",
+    )
+
+
+def test_sample_frames_sizes_and_indices(spark):
+    # 70 bytes @ frame_size=32 -> frames 0,1,2 (sizes 32,32,6); every 2nd
+    # keeps 0 and 2. 10-byte payload -> one short frame. Empty -> none.
+    data = _payloads(spark, [(1, bytes(range(70))), (2, b"0123456789"), (3, b"")])
+    rows = {(r["doc_id"], r["frame_index"]): r
+            for r in M.sample_frames(data, frame_size=32, every_n=2).collect()}
+    assert set(rows) == {(1, 0), (1, 2), (2, 0)}
+    assert rows[(1, 0)]["frame_bytes"] == 32
+    assert rows[(1, 2)]["frame_bytes"] == 6
+    assert rows[(1, 2)]["frame_checksum"] == sum(range(64, 70)) % 997
+    assert rows[(2, 0)]["frame_bytes"] == 10
+
+
+def test_resize_payload_stride(spark):
+    data = _payloads(spark, [(1, bytes(range(10))), (2, b"")])
+    rows = {r["doc_id"]: r for r in M.resize_payload(data, factor=4).collect()}
+    # bytes(range(10))[::4] == bytes([0, 4, 8])
+    assert rows[1]["n_bytes"] == 10
+    assert rows[1]["resized_bytes"] == 3
+    assert rows[1]["resized_checksum"] == (0 + 4 + 8) % 997
+    assert rows[2]["resized_bytes"] == 0 and rows[2]["resized_checksum"] == 0
