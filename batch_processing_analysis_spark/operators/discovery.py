@@ -36,7 +36,6 @@ whole seconds (their repairs ran on truncated data, ours on full µs).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -371,9 +370,9 @@ def _split_wrong_enabled(df: DataFrame, ids: EventLogIDs, grp_col: str,
     could not have been part of that batch accumulation).
 
     The reference is a driver-side fixpoint loop over the whole frame;
-    here per-(instance, case) aggregates (tiny) run the same fixpoint
-    inside ``applyInPandas`` per instance, and the resulting sub-index
-    joins back in one pass.
+    here the loop's closed form runs JVM-side over per-(instance, case)
+    aggregates (see the threshold-chain derivation below), and the
+    resulting sub-index joins back in one pass.
     """
     rows = df.filter(analysis_rows & F.col(grp_col).isNotNull())
     # Batch-case enabled = min enabled among rows at the case's min start
@@ -395,32 +394,61 @@ def _split_wrong_enabled(df: DataFrame, ids: EventLogIDs, grp_col: str,
     # NOTE _first picks min (start, enabled) lexicographically == min enabled
     # among min-start rows — exactly the reference's argmin-then-min.
 
-    def fixpoint(pdf: pd.DataFrame) -> pd.DataFrame:
-        current = list(pdf.itertuples(index=False))
-        sub = 0
-        out = []
-        while current:
-            if len({c[1] for c in current}) <= 1:
-                out += [(c[0], c[1], sub) for c in current]
-                break
-            inst_start = min(c[2] for c in current)
-            violators = [c for c in current if c[3] > inst_start]
-            kept = [c for c in current if c[3] <= inst_start]
-            if not kept:
-                # Every remaining case violates (possible only when the
-                # input breaks the enabled<=start invariant that estimated
-                # enabled times guarantee); the reference's loop would not
-                # terminate here — keep them together and stop.
-                out += [(c[0], c[1], sub) for c in current]
-                break
-            out += [(c[0], c[1], sub) for c in kept]
-            current = violators
-            sub += 1
-        return pd.DataFrame(out, columns=[grp_col, "case", "_sub_idx"])
-
-    splits = per_case.groupBy(grp_col).applyInPandas(
-        fixpoint, schema=f"`{grp_col}` string, case string, _sub_idx int"
-    ).withColumnRenamed("case", ids.case)
+    # The reference's driver loop (round k: inst_start_k = min start of
+    # remaining cases; cases with enabled > inst_start_k move to round
+    # k+1) has a closed form, so it runs JVM-side with higher-order
+    # array functions instead of a per-group Python hop:
+    #
+    #   thresholds t_0 < t_1 < ... — t_0 = min case start; t_{k+1} =
+    #   start of the FIRST case (in start order) with enabled > t_k.
+    #   Scanning cases sorted by start builds the chain in one pass,
+    #   because every case before the t_{k+1}-definer has enabled <= t_k
+    #   and the definer's own enabled <= its start (estimator
+    #   invariant), so thresholds strictly increase.
+    #
+    #   sub_idx(case) = #{k : t_k < case_enabled} — the round where the
+    #   case stops violating.
+    #
+    # Group sizes are #cases per instance (tiny); the per-case count is
+    # O(n·|thresholds|) inside codegen. The `x.s > last` guard freezes
+    # the chain if the enabled<=start invariant is ever violated
+    # (matching the pandas fallback this replaces: stop splitting).
+    empty = F.array().cast("array<bigint>")
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    grouped = per_case.groupBy(grp_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(
+                F.col("_case_start").alias("s"),
+                F.col("_case_enabled").alias("en"),
+                F.col(ids.case).alias("case"),
+            ))
+        ).alias("_cs")
+    )
+    thresholds = F.aggregate(
+        F.col("_cs"), empty,
+        lambda acc, x: (
+            F.when(F.size(acc) == 0, F.array(x["s"]))
+            .when((x["en"] > last(acc)) & (x["s"] > last(acc)),
+                  F.concat(acc, F.array(x["s"])))
+            .otherwise(acc)
+        ),
+    )
+    splits = (
+        grouped.withColumn("_t", thresholds)
+        .select(
+            grp_col,
+            F.explode(F.transform(
+                F.col("_cs"),
+                lambda x: F.struct(
+                    x["case"].alias("case"),
+                    F.size(F.filter(F.col("_t"), lambda t: t < x["en"]))
+                    .cast("int").alias("_sub_idx"),
+                ),
+            )).alias("_e"),
+        )
+        .select(grp_col, F.col("_e.case").alias(ids.case),
+                F.col("_e._sub_idx").alias("_sub_idx"))
+    )
     out = df.join(splits, [grp_col, ids.case], "left")
     return out.withColumn(
         grp_col,
