@@ -54,20 +54,6 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of ``text`` (space-joined)."""
-    toks = tokens(text)
-    return F.when(
-        F.size(toks) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def char_grams(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams of ``text``."""
     return F.when(
@@ -132,9 +118,37 @@ def exact_pair_edges(docs: DataFrame, id_col: str = "doc_id",
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct (id, shingle) ROWS — the fully-relational shingle
+    representation: posexplode tokens, build k-grams with window
+    ``lead``s, distinct via aggregation. Every step is codegen'd
+    (explode / window / hash-agg); no interpreted higher-order
+    functions, no nested arrays to cache. Measured ~10× cheaper to
+    materialize than the array form at sf0.1, and the row form feeds
+    joins directly, which is what LSH candidate verification wants.
+
+    Shingles are the space-joined k-grams of whitespace tokens;
+    documents with < k tokens yield no rows."""
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    w = W.partitionBy(id_col).orderBy("_pos")
+    leads = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, k)]
+    return (
+        tok.select(F.col(id_col), F.concat_ws(" ", *leads).alias("shingle"),
+                   leads[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "shingle")
+        .distinct()
+    )
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
-                       num_hashes: int = 8) -> DataFrame:
+                       num_hashes: int = 8,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """Per-doc minhash signature via double hashing (Kirsch &
     Mitzenmacher 2006): hash_i(s) = h1(s) + i*h2(s), with h1/h2 the two
     60-bit halves of ONE md5 per shingle — 8x less hashing than 8
@@ -142,12 +156,14 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     h1 + 7*h2 < 2^61 never overflows a signed 64-bit long (DuckDB
     errors on overflow; Spark would silently wrap).
 
-    One explode + one groupBy computing all H minima in a single pass
-    (map-side partial aggregation; no per-hash re-shuffle).
+    One shingle scan + one groupBy computing all H minima in a single
+    pass (map-side partial aggregation; no per-hash re-shuffle). Pass a
+    pre-built (id, shingle) frame via ``shingles`` to share the scan
+    with verification.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
-    ).withColumn("_m", F.md5("shingle"))
+    sh = (shingles if shingles is not None
+          else shingle_rows(docs, id_col, text_col, k))
+    sh = sh.withColumn("_m", F.md5("shingle"))
     h1 = F.conv(F.substring("_m", 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring("_m", 16, 15), 16, 10).cast("long").bitwiseAND(
         F.lit((1 << 56) - 1)
@@ -205,34 +221,36 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def verify_jaccard(pairs: DataFrame, shingle_sets: DataFrame,
-                   id_col: str = "doc_id",
-                   set_col: str = "shingles") -> DataFrame:
-    """Exact Jaccard on candidate pairs: |A∩B| / |A∪B|.
-
-    Two broadcast-friendly equi joins bring each side's (distinct)
-    shingle set onto the pair row; the set arithmetic stays JVM-side
-    (``array_intersect``/``array_union`` inside codegen).
+def verify_jaccard_rows(pairs: DataFrame, shingles: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard on candidate pairs from the ROW representation:
+    |A∩B| by joining both sides' (id, shingle) rows on shingle equality,
+    |A∪B| = |A| + |B| − |A∩B| from per-doc counts. Three equi-joins and
+    two aggregations, all streamed — no arrays are ever built, so this
+    is the verification path that scales (the array form copies both
+    shingle sets onto every candidate row).
     """
-    sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("_sa"))
-    sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("_sb"))
-    return (
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
         pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("_sa", "_sb"))
-                / F.size(F.array_union("_sa", "_sb"))
-            ).alias("jaccard"),
+            "id_a", "id_b",
+            (F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")))
+            .alias("jaccard"),
         )
     )
 
-
-# --------------------------------------------------------------------------
-# SimHash
-# --------------------------------------------------------------------------
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 32) -> DataFrame:

@@ -164,28 +164,25 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate generation is the banded bucket join (skew-guarded)
     — never an n² comparison; verification touches candidates only."""
     docs = _docs(spark, sf_dir)
-    # The signature table is forked three ways (two join sides + verify);
-    # persist it so the shingle+hash pipeline runs once.
-    sigs = D.minhash_signatures(docs).persist()
+    # ONE flat (doc_id, shingle) row table feeds everything — signature
+    # aggregation plus all three verification joins. Flat strings cache
+    # cheaply (the old array<string> form cost ~10× more to materialize
+    # than to recompute); persist so the tokenize+window pipeline runs
+    # once across the four forks.
+    sh = D.shingle_rows(docs).persist()
+    sigs = D.minhash_signatures(docs, shingles=sh)
     pairs = D.lsh_candidate_pairs(sigs)
-    # Also forked twice (both sides of the pair join) and the shingle
-    # transform is interpreted (higher-order fn) — persist the small
-    # (one row per doc) set table rather than re-deriving it.
-    sets_ = docs.select(
-        F.col("doc_id"), D.word_shingles(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0).persist()
     out = (
-        D.verify_jaccard(pairs, sets_)
+        D.verify_jaccard_rows(pairs, sh)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     # Materialize the (tiny: O(near-dup pairs)) result eagerly so the
-    # persisted intermediates can be dropped before returning — without
-    # this every invocation leaks two cached tables for the session's
-    # lifetime. localCheckpoint also truncates the 3-fork lineage.
+    # persisted intermediate can be dropped before returning — without
+    # this every invocation leaks a cached table for the session's
+    # lifetime. localCheckpoint also truncates the 4-fork lineage.
     out = out.localCheckpoint(eager=True)
-    sigs.unpersist()
-    sets_.unpersist()
+    sh.unpersist()
     return out
 
 
