@@ -40,9 +40,16 @@ narrow map (broadcast centroids), and the probe join shuffles queries
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+# SRP quantization scale: components/weights become floor(x·Q + 0.5) as
+# int64, making hyperplane dot products exact integer sums (see
+# srp_signatures). 2^20 keeps |dot| < 2^53 even for |x| ≤ 100, dim 64.
+SRP_Q = 1 << 20
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -189,21 +196,56 @@ def srp_signatures(corpus: DataFrame, num_bits: int = 32, dim: int = 64,
     one scan, zero shuffles, no Python. ``dim`` must be ≥ the vector
     length (components beyond it are simply never read)."""
     corpus = _as_double(corpus, vec_col)
+    spark = corpus.sparkSession
 
-    def _proj(hp):
-        return lambda x, i: x * F.element_at(hp, i + 1)
-
-    sig = None
-    for p, plane in enumerate(hyperplanes(num_bits, dim, seed)):
-        hp = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.transform(F.col(vec_col), _proj(hp)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # Quantized-integer projections: vector components and plane weights
+    # both map through floor(x·Q + 0.5) to int64, so every dot product
+    # is an EXACT integer sum — independent of summation order. That
+    # buys two things at once:
+    #
+    # 1. The computation can be fully relational (posexplode + broadcast
+    #    plane join + partial-aggregated sum — all codegen), instead of
+    #    P giant fold expressions whose Catalyst analysis alone cost
+    #    ~15 s per query build at P=32/dim=64. Planes are DATA (a 2 048-
+    #    row broadcast), not code.
+    # 2. DuckDB (any order), this plan (any partitioning), and the
+    #    documented large-scale swap-in — a vectorized pandas UDF doing
+    #    one int64 numpy matmul per batch — all agree bit-for-bit.
+    #
+    # Quantization error 2⁻²⁰ per component only perturbs which side of
+    # a hyperplane near-orthogonal vectors fall on — an LSH recall
+    # epsilon, not a correctness concern (verification recomputes exact
+    # cosine on candidates).
+    planes = spark.createDataFrame(
+        [
+            (p, i, int(math.floor(w * SRP_Q + 0.5)))
+            for p, plane in enumerate(hyperplanes(num_bits, dim, seed))
+            for i, w in enumerate(plane)
+        ],
+        "p int, i int, wq long",
+    )
+    qv = corpus.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).select(
+        id_col, "i",
+        F.floor(F.col("x") * F.lit(float(SRP_Q)) + F.lit(0.5))
+        .cast("long").alias("xq"),
+    )
+    sig = (
+        qv.join(F.broadcast(planes), "i")
+        .groupBy(id_col, "p")
+        .agg(F.sum(F.col("xq") * F.col("wq")).alias("dq"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("dq") > 0,
+                       # 2^p via pow (exact in doubles for p < 53)
+                       F.pow(F.lit(2.0), F.col("p")).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("srp_sig")
         )
-        term = F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return corpus.select(id_col, vec_col, sig.alias("srp_sig"))
+    )
+    return corpus.join(sig, id_col).select(id_col, vec_col, "srp_sig")
 
 
 def srp_neardup_pairs(corpus: DataFrame, threshold: float,

@@ -13,6 +13,8 @@ exactly.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -338,9 +340,11 @@ def q52_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_SQL = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 
-# Hyperplane normals for SRP-LSH, generated ONCE and embedded as
-# literals in BOTH engines (Python float repr round-trips exactly, so
-# the DuckDB literal parses to the identical double).
+# Hyperplane normals for SRP-LSH, generated ONCE and embedded in BOTH
+# engines QUANTIZED to int64 (floor(w·2^20 + 0.5), mirroring
+# similarity.SRP_Q): integer dot products are exact in any summation
+# order, so the Spark side runs relationally (no fold-order contract)
+# and still matches DuckDB bit-for-bit.
 # 8 bands x 4 bits: banding recall ~0.75 at sim 0.4, ~0.9 at 0.6 (the
 # testdata's near-dup range). At corpus scale widen num_bits/band_bits
 # together (e.g. 128/16) so buckets stay small — plan shape unchanged.
@@ -348,7 +352,10 @@ _SRP_BITS, _SRP_BAND_BITS, _SRP_DIM = 32, 4, 64
 _SRP_HP_SQL = (
     "hp AS (SELECT * FROM (VALUES "
     + ", ".join(
-        f"({p}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        "({}, [{}]::BIGINT[])".format(
+            p,
+            ", ".join(str(int(math.floor(x * S.SRP_Q + 0.5))) for x in plane),
+        )
         for p, plane in enumerate(S.hyperplanes(_SRP_BITS, _SRP_DIM))
     )
     + ") AS t(p, w))"
@@ -363,7 +370,8 @@ _SRP_HP_SQL = (
     dots AS (
       SELECT e.vec_id, hp.p,
              list_reduce(list_transform(range(1, len(e.v) + 1),
-                                        i -> e.v[i] * hp.w[i]),
+                                        i -> CAST(floor(e.v[i] * {S.SRP_Q}.0 + 0.5)
+                                                  AS BIGINT) * hp.w[i]),
                          (x, y) -> x + y) AS dot
       FROM e CROSS JOIN hp
     ),
