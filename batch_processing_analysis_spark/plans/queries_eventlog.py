@@ -528,8 +528,7 @@ def q33_waiting_time_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: two window passes — (instance, case) then (instance) — zero
     joins (J1 via windows).
     """
-    disc, cfg0 = _discovered(spark, sf_dir, checkpoints=True)
-    cfg = Configuration(report_batch_checkpoints=True)
+    disc, cfg = _discovered(spark, sf_dir, checkpoints=True)
     ids = cfg.log_ids
     wt = add_waiting_times(disc, cfg)
     return (

@@ -41,8 +41,11 @@ HEADLINE += [
     "q42_dedup_simhash",
     "q44_embedding_neardup",
     "q45_ann_cosine_topk",
+    "q46_ann_ivf_topk",
     "q47_text_quality",
     "q50_fingerprint",
+    "q52_dedup_components",
+    "q53_corpus_filter",
 ]
 
 
