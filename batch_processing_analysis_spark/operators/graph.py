@@ -63,8 +63,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Supersteps only carry nodes that touch an edge: near-dup graphs
+    # are sparse (most of the corpus is isolated), so iterating over the
+    # full node set would shuffle mostly-fixed self-labels every round.
+    # Isolated nodes join back as their own component at the end.
     labels = (
-        nodes.select(F.col(id_col).alias("_id"))
+        sym.select(F.col("_src").alias("_id"))
         .distinct()
         .withColumn("_comp", F.col("_id"))
         .localCheckpoint(eager=True)
@@ -100,6 +104,8 @@ def connected_components(
         if changed == 0:
             break
 
-    return labels.select(
-        F.col("_id").alias(id_col), F.col("_comp").alias("component")
+    return (
+        nodes.select(F.col(id_col)).distinct()
+        .join(labels.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(id_col, F.coalesce("_comp", F.col(id_col)).alias("component"))
     )

@@ -184,3 +184,82 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             "fp_digest"
         ),
     )
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public
+    "repetitious text" filters): per document, the fraction of n-gram
+    OCCURRENCES that are duplicates and the fraction taken by the single
+    most frequent n-gram, for n = 2 and 3. High values flag boilerplate
+    / degenerate text a training pipeline drops.
+
+    Relational shape: posexplode tokens once, window ``lead``s build the
+    n-gram occurrence rows, then two aggregations (per (doc, gram) →
+    per doc). One shuffle on doc id; no arrays are materialized (the
+    flat-row lesson from the shingle pipeline). Documents with fewer
+    than n+1 tokens report 0 for that n.
+    """
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok")
+    )
+    w = W.partitionBy(id_col).orderBy("_pos")
+
+    def gram_stats(n: int, prefix: str) -> DataFrame:
+        leads = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
+        grams = (
+            tok.select(F.col(id_col), F.concat_ws(" ", *leads).alias("_g"),
+                       leads[-1].alias("_last"))
+            .filter(F.col("_last").isNotNull())
+        )
+        per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+        return per_gram.groupBy(id_col).agg(
+            F.sum("_c").alias(f"{prefix}_total"),
+            F.count(F.lit(1)).alias(f"{prefix}_uniq"),
+            F.max("_c").alias(f"{prefix}_top"),
+        )
+
+    g2, g3 = gram_stats(2, "g2"), gram_stats(3, "g3")
+
+    def frac(num, den):
+        return F.round(F.coalesce(num / den, F.lit(0.0)), 6)
+
+    return (
+        docs.select(id_col)
+        .join(g2, id_col, "left")
+        .join(g3, id_col, "left")
+        .select(
+            F.col(id_col),
+            frac(F.col("g2_total") - F.col("g2_uniq"), F.col("g2_total"))
+            .alias("dup_2gram_frac"),
+            frac(F.col("g2_top"), F.col("g2_total")).alias("top_2gram_frac"),
+            frac(F.col("g3_total") - F.col("g3_uniq"), F.col("g3_total"))
+            .alias("dup_3gram_frac"),
+            frac(F.col("g3_top"), F.col("g3_total")).alias("top_3gram_frac"),
+        )
+    )
+
+
+def pattern_counts(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Pattern/PII-adjacent counts per document: emails, URLs, long
+    digit runs, digit fraction. Pure regexp codegen over the scan —
+    zero shuffles; the filter-list shape of a content-safety pass.
+    Patterns use the portable class/quantifier subset (Java regex and
+    RE2 agree), so the DuckDB oracle matches exactly.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(
+            t, F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"), 0)
+        ).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(r"https?://[^\s]+"), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[0-9]{6,}"), 0)).alias("n_digit_runs"),
+        # when-guard, not coalesce: ANSI mode raises on x/0 before
+        # null-handling could apply.
+        F.round(F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0)), 6)
+        .alias("digit_frac"),
+    )

@@ -601,6 +601,67 @@ def q49_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q56_repetition_signals",
+    "WITH " + TOKS_SQL + r""",
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                           i -> tk[i] || ' ' || tk[i+1])) AS g
+      FROM toks WHERE len(tk) >= 2
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      FROM toks WHERE len(tk) >= 3
+    ),
+    s2 AS (
+      SELECT doc_id, sum(c) AS total, count(*) AS uniq, max(c) AS top
+      FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    s3 AS (
+      SELECT doc_id, sum(c) AS total, count(*) AS uniq, max(c) AS top
+      FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           round(COALESCE((s2.total - s2.uniq) * 1.0 / s2.total, 0.0), 6)
+             AS dup_2gram_frac,
+           round(COALESCE(s2.top * 1.0 / s2.total, 0.0), 6) AS top_2gram_frac,
+           round(COALESCE((s3.total - s3.uniq) * 1.0 / s3.total, 0.0), 6)
+             AS dup_3gram_frac,
+           round(COALESCE(s3.top * 1.0 / s3.total, 0.0), 6) AS top_3gram_frac
+    FROM toks t
+    LEFT JOIN s2 USING (doc_id)
+    LEFT JOIN s3 USING (doc_id)
+    """,
+)
+def q56_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate and top-n-gram
+    occurrence fractions for 2/3-grams per document
+    (operators/text_analysis.py:repetition_signals)."""
+    return TA.repetition_signals(_docs(spark, sf_dir))
+
+
+@query(
+    "q57_pattern_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digit_runs,
+           round(COALESCE(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                          / len(text), 0.0), 6) AS digit_frac
+    FROM documents
+    """,
+)
+def q57_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL/digit-run counts + digit fraction per document — the
+    content-safety pattern pass (operators/text_analysis.py)."""
+    return TA.pattern_counts(_docs(spark, sf_dir))
+
+
+@query(
     "q53_corpus_filter",
     "WITH " + TOKS_SQL + ",\n" + LANGID_CTES + r""",
     qual AS (

@@ -46,6 +46,7 @@ HEADLINE += [
     "q50_fingerprint",
     "q52_dedup_components",
     "q53_corpus_filter",
+    "q56_repetition_signals",
 ]
 
 

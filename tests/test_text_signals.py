@@ -1,0 +1,38 @@
+"""Repetition and pattern-count signals (operators/text_analysis.py)
+on handcrafted documents with known values."""
+
+from __future__ import annotations
+
+from batch_processing_analysis_spark.operators import text_analysis as TA
+
+
+def _docs(spark, items):
+    return spark.createDataFrame(items, "doc_id long, text string")
+
+
+def test_repetition_signals_known_values(spark):
+    docs = _docs(spark, [
+        (1, "a a a a"),            # 2-grams: "a a" x3 -> dup 2/3, top 1.0
+        (2, "w x y z"),            # all distinct -> dup 0, top 1/3
+        (3, "solo"),               # <2 tokens -> zeros
+    ])
+    rows = {r["doc_id"]: r for r in TA.repetition_signals(docs).collect()}
+    assert rows[1]["dup_2gram_frac"] == round(2 / 3, 6)
+    assert rows[1]["top_2gram_frac"] == 1.0
+    assert rows[1]["dup_3gram_frac"] == 0.5      # "a a a" x2
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert rows[2]["top_2gram_frac"] == round(1 / 3, 6)
+    assert rows[3]["dup_2gram_frac"] == 0.0 and rows[3]["top_3gram_frac"] == 0.0
+
+
+def test_pattern_counts_known_values(spark):
+    docs = _docs(spark, [
+        (1, "mail me at bob@example.com or see https://x.io/a b"),
+        (2, "card 123456789 pin 1234"),
+        (3, ""),
+    ])
+    rows = {r["doc_id"]: r for r in TA.pattern_counts(docs).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_urls"] == 1
+    assert rows[2]["n_digit_runs"] == 1          # only the 9-digit run
+    assert rows[2]["digit_frac"] == round(13 / len("card 123456789 pin 1234"), 6)
+    assert rows[3]["n_emails"] == 0 and rows[3]["digit_frac"] == 0.0
