@@ -100,9 +100,13 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     """The test tables arrive as ONE parquet file -> one input split ->
     all per-row text/vector work on one core. Round-robin repartition to
     cluster width first (the shuffle is KBs; the compute it unlocks is
-    the expensive part). At real scale inputs arrive as many splits and
-    this is a no-op cost-wise — AQE coalesces back if over-split."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    the expensive part) — but ONLY when the scan is actually narrower
+    than the cluster: at real scale inputs arrive as many files and the
+    repartition would be a pointless full-corpus shuffle."""
+    par = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) >= par:
+        return df
+    return df.repartition(par)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
