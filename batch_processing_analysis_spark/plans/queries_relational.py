@@ -365,9 +365,14 @@ def q18_range_join_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     (utils.py:179-196, called per-instant at activation_rules.py:132).
 
     The reference re-scans the whole log per instant (O(instants×N));
-    here ONE broadcast hash join against the (small) instant set
-    evaluates all instants in a single pass over the events. Scale: for
-    instant sets too large to broadcast, q29 runs the same workload
+    here ONE broadcast range join against the (small) instant set
+    evaluates all instants in a single pass over the events. With no
+    equality key the physical op is BroadcastNestedLoopJoin — bounded
+    by design: the build side is the instant sample, so cost is
+    |events| × |instants_broadcast|, never a data×data product. When a
+    partitioning key exists (q36's per-resource workload) the same
+    operator plants it as the hash key and Catalyst picks a hash join;
+    for instant sets too large to broadcast, q29 runs the same workload
     through the bucketed range join in operators/range_join.py
     (equi-join on time bucket + residual filter).
     """
