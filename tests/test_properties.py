@@ -1,0 +1,132 @@
+"""Property-based invariants (hypothesis).
+
+Fast pure-python properties exercise the streaming sessionization
+kernel against a naive reference implementation; a small number of
+Spark examples check end-to-end pipeline invariants the reference's
+design guarantees (WT decomposition additivity, batch partition
+consistency, enablement bounds).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from batch_processing_analysis_spark.config import Configuration, EventLogIDs
+from batch_processing_analysis_spark.operators.discovery import discover_batches
+from batch_processing_analysis_spark.operators.enablement import add_enabled_times
+from batch_processing_analysis_spark.operators.waiting_time import add_waiting_times
+from batch_processing_analysis_spark.streaming.stateful import _chains, _emit_prefix
+
+IDS = EventLogIDs()
+
+# ---------------------------------------------------------------------------
+# Pure-python kernel properties (cheap: hundreds of examples)
+# ---------------------------------------------------------------------------
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 50),            # start offset
+        st.integers(0, 20),            # duration
+        st.sampled_from(["c1", "c2", "c3"]),
+    ),
+    min_size=0, max_size=20,
+).map(lambda rs: sorted((s, s + d, c) for s, d, c in rs))
+
+
+@given(events, st.sampled_from([0, 2, 5]))
+@settings(max_examples=200, deadline=None)
+def test_chains_partition_preserves_events(rows, gap):
+    gap_us = gap
+    chains = _chains(rows, gap_us)
+    # Chains concatenate back to the input (a partition, order kept).
+    flat = [r for c, _ in chains for r in c]
+    assert flat == rows
+    # Each chain's type is one of the three classes or None.
+    for _, t in chains:
+        assert t in (None, "simultaneous", "sequential", "concurrent")
+
+
+@given(events, st.sampled_from([0, 3]), st.integers(0, 80))
+@settings(max_examples=200, deadline=None)
+def test_emit_prefix_soundness(rows, gap, wm):
+    emitted, kept, _ = _emit_prefix(rows, gap, wm)
+    flat = [r for c, _ in emitted for r in c] + kept
+    assert sorted(flat) == rows
+    # Every emitted chain is frozen: all starts below the watermark and
+    # the tail cannot be extended by any event at/after the watermark.
+    for c, _ in emitted:
+        assert max(r[0] for r in c) < wm
+        assert wm > c[-1][1] + gap
+
+
+# ---------------------------------------------------------------------------
+# Spark end-to-end invariants (few examples: session round-trips cost)
+# ---------------------------------------------------------------------------
+
+T0 = datetime(2024, 1, 1, 8)
+
+spark_logs = st.lists(
+    st.tuples(
+        st.sampled_from(["c1", "c2", "c3", "c4"]),
+        st.sampled_from(["A", "B"]),
+        st.sampled_from(["r1", "r2"]),
+        st.integers(0, 120),           # start minute
+        st.integers(1, 30),            # duration minutes
+    ),
+    min_size=4, max_size=24,
+)
+
+
+@pytest.fixture(scope="module")
+def mk_log(spark):
+    def make(rows):
+        data = [
+            (c, a, r, T0 + timedelta(minutes=s), T0 + timedelta(minutes=s + d))
+            for c, a, r, s, d in rows
+        ]
+        return spark.createDataFrame(
+            data,
+            schema=f"{IDS.case} string, {IDS.activity} string, "
+                   f"{IDS.resource} string, {IDS.start_time} timestamp, "
+                   f"{IDS.end_time} timestamp",
+        )
+    return make
+
+
+@given(spark_logs)
+@settings(max_examples=5, deadline=None)
+def test_pipeline_invariants(mk_log, rows):
+    log = add_enabled_times(mk_log(rows), IDS, 0.1)
+    en = log.select(
+        F.min(
+            (F.col(IDS.enabled_time) <= F.col(IDS.start_time)).cast("int")
+        ).alias("ok")
+    ).first()["ok"]
+    assert en == 1  # enablement never after start
+
+    disc = discover_batches(log, Configuration(min_batch_instance_size=2))
+    rows_out = disc.collect()
+    assert len(rows_out) == len(rows)  # discovery is a row-preserving labeling
+    by_batch: dict = {}
+    for r in rows_out:
+        if r[IDS.batch_id] is not None:
+            by_batch.setdefault(r[IDS.batch_id], set()).add(r[IDS.case])
+            assert r[IDS.batch_type] is not None
+    for cases in by_batch.values():
+        assert len(cases) >= 2  # min-size filter respected
+
+    wt = add_waiting_times(disc, Configuration(min_batch_instance_size=2))
+    bad = (
+        wt.filter(F.col(IDS.batch_id).isNotNull())
+        .filter(
+            F.col(IDS.batch_total_wt)
+            != F.col(IDS.batch_creation_wt) + F.col(IDS.batch_ready_wt)
+            + F.col(IDS.batch_other_wt)
+        )
+        .count()
+    )
+    assert bad == 0  # WT decomposition is exactly additive
