@@ -67,12 +67,20 @@ def connected_components(
     # are sparse (most of the corpus is isolated), so iterating over the
     # full node set would shuffle mostly-fixed self-labels every round.
     # Isolated nodes join back as their own component at the end.
+    # Init folds the first propagation in for free: label(v) =
+    # min(v, neighbors(v)) is one groupBy on the edge table — the same
+    # shuffle a bare self-label init plus one round would have cost.
     labels = (
-        sym.select(F.col("_src").alias("_id"))
-        .distinct()
-        .withColumn("_comp", F.col("_id"))
+        sym.groupBy("_src")
+        .agg(F.min("_dst").alias("_mn"))
+        .select(F.col("_src").alias("_id"),
+                F.least("_src", "_mn").alias("_comp"))
         .localCheckpoint(eager=True)
     )
+    # Labels are non-increasing under both steps, so the label SUM is a
+    # strictly decreasing progress measure: fixpoint ⟺ sum unchanged.
+    # (A tiny agg per round instead of a join-and-count.)
+    prev_sum = labels.agg(F.sum("_comp")).first()[0]
 
     for _ in range(max_iterations):
         # Propagate: min over own label and every neighbor's label.
@@ -94,15 +102,11 @@ def connected_components(
             .select("_id", F.coalesce("_jcomp", "_comp").alias("_comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "_id")
-            .filter(F.col("n._comp") != F.col("o._comp"))
-            .count()
-        )
+        new_sum = new.agg(F.sum("_comp")).first()[0]
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     return (
         nodes.select(F.col(id_col)).distinct()
