@@ -666,6 +666,89 @@ def q57_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q58_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('corpus-sample' || chr(31) || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang, rn AS sample_rank
+    FROM ranked
+    WHERE rn <= greatest(CAST(ceil(n_lang * 0.2) AS BIGINT), 5)
+    """,
+)
+def q58_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling: keep ~20% per language (floor 5) by
+    ranking documents on a reproducible md5(seed, id) key — the balanced
+    subsample every training pipeline draws, identical on every engine
+    and rerun (the W7 determinism policy, unlike rand()).
+
+    Scale: one shuffle on the stratum key; the per-stratum window
+    reuses it. Skewed strata are fine — rank, don't collect."""
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat_ws("\x1f", F.lit("corpus-sample"),
+                          F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    quota = F.greatest(
+        F.ceil(F.count(F.lit(1)).over(W.partitionBy("lang")) * 0.2).cast("long"),
+        F.lit(5).cast("long"),
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("_quota", quota)
+        .filter(F.col("sample_rank") <= F.col("_quota"))
+        .drop("_quota")
+    )
+
+
+@query(
+    "q59_token_shard_packing",
+    "WITH " + TOKS_SQL + """
+    , sized AS (
+      SELECT doc_id, lang, len(tk) AS n_tokens,
+             sum(len(tk)) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
+    FROM sized
+    """,
+)
+def q59_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign documents to ~4096-token
+    training shards per language by cumulative token count in a
+    deterministic (doc_id) order — the sequence-packing prepass that
+    turns a filtered corpus into fixed-budget work units.
+
+    Scale: one window shuffle on the stratum; the running sum is
+    streaming (no buffering). A greedy bin-packer would need per-bin
+    state; the cumulative-quotient form is the distributable
+    equivalent, off by at most one document per boundary."""
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(TA.tokens(F.col("text")))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sized = docs.select(
+        "doc_id", "lang", n_tok.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return sized.select(
+        "doc_id", "lang", "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(4096.0))
+        .cast("long").alias("shard"),
+    )
+
+
+@query(
     "q53_corpus_filter",
     "WITH " + TOKS_SQL + ",\n" + LANGID_CTES + r""",
     qual AS (
