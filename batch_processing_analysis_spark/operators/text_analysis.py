@@ -263,3 +263,68 @@ def pattern_counts(docs: DataFrame, id_col: str = "doc_id",
         F.round(F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0)), 6)
         .alias("digit_frac"),
     )
+
+
+def winnowing_fingerprint_rows(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text", k: int = 8,
+                               window: int = 4) -> DataFrame:
+    """Distinct (id, fingerprint) ROWS — the relational form of
+    :func:`winnowing_fingerprints` (same fingerprint set): explode
+    k-gram positions, hash in codegen, take each sliding ``window``
+    minimum with a row-frame window function, distinct via aggregation.
+    Feeds joins directly — the representation fingerprint-overlap
+    pairing wants, with no arrays to cache.
+    """
+    t = F.col(text_col)
+    n_pos = F.length(t) - (k - 1)
+    grams = (
+        docs.filter(F.length(t) >= k + window - 1)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"),
+            t.alias("_t"),
+        )
+        .select(
+            id_col, "_i",
+            hash60(F.substring(F.col("_t"), F.col("_i"), F.lit(k))).alias("_h"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy("_i").rowsBetween(0, window - 1)
+    n_pos_col = F.max("_i").over(W.partitionBy(id_col))
+    return (
+        grams.withColumn("_min", F.min("_h").over(w))
+        .withColumn("_np", n_pos_col)
+        .filter(F.col("_i") <= F.col("_np") - (window - 1))
+        .select(F.col(id_col), F.col("_min").alias("fp"))
+        .distinct()
+    )
+
+
+def winnowing_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 8,
+                            window: int = 4, df_max: int = 20,
+                            min_shared: int = 3) -> DataFrame:
+    """MOSS-style containment candidates: document pairs sharing at
+    least ``min_shared`` winnowing fingerprints, with rare-fingerprint
+    blocking (document frequency in [2, df_max]) so ubiquitous
+    fingerprints never fan out into quadratic pair lists.
+
+    Scale: fingerprint rows → df-bounded blocking → equi-join on the
+    fingerprint → pair aggregation. Same shape as the n-gram Jaccard
+    join; every stage hash-partitions on bounded keys.
+    """
+    fps = winnowing_fingerprint_rows(docs, id_col, text_col, k, window)
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    rare = (
+        fps.join(dfreq.filter(F.col("_df").between(2, df_max)), "fp")
+        .select(id_col, "fp")
+    )
+    a = rare.select(F.col(id_col).alias("id_a"), "fp")
+    b = rare.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

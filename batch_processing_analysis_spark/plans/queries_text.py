@@ -666,6 +666,42 @@ def q57_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q60_winnowing_pairs",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+      FROM documents WHERE len(text) >= 11
+    ),
+    gh AS (
+      SELECT doc_id, i, {HASH60.format(x='text[i:i+7]')} AS h FROM pos
+    ),
+    wm AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             max(i) OVER (PARTITION BY doc_id) AS np
+      FROM gh
+    ),
+    fps AS (SELECT DISTINCT doc_id, m AS fp FROM wm WHERE i <= np - 3),
+    dfreq AS (SELECT fp, count(*) AS dfq FROM fps GROUP BY fp),
+    rare AS (
+      SELECT f.doc_id, f.fp FROM fps f JOIN dfreq USING (fp)
+      WHERE dfq BETWEEN 2 AND 20
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b HAVING count(*) >= 3
+    """,
+)
+def q60_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style containment candidates: pairs sharing ≥3 winnowing
+    fingerprints (k=8, window=4) under rare-fingerprint blocking
+    (df ∈ [2,20]) — the plagiarism/containment near-dup family,
+    relational end to end (operators/text_analysis.py)."""
+    return TA.winnowing_overlap_pairs(_docs(spark, sf_dir))
+
+
+@query(
     "q58_stratified_sample",
     """
     WITH ranked AS (

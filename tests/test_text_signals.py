@@ -36,3 +36,22 @@ def test_pattern_counts_known_values(spark):
     assert rows[2]["n_digit_runs"] == 1          # only the 9-digit run
     assert rows[2]["digit_frac"] == round(13 / len("card 123456789 pin 1234"), 6)
     assert rows[3]["n_emails"] == 0 and rows[3]["digit_frac"] == 0.0
+
+
+def test_winnowing_rows_match_array_form(spark, sf_dir):
+    """The relational fingerprint rows and the array-form operator must
+    produce identical per-doc fingerprint COUNTS (same algorithm, two
+    physical shapes)."""
+    from pyspark.sql import functions as F
+    from batch_processing_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = (
+        TA.winnowing_fingerprint_rows(docs)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    arrs = TA.winnowing_fingerprints(docs).select(
+        "doc_id", F.col("n_fingerprints").alias("n")
+    )
+    assert rows.exceptAll(arrs).count() == 0
+    assert arrs.exceptAll(rows).count() == 0
