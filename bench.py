@@ -47,6 +47,7 @@ HEADLINE += [
     "q52_dedup_components",
     "q53_corpus_filter",
     "q56_repetition_signals",
+    "q60_winnowing_pairs",
 ]
 
 
