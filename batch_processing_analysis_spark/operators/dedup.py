@@ -282,9 +282,14 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id",
                   bits: int = 32, band_bits: int = 8,
-                  max_hamming: int = 2) -> DataFrame:
+                  max_hamming: int = 2, max_bucket: int = 1000) -> DataFrame:
     """Candidate pairs sharing ≥1 signature byte-band; verified by
-    Hamming distance ≤ ``max_hamming`` (bit_count of XOR, JVM-side)."""
+    Hamming distance ≤ ``max_hamming`` (bit_count of XOR, JVM-side).
+
+    ``max_bucket`` drops degenerate (band, bkey) buckets before the
+    self-join — the same skew guard as ``lsh_candidate_pairs``. Short /
+    boilerplate corpora collapse whole classes of docs into one byte
+    bucket; without the cap that bucket alone is O(bucket²) pairs."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     # Single explode over the band array (see lsh_candidate_pairs: a
@@ -304,6 +309,10 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id",
         .select(id_col, "simhash", F.col("_bb.band").alias("band"),
                 F.col("_bb.bkey").alias("bkey"))
     )
+    pop = W.partitionBy("band", "bkey")
+    bands = bands.withColumn("_n", F.count(F.lit(1)).over(pop)).filter(
+        F.col("_n") <= max_bucket
+    ).drop("_n")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

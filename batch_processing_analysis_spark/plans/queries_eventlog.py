@@ -1100,3 +1100,58 @@ def q28_prioritization_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log = add_enabled_times(log, IDS, concurrency_threshold=0.1)
     return find_prioritization_pairs(log, IDS, activity=None)
+
+
+@query(
+    "q61_event_blacklist",
+    f"""
+    WITH {LOG_SQL},
+    dirty AS (
+      SELECT event_id, case_id,
+             CASE WHEN event_id % 2 = 0
+                  THEN ' ' || activity || chr(160) || '  x  y' || chr(160)
+                  ELSE activity END AS activity
+      FROM log
+    ),
+    norm AS (
+      SELECT event_id, case_id,
+             replace(replace(regexp_replace(activity,
+                       '^[\\s\\x{{00A0}}]+|[\\s\\x{{00A0}}]+$', '', 'g'),
+                     chr(160), ''), '  ', ' ') AS activity
+      FROM dirty
+    )
+    SELECT activity, count(*) AS n_events,
+           count(DISTINCT case_id) AS n_cases
+    FROM norm
+    WHERE activity NOT IN ('error', 'signup', 'view x y')
+    GROUP BY activity
+    """,
+)
+def q61_event_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 activity-name normalize + blacklist drop (reference
+    handoff_batch.py:77-98 _log_filtering): strip / NBSP-remove /
+    double-space-collapse each activity name, then anti-join (J5) the
+    event-name blacklist. Half the events get injected NBSP/space noise
+    so the normalization is actually load-bearing; 'view x y' in the
+    blacklist proves the join sees NORMALIZED names.
+
+    Scale: normalization is per-row codegen; the blacklist is a
+    broadcast anti join (arbitrarily large lists stay out of the
+    expression tree); the rollup is one partial-aggregable groupBy.
+    """
+    from ..preprocessing import filter_event_blacklist
+
+    log = _event_log(spark, sf_dir)
+    dirty = log.withColumn(
+        IDS.activity,
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(F.lit(" "), F.col(IDS.activity),
+                     F.lit("\xa0"), F.lit("  x  y\xa0")),
+        ).otherwise(F.col(IDS.activity)),
+    )
+    kept = filter_event_blacklist(dirty, IDS, ["error", "signup", "view x y"])
+    return kept.groupBy(F.col(IDS.activity).alias("activity")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col(IDS.case)).alias("n_cases"),
+    )

@@ -74,6 +74,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderstatus = 'O' AND o_totalprice > 100000
       AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
     """,
+    primary=False,
 )
 def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P6: projection + compound predicate, zero shuffle.
@@ -121,6 +122,7 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type, user_id
     ) GROUP BY event_type
     """,
+    primary=False,
 )
 def q14_nested_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: two-level nested aggregate (max over groups of per-subgroup min).
@@ -147,6 +149,7 @@ def q14_nested_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
     GROUP BY n_orders
     """,
+    primary=False,
 )
 def q15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: histogram via double groupBy (reference: Counter of batch sizes,
@@ -164,6 +167,7 @@ def q15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
+    primary=False,
 )
 def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup: the reference's two-pass overall/per-type report levels
@@ -270,6 +274,7 @@ def q08_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
     GROUP BY c_mktsegment
     """,
+    primary=False,
 )
 def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: left-semi join (reference: keep cases containing an activity,
@@ -291,6 +296,7 @@ def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_unsold, coalesce(min(p_partkey), -1) AS min_unsold_key
     FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
     """,
+    primary=False,
 )
 def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: anti join (reference: blacklist drop, handoff_batch.py:84-94)."""
@@ -676,6 +682,7 @@ def q21_rolling_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
            dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk
     FROM supplier
     """,
+    primary=False,
 )
 def q22_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: dense re-numbering (reference: unified batch-instance ids,
@@ -717,6 +724,7 @@ def q20_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders, generate_series(1, 3) AS t(i)
     WHERE o_orderkey % 500 = 0
     """,
+    primary=False,
 )
 def q23_instant_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6: equally-spaced instant generation (reference: pd.date_range
@@ -774,6 +782,7 @@ def q24_union_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)   AS n_signup
     FROM events GROUP BY user_id
     """,
+    primary=False,
 )
 def q25_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot via conditional aggregation (single shuffle, no pivot

@@ -209,18 +209,23 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(4)
     )
     + """
+      ),
+      guarded AS (
+        SELECT doc_id, sig, band, bkey FROM (
+          SELECT *, count(*) OVER (PARTITION BY band, bkey) AS _n FROM bands
+        ) WHERE _n <= 1000
       )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.sig, b.sig)) AS hamming
-    FROM bands a JOIN bands b
+    FROM guarded a JOIN guarded b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= 2
     """,
 )
 def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit, tf-weighted) near-dup pairs: byte-banded
-    candidates, Hamming ≤ 2 verify. All bit arithmetic JVM-side
-    (operators/dedup.py)."""
+    candidates (bucket-population skew guard, like q41), Hamming ≤ 2
+    verify. All bit arithmetic JVM-side (operators/dedup.py)."""
     sigs = D.simhash_signatures(_docs(spark, sf_dir))
     return D.simhash_pairs(sigs)
 

@@ -22,14 +22,30 @@ SparkBuilder = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, SparkBuilder] = {}
 ORACLES: dict[str, str] = {}
 
+# Secondary registry: single-primitive demo queries whose operator is
+# ALSO exercised by a primary composite query. The driver's correctness
+# gate checks at most 50 queries (in registration order) — r2 dropped
+# the 8 tail-registered text-family flagships — so the exported
+# ``queries()`` surface is capped at 50 primaries covering every
+# SURVEY §2 family, and these extras are verified by pytest
+# (tests/test_extra_queries.py) and tools/verify_queries.py --extra
+# against the same DuckDB oracles instead.
+EXTRA_QUERIES: dict[str, SparkBuilder] = {}
+EXTRA_ORACLES: dict[str, str] = {}
 
-def query(name: str, oracle: str | None = None):
-    """Register a query builder and (optionally) its DuckDB oracle."""
+
+def query(name: str, oracle: str | None = None, primary: bool = True):
+    """Register a query builder and (optionally) its DuckDB oracle.
+
+    ``primary=False`` routes to the pytest-verified secondary registry
+    (kept out of the driver's 50-row correctness window).
+    """
 
     def deco(fn: SparkBuilder) -> SparkBuilder:
-        QUERIES[name] = fn
+        q, o = (QUERIES, ORACLES) if primary else (EXTRA_QUERIES, EXTRA_ORACLES)
+        q[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            o[name] = oracle
         return fn
 
     return deco

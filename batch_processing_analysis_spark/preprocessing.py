@@ -60,6 +60,44 @@ def extract_traces_containing(
 
 
 # --------------------------------------------------------------------------
+# X4: activity-name normalize + blacklist filter (reference
+# handoff_batch.py:77-98 _log_filtering)
+# --------------------------------------------------------------------------
+
+def filter_event_blacklist(
+    log: DataFrame, ids: EventLogIDs, blacklist: list[str]
+) -> DataFrame:
+    """Normalize activity names, then drop blacklisted events.
+
+    Mirrors the reference's ``_log_filtering``: per activity value,
+    ``strip()`` → remove NBSP (``\\xa0``) → collapse double spaces to
+    single (one non-overlapping left-to-right pass, like
+    ``str.replace`` — which is also ``regexp_replace`` semantics), then
+    keep events whose normalized activity is NOT in ``blacklist``.
+    Spark ``trim`` only strips ASCII spaces, so the strip step is a
+    regex covering space/tab/newline/NBSP (Python ``str.strip()``
+    additionally strips exotic unicode spaces — documented deviation).
+
+    The drop is an anti join (J5) against a blacklist table so the list
+    may be arbitrarily large (an ``isin`` literal list bloats the
+    expression tree the same way the enablement pairs literal did);
+    Spark broadcasts the tiny side automatically.
+    """
+    stripped = F.regexp_replace(
+        F.col(ids.activity), "^[\\s\xa0]+|[\\s\xa0]+$", ""
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(stripped, "\xa0", ""),
+        "  ", " ",
+    )
+    out = log.withColumn(ids.activity, norm)
+    bl = log.sparkSession.createDataFrame(
+        [(b,) for b in blacklist], f"{ids.activity} string"
+    )
+    return out.join(F.broadcast(bl), ids.activity, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # X5: calendar-displacement repair (reference handoff_batch.py:101-140)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,87 @@
+"""Secondary-registry correctness gate.
+
+The driver's CORRECTNESS window checks at most 50 queries, so the
+single-primitive demo queries live in ``registry.EXTRA_QUERIES`` (their
+operators are ALSO covered by primary composites — see VERDICT r2 §
+operator table). This test is their oracle gate: every extra query runs
+on Spark AND its DuckDB twin over the same parquet, and must match on
+row count, sorted schema, and order-insensitive canonical values —
+exactly the driver's comparison.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from pathlib import Path
+
+import duckdb
+import pytest
+
+from batch_processing_analysis_spark.plans import registry
+from batch_processing_analysis_spark.plans import (  # noqa: F401 — register
+    queries_eventlog,
+    queries_relational,
+    queries_text,
+)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(_canon_cell(r[i]) for i in order) for r in rows)
+    return sorted(cols), out
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+def test_registry_split_is_driver_sized():
+    # The driver checks at most 50 queries; the exported surface must
+    # fit so every operator family lands inside the window.
+    assert len(registry.QUERIES) <= 50
+    # Nothing registered twice.
+    assert not set(registry.QUERIES) & set(registry.EXTRA_QUERIES)
+    # Every extra has an oracle (extras exist to stay oracle-verified).
+    assert set(registry.EXTRA_QUERIES) == set(registry.EXTRA_ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(registry.EXTRA_QUERIES))
+def test_extra_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = registry.EXTRA_QUERIES[name](spark, sf_dir)
+    s_cols, s_rows = _canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+    res = duck.execute(registry.EXTRA_ORACLES[name])
+    d_cols, d_rows = _canon([d[0] for d in res.description], res.fetchall())
+    assert s_cols == d_cols
+    assert len(s_rows) == len(d_rows)
+    assert s_rows == d_rows

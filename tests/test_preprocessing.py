@@ -12,6 +12,7 @@ from batch_processing_analysis_spark.config import EventLogIDs
 from batch_processing_analysis_spark.preprocessing import (
     displace_calendar_unavailability,
     extract_traces_containing,
+    filter_event_blacklist,
     find_prioritization_pairs,
     inject_prioritized_traces,
 )
@@ -164,3 +165,32 @@ def test_inject_prioritized_traces(spark):
     y = rows[("101", "Y")]
     assert y[IDS.start_time] == t(12) and y[IDS.end_time] == t(30)
     assert rows[("101", "X")][IDS.start_time] == t(5)
+
+
+# --------------------------------------------------------------------------
+# X4 (reference handoff_batch.py:77-98 _log_filtering)
+# --------------------------------------------------------------------------
+
+def test_filter_event_blacklist_normalizes_like_reference(spark):
+    ref_norm = lambda x: x.strip().replace("\xa0", "").replace("  ", " ")
+    names = [
+        "  Loan application approved ",       # strip only -> blacklisted
+        "Check\xa0application",               # interior NBSP removed
+        "Assess  eligibility",                # double space collapsed
+        "Assess eligibility",                 # collides with the above
+        " \xa0 EVENT 33 CATCH TIMER\xa0",     # NBSP inside the strip zone
+        "Approve   loan",                     # 3 spaces -> 2 (one pass)
+        "ok",
+    ]
+    blacklist = ["Loan application approved", "EVENT 33 CATCH TIMER"]
+    rows = [(str(i), n, "r1", t(i), t(i + 1)) for i, n in enumerate(names)]
+    out = filter_event_blacklist(make_log(spark, rows), IDS, blacklist)
+    got = {r[IDS.case]: r[IDS.activity] for r in out.collect()}
+    expected = {
+        str(i): ref_norm(n)
+        for i, n in enumerate(names)
+        if ref_norm(n) not in blacklist
+    }
+    assert got == expected
+    # sanity: the reference one-pass replace leaves "Approve  loan" as-is
+    assert got["5"] == "Approve  loan"

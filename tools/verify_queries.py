@@ -87,9 +87,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--extra", action="store_true",
+                    help="also verify the secondary (pytest-gated) registry")
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
+    from batch_processing_analysis_spark.plans import registry
     from batch_processing_analysis_spark.session import get_spark
 
     spark = get_spark("verify_queries")
@@ -101,6 +104,9 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if args.extra:
+        qs = {**qs, **registry.EXTRA_QUERIES}
+        oracles = {**oracles, **registry.EXTRA_ORACLES}
     only = set(args.only.split(",")) if args.only else None
 
     n_pass = n_fail = n_rows_only = 0
