@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..config import BatchType, Configuration, EventLogIDs
+from .checkpoints import checkpoint_tracked, release_checkpoints
 
 RAW_SIMULTANEOUS = "simultaneous"
 RAW_SEQUENTIAL = "sequential"
@@ -607,7 +608,7 @@ def discover_batches(log: DataFrame, config: Configuration,
     # flat cached scan. On a real cluster, swap for checkpoint() to
     # durable storage if fault-tolerance across the discovery boundary
     # matters; the plan-truncation effect is the same.
-    df = df.localCheckpoint(eager=True)
+    df, mid1 = checkpoint_tracked(df)
     df = _split_mixed_type_subprocess(df)
     # Resource split (discovery.py:84-114) is a no-op here: both detectors
     # already partition by resource, so an instance can never span two.
@@ -615,11 +616,15 @@ def discover_batches(log: DataFrame, config: Configuration,
     df = _split_wrong_enabled(df, ids, "_sub_grp", F.col("_sub_type").isNotNull())
     # Same reasoning: min-size (2 forks) + unify (2 forks + a count
     # action) all branch off the post-split frame.
-    df = df.localCheckpoint(eager=True)
+    df, mid2 = checkpoint_tracked(df)
     df = _min_size_filter(df, ids, config.min_batch_instance_size)
     # Consumers (features table, WT decomposition, reporting) fork the
     # returned frame up to 5 ways; without truncation each fork re-runs
     # min-size + unify (agg + join-back) from the checkpoint above.
     # Eager checkpoint = one execution — the same work a single consumer
     # would trigger anyway — so multi-fork callers get it 1× not 5×.
-    return _unify(df, ids).localCheckpoint(eager=True)
+    out = _unify(df, ids).localCheckpoint(eager=True)
+    # The two intermediates above exist only to serve THIS pipeline;
+    # once `out` is materialized nothing can reference them again.
+    release_checkpoints(out, mid1 | mid2)
+    return out

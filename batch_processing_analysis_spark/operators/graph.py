@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpoints import checkpoint_tracked, release_checkpoints
+
 
 def connected_components(
     nodes: DataFrame,
@@ -55,13 +57,12 @@ def connected_components(
     Deterministic: the fixpoint of min-propagation is unique, so the
     result is independent of partitioning and iteration interleaving.
     """
-    sym = (
+    sym, sym_ids = checkpoint_tracked(
         edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
         .unionByName(
             edges.select(F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # Supersteps only carry nodes that touch an edge: near-dup graphs
     # are sparse (most of the corpus is isolated), so iterating over the
@@ -70,12 +71,11 @@ def connected_components(
     # Init folds the first propagation in for free: label(v) =
     # min(v, neighbors(v)) is one groupBy on the edge table — the same
     # shuffle a bare self-label init plus one round would have cost.
-    labels = (
+    labels, label_ids = checkpoint_tracked(
         sym.groupBy("_src")
         .agg(F.min("_dst").alias("_mn"))
         .select(F.col("_src").alias("_id"),
                 F.least("_src", "_mn").alias("_comp"))
-        .localCheckpoint(eager=True)
     )
     # Labels are non-increasing under both steps, so the label SUM is a
     # strictly decreasing progress measure: fixpoint ⟺ sum unchanged.
@@ -97,17 +97,23 @@ def connected_components(
         jump = labels.select(
             F.col("_id").alias("_jid"), F.col("_comp").alias("_jcomp")
         )
-        new = (
+        new, new_ids = checkpoint_tracked(
             new.join(jump, new["_comp"] == jump["_jid"], "left")
             .select("_id", F.coalesce("_jcomp", "_comp").alias("_comp"))
-            .localCheckpoint(eager=True)
         )
         new_sum = new.agg(F.sum("_comp")).first()[0]
-        labels = new
+        # The new frame is materialized and lineage-free; the previous
+        # superstep's label blocks can never be read again (r2 advice:
+        # without this a K-round fixpoint retains K label-table copies).
+        release_checkpoints(new, label_ids)
+        labels, label_ids = new, new_ids
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
 
+    # The returned plan reads only the FINAL label table; the edge
+    # table served the loop alone and its blocks can go now.
+    release_checkpoints(labels, sym_ids)
     return (
         nodes.select(F.col(id_col)).distinct()
         .join(labels.withColumnRenamed("_id", id_col), id_col, "left")

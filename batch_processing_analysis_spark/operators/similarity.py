@@ -42,6 +42,9 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -185,42 +188,65 @@ def hyperplanes(num_bits: int, dim: int, seed: str = "srp") -> list[list[float]]
     ]
 
 
+def _quantized_planes(num_bits: int, dim: int, seed: str) -> list[list[int]]:
+    """Plane weights through floor(w·Q + 0.5) as int64 — the shared
+    quantization of both signature strategies and the DuckDB oracle."""
+    return [
+        [int(math.floor(w * SRP_Q + 0.5)) for w in plane]
+        for plane in hyperplanes(num_bits, dim, seed)
+    ]
+
+
 def srp_signatures(corpus: DataFrame, num_bits: int = 32, dim: int = 64,
                    seed: str = "srp", id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   strategy: str = "matmul") -> DataFrame:
     """P-bit signed-random-projection signature per vector: bit p is 1
     iff dot(v, plane_p) > 0 (ties → 0). P(bit match) = 1 − θ/π for
     angle θ, so Hamming distance estimates angular distance.
 
-    All P dot products are narrow higher-order-function expressions —
-    one scan, zero shuffles, no Python. ``dim`` must be ≥ the vector
-    length (components beyond it are simply never read)."""
-    corpus = _as_double(corpus, vec_col)
-    spark = corpus.sparkSession
+    Quantized-integer projections make the two strategies AND the
+    DuckDB oracle agree bit-for-bit: vector components and plane
+    weights both map through floor(x·Q + 0.5) to int64, so every dot
+    product is an EXACT integer sum — independent of summation order
+    (|x·Q| ≤ 2²⁰ ⇒ products ≤ 2⁴⁰, dim-64 sums ≤ 2⁴⁶ — no overflow).
+    Quantization error 2⁻²⁰ per component only perturbs which side of
+    a hyperplane near-orthogonal vectors fall on — an LSH recall
+    epsilon, not a correctness concern (verification recomputes exact
+    cosine on candidates).
 
-    # Quantized-integer projections: vector components and plane weights
-    # both map through floor(x·Q + 0.5) to int64, so every dot product
-    # is an EXACT integer sum — independent of summation order. That
-    # buys two things at once:
-    #
-    # 1. The computation can be fully relational (posexplode + broadcast
-    #    plane join + partial-aggregated sum — all codegen), instead of
-    #    P giant fold expressions whose Catalyst analysis alone cost
-    #    ~15 s per query build at P=32/dim=64. Planes are DATA (a 2 048-
-    #    row broadcast), not code.
-    # 2. DuckDB (any order), this plan (any partitioning), and the
-    #    documented large-scale swap-in — a vectorized pandas UDF doing
-    #    one int64 numpy matmul per batch — all agree bit-for-bit.
-    #
-    # Quantization error 2⁻²⁰ per component only perturbs which side of
-    # a hyperplane near-orthogonal vectors fall on — an LSH recall
-    # epsilon, not a correctness concern (verification recomputes exact
-    # cosine on candidates).
+    ``strategy="matmul"`` (default, the scale path): one Arrow-batched
+    pandas UDF computing an int64 numpy matmul per ~10k-row batch —
+    a narrow per-row map, zero shuffles, no intermediate blow-up.
+    ``strategy="relational"`` (the oracle twin): posexplode +
+    broadcast plane join + partial-aggregated sum — pure codegen and
+    SQL-transcribable, but materializes N·dim·P intermediate rows
+    (the r2 bench's single most expensive stage); kept as the
+    cross-engine determinism witness and equality-tested against
+    matmul in tests/test_similarity_srp.py.
+
+    Rows with an empty/zero-length vector get signature 0 in BOTH
+    strategies (every dot product is an empty sum = 0, no bit set).
+    ``dim`` must be ≥ the vector length (components beyond it are
+    simply never read)."""
+    corpus = _as_double(corpus, vec_col)
+    planes_q = _quantized_planes(num_bits, dim, seed)
+    if strategy == "matmul":
+        sig_col = _srp_sig_matmul_udf(planes_q)(F.col(vec_col))
+        return corpus.select(F.col(id_col), F.col(vec_col),
+                             sig_col.alias("srp_sig"))
+    if strategy != "relational":
+        raise ValueError(f"unknown srp strategy: {strategy!r}")
+
+    spark = corpus.sparkSession
+    # Planes are DATA (a 2 048-row broadcast), not code: P giant fold
+    # expressions cost ~15 s of Catalyst analysis per query build at
+    # P=32/dim=64 (the literal-tree trap).
     planes = spark.createDataFrame(
         [
-            (p, i, int(math.floor(w * SRP_Q + 0.5)))
-            for p, plane in enumerate(hyperplanes(num_bits, dim, seed))
-            for i, w in enumerate(plane)
+            (p, i, wq)
+            for p, plane in enumerate(planes_q)
+            for i, wq in enumerate(plane)
         ],
         "p int, i int, wq long",
     )
@@ -245,14 +271,50 @@ def srp_signatures(corpus: DataFrame, num_bits: int = 32, dim: int = 64,
             ).alias("srp_sig")
         )
     )
-    return corpus.join(sig, id_col).select(id_col, vec_col, "srp_sig")
+    # Left join + coalesce: posexplode yields no rows for empty vectors,
+    # but they are still documents — they keep signature 0 (r2 advice:
+    # the old inner join silently dropped them).
+    return corpus.join(sig, id_col, "left").select(
+        id_col, vec_col,
+        F.coalesce("srp_sig", F.lit(0).cast("long")).alias("srp_sig"),
+    )
+
+
+def _srp_sig_matmul_udf(planes_q: list[list[int]]):
+    """Arrow-batched signature kernel: quantize the batch, one int64
+    matmul against the (P × dim) plane matrix, pack sign bits.
+
+    Exact integer arithmetic (see srp_signatures) ⇒ bit-identical to
+    the relational path and the DuckDB oracle regardless of batching.
+    Ragged batches (vectors of different lengths, incl. empty) are
+    grouped by length so each group is one dense matmul.
+    """
+    wq = np.array(planes_q, dtype=np.int64)  # P × dim
+    powers = (np.int64(1) << np.arange(wq.shape[0], dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def _sig(vs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vs), dtype=np.int64)
+        lengths = vs.map(lambda v: 0 if v is None else len(v)).to_numpy()
+        for ln in np.unique(lengths):
+            idx = np.nonzero(lengths == ln)[0]
+            if ln == 0:
+                continue  # empty vector: all dots are empty sums -> 0
+            x = np.stack(vs.iloc[idx].to_numpy())  # n × ln, float64
+            xq = np.floor(x * SRP_Q + 0.5).astype(np.int64)
+            dots = xq @ wq[:, :ln].T  # n × P, exact int64
+            out[idx] = ((dots > 0) * powers).sum(axis=1)
+        return pd.Series(out)
+
+    return _sig
 
 
 def srp_neardup_pairs(corpus: DataFrame, threshold: float,
                       num_bits: int = 32, band_bits: int = 8,
                       max_bucket: int = 1000, dim: int = 64,
                       seed: str = "srp", id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      strategy: str = "matmul") -> DataFrame:
     """Near-dup pairs (exact cosine ≥ threshold) with SRP-LSH candidate
     generation — the scale-safe replacement for :func:`neardup_pairs`.
 
@@ -263,7 +325,8 @@ def srp_neardup_pairs(corpus: DataFrame, threshold: float,
     is the banding curve 1 − (1 − (1 − θ/π)^band_bits)^n_bands
     (≈0.95+ for sim ≥ 0.8 at 32/8; raise num_bits and band_bits
     together at corpus scale so buckets stay small)."""
-    sigs = srp_signatures(corpus, num_bits, dim, seed, id_col, vec_col)
+    sigs = srp_signatures(corpus, num_bits, dim, seed, id_col, vec_col,
+                          strategy=strategy)
     n_bands = num_bits // band_bits
     mask = (1 << band_bits) - 1
     band_structs = [

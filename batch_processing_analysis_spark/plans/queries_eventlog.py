@@ -464,10 +464,29 @@ WT_SQL = """
 """
 
 
+# One discovery-pipeline execution per (session, sf_dir, config): q32,
+# q33, q34, q36 and q37 all consume the same discovered frame, and the
+# result of discover_batches is a localCheckpointed (lineage-free,
+# block-cached) DataFrame that is safe to share across queries within a
+# session. Without this, a bench/verify session runs the whole pipeline
+# (enablement + two detector window stacks + repairs) once PER QUERY and
+# holds each run's checkpoint blocks concurrently.
+_DISC_CACHE: dict[tuple[str, str, bool], tuple[DataFrame, Configuration]] = {}
+
+
 def _discovered(spark: SparkSession, sf_dir: str, checkpoints: bool = False):
-    cfg = Configuration(report_batch_checkpoints=checkpoints)
-    log = add_enabled_times(_event_log(spark, sf_dir), IDS, concurrency_threshold=0.1)
-    return discover_batches(log, cfg), cfg
+    key = (spark.sparkContext.applicationId, sf_dir, checkpoints)
+    if key not in _DISC_CACHE:
+        cfg = Configuration(report_batch_checkpoints=checkpoints)
+        log = add_enabled_times(
+            _event_log(spark, sf_dir), IDS, concurrency_threshold=0.1
+        )
+        _DISC_CACHE[key] = discover_batches(log, cfg), cfg
+        # Sessions come and go (tests, bench, driver); drop entries from
+        # dead applications so stale JVM references don't accumulate.
+        for k in [k for k in _DISC_CACHE if k[0] != key[0]]:
+            del _DISC_CACHE[k]
+    return _DISC_CACHE[key]
 
 
 @query(

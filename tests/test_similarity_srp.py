@@ -53,3 +53,27 @@ def test_srp_signature_determinism(spark, sf_dir):
     # of partitioning, session, and engine.
     sig = dict(map(tuple, a))
     assert len(sig) == embs.count()
+
+
+def test_srp_matmul_equals_relational(spark, sf_dir):
+    # The scale path (Arrow-batched int64 matmul) and the oracle twin
+    # (posexplode + plane join) must agree BIT-FOR-BIT: quantized
+    # integer dots are exact in both, so any diff is a real bug.
+    embs = load_table(spark, sf_dir, "embeddings")
+    mm = S.srp_signatures(embs, strategy="matmul").select("vec_id", "srp_sig")
+    rel = S.srp_signatures(embs, strategy="relational").select("vec_id", "srp_sig")
+    a = sorted(map(tuple, mm.collect()))
+    b = sorted(map(tuple, rel.collect()))
+    assert a == b
+
+
+def test_srp_empty_vector_gets_zero_signature(spark):
+    rows = [(1, [0.5, -0.25, 0.125]), (2, []), (3, None)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for strategy in ("matmul", "relational"):
+        got = {
+            r.vec_id: r.srp_sig
+            for r in S.srp_signatures(embs, strategy=strategy).collect()
+        }
+        assert got[2] == 0, strategy
+        assert got[1] != 0, strategy
