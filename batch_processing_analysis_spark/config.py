@@ -114,3 +114,12 @@ class Configuration:
     # for instant sets too large to broadcast (scale dial — both
     # strategies produce identical pairs, see tests/test_range_join.py).
     workload_bucket_seconds: int | None = None
+    # With workload_bucket_seconds=None, features_table AUTO-switches to
+    # the bucketed join (width = workload_auto_bucket_seconds) when the
+    # estimated instant count — #instances × (1 + ready + enabled
+    # negatives), one cheap count over the checkpointed discovery frame
+    # — exceeds this budget. ~500k (resource, epoch) rows ≈ tens of MB
+    # broadcast: the sane ceiling for shipping the point set to every
+    # executor. None disables the probe (always broadcast).
+    workload_auto_bucket_threshold: int | None = 500_000
+    workload_auto_bucket_seconds: int = 3_600

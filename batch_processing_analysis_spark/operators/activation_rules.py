@@ -179,14 +179,27 @@ def features_table(log: DataFrame, config: Configuration) -> DataFrame:
     )
 
     # --- workload: J2 range join over distinct (resource, instant) ---------
-    # Strategy per config.workload_bucket_seconds: broadcast instants
-    # (default) or the bucketed equi-join for huge instant sets.
+    # Strategy: an explicit config.workload_bucket_seconds wins; with
+    # None, a cheap probe (one count-distinct over the checkpointed
+    # discovery frame — NOT the feature plan) estimates the instant set
+    # as #instances × (1 + ready + enabled negatives) and switches to
+    # the bucketed equi-join when it exceeds the broadcast budget.
     points = feat.select(ids.resource, "instant").distinct()
-    bucket_us = (
-        config.workload_bucket_seconds * 1_000_000
-        if config.workload_bucket_seconds
-        else None
-    )
+    if config.workload_bucket_seconds:
+        bucket_us = config.workload_bucket_seconds * 1_000_000
+    elif config.workload_auto_bucket_threshold is not None:
+        n_inst = (
+            log.filter(F.col(ids.batch_id).isNotNull())
+            .select(ids.batch_id).distinct().count()
+        )
+        est_instants = n_inst * (1 + n_ready + k)
+        bucket_us = (
+            config.workload_auto_bucket_seconds * 1_000_000
+            if est_instants > config.workload_auto_bucket_threshold
+            else None
+        )
+    else:
+        bucket_us = None
     workload = workload_at_instants(
         log.select(
             ids.resource,

@@ -229,6 +229,14 @@ def verify_jaccard_rows(pairs: DataFrame, shingles: DataFrame,
     two aggregations, all streamed — no arrays are ever built, so this
     is the verification path that scales (the array form copies both
     shingle sets onto every candidate row).
+
+    Contract: every candidate pair whose docs BOTH have ≥1 shingle gets
+    a row — jaccard 0 when the intersection is empty (the intersection
+    aggregate left-joins back into ``pairs``, so callers can compute
+    verified/candidate ratios). Pairs where either doc has no shingles
+    at all (< k tokens) are dropped: their Jaccard is undefined, and no
+    LSH candidate generator can emit them anyway (signatures derive
+    from shingles).
     """
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
@@ -242,7 +250,9 @@ def verify_jaccard_rows(pairs: DataFrame, shingles: DataFrame,
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
     return (
-        inter.join(na, "id_a")
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("_i", F.coalesce("_i", F.lit(0)))
+        .join(na, "id_a")
         .join(nb, "id_b")
         .select(
             "id_a", "id_b",

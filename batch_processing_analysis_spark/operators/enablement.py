@@ -100,16 +100,41 @@ def add_enabled_times(
     concurrency_threshold: float = 0.1,
     strategy: str = "array",
     long_trace_threshold: int = 2_000,
+    literal_pairs_limit: int = 512,
 ) -> DataFrame:
     """Add ``ids.enabled_time`` to every event (reference: analysis.py:43).
 
     ``strategy``: ``"array"`` (HOF over per-case collected events),
     ``"join"`` (sort-merge self-join — the long-trace fallback), or
     ``"auto"`` (probe max trace length once, pick accordingly).
+
+    The concurrency relation rides along in one of two shapes. Up to
+    ``literal_pairs_limit`` directed pairs it is a literal in-expression
+    array — zero extra joins, right for process logs (|A| ≈ tens).
+    Above the limit it becomes DATA: a broadcast-joined per-activity
+    partner table, because Catalyst analysis cost grows with every
+    literal in the expression tree (|A|² pairs on a 2k-activity log
+    froze plan build — same failure mode as the SRP plane literals,
+    same remedy). Both shapes produce identical values;
+    tests/test_enablement.py asserts it.
     """
     pairs = concurrency_pairs(directly_follows_matrix(log, ids), concurrency_threshold)
-    # Broadcast the concurrency relation as a literal set of "a\x1fb" keys.
-    pair_keys = F.array(*[F.lit(a + "\x1f" + b) for a, b in sorted(pairs)]) if pairs else F.array().cast("array<string>")
+    if len(pairs) <= literal_pairs_limit:
+        # Broadcast the relation as a literal set of "a\x1fb" keys.
+        pair_keys = (
+            F.array(*[F.lit(a + "\x1f" + b) for a, b in sorted(pairs)])
+            if pairs else F.array().cast("array<string>")
+        )
+        conc_df = None
+    else:
+        pair_keys = None
+        partners: dict[str, list[str]] = {}
+        for a, b in pairs:
+            partners.setdefault(b, []).append(a)
+        conc_df = log.sparkSession.createDataFrame(
+            [(k, sorted(v)) for k, v in sorted(partners.items())],
+            "_conc_act string, _conc array<string>",
+        )
 
     if strategy == "auto":
         longest = (
@@ -118,7 +143,16 @@ def add_enabled_times(
         ) or 0
         strategy = "join" if longest > long_trace_threshold else "array"
     if strategy == "join":
-        return _enabled_times_join(log, ids, pair_keys)
+        return _enabled_times_join(log, ids, pair_keys, conc_df)
+
+    if conc_df is not None:
+        # Partner list for THIS event's activity; the HOF below tests
+        # predecessor membership in it. Null (activity without any
+        # concurrent partner) ⇒ empty list.
+        log = log.join(
+            F.broadcast(conc_df),
+            F.col(ids.activity) == F.col("_conc_act"), "left",
+        ).drop("_conc_act")
 
     w_case = W.partitionBy(ids.case)
     # All (start, end, activity) triples of the case, then per row: max
@@ -139,13 +173,20 @@ def add_enabled_times(
     this_end = F.unix_micros(F.col(ids.end_time))
     this_act = F.col(ids.activity)
     is_self = lambda ev: (ev["s"] == this_start) & (ev["e"] == this_end) & (ev["act"] == this_act)  # noqa: E731
+    if pair_keys is not None:
+        is_conc = lambda ev: F.array_contains(  # noqa: E731
+            pair_keys, F.concat(ev["act"], F.lit("\x1f"), this_act)
+        )
+    else:
+        _partners = F.coalesce(F.col("_conc"), F.array().cast("array<string>"))
+        is_conc = lambda ev: F.array_contains(_partners, ev["act"])  # noqa: E731
     enabler_end = F.array_max(
         F.transform(
             F.filter(
                 F.col("_case_events"),
                 lambda ev: (ev["e"] <= this_start)
                 & ~is_self(ev)
-                & ~F.array_contains(pair_keys, F.concat(ev["act"], F.lit("\x1f"), this_act)),
+                & ~is_conc(ev),
             ),
             lambda ev: ev["e"],
         )
@@ -153,14 +194,19 @@ def add_enabled_times(
     return df.withColumn(
         ids.enabled_time,
         F.timestamp_micros(F.coalesce(enabler_end, F.col("_case_first_start"))),
-    ).drop("_case_events", "_case_first_start")
+    ).drop("_case_events", "_case_first_start", "_conc")
 
 
-def _enabled_times_join(log: DataFrame, ids: EventLogIDs, pair_keys) -> DataFrame:
+def _enabled_times_join(log: DataFrame, ids: EventLogIDs, pair_keys,
+                        conc_df: DataFrame | None = None) -> DataFrame:
     """Sort-merge self-join enablement: for each distinct event triple
     (start, end, activity) of a case, max predecessor end among events
     with ``end ≤ start``, a different triple (mirrors the array path's
     self-exclusion exactly), and a non-concurrent activity.
+
+    The concurrency relation arrives either as ``pair_keys`` (literal
+    array, small alphabets) or ``conc_df`` (broadcast partner table,
+    large alphabets — see add_enabled_times).
 
     Scale: every join/groupBy keys on the case id (plus the triple), so
     a long trace streams through sort-merge + partial agg instead of
@@ -174,6 +220,10 @@ def _enabled_times_join(log: DataFrame, ids: EventLogIDs, pair_keys) -> DataFram
         e_us.alias("_e"),
         F.col(ids.activity).alias("_a"),
     ).distinct()
+    if conc_df is not None:
+        ev = ev.join(
+            F.broadcast(conc_df), F.col("_a") == F.col("_conc_act"), "left"
+        ).drop("_conc_act")
     pred = log.select(
         F.col(ids.case).alias("_pc"),
         s_us.alias("_ps"),
@@ -185,15 +235,22 @@ def _enabled_times_join(log: DataFrame, ids: EventLogIDs, pair_keys) -> DataFram
         & (F.col("_pe") == F.col("_e"))
         & (F.col("_pa") == F.col("_a"))
     )
+    if pair_keys is not None:
+        is_conc = F.array_contains(
+            pair_keys, F.concat(F.col("_pa"), F.lit("\x1f"), F.col("_a"))
+        )
+    else:
+        is_conc = F.array_contains(
+            F.coalesce(F.col("_conc"), F.array().cast("array<string>")),
+            F.col("_pa"),
+        )
     enab = (
         ev.join(
             pred,
             (F.col("_pc") == F.col("_c"))
             & (F.col("_pe") <= F.col("_s"))
             & not_self
-            & ~F.array_contains(
-                pair_keys, F.concat(F.col("_pa"), F.lit("\x1f"), F.col("_a"))
-            ),
+            & ~is_conc,
             "left",
         )
         .groupBy("_c", "_s", "_e", "_a")
@@ -215,5 +272,5 @@ def _enabled_times_join(log: DataFrame, ids: EventLogIDs, pair_keys) -> DataFram
             ids.enabled_time,
             F.timestamp_micros(F.coalesce(F.col("_enabler_end"), F.col("_first_start"))),
         )
-        .drop("_c", "_s", "_e", "_a", "_enabler_end", "_fc", "_first_start")
+        .drop("_c", "_s", "_e", "_a", "_conc", "_enabler_end", "_fc", "_first_start")
     )

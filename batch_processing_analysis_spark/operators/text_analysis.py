@@ -198,7 +198,7 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
     n-gram occurrence rows, then two aggregations (per (doc, gram) →
     per doc). One shuffle on doc id; no arrays are materialized (the
     flat-row lesson from the shingle pipeline). Documents with fewer
-    than n+1 tokens report 0 for that n.
+    than n tokens (no complete n-gram) report 0 for that n.
     """
     tok = docs.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok")

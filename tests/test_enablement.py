@@ -128,3 +128,34 @@ def test_auto_picks_array_below_threshold(spark):
     out = {r[IDS.activity]: r[IDS.enabled_time]
            for r in add_enabled_times(log, IDS, strategy="auto").collect()}
     assert out["B"] == ts(10)
+
+
+def test_partner_table_matches_literal_on_large_alphabet(spark):
+    # ~800 activities, ~400 symmetric concurrent pairs (1600 directed):
+    # above the default literal_pairs_limit the relation must become a
+    # broadcast partner TABLE (literals in the expression tree made
+    # Catalyst analysis quadratic in |A|), with identical values.
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        a, b = f"A{i}", f"B{i}"
+        # two interleavings of (a, b) -> df(a,b) > 0 and df(b,a) > 0
+        # with balanced counts -> concurrent under the 0.1 threshold
+        for j, order in enumerate(((a, b), (b, a))):
+            c = f"c{i}_{j}"
+            s = base + timedelta(hours=i)
+            rows.append((c, order[0], "r1", s, s + timedelta(minutes=1)))
+            rows.append((c, order[1], "r1", s + timedelta(minutes=2),
+                         s + timedelta(minutes=3)))
+            # a shared successor so enablement has something to compute
+            rows.append((c, "END", "r1", s + timedelta(minutes=4),
+                         s + timedelta(minutes=5)))
+    log = make_log(spark, rows)
+    for strategy in ("array", "join"):
+        lit = _as_rows(add_enabled_times(
+            log, IDS, strategy=strategy, literal_pairs_limit=10**9))
+        tab = _as_rows(add_enabled_times(
+            log, IDS, strategy=strategy, literal_pairs_limit=0))
+        assert lit == tab, strategy

@@ -1,0 +1,40 @@
+"""prepare_corpus facade vs its oracle-verified building blocks.
+
+The facade chains the q53 composite filter with q59-style token-budget
+shard packing. Both of those are oracle-checked queries; this test pins
+the facade to them so it cannot silently drift (r2 advice): its output
+must equal the q53 keep-set with shards re-derived by the q59 formula
+over the KEPT set (per predicted language, cumulative tokens, 4096
+budget).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from batch_processing_analysis_spark.pipeline import prepare_corpus
+from batch_processing_analysis_spark.plans.queries_text import q53_corpus_filter
+from batch_processing_analysis_spark.sources.tables import load_table
+
+
+def test_prepare_corpus_matches_q53_plus_shards(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(tuple(r) for r in prepare_corpus(docs).collect())
+
+    kept = q53_corpus_filter(spark, sf_dir)
+    w = W.partitionBy("predicted_lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    want = sorted(
+        tuple(r)
+        for r in kept.withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id", "predicted_lang", "n_tokens", "quality_score",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(4096.0))
+            .cast("long").alias("shard"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert got  # non-degenerate: the filter keeps documents at sf0.001
