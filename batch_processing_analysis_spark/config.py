@@ -83,11 +83,17 @@ class Configuration:
     gap_seconds: int = 0  # max gap between sequential executions (discovery.py:239)
     # "freq": maximal same-resource runs (the golden-validated default);
     # "all": enumerate ALL bounded-length contiguous subsequences as
-    # candidate envelopes (reference batch_detection.R:57-65 "enum").
-    subsequence_mode: str = "freq"  # "all" | "freq" (config.py:76)
-    # Length bound for "all"-mode enumeration (Spark-only scale knob —
+    # candidate envelopes (reference batch_detection.R:61-64 "enum");
+    # "mined": "all" restricted to support-thresholded frequent patterns
+    # (reference batch_detection.R:57-65, bamalog
+    # identify_frequent_sequences).
+    subsequence_mode: str = "freq"  # "all" | "freq" | "mined" (config.py:76)
+    # Length bound for "all"/"mined" enumeration (Spark-only scale knob —
     # the reference enumerates unbounded, which is quadratic per trace).
     subsequence_max_len: int = 8
+    # "mined" mode: min distinct cases a (resource, activity-sequence)
+    # pattern must occur in to become a candidate envelope.
+    subsequence_min_support: int = 2
     min_batch_instance_size: int = 2  # discovery.py:128-158
     report_batch_checkpoints: bool = False
 

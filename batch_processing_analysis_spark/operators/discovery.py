@@ -218,12 +218,23 @@ def detect_case_batches(log: DataFrame, ids: EventLogIDs, gap_seconds: int = 0) 
 
 
 def detect_case_batches_all(log: DataFrame, ids: EventLogIDs,
-                            gap_seconds: int = 0, max_len: int = 8) -> DataFrame:
+                            gap_seconds: int = 0, max_len: int = 8,
+                            min_pattern_support: int | None = None) -> DataFrame:
     """Case-level detection, ``subsequence_mode="all"`` (reference
     batch_detection.R:61-64: bamalog ``enumerate_subsequences``): every
     contiguous same-resource subsequence of length 2..max_len is a
     candidate envelope, not just the maximal run. Envelopes with the
     same (resource, activity-sequence) chain exactly like task batches.
+
+    ``min_pattern_support`` switches to the ``"mined"`` semantics
+    (reference batch_detection.R:57-65: bamalog
+    ``identify_frequent_sequences``): only candidate PATTERNS —
+    (resource, activity-sequence) pairs — occurring in at least that
+    many distinct cases survive to chaining, i.e. the candidate set is
+    support-thresholded frequent sequences instead of all subsequences.
+    The support count is one partial-aggregable countDistinct per
+    pattern; everything downstream (chaining, conflict resolution) is
+    shared with "all" mode.
 
     Because envelopes overlap, an event can be claimed by several
     chains; the reference resolves conflicts inside bamalog. Here the
@@ -295,6 +306,11 @@ def detect_case_batches_all(log: DataFrame, ids: EventLogIDs,
             ).alias("_env_end"),
         )
     )
+    if min_pattern_support is not None:
+        w_pat = W.partitionBy("_res", "_acts")
+        env = env.withColumn(
+            "_support", F.size(F.collect_set(ids.case).over(w_pat))
+        ).filter(F.col("_support") >= min_pattern_support).drop("_support")
     order_cols = [F.col("_env_start"), F.col("_env_end"), F.col(ids.case), F.col("_i")]
     w = W.partitionBy("_res", "_acts").orderBy(*order_cols)
     env = env.withColumn(
@@ -588,9 +604,13 @@ def discover_batches(log: DataFrame, config: Configuration,
     """
     ids = config.log_ids
     df = detect_task_batches(log, ids, config.gap_seconds)
-    if detect_case_level and config.subsequence_mode == "all":
+    if detect_case_level and config.subsequence_mode in ("all", "mined"):
         df = detect_case_batches_all(
-            df, ids, config.gap_seconds, config.subsequence_max_len
+            df, ids, config.gap_seconds, config.subsequence_max_len,
+            min_pattern_support=(
+                config.subsequence_min_support
+                if config.subsequence_mode == "mined" else None
+            ),
         )
     elif detect_case_level:
         df = detect_case_batches(df, ids, config.gap_seconds)

@@ -120,21 +120,61 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     )
 
 
+def kmeans_centroids(corpus: DataFrame, n_clusters: int, seed: int = 42,
+                     max_iter: int = 20, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Seeded k-means|| centroids (pyspark.ml) as an IVF centroid table
+    (centroid_id, vec). Recall-stronger than the deterministic-stride
+    subsample on clustered data (the stride picks arbitrary points; the
+    fit picks density modes) at the cost of one training job. Same
+    plan shape downstream — only the centroid TABLE changes.
+
+    Seeded ⇒ reproducible on a fixed layout, but float reduction order
+    can vary across cluster topologies — so this feeds the recall-
+    graded path, while the stride variant stays the oracle-checkable
+    default (q46).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = _as_double(corpus, vec_col).select(
+        array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(vecs)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"centroid_id long, {vec_col} array<double>",
+    )
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              stride: int = 50, nprobe: int = 3, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """IVF approximate top-k: deterministic-subsample centroids →
-    bucket assignment → probe the ``nprobe`` nearest buckets per query
-    → exact cosine within probed buckets → top-k.
+             vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF approximate top-k: centroid table → bucket assignment →
+    probe the ``nprobe`` nearest buckets per query → exact cosine
+    within probed buckets → top-k.
+
+    ``centroids=None`` takes every ``stride``-th corpus vector —
+    deterministic, engine-portable, the oracle-checked default (q46).
+    Pass :func:`kmeans_centroids` output for the recall-stronger
+    trained variant; the plan shape is identical either way.
 
     Same output schema as :func:`brute_force_topk`; recall < 1 by
     construction (that is the accuracy/cost dial).
     """
     corpus = _as_double(corpus, vec_col)
     queries = _as_double(queries, vec_col)
-    centroids = corpus.filter(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col)
-    )
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
+    else:
+        centroids = _as_double(centroids, vec_col).select(
+            "centroid_id", F.col(vec_col)
+        )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     # per query: nprobe nearest centroids

@@ -100,12 +100,59 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = None
 
+    # Facade-level scale proof: time the COMPOSED pipelines (not just
+    # per-query plans) — prepare_corpus on a 10× synthetic blow-up of
+    # the documents table (distinct ids, perturbed text so dedup can't
+    # collapse the copies) and the full analyze_batches event pipeline.
+    # These demonstrate the 100×-scale claims on the facades themselves:
+    # no driver materialization, AQE-managed shuffles, one wide pass.
+    facades: dict[str, float | None] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from batch_processing_analysis_spark.pipeline import (
+            analyze_batches,
+            prepare_corpus,
+        )
+        from batch_processing_analysis_spark.sources.event_log import (
+            events_as_event_log,
+        )
+        from batch_processing_analysis_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        big = None
+        for i in range(10):
+            part = docs.select(
+                (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" v{i}")).alias("text"),
+                "lang",
+            )
+            big = part if big is None else big.unionByName(part)
+        # Single-file test inputs -> one split per union branch; spread
+        # to cluster width (same gate as plans/queries_text._fan_out —
+        # at real scale inputs arrive as many files and this is a no-op).
+        big = big.repartition(spark.sparkContext.defaultParallelism)
+        t0 = time.time()
+        prepare_corpus(big).write.format("noop").mode("overwrite").save()
+        facades["prepare_corpus_10x_docs"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        analyze_batches(events_as_event_log(spark, sf_dir)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        facades["analyze_batches_events"] = round(time.time() - t0, 3)
+    except Exception as e:
+        print(f"bench: facade stage failed: {e}", file=sys.stderr)
+
     ok = [v for v in timings.values() if v is not None]
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(ok), 3),
         "unit": "sec",
         "queries": timings,
+        "facades": facades,
         "sf": sf,
     }
     print(json.dumps(out))

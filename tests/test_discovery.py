@@ -212,3 +212,44 @@ def test_gap_tolerance_merges_separated_runs(ground_truth_log):
                                       detect_case_level=False))
     assert frozenset({("c1", "E"), ("c2", "E")}) \
         not in g_short.get(BatchType.task_sequential, set())
+
+
+def test_subsequence_mode_mined_requires_pattern_support(spark):
+    # "mined" (bamalog identify_frequent_sequences, batch_detection.R:
+    # 57-65): only (resource, activity-sequence) patterns occurring in
+    # >= min_support distinct cases become candidate envelopes. The
+    # [A, B] pattern spans three cases (support 3); the [P, Q] pattern
+    # exists in ONE case only (support 1) — "all" would still chain its
+    # two simultaneous envelopes... but with one case it cannot batch
+    # anyway, so plant [P, Q] in TWO cases and mine at support 3: "all"
+    # batches both patterns, "mined" keeps only [A, B].
+    rows = []
+    for c, tail in [("c1", "C"), ("c2", "D"), ("c3", "E")]:
+        rows += [
+            (c, "A", "r1", ts(10), ts(10, 30), ts(9)),
+            (c, "B", "r1", ts(10, 30), ts(11), ts(9)),
+            (c, tail, "r1", ts(11), ts(11, 30), ts(9)),
+        ]
+    for c in ["c8", "c9"]:
+        rows += [
+            (c, "P", "r2", ts(12), ts(12, 30), ts(9)),
+            (c, "Q", "r2", ts(12, 30), ts(13), ts(9)),
+        ]
+    log = make_log(spark, rows)
+
+    ab = frozenset({(c, a) for c in ["c1", "c2", "c3"] for a in ["A", "B"]})
+    pq = frozenset({(c, a) for c in ["c8", "c9"] for a in ["P", "Q"]})
+
+    g_all = groups(discover_batches(log, Configuration(subsequence_mode="all")))
+    assert ab in g_all.get(BatchType.parallel, set())
+    assert pq in g_all.get(BatchType.parallel, set())
+
+    g_mined = groups(discover_batches(log, Configuration(
+        subsequence_mode="mined", subsequence_min_support=3)))
+    assert ab in g_mined.get(BatchType.parallel, set())
+    assert all(pq != got for t in g_mined for got in g_mined[t])
+
+    # At support 2 the [P, Q] pattern qualifies again.
+    g_mined2 = groups(discover_batches(log, Configuration(
+        subsequence_mode="mined", subsequence_min_support=2)))
+    assert pq in g_mined2.get(BatchType.parallel, set())
