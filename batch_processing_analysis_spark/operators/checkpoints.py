@@ -21,14 +21,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
-    """``localCheckpoint(eager=True)`` + the ids of the RDDs it newly
-    persisted. The returned frame's plan is a flat scan of its own
-    blocks — it never re-reads earlier checkpoints, so the caller may
-    release those once this one exists."""
+def checkpoint_tracked(df: DataFrame, eager: bool = True) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint`` + the ids of the RDDs it newly persisted.
+    The returned frame's plan is a flat scan of its own blocks — it
+    never re-reads earlier checkpoints, so the caller may release those
+    once this one exists.
+
+    ``eager=False`` defers materialization to the caller's NEXT action
+    on the returned frame (the persist marker is registered
+    immediately, so id tracking still works) — use it when that action
+    is a cheap full-scan aggregate anyway, fusing "materialize" and
+    "compute" into one job instead of two."""
     jsc = df.sparkSession.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     after = set(jsc.getPersistentRDDs().keySet().toArray())
     return out, after - before
 

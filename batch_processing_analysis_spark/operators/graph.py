@@ -97,9 +97,13 @@ def connected_components(
         jump = labels.select(
             F.col("_id").alias("_jid"), F.col("_comp").alias("_jcomp")
         )
+        # Lazy checkpoint + the convergence aggregate as the action:
+        # materialization and the label-sum scan fuse into ONE job per
+        # superstep (eager + separate agg ran two).
         new, new_ids = checkpoint_tracked(
             new.join(jump, new["_comp"] == jump["_jid"], "left")
-            .select("_id", F.coalesce("_jcomp", "_comp").alias("_comp"))
+            .select("_id", F.coalesce("_jcomp", "_comp").alias("_comp")),
+            eager=False,
         )
         new_sum = new.agg(F.sum("_comp")).first()[0]
         # The new frame is materialized and lineage-free; the previous
