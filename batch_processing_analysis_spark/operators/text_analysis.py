@@ -97,13 +97,10 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def quality_features(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Per-doc quality features + composite score (all codegen exprs).
-
-    punct_ratio uses the regexp-strip idiom (length delta), stopword
-    ratio an array filter — no explode, no shuffle: purely narrow.
-    """
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """The quality feature expressions as name → Column — pure per-row
+    codegen, so they compose into batch selects AND streaming plans
+    (streaming/corpus_stream.stream_quality_filter) without a join."""
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks)
@@ -121,14 +118,26 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
         * (F.lit(1.0) - punct_ratio)
         * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.25)))
     )
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "avg_token_len": F.round(avg_tok_len, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + composite score (all codegen exprs).
+
+    punct_ratio uses the regexp-strip idiom (length delta), stopword
+    ratio an array filter — no explode, no shuffle: purely narrow.
+    """
+    cols = quality_columns(text_col)
     return docs.select(
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
-        n_chars.alias("n_chars"),
-        F.round(avg_tok_len, 6).alias("avg_token_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        F.col(id_col), *[c.alias(n) for n, c in cols.items()]
     )
 
 

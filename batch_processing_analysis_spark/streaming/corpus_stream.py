@@ -45,3 +45,33 @@ def stream_exact_dedup(docs: DataFrame, time_col: str = "ingest_time",
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark([CONTENT_HASH])
     )
+
+
+def stream_quality_filter(docs: DataFrame, *, quality_min: float = 0.2,
+                          tokens_min: int = 5, tokens_max: int = 10_000,
+                          text_col: str = "text") -> DataFrame:
+    """Streaming twin of the prepare_corpus quality/token gate: score
+    and filter documents AS THEY ARRIVE.
+
+    quality_features is pure per-row codegen (no shuffle, no state), so
+    the exact batch operator applies unchanged to an unbounded stream —
+    the ingestion-side half of the corpus filter. The parts that need
+    corpus-global state (dedup keep-list, shard packing) stay in the
+    batch/stateful layers: stream_exact_dedup handles the in-horizon
+    dedup; shard assignment is a batch compaction pass by construction
+    (a running per-language token sum has no streaming total order).
+
+    Emits the scored columns plus the original payload columns, gated
+    on the same thresholds as pipeline.prepare_corpus — a batch re-run
+    over the stream's survivors keeps every one of them. The score
+    columns attach via withColumns (shared expressions with the batch
+    operator), NOT a join — a self-join on a stream would be a
+    watermark-requiring stream-stream join for no reason.
+    """
+    from ..operators.text_analysis import quality_columns
+
+    scored = docs.withColumns(quality_columns(text_col))
+    return scored.filter(
+        (F.col("quality_score") >= quality_min)
+        & F.col("n_tokens").between(tokens_min, tokens_max)
+    )

@@ -48,6 +48,7 @@ HEADLINE += [
     "q53_corpus_filter",
     "q56_repetition_signals",
     "q60_winnowing_pairs",
+    "q61_event_blacklist",
 ]
 
 

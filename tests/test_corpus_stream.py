@@ -72,3 +72,49 @@ def test_hash_matches_batch_operator(spark, streamed):
     )
     batch_hashes = {r["content_hash"] for r in batch.collect()}
     assert {r["content_hash"] for r in streamed} == batch_hashes
+
+
+def test_stream_quality_filter_matches_batch_gate(spark, sf_dir, tmp_path_factory):
+    # Stateless streaming scoring: replay the real documents table as a
+    # two-file stream; the survivors and their scores must equal the
+    # batch quality/token gate on the same rows (shared expressions).
+    from pyspark.sql.functions import col
+
+    from batch_processing_analysis_spark.operators.text_analysis import (
+        quality_features,
+    )
+    from batch_processing_analysis_spark.streaming.corpus_stream import (
+        stream_quality_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path_factory.mktemp("qstream") / "docs")
+    docs.filter(col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = stream_quality_filter(stream, quality_min=0.2, tokens_min=5,
+                                tokens_max=10_000)
+    ckpt = str(tmp_path_factory.mktemp("qstream") / "ckpt")
+    q = (
+        out.writeStream.format("memory").queryName("stream_quality")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["quality_score"])
+        for r in spark.sql("SELECT * FROM stream_quality").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["quality_score"])
+        for r in quality_features(docs).filter(
+            (col("quality_score") >= 0.2) & col("n_tokens").between(5, 10_000)
+        ).collect()
+    }
+    assert got == want
+    assert want  # gate keeps documents at sf0.001
