@@ -58,3 +58,30 @@ def test_no_cartesian_or_nested_loop_join(name, spark, sf_dir):
         return  # documented dense comparison
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# Queries whose scans must show BOTH predicate pushdown and column
+# pruning: a filter that reaches the parquet reader and a ReadSchema
+# strictly narrower than the table. Guarding a representative of each
+# scan-shaped family keeps refactors honest (a `select *` creeping in
+# upstream of a filter silently kills pruning).
+PUSHDOWN_CASES = {
+    "q07_in_case_when": ("lineitem", "PushedFilters: [In(l_linestatus"),
+    "q10_argmin_first_event": ("events", "ReadSchema: struct<"),
+    "q47_text_quality": ("documents", "ReadSchema: struct<doc_id"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN_CASES))
+def test_scan_pushdown_and_pruning(name, spark, sf_dir):
+    table, needle = PUSHDOWN_CASES[name]
+    df = registry.QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln
+             and f"{table}.parquet" in ln]
+    assert scans, f"{name}: no parquet scan of {table} found"
+    assert any(needle in ln for ln in scans), (name, needle, scans)
+    # Pruning: no scan of the table reads every column ("struct<" with
+    # the table's full width would defeat the projection).
+    for ln in scans:
+        assert "ReadSchema: struct<>" not in ln
