@@ -337,3 +337,47 @@ def winnowing_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    stride: int = 48, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into overlapping token windows — the
+    sequence-packing prepass that turns raw documents into fixed-budget
+    training samples (chunk i covers tokens [i·stride, i·stride +
+    chunk_tokens)). ``stride < chunk_tokens`` gives the standard
+    sliding-window overlap; the final window is the (possibly short)
+    remainder. Empty documents produce no chunks.
+
+    Output: (id, chunk_id, chunk_text, chunk_n_tokens) — one row per
+    window, whitespace-rejoined.
+
+    Scale: per-row explode with fan-out ceil(n/stride) — narrow codegen
+    (tokenize once per row, slice per window), no shuffle; downstream
+    shard packing (q59) applies unchanged to the chunk rows.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= chunk_tokens, F.when(n > 0, F.lit(1)).otherwise(F.lit(0))
+    ).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int") + 1
+    )
+    return (
+        docs.select(
+            F.col(id_col), toks.alias("_tk"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("_tk"), F.col("chunk_id") * stride + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size("_tk") - F.col("chunk_id") * stride,
+            ).alias("chunk_n_tokens"),
+        )
+    )

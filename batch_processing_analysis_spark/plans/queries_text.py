@@ -956,3 +956,34 @@ def q55_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the binary-in/binary-out mapInPandas path
     (operators/multimodal.py:resize_payload)."""
     return M.resize_payload(M.as_binary_payloads(_docs(spark, sf_dir)), factor=4)
+
+
+@query(
+    "q62_doc_chunking",
+    "WITH " + TOKS_SQL + """
+    , sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+    chunks AS (
+      SELECT doc_id, tk, n,
+             unnest(range(0, CASE WHEN n = 0 THEN 0
+                                  WHEN n <= 64 THEN 1
+                                  ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1
+                             END)) AS chunk_id
+      FROM sized
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+             AS chunk_text,
+           least(64, n - chunk_id * 48) AS chunk_n_tokens
+    FROM chunks
+    """,
+    primary=False,
+)
+def q62_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token windows, stride 48):
+    the prepass that turns filtered documents into fixed-budget training
+    samples; q59-style shard packing applies unchanged to the chunks.
+
+    Scale: narrow per-row explode, fan-out ceil(n/stride), no shuffle.
+    Secondary registry (the driver window holds the 50 family
+    representatives); oracle-gated by tests/test_extra_queries.py."""
+    return TA.chunk_documents(_docs(spark, sf_dir))
