@@ -69,9 +69,15 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("_rn") <= profile_size)
         .select(F.col(lang_col).alias("cand_lang"), "tg")
     )
-    doc_n = tg.groupBy(id_col).agg(
-        F.countDistinct("tg").alias("n_tg"), F.first(lang_col).alias("actual_lang")
-    )
+    # Per-doc trigram count is a NARROW expression (char_trigrams is
+    # already distinct) — no explode, no shuffle. Deriving it from the
+    # exploded rows re-evaluated the trigram subtree a third time
+    # (~N·|trigrams| extra rows; the facade's measured hot spot).
+    doc_n = docs.select(
+        F.col(id_col),
+        F.size(char_trigrams(F.col(text_col))).alias("n_tg"),
+        F.col(lang_col).alias("actual_lang"),
+    ).filter(F.col("n_tg") > 0)  # same row set as the exploded form
     hits = (
         tg.select(id_col, "tg").distinct()
         .join(F.broadcast(profile), "tg")
