@@ -369,10 +369,16 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
     ).otherwise(
         F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int") + 1
     )
+    # Guard the empty case explicitly: Spark's sequence(0, -1) yields a
+    # DESCENDING [0, -1] (auto step -1), not an empty array — an empty
+    # doc would emit two phantom chunks (caught by the property test).
+    chunk_ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return (
         docs.select(
             F.col(id_col), toks.alias("_tk"),
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            F.explode(chunk_ids).alias("chunk_id"),
         )
         .select(
             id_col,

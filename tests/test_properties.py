@@ -130,3 +130,57 @@ def test_pipeline_invariants(mk_log, rows):
         .count()
     )
     assert bad == 0  # WT decomposition is exactly additive
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents coverage properties (M22)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mk_docs(spark):
+    def make(lengths):
+        rows = [
+            (i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate(lengths)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+    return make
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=150), min_size=1, max_size=6),
+    st.sampled_from([(8, 8), (8, 6), (64, 48), (5, 3)]),
+)
+@settings(max_examples=8, deadline=None)
+def test_chunking_covers_tokens_exactly(mk_docs, lengths, shape):
+    """Every token lands in >= 1 chunk; chunk c holds exactly tokens
+    [c*stride, c*stride + chunk_tokens); empty docs emit nothing; no
+    phantom chunk starts past the last token."""
+    from batch_processing_analysis_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    chunk_tokens, stride = shape
+    out = chunk_documents(mk_docs(lengths), chunk_tokens=chunk_tokens,
+                          stride=stride)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["chunk_text"].split(" ") if r["chunk_text"] else [],
+            r["chunk_n_tokens"],
+        )
+    for i, n in enumerate(lengths):
+        toks = [f"t{i}_{j}" for j in range(n)]
+        chunks = got.get(i, {})
+        if n == 0:
+            assert chunks == {}
+            continue
+        for c, (ctoks, cn) in chunks.items():
+            assert ctoks == toks[c * stride : c * stride + chunk_tokens], (i, c)
+            assert cn == len(ctoks)
+        covered = sorted({
+            j for c in chunks
+            for j in range(c * stride, min(n, c * stride + chunk_tokens))
+        })
+        assert covered == list(range(n)), i
+        assert max(chunks) * stride < n
