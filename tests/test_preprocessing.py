@@ -194,3 +194,9 @@ def test_filter_event_blacklist_normalizes_like_reference(spark):
     assert got == expected
     # sanity: the reference one-pass replace leaves "Approve  loan" as-is
     assert got["5"] == "Approve  loan"
+
+
+def test_filter_event_blacklist_empty_blacklist_keeps_all(spark):
+    rows = [("1", "A", "r1", t(0), t(1)), ("2", "B", "r1", t(2), t(3))]
+    out = filter_event_blacklist(make_log(spark, rows), IDS, [])
+    assert out.count() == 2

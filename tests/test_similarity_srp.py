@@ -98,3 +98,15 @@ def test_ivf_kmeans_centroids_recall(spark, sf_dir):
     assert len(e) > 0
     recall = len(e & a) / len(e)
     assert recall >= 0.6, recall
+
+
+def test_srp_max_bucket_drops_degenerate_buckets(spark):
+    # Identical vectors share every band bucket; the cap must zero the
+    # candidate set instead of emitting the quadratic join.
+    vecs = spark.createDataFrame(
+        [(i, [0.5, -0.25, 0.125, 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    assert S.srp_neardup_pairs(vecs, 0.5, dim=4, max_bucket=10).count() == 0
+    full = S.srp_neardup_pairs(vecs, 0.5, dim=4, max_bucket=100)
+    assert full.count() == 12 * 11 // 2
