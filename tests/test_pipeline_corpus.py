@@ -38,3 +38,35 @@ def test_prepare_corpus_matches_q53_plus_shards(spark, sf_dir):
     )
     assert got == want
     assert got  # non-degenerate: the filter keeps documents at sf0.001
+
+
+def test_shard_packing_invariants(spark, sf_dir):
+    # Quotient-binning contract (q59 / prepare_corpus): per language,
+    # shards are contiguous non-decreasing in doc_id order, every doc
+    # appears once, and no shard exceeds budget + one boundary document
+    # (the documented off-by-at-most-one-doc bound).
+    from collections import defaultdict
+
+    from batch_processing_analysis_spark.plans.queries_text import (
+        q59_token_shard_packing,
+    )
+
+    rows = q59_token_shard_packing(spark, sf_dir).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    budget = 4096
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        shards = [r["shard"] for r in docs]
+        assert shards == sorted(shards), lang  # contiguous, non-decreasing
+        totals = defaultdict(int)
+        maxdoc = defaultdict(int)
+        for r in docs:
+            totals[r["shard"]] += r["n_tokens"]
+            maxdoc[r["shard"]] = max(maxdoc[r["shard"]], r["n_tokens"])
+        for s, tot in totals.items():
+            assert tot <= budget + maxdoc[s], (lang, s, tot)
+        # every shard index up to the max is used (no empty gaps)
+        assert sorted(set(shards)) == list(range(max(shards) + 1)), lang
