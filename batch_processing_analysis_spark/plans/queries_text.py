@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..operators import decontamination as DC
 from ..operators import dedup as D
 from ..operators import graph as G
 from ..operators import multimodal as M
@@ -987,3 +988,56 @@ def q62_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Secondary registry (the driver window holds the 50 family
     representatives); oracle-gated by tests/test_extra_queries.py."""
     return TA.chunk_documents(_docs(spark, sf_dir))
+
+
+@query(
+    "q63_decontaminate",
+    r"""
+    WITH toks8 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, len(tk) - 6),
+               i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+      FROM toks8 WHERE doc_id % 20 = 0
+    ),
+    dg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(tk) - 6),
+               i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+      FROM toks8 WHERE doc_id % 20 <> 0
+    ),
+    agg AS (
+      SELECT dg.doc_id, count(*) AS n_grams, count(bg.gram) AS n_contaminated
+      FROM dg LEFT JOIN bg USING (gram) GROUP BY dg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_grams, 0) AS n_grams,
+           COALESCE(a.n_contaminated, 0) AS n_contaminated,
+           round(COALESCE(a.n_contaminated, 0) * 1.0
+                 / greatest(COALESCE(a.n_grams, 0), 1), 6)
+             AS contamination_ratio,
+           CASE WHEN COALESCE(a.n_contaminated, 0) > 0 THEN 1 ELSE 0 END
+             AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+    primary=False,
+)
+def q63_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / PaLM §6.1): flag
+    corpus documents sharing an exact 8-token gram with the held-out
+    benchmark slice (every 20th doc_id stands in for an eval set).
+
+    Spark side: operators/decontamination.py — benchmark grams
+    broadcast, corpus grams built in-row via transform/slice, one
+    partial-aggregatable count per doc. Secondary registry; oracle-gated
+    by tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return DC.decontaminate(corpus, bench, n=8)
