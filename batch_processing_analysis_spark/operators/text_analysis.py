@@ -255,6 +255,78 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def diversity_signals(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Lexical-diversity quality signals via the Gini-Simpson index
+    (Simpson 1949; used as an entropy-style degenerate-text filter):
+    per document, over lowercased whitespace tokens and over single
+    characters,
+
+    - ``distinct_token_ratio`` = |distinct tokens| / n_tokens,
+    - ``token_simpson`` = 1 − Σ c² / n² (c = per-token counts) — 0 for
+      a one-token-repeated doc, →1 for all-distinct text,
+    - ``top_token_share`` = max c / n,
+    - ``char_simpson`` = the same index over characters.
+
+    Empty documents report 0 for every signal. All ratios are exact
+    integer sums divided once and rounded to 6 dp — unlike a Shannon
+    entropy there is no float accumulation, so Spark and any SQL oracle
+    agree bit-for-bit regardless of aggregation order (the determinism
+    rule of plans/registry.py).
+
+    Scale: two flat-row explodes (tokens, chars) each followed by two
+    partial-aggregatable groupBys keyed on the doc id — the same
+    one-shuffle shape as ``repetition_signals``; no arrays larger than
+    one row's text are materialized.
+    """
+    t = F.lower(F.col(text_col))
+    tok_rows = docs.select(F.col(id_col), F.explode(tokens(t)).alias("_tok"))
+    tc = tok_rows.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    ta = tc.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_uniq"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+        F.max("_c").alias("_mx"),
+    )
+    chars = F.when(
+        F.length(t) >= 1,
+        F.transform(F.sequence(F.lit(1), F.length(t)),
+                    lambda i: t.substr(i, F.lit(1))),
+    ).otherwise(F.array().cast("array<string>"))
+    ch_rows = docs.select(F.col(id_col), F.explode(chars).alias("_ch"))
+    cc = ch_rows.groupBy(id_col, "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    ca = cc.groupBy(id_col).agg(
+        F.sum("_c").alias("_m"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_css"),
+    )
+
+    def ratio(num, den):
+        return F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+        )
+
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    m = F.coalesce(F.col("_m"), F.lit(0))
+    return (
+        docs.select(id_col)
+        .join(ta, id_col, "left")
+        .join(ca, id_col, "left")
+        .select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            F.coalesce(F.col("_uniq"), F.lit(0)).alias("n_distinct_tokens"),
+            ratio(F.coalesce(F.col("_uniq"), F.lit(0)), n)
+            .alias("distinct_token_ratio"),
+            ratio(n * n - F.coalesce(F.col("_ss"), F.lit(0)), n * n)
+            .alias("token_simpson"),
+            ratio(F.coalesce(F.col("_mx"), F.lit(0)), n)
+            .alias("top_token_share"),
+            ratio(m * m - F.coalesce(F.col("_css"), F.lit(0)), m * m)
+            .alias("char_simpson"),
+        )
+    )
+
+
 def pattern_counts(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Pattern/PII-adjacent counts per document: emails, URLs, long

@@ -1041,3 +1041,118 @@ def q63_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     return DC.decontaminate(corpus, bench, n=8)
+
+
+@query(
+    "q64_diversity_signals",
+    r"""
+    WITH toksd AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toksd)
+      GROUP BY doc_id, tok
+    ),
+    ta AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS uq, sum(c * c) AS ss,
+             max(c) AS mx
+      FROM tc GROUP BY doc_id
+    ),
+    cr AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(lower(text)) + 1),
+                                   i -> substr(lower(text), CAST(i AS INT), 1)))
+               AS ch
+      FROM documents
+    ),
+    cc2 AS (
+      SELECT doc_id, ch, count(*) AS c FROM cr GROUP BY doc_id, ch
+    ),
+    ca AS (
+      SELECT doc_id, sum(c) AS m, sum(c * c) AS css FROM cc2 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(ta.n, 0) AS n_tokens,
+           COALESCE(ta.uq, 0) AS n_distinct_tokens,
+           CASE WHEN COALESCE(ta.n, 0) > 0
+                THEN round(ta.uq * 1.0 / ta.n, 6) ELSE 0.0 END
+             AS distinct_token_ratio,
+           CASE WHEN COALESCE(ta.n, 0) > 0
+                THEN round((ta.n * ta.n - ta.ss) * 1.0 / (ta.n * ta.n), 6)
+                ELSE 0.0 END AS token_simpson,
+           CASE WHEN COALESCE(ta.n, 0) > 0
+                THEN round(ta.mx * 1.0 / ta.n, 6) ELSE 0.0 END
+             AS top_token_share,
+           CASE WHEN COALESCE(ca.m, 0) > 0
+                THEN round((ca.m * ca.m - ca.css) * 1.0 / (ca.m * ca.m), 6)
+                ELSE 0.0 END AS char_simpson
+    FROM documents d
+    LEFT JOIN ta USING (doc_id)
+    LEFT JOIN ca USING (doc_id)
+    """,
+    primary=False,
+)
+def q64_diversity_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson lexical-diversity signals per document (token and
+    character level) — the entropy-style degenerate-text filter of a
+    training pipeline, expressed with exact integer sums so both
+    engines agree bit-for-bit (operators/text_analysis.py:
+    diversity_signals). Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return TA.diversity_signals(_docs(spark, sf_dir))
+
+
+@query(
+    "q65_quantized_topk",
+    f"""
+    WITH {EMB_SQL},
+    mx AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e
+    ),
+    qz AS (
+      SELECT vec_id,
+             CASE WHEN m > 0
+                  THEN list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5)
+                                                   AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+      FROM mx
+    ),
+    qs AS (
+      SELECT vec_id, qv,
+             list_aggregate(list_transform(qv, x -> x * x), 'sum') AS ss
+      FROM qz
+    ),
+    q AS (SELECT vec_id AS query_id, qv AS qa, ss AS ssa
+          FROM qs WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CASE WHEN q.ssa > 0 AND c.ss > 0
+                  THEN list_aggregate(
+                         list_transform(range(1, len(q.qa) + 1),
+                                        i -> q.qa[i] * c.qv[i]), 'sum') * 1.0
+                       / (sqrt(q.ssa) * sqrt(c.ss))
+                  ELSE 0.0 END AS sim
+      FROM q JOIN qs c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+    primary=False,
+)
+def q65_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) cosine top-5 — exact integer dot
+    products over quantized codes, 4-8x less memory traffic than the
+    float baseline q45 (operators/similarity.py:quantized_topk).
+    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    embs = _embs(spark, sf_dir)
+    return S.quantized_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
