@@ -60,6 +60,21 @@ def test_no_cartesian_or_nested_loop_join(name, spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+# Secondary-registry queries get the same audit. q65 is the quantized
+# brute-force top-k — dense by definition, like its float twin q45.
+EXTRA_DENSE_BY_DESIGN = {"q65_quantized_topk"}
+
+
+@pytest.mark.parametrize("name", sorted(registry.EXTRA_QUERIES))
+def test_extra_no_cartesian_or_nested_loop_join(name, spark, sf_dir):
+    df = registry.EXTRA_QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name in EXTRA_DENSE_BY_DESIGN:
+        return
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 # Queries whose scans must show BOTH predicate pushdown and column
 # pruning: a filter that reaches the parquet reader and a ReadSchema
 # strictly narrower than the table. Guarding a representative of each
