@@ -793,3 +793,49 @@ def q25_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ["click", "view", "purchase", "error", "signup"]
     ]
     return ev.groupBy("user_id").agg(*aggs)
+
+
+@query(
+    "q66_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts, max_by(value, event_id) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_s,
+           CAST(floor(epoch(r.ts)) AS BIGINT) AS matched_ts_s,
+           r.view_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    primary=False,
+)
+def q66_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (operators/asof.py): every purchase event
+    picks up the newest prior-or-simultaneous view's value for the same
+    user — the kdb+ ``aj`` / DuckDB ``ASOF JOIN`` semantics as a
+    single-shuffle union-merge window. The right side is pre-aggregated
+    per (user, ts) with ``max_by`` so the survivor at duplicate
+    timestamps is pinned in both engines."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    value_cols=["view_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.unix_timestamp("matched_ts").alias("matched_ts_s"),
+        "view_value",
+    )
