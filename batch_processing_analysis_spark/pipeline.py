@@ -39,11 +39,18 @@ def waiting_time_report(log: DataFrame, config: Configuration | None = None) -> 
 
 def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
                    tokens_min: int = 5, tokens_max: int = 10_000,
-                   shard_tokens: int = 4096) -> DataFrame:
+                   shard_tokens: int = 4096,
+                   benchmark: DataFrame | None = None,
+                   decontamination_n: int = 8) -> DataFrame:
     """Training-corpus preparation facade: exact-dedup keep-list →
-    quality/token filter → language attach → token-budget shard
-    assignment — the operators composed the way q53 + q59 chain them,
-    as one callable surface.
+    quality/token filter → [benchmark decontamination] → language
+    attach → token-budget shard assignment — the operators composed the
+    way q53 + q63 + q59 chain them, as one callable surface.
+
+    ``benchmark`` (optional) drops documents sharing any exact
+    ``decontamination_n``-gram with the eval set (operators/
+    decontamination.py) — the GPT-3/PaLM contamination rule — before
+    shard assignment, so shards stay contiguous after the drop.
 
     Returns (doc_id, predicted_lang, n_tokens, quality_score, shard).
     One wide scan of the corpus; the dedup keep-list is a content-hash
@@ -66,6 +73,15 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
         .join(canon, "doc_id", "left_semi")
         .join(pred, "doc_id")
     )
+    if benchmark is not None:
+        from .operators.decontamination import decontaminate
+
+        clean = (
+            decontaminate(docs, benchmark, n=decontamination_n)
+            .filter(F.col("contaminated") == 0)
+            .select("doc_id")
+        )
+        kept = kept.join(clean, "doc_id", "left_semi")
     w = W.partitionBy("predicted_lang").orderBy("doc_id").rowsBetween(
         W.unboundedPreceding, 0
     )

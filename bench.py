@@ -50,6 +50,15 @@ HEADLINE += [
     "q60_winnowing_pairs",
     "q61_event_blacklist",
 ]
+# Secondary-registry headliners (outside the driver's 50-query
+# correctness window but oracle-gated by tests/test_extra_queries.py):
+# decontamination, diversity, quantized ANN, as-of join.
+HEADLINE += [
+    "q63_decontaminate",
+    "q64_diversity_signals",
+    "q65_quantized_topk",
+    "q66_asof_join",
+]
 
 
 def main() -> None:
@@ -73,7 +82,14 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    try:  # secondary registry (pytest-gated) joins the bench surface
+        from batch_processing_analysis_spark.plans import registry as _reg
+
+        for _name, _fn in _reg.EXTRA_QUERIES.items():
+            qs.setdefault(_name, _fn)
+    except Exception as e:
+        print(f"bench: extra registry unavailable: {e}", file=sys.stderr)
     sf = None
     try:
         # sf encoded in the dir name, e.g. .../sf0.1

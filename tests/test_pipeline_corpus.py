@@ -70,3 +70,45 @@ def test_shard_packing_invariants(spark, sf_dir):
             assert tot <= budget + maxdoc[s], (lang, s, tot)
         # every shard index up to the max is used (no empty gaps)
         assert sorted(set(shards)) == list(range(max(shards) + 1)), lang
+
+
+def test_prepare_corpus_decontaminated_is_clean_subset(spark, sf_dir):
+    """With a benchmark, the facade output = the no-benchmark output
+    minus contaminated docs, with shards re-packed over the survivors
+    (same per-language cumulative formula)."""
+    from batch_processing_analysis_spark.operators.decontamination import (
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    got = prepare_corpus(docs, benchmark=bench)
+
+    contaminated = {
+        r.doc_id
+        for r in decontaminate(docs, bench, n=8)
+        .filter(F.col("contaminated") == 1).collect()
+    }
+    base = prepare_corpus(docs)
+    survivors = base.filter(~F.col("doc_id").isin(contaminated))
+    w = W.partitionBy("predicted_lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    want = sorted(
+        tuple(r)
+        for r in survivors.withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id", "predicted_lang", "n_tokens", "quality_score",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(4096.0))
+            .cast("long").alias("shard"),
+        )
+        .collect()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == want
+    # the benchmark slice itself is contaminated by construction (it
+    # appears verbatim in the corpus), so the drop is non-trivial
+    # whenever any benchmark doc has >= 8 tokens and survived the
+    # quality gate in the base run.
+    assert {r.doc_id for r in got.collect()} <= {
+        r.doc_id for r in base.collect()
+    }
