@@ -7,6 +7,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from batch_processing_analysis_spark.operators.asof import asof_join
@@ -14,6 +15,12 @@ from batch_processing_analysis_spark.operators.asof import asof_join
 
 def _ts(s):
     return datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def spark_hypothesis(spark):
+    """Session-scoped alias so @given can reuse one SparkSession."""
+    return spark
 
 
 @pytest.fixture(scope="module")
@@ -86,3 +93,55 @@ def test_asof_single_shuffle(spark, frames):
     assert "BroadcastNestedLoopJoin" not in plan
     # the union-merge rewrite has no join at all — one exchange + sort
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+        min_size=1, max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50),
+                  st.integers(-5, 5)),
+        max_size=12, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_matches_pandas_merge_asof(spark_hypothesis, lefts, rights):
+    """Oracle: pandas.merge_asof (direction='backward', inclusive) —
+    the published reference semantics — on random unique-(key, ts)
+    right sides."""
+    spark = spark_hypothesis
+    import pandas as pd
+
+    lpd = pd.DataFrame(
+        [(i, k, _ts(t)) for i, (k, t) in enumerate(lefts)],
+        columns=["event_id", "user_id", "ts"],
+    )
+    rpd = pd.DataFrame(
+        [(k, _ts(t), float(v)) for (k, t, v) in rights],
+        columns=["user_id", "ts", "val"],
+    )
+    rpd["ts"] = pd.to_datetime(rpd["ts"])  # empty frame: keep dtype M8
+    want = pd.merge_asof(
+        lpd.sort_values("ts", kind="stable"),
+        rpd.sort_values("ts", kind="stable"),
+        on="ts", by="user_id", direction="backward",
+    ).sort_values("event_id")
+
+    left = spark.createDataFrame(
+        lpd, "event_id long, user_id string, ts timestamp")
+    if len(rpd):
+        right = spark.createDataFrame(
+            rpd, "user_id string, ts timestamp, val double")
+    else:
+        right = spark.createDataFrame([], "user_id string, ts timestamp, val double")
+    got = {r.event_id: r.val for r in
+           asof_join(left, right, on="user_id").collect()}
+
+    for _, row in want.iterrows():
+        g = got[row.event_id]
+        if pd.isna(row.val):
+            assert g is None, (row.event_id, g)
+        else:
+            assert g == row.val, (row.event_id, g, row.val)
