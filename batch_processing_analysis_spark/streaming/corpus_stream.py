@@ -75,3 +75,47 @@ def stream_quality_filter(docs: DataFrame, *, quality_min: float = 0.2,
         (F.col("quality_score") >= quality_min)
         & F.col("n_tokens").between(tokens_min, tokens_max)
     )
+
+
+def stream_decontaminate(docs: DataFrame, benchmark_grams: set[str],
+                         n: int = 8, text_col: str = "text") -> DataFrame:
+    """Streaming twin of operators/decontamination.decontaminate: flag
+    documents sharing an exact word n-gram with the benchmark AS THEY
+    ARRIVE.
+
+    The batch operator's gram-level broadcast join would need a
+    stateful per-doc re-aggregation on a stream (explode → join →
+    groupBy(doc)), so the streaming form keeps the row layout: an
+    Arrow-batched pandas UDF tests the document's gram array against a
+    task-broadcast frozen set — stateless, watermark-free, one Python
+    hop per ~10k-row batch (the multimodal plumbing shape, not a
+    per-row UDF). Gram construction is the SAME `word_ngrams`
+    expression as batch, so flags agree exactly (tested by replay in
+    tests/test_corpus_stream.py).
+
+    ``benchmark_grams``: the collected output of
+    decontamination.benchmark_ngrams — eval sets are small (thousands
+    of docs ⇒ at most a few million grams), the same object a real
+    deployment ships as a Bloom filter.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.decontamination import word_ngrams
+
+    bc = docs.sparkSession.sparkContext.broadcast(frozenset(benchmark_grams))
+
+    def _hit_fn(grams):
+        bench = bc.value
+        return grams.apply(
+            lambda g: int(any(x in bench for x in g)) if g is not None else 0
+        )
+
+    # (explicit functionType: `from __future__ import annotations`
+    # stringifies signatures, which pandas_udf cannot infer from)
+    _hit = pandas_udf(_hit_fn, "integer")
+
+    return docs.withColumn(
+        "contaminated", _hit(word_ngrams(F.col(text_col), n))
+    )

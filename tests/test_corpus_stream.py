@@ -118,3 +118,53 @@ def test_stream_quality_filter_matches_batch_gate(spark, sf_dir, tmp_path_factor
     }
     assert got == want
     assert want  # gate keeps documents at sf0.001
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path_factory):
+    """Replay: streaming flags == batch decontaminate flags."""
+    from batch_processing_analysis_spark.operators.decontamination import (
+        benchmark_ngrams, decontaminate,
+    )
+    from batch_processing_analysis_spark.streaming.corpus_stream import (
+        stream_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    docs = [
+        (1, "x one two three four five six seven eight tail", 0),
+        (2, "one two three four five six seven end", 1),   # 7-gram only
+        (3, "nothing shared here at all with the benchmark set", 2),
+        (4, "tiny", 3),
+    ]
+    schema = "doc_id long, text string, ingest_time timestamp"
+    src = str(tmp_path_factory.mktemp("decon") / "docs")
+    spark.createDataFrame(
+        [(i, t, T0 + timedelta(minutes=m)) for i, t, m in docs], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    grams = {r._gram for r in benchmark_ngrams(bench, n=8).collect()}
+    stream = spark.readStream.schema(schema).parquet(src)
+    ckpt = str(tmp_path_factory.mktemp("decon") / "ckpt")
+    q = (
+        stream_decontaminate(stream, grams, n=8)
+        .writeStream.format("memory").queryName("stream_decon")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.doc_id: r.contaminated
+        for r in spark.sql("SELECT * FROM stream_decon").collect()
+    }
+
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs], "doc_id long, text string")
+    batch = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(batch_docs, bench, n=8).collect()
+    }
+    assert streamed == batch
+    assert batch[1] == 1 and batch[2] == 0 and batch[4] == 0
