@@ -23,6 +23,7 @@ from ..operators import decontamination as DC
 from ..operators import dedup as D
 from ..operators import graph as G
 from ..operators import multimodal as M
+from ..operators import search as SR
 from ..operators import similarity as S
 from ..operators import text_analysis as TA
 from ..sources.tables import load_table
@@ -1156,3 +1157,51 @@ def q65_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Secondary registry; oracle-gated by tests/test_extra_queries.py."""
     embs = _embs(spark, sf_dir)
     return S.quantized_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "q67_bm25_topk",
+    r"""
+    WITH toksq AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(tk) AS dl,
+             list_filter(tk, t -> t IN ('merge', 'spark', 'window')) AS hits
+      FROM toksq
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base)
+      GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+               * 1e6 + 0.5) AS BIGINT) AS micros
+      FROM tf JOIN dft d USING (term) CROSS JOIN stats s
+    )
+    SELECT doc_id, count(*) AS n_hit_terms,
+           CAST(sum(micros) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+    primary=False,
+)
+def q67_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword top-10 for the query {merge, spark, window}
+    (operators/search.py:bm25_topk) — the relational inverted-index
+    lookup: postings filtered to query terms before any shuffle, df/N
+    broadcast back, per-term contributions quantized to integer micros
+    so the per-doc sum is exact in any engine/order.
+
+    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    return SR.bm25_topk(_docs(spark, sf_dir), ["merge", "spark", "window"])

@@ -58,6 +58,7 @@ HEADLINE += [
     "q64_diversity_signals",
     "q65_quantized_topk",
     "q66_asof_join",
+    "q67_bm25_topk",
 ]
 
 
