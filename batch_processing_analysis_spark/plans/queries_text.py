@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from ..operators import decontamination as DC
 from ..operators import dedup as D
 from ..operators import graph as G
+from ..operators import incremental as INC
 from ..operators import multimodal as M
 from ..operators import search as SR
 from ..operators import similarity as S
@@ -1205,3 +1206,59 @@ def q67_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Secondary registry; oracle-gated by tests/test_extra_queries.py."""
     return SR.bm25_topk(_docs(spark, sf_dir), ["merge", "spark", "window"])
+
+
+@query(
+    "q68_incremental_merge",
+    r"""
+    WITH base AS (
+      SELECT * FROM documents WHERE doc_id % 4 <> 0
+    ),
+    delta AS (
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      FROM documents
+    ),
+    bh AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS content_hash
+      FROM base
+    ),
+    dh AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS content_hash
+      FROM delta
+    ),
+    canon AS (
+      SELECT doc_id, content_hash FROM (
+        SELECT doc_id, content_hash,
+               min(doc_id) OVER (PARTITION BY content_hash) AS _c
+        FROM dh
+      ) WHERE doc_id = _c
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang
+      FROM delta d JOIN canon USING (doc_id)
+      LEFT JOIN bh USING (content_hash)
+      WHERE bh.content_hash IS NULL
+    )
+    SELECT doc_id, lang, 'base' AS origin FROM base
+    UNION ALL
+    SELECT doc_id, lang, 'delta' AS origin FROM kept
+    """,
+    primary=False,
+)
+def q68_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup ingest (operators/incremental.py): base =
+    docs with doc_id % 4 != 0; delta = the whole table re-keyed
+    (+1 000 000). Delta rows survive iff canonical within delta AND
+    content-hash unseen in base — base is touched only for its hash
+    registry, never re-deduplicated.
+
+    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    return INC.merge_exact_increment(base, delta).select(
+        "doc_id", "lang", "origin"
+    )
