@@ -24,6 +24,7 @@ from ..operators import dedup as D
 from ..operators import graph as G
 from ..operators import incremental as INC
 from ..operators import multimodal as M
+from ..operators import ordering as ORD
 from ..operators import search as SR
 from ..operators import similarity as S
 from ..operators import text_analysis as TA
@@ -1262,3 +1263,31 @@ def q68_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return INC.merge_exact_increment(base, delta).select(
         "doc_id", "lang", "origin"
     )
+
+
+@query(
+    "q69_seeded_shuffle",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('train:0:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS k
+      FROM documents
+    )
+    SELECT doc_id, CAST(k % 16 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY k % 16 ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+    primary=False,
+)
+def q69_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (operators/ordering.py):
+    seeded 60-bit-hash permutation, sharded mod 16 — reproducible
+    across engines and epoch-parameterized by the seed string. No
+    global sort: one shard shuffle + per-shard window.
+
+    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    return ORD.seeded_shuffle(
+        _docs(spark, sf_dir), "train:0", 16
+    ).select("doc_id", "shard", "pos")

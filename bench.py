@@ -59,6 +59,8 @@ HEADLINE += [
     "q65_quantized_topk",
     "q66_asof_join",
     "q67_bm25_topk",
+    "q68_incremental_merge",
+    "q69_seeded_shuffle",
 ]
 
 
