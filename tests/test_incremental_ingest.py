@@ -1,0 +1,100 @@
+"""Durable incremental ingest (streaming/incremental_ingest.py): dedup
+state must survive a STREAM RESTART (the case the watermark-bounded
+stream_exact_dedup cannot cover), stay idempotent under batch retry,
+and agree with the batch engine's cluster set."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_analysis_spark.operators.dedup import exact_dedup
+from batch_processing_analysis_spark.streaming.incremental_ingest import (
+    ingest_micro_batch,
+    read_ingested,
+    start_incremental_ingest,
+)
+
+T0 = datetime(2024, 1, 1, 9)
+SCHEMA = "doc_id long, text string, ingest_time timestamp"
+
+# Wave 2 re-sends wave-1 content (docs 11, 12) across a restart, has an
+# internal dup pair (13/14), and brings genuinely new text (15).
+WAVE1 = [(1, "a b", 0), (2, "A  b", 1), (3, "x y z", 2)]
+WAVE2 = [(11, "a b", 10), (12, "x  Y  z", 11), (13, "new stuff", 12),
+         (14, "New  Stuff", 13), (15, "truly unique", 14)]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, T0 + timedelta(minutes=m)) for i, t, m in rows], SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ingest")
+    src = str(root / "src")
+    paths = {
+        "corpus_path": str(root / "corpus"),
+        "registry_path": str(root / "registry"),
+        "checkpoint_path": str(root / "ckpt"),
+    }
+
+    def run_wave(rows):
+        _df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = start_incremental_ingest(stream, **paths)
+        q.awaitTermination()
+
+    run_wave(WAVE1)  # query drains and STOPS (availableNow)
+    run_wave(WAVE2)  # brand-new query object: a genuine restart
+    return paths
+
+
+def test_registry_survives_restart(spark, ingested):
+    got = read_ingested(spark, ingested["corpus_path"])
+    ids = {r.doc_id for r in got.collect()}
+    # 2 deduped within wave 1; 11 (dup of 1 ACROSS the restart) and 12
+    # (dup of 3) dropped by the registry; 14 dropped within its batch.
+    assert ids == {1, 3, 13, 15}
+
+
+def test_cluster_set_matches_batch_engine(spark, ingested):
+    got = read_ingested(spark, ingested["corpus_path"])
+    batch = spark.createDataFrame(
+        [(i, t) for i, t, _ in WAVE1 + WAVE2], "doc_id long, text string"
+    )
+    want_hashes = {
+        r.content_hash
+        for r in exact_dedup(batch).filter(F.col("is_canonical") == 1).collect()
+    }
+    assert {r.content_hash for r in got.collect()} == want_hashes
+    # And exactly one survivor per cluster.
+    assert got.count() == len(want_hashes)
+
+
+def test_retry_is_idempotent(spark, ingested):
+    # Re-running an already-committed micro-batch (same batch_id) must
+    # leave the corpus unchanged — the registry excludes the batch's own
+    # partition, and both writes overwrite their directory.
+    before = sorted(
+        (r.doc_id, r.content_hash)
+        for r in read_ingested(spark, ingested["corpus_path"]).collect()
+    )
+    last_id = max(
+        int(f.split("ingest_batch=")[1].split("/")[0])
+        for f in read_ingested(spark, ingested["corpus_path"]).inputFiles()
+    )
+    ingest_micro_batch(
+        _df(spark, WAVE2), last_id,
+        corpus_path=ingested["corpus_path"],
+        registry_path=ingested["registry_path"],
+    )
+    after = sorted(
+        (r.doc_id, r.content_hash)
+        for r in read_ingested(spark, ingested["corpus_path"]).collect()
+    )
+    assert after == before
