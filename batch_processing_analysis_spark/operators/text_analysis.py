@@ -469,3 +469,56 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
             ).alias("chunk_n_tokens"),
         )
     )
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram distribution — the perplexity-proxy quality signal (CCNet,
+    Wenzek et al. 2020, uses an external LM; the self-trained unigram
+    form needs no model artifact): low = repetitive/common-token text,
+    high = rare-token (often noisy) text. Filter both tails.
+
+    Determinism: each vocabulary entry's −ln p(t) is quantized ONCE to
+    integer micros, so the per-document sum is an exact integer in any
+    engine and any order (the BM25/SRP quantize-then-sum trick);
+    the only float op per doc is one final division, rounded.
+
+    Scale: two shuffles (vocab count keyed on token; per-doc aggregate
+    keyed on id). The vocab join is an equi-join on token — skew-safe
+    for natural language (Zipf head tokens hash-spread by doc), and the
+    total-count scalar is a broadcast. Docs with no tokens report 0.
+    """
+    occ = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    # Fresh key name at the groupBy: vocab and the total both derive
+    # from occ, so downstream references to "_t" after their crossJoin
+    # trip Spark's shared-lineage ambiguity check.
+    vocab = occ.groupBy(F.col("_t").alias("_tv")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    total = occ.agg(F.count(F.lit(1)).alias("_T"))
+    q = vocab.crossJoin(F.broadcast(total)).select(
+        "_tv",
+        F.floor(-F.log(F.col("_c") / F.col("_T")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("_qlp"),
+    )
+    agg = (
+        occ.join(q, occ["_t"] == q["_tv"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("_qlp").alias("sum_neglogp_micro"))
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("sum_neglogp_micro", F.lit(0)).alias("sum_neglogp_micro"),
+        F.round(
+            F.coalesce(
+                F.col("sum_neglogp_micro") / F.col("n_tokens") / F.lit(1e6),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("avg_neglogp"),
+    )

@@ -23,6 +23,7 @@ from ..operators import decontamination as DC
 from ..operators import dedup as D
 from ..operators import graph as G
 from ..operators import incremental as INC
+from ..operators import mixing as MX
 from ..operators import multimodal as M
 from ..operators import ordering as ORD
 from ..operators import search as SR
@@ -1291,3 +1292,96 @@ def q69_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ORD.seeded_shuffle(
         _docs(spark, sf_dir), "train:0", 16
     ).select("doc_id", "shard", "pos")
+
+
+MIX_WEIGHTS = {f"src{i}": (2.0 if i % 2 == 0 else 1.0) for i in range(20)}
+
+@query(
+    "q70_source_mixing",
+    r"""
+    WITH """ + TOKS_SQL + r""",
+    d AS (
+      SELECT t.doc_id, doc.source, len(t.tk) AS n_tokens
+      FROM toks t JOIN documents doc ON t.doc_id = doc.doc_id
+    ),
+    w(source, _budget) AS (
+      VALUES ('src0', 1333.3333333333333),
+        ('src1', 666.6666666666666),
+        ('src10', 1333.3333333333333),
+        ('src11', 666.6666666666666),
+        ('src12', 1333.3333333333333),
+        ('src13', 666.6666666666666),
+        ('src14', 1333.3333333333333),
+        ('src15', 666.6666666666666),
+        ('src16', 1333.3333333333333),
+        ('src17', 666.6666666666666),
+        ('src18', 1333.3333333333333),
+        ('src19', 666.6666666666666),
+        ('src2', 1333.3333333333333),
+        ('src3', 666.6666666666666),
+        ('src4', 1333.3333333333333),
+        ('src5', 666.6666666666666),
+        ('src6', 1333.3333333333333),
+        ('src7', 666.6666666666666),
+        ('src8', 1333.3333333333333),
+        ('src9', 666.6666666666666)
+    ),
+    keyed AS (
+      SELECT d.*, w._budget,
+             CAST('0x' || substr(md5('mix:0:' || CAST(d.doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS _k
+      FROM d JOIN w USING (source)
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens, _budget,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY _k, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM keyed
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE (cum_tokens - n_tokens) < floor(_budget)
+    """,
+    primary=False,
+)
+def q70_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing (operators/mixing.py): even-numbered
+    sources weighted 2x, 20k-token total budget, seeded-hash selection
+    order — the GPT-3/LLaMA-style mixture materialized as one window
+    pass. Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", "source", F.size(D.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return MX.mix_sources(sized, MIX_WEIGHTS, 20000, seed="mix:0")
+
+
+@query(
+    "q72_unigram_logprob",
+    "WITH " + TOKS_SQL + r""",
+    occ AS (SELECT doc_id, unnest(tk) AS _t FROM toks),
+    vocab AS (SELECT _t, count(*) AS _c FROM occ GROUP BY _t),
+    tot AS (SELECT count(*) AS _totn FROM occ),
+    q AS (
+      SELECT _t,
+             CAST(floor(-ln(_c * 1.0 / _totn) * 1e6 + 0.5) AS BIGINT) AS _qlp
+      FROM vocab CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(_qlp) AS s
+      FROM occ JOIN q USING (_t) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           CAST(COALESCE(a.s, 0) AS BIGINT) AS sum_neglogp_micro,
+           round(COALESCE(a.s * 1.0 / a.n_tokens / 1e6, 0.0), 6) AS avg_neglogp
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    primary=False,
+)
+def q72_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram cross-entropy per document (perplexity-proxy
+    quality signal, operators/text_analysis.py:unigram_logprob) —
+    vocabulary −ln p quantized once to integer micros so the per-doc
+    sum is engine-exact. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return TA.unigram_logprob(_docs(spark, sf_dir))

@@ -61,6 +61,8 @@ HEADLINE += [
     "q67_bm25_topk",
     "q68_incremental_merge",
     "q69_seeded_shuffle",
+    "q70_source_mixing",
+    "q72_unigram_logprob",
 ]
 
 
