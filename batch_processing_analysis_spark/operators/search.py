@@ -65,7 +65,8 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 10,
     )
 
     # Corpus stats: one row (N, avgdl). Computed over ALL docs (dl is
-    # per-row work; the aggregate is a scalar) and crossJoin-broadcast.
+    # per-row work; the aggregate is a scalar) and crossJoin-broadcast
+    # (a 1-row build side — the plan audit allowlists this shape).
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -498,6 +498,9 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     vocab = occ.groupBy(F.col("_t").alias("_tv")).agg(
         F.count(F.lit(1)).alias("_c")
     )
+    # Scalar broadcast join-back (1-row build side; plan-audit
+    # allowlisted — Catalyst folds any literal-key equi-join back into
+    # a true-condition NLJ anyway).
     total = occ.agg(F.count(F.lit(1)).alias("_T"))
     q = vocab.crossJoin(F.broadcast(total)).select(
         "_tv",
