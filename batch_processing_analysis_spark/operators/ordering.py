@@ -50,3 +50,51 @@ def seeded_shuffle(df: DataFrame, seed: str, num_shards: int,
     ).withColumn("shard", (F.col("_k") % num_shards).cast("int"))
     w = W.partitionBy("shard").orderBy("_k", id_col)
     return keyed.withColumn("pos", F.row_number().over(w)).drop("_k")
+
+
+def pack_contexts(docs: DataFrame, ctx_len: int,
+                  partition_col: str = "source",
+                  id_col: str = "doc_id",
+                  tokens_col: str = "n_tokens") -> DataFrame:
+    """Concat-and-chunk context packing: lay every document's tokens
+    end-to-end in a deterministic global order and cut fixed
+    ``ctx_len``-token training contexts — the standard pretraining
+    packing (documents may span context boundaries; the loader inserts
+    separators/resets attention at ``ctx_offset`` 0).
+
+    Global order = (partition_col asc, id asc). The global running sum
+    is TWO-PHASE so no global sort ever exists (the 100 TB shape):
+    a per-partition window cumsum, plus per-partition totals prefix-
+    summed into broadcast offsets (P rows — the only single-partition
+    window touches P, not N).
+
+    Returns (id, partition, n_tokens, ctx_id, ctx_offset): ctx_id is
+    the context holding the document's FIRST token, ctx_offset its
+    position in that context; a document spans
+    ``ceil((ctx_offset + n) / ctx_len)`` contexts.
+    """
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    w_local = W.partitionBy(partition_col).orderBy(id_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    local = docs.select(
+        id_col, partition_col, tokens_col,
+        (F.sum(tokens_col).over(w_local) - F.col(tokens_col)).alias("_lx"),
+    )
+    totals = docs.groupBy(partition_col).agg(
+        F.sum(tokens_col).alias("_tot")
+    )
+    w_pref = W.orderBy(partition_col).rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        partition_col,
+        F.coalesce(F.sum("_tot").over(w_pref), F.lit(0)).alias("_off"),
+    )
+    packed = local.join(F.broadcast(offsets), partition_col).withColumn(
+        "_gx", F.col("_lx") + F.col("_off")
+    )
+    return packed.select(
+        id_col, partition_col, tokens_col,
+        F.floor(F.col("_gx") / ctx_len).cast("long").alias("ctx_id"),
+        (F.col("_gx") % ctx_len).cast("long").alias("ctx_offset"),
+    )

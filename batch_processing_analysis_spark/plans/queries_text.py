@@ -1385,3 +1385,44 @@ def q72_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is engine-exact. Secondary registry; oracle-gated by
     tests/test_extra_queries.py."""
     return TA.unigram_logprob(_docs(spark, sf_dir))
+
+
+@query(
+    "q71_context_packing",
+    "WITH " + TOKS_SQL + r""",
+    d AS (
+      SELECT t.doc_id, doc.source, len(t.tk) AS n_tokens
+      FROM toks t JOIN documents doc ON t.doc_id = doc.doc_id
+    ),
+    loc AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS lx
+      FROM d
+    ),
+    tot AS (SELECT source, sum(n_tokens) AS st FROM d GROUP BY source),
+    woff AS (
+      SELECT source,
+             COALESCE(sum(st) OVER (ORDER BY source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS o
+      FROM tot
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((lx + o) / 256.0) AS BIGINT) AS ctx_id,
+           CAST((lx + o) % 256 AS BIGINT) AS ctx_offset
+    FROM loc JOIN woff USING (source)
+    """,
+    primary=False,
+)
+def q71_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk context packing into 256-token training
+    contexts (operators/ordering.py:pack_contexts): two-phase global
+    running sum — per-source window + broadcast prefix offsets — so no
+    global sort exists. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", "source", F.size(D.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return ORD.pack_contexts(sized, 256)

@@ -62,6 +62,7 @@ HEADLINE += [
     "q68_incremental_merge",
     "q69_seeded_shuffle",
     "q70_source_mixing",
+    "q71_context_packing",
     "q72_unigram_logprob",
 ]
 

@@ -52,3 +52,32 @@ def test_shuffle_balances_shards(spark, docs):
 def test_shuffle_rejects_bad_shards(spark, docs):
     with pytest.raises(ValueError):
         seeded_shuffle(docs, "s", 0)
+
+
+def test_pack_contexts_tiles_tokens_exactly(spark):
+    from batch_processing_analysis_spark.operators.ordering import pack_contexts
+
+    rows = [(1, "a", 10), (2, "a", 25), (3, "b", 7), (4, "b", 64), (5, "c", 1)]
+    out = {
+        r.doc_id: (r.ctx_id, r.ctx_offset)
+        for r in pack_contexts(
+            spark.createDataFrame(rows, "doc_id int, source string, n_tokens int"),
+            ctx_len=32,
+        ).collect()
+    }
+    # Global order a:1,2 b:3,4 c:5 → exclusive cumsums 0,10,35,42,106.
+    assert out == {
+        1: (0, 0), 2: (0, 10), 3: (1, 3), 4: (1, 10), 5: (3, 10)
+    }
+
+
+def test_pack_contexts_rejects_bad_len(spark):
+    from batch_processing_analysis_spark.operators.ordering import pack_contexts
+
+    docs = spark.createDataFrame(
+        [(1, "a", 5)], "doc_id int, source string, n_tokens int"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_contexts(docs, 0)
