@@ -387,3 +387,81 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_segments(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", width: int = 10) -> DataFrame:
+    """Segment-level exact dedup: the bounded-granularity form of
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public ExactSubstr
+    semantics, tiled to fixed windows instead of a suffix array).
+
+    Each document is tokenized (whitespace) and tiled into consecutive
+    ``width``-token segments; for every distinct segment text only the
+    globally FIRST occurrence — ordered by ``(doc_id, segment_index)``
+    — survives. Documents are reassembled from their surviving
+    segments in order. Unlike document-level dedup this removes
+    *repeated boilerplate spans* (headers, license blocks, navigation
+    chrome) from otherwise-unique documents.
+
+    Returns ``(id_col, clean_text, n_seg, n_kept)``. ``clean_text`` is
+    whitespace-normalized (single-space joined) by construction.
+
+    Scale (100 TB): first-occurrence selection is a partial-aggregatable
+    ``min(struct(doc, seg))`` per segment hash — deliberately NOT a
+    per-hash window sort, so a boilerplate segment shared by millions of
+    documents costs one combine tree instead of one hot sorted
+    partition. Three shuffles total (segment build on doc id, hash agg,
+    reassembly on doc id); nothing wider than one segment's tokens is
+    ever held in a row.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    segs = (
+        tok.withColumn("_seg", (F.col("_pos") / width).cast("int"))
+        .groupBy(id_col, "_seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("_stext")
+        )
+        .withColumn("_h", hash60(F.col("_stext")))
+    )
+    firsts = segs.groupBy("_h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("_d"), F.col("_seg").alias("_s"))
+        ).alias("_first")
+    )
+    kept = segs.join(firsts, "_h").filter(
+        (F.col(id_col) == F.col("_first._d"))
+        & (F.col("_seg") == F.col("_first._s"))
+    )
+    kagg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_seg", "_stext"))),
+                lambda s: s["_stext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    counts = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_seg"))
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select(id_col)
+        .join(counts, id_col, "left")
+        .join(kagg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_seg", zero).alias("n_seg"),
+            F.coalesce("n_kept", zero).alias("n_kept"),
+        )
+    )

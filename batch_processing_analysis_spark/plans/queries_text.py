@@ -1426,3 +1426,54 @@ def q71_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size(D.tokens(F.col("text"))).alias("n_tokens")
     )
     return ORD.pack_contexts(sized, 256)
+
+
+@query(
+    "q73_dedup_segments",
+    "WITH " + TOKS_SQL + r""",
+    seg AS (
+      SELECT doc_id,
+             unnest(range(len(tk))) // 10 AS seg_idx,
+             unnest(range(len(tk))) AS pos,
+             unnest(tk) AS tok
+      FROM toks WHERE len(tk) > 0
+    ),
+    segtext AS (
+      SELECT doc_id, seg_idx, string_agg(tok, ' ' ORDER BY pos) AS seg_text
+      FROM seg GROUP BY doc_id, seg_idx
+    ),
+    hashed AS (
+      SELECT doc_id, seg_idx, seg_text,
+             CAST('0x' || substr(md5(seg_text), 1, 15) AS BIGINT) AS h
+      FROM segtext
+    ),
+    keep AS (
+      SELECT doc_id, seg_idx, seg_text,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM hashed
+    ),
+    counts AS (SELECT doc_id, count(*) AS n_seg FROM segtext GROUP BY doc_id),
+    keptagg AS (
+      SELECT doc_id,
+             string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text,
+             count(*) AS n_kept
+      FROM keep WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           COALESCE(c.n_seg, 0) AS n_seg,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM documents d
+    LEFT JOIN counts c USING (doc_id)
+    LEFT JOIN keptagg k USING (doc_id)
+    """,
+    primary=False,
+)
+def q73_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (operators/dedup.py:dedup_segments):
+    10-token tiles, globally-first occurrence survives, documents
+    reassembled in order — the bounded-granularity ExactSubstr pass
+    (Lee et al. 2022). Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return D.dedup_segments(_docs(spark, sf_dir), width=10)

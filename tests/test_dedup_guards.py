@@ -54,3 +54,46 @@ def test_verify_jaccard_emits_zero_for_disjoint_candidates(spark):
     rows = verify_jaccard_rows(pairs, sh).collect()
     assert len(rows) == 1
     assert rows[0]["jaccard"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# dedup_segments (M39): bounded-granularity ExactSubstr semantics
+# ---------------------------------------------------------------------------
+
+def test_dedup_segments_removes_repeated_spans_keeps_first(spark):
+    from batch_processing_analysis_spark.operators.dedup import dedup_segments
+
+    boiler = "L1 L2 L3"  # one full 3-token tile, shared by both docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} a b c"),
+            (2, f"{boiler} x y z"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(docs, width=3).collect()
+    }
+    # Doc 1 owns the first occurrence of the boilerplate tile.
+    assert out[1]["clean_text"] == "L1 L2 L3 a b c"
+    assert (out[1]["n_seg"], out[1]["n_kept"]) == (2, 2)
+    # Doc 2 loses the tile but keeps its unique tail, order preserved.
+    assert out[2]["clean_text"] == "x y z"
+    assert (out[2]["n_seg"], out[2]["n_kept"]) == (2, 1)
+    # Empty doc: empty output, zero counts (left-join contract).
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_seg"], out[3]["n_kept"]) == (0, 0)
+
+
+def test_dedup_segments_within_doc_repeat_collapses(spark):
+    from batch_processing_analysis_spark.operators.dedup import dedup_segments
+
+    docs = spark.createDataFrame(
+        [(7, "p q p q p q")], "doc_id long, text string"
+    )
+    row = dedup_segments(docs, width=2).collect()[0]
+    # Three identical 2-token tiles -> only the first survives.
+    assert row["clean_text"] == "p q"
+    assert (row["n_seg"], row["n_kept"]) == (3, 1)
