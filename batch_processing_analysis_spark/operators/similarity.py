@@ -508,3 +508,64 @@ def neardup_pairs(corpus: DataFrame, threshold: float,
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def semantic_dedup_pairs(corpus: DataFrame, threshold: float = 0.9,
+                         stride: int = 50, max_cluster: int = 1000,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication" — public method):
+    cluster the embedding space, then compare ONLY within-cluster pairs
+    and emit those with cosine ≥ ``threshold``. Catches paraphrases and
+    near-translations that lexical dedup (MinHash/SimHash) misses.
+
+    ``centroids=None`` uses the deterministic stride subsample (the
+    engine-portable, oracle-checked default, as in :func:`ivf_topk`);
+    pass :func:`kmeans_centroids` output for the recall-stronger
+    trained variant — identical plan shape either way.
+
+    Returns ``(id_a, id_b, sim)`` with ``id_a < id_b``; ``sim`` is the
+    exact cosine rounded to 6 dp, and the threshold is applied to the
+    ROUNDED value so the cut is engine-portable at the boundary.
+
+    Scale (100 TB): all-pairs work is O(Σ cluster²), not O(n²) —
+    the centroid count is the dial (SemDeDup used ~100k clusters for
+    LAION-scale). Clusters whose population exceeds ``max_cluster``
+    are dropped before the self-join (the same skew guard as every LSH
+    family here, mirrored in the oracle): one degenerate cluster must
+    not produce a quadratic pair blow-up. Centroids broadcast;
+    the only wide exchange is the equi-join on ``centroid_id``.
+    """
+    corpus = _as_double(corpus, vec_col)
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
+    else:
+        centroids = _as_double(centroids, vec_col).select(
+            "centroid_id", F.col(vec_col)
+        )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    ok = (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_cluster)
+        .select("centroid_id")
+    )
+    guarded = assigned.join(ok, "centroid_id")
+    a = guarded.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = guarded.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1477,3 +1477,44 @@ def q73_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Lee et al. 2022). Secondary registry; oracle-gated by
     tests/test_extra_queries.py."""
     return D.dedup_segments(_docs(spark, sf_dir), width=10)
+
+
+@query(
+    "q74_semantic_dedup",
+    f"""
+    WITH {EMB_SQL},
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {COS.format(a='e.v', b='cent.cv')} DESC, cent.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    ok AS (
+      SELECT centroid_id FROM assigned GROUP BY centroid_id
+      HAVING count(*) <= 1000
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({COS.format(a='a.v', b='b.v')}, 6) AS sim
+      FROM assigned a
+      JOIN ok USING (centroid_id)
+      JOIN assigned b USING (centroid_id)
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3
+    """,
+    primary=False,
+)
+def q74_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-cluster semantic near-dup pairs
+    (operators/similarity.py:semantic_dedup_pairs): stride centroids,
+    cluster-size skew guard, rounded-cosine threshold 0.3
+    (the synthetic vectors' p99 — they carry no true near-dups). Secondary
+    registry; oracle-gated by tests/test_extra_queries.py."""
+    return S.semantic_dedup_pairs(_embs(spark, sf_dir), threshold=0.3,
+                                  stride=50, max_cluster=1000)

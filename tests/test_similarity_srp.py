@@ -110,3 +110,56 @@ def test_srp_max_bucket_drops_degenerate_buckets(spark):
     assert S.srp_neardup_pairs(vecs, 0.5, dim=4, max_bucket=10).count() == 0
     full = S.srp_neardup_pairs(vecs, 0.5, dim=4, max_bucket=100)
     assert full.count() == 12 * 11 // 2
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_pairs (M40): SemDeDup within-cluster near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _embs_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_within_cluster_pairs(spark):
+    from batch_processing_analysis_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    cents = _embs_df(
+        spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    ).withColumnRenamed("vec_id", "centroid_id")
+    corpus = _embs_df(
+        spark,
+        [
+            (10, [1.0, 0.01]),   # cluster 0
+            (11, [1.0, 0.02]),   # cluster 0, near-dup of 10
+            (20, [0.01, 1.0]),   # cluster 1
+            (21, [0.02, 1.0]),   # cluster 1, near-dup of 20
+        ],
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            corpus, threshold=0.99, centroids=cents
+        ).collect()
+    )
+    # Near-dups pair up inside their cluster; nothing crosses clusters.
+    assert got == [(10, 11), (20, 21)]
+
+
+def test_semantic_dedup_max_cluster_guard(spark):
+    from batch_processing_analysis_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    cents = _embs_df(spark, [(0, [1.0, 0.0])]).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    corpus = _embs_df(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.0])])
+    # Cluster of 2 > max_cluster=1 -> dropped before the self-join.
+    assert (
+        semantic_dedup_pairs(
+            corpus, threshold=0.0, centroids=cents, max_cluster=1
+        ).count()
+        == 0
+    )
