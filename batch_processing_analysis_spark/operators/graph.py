@@ -123,3 +123,52 @@ def connected_components(
         .join(labels.withColumnRenamed("_id", id_col), id_col, "left")
         .select(id_col, F.coalesce("_comp", F.col(id_col)).alias("component"))
     )
+
+
+def resolve_duplicates(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       prefer_col: str | None = None,
+                       src_col: str = "id_a",
+                       dst_col: str = "id_b") -> DataFrame:
+    """Collapse near-duplicate PAIRS into a per-document verdict — the
+    step every dedup family here feeds into: candidate pairs (MinHash /
+    SimHash / n-gram / SRP / SemDeDup) → connected components → ONE
+    canonical survivor per component.
+
+    Returns ``(id_col, component, is_canonical)`` for EVERY document:
+    isolated docs are their own (kept) component. The canonical choice
+    is deterministic — max ``prefer_col`` (e.g. ``n_chars`` to keep the
+    longest variant), ties and the default broken by min doc id — so
+    re-runs and engines agree.
+
+    ``keep = resolve_duplicates(...).filter("is_canonical = 1")`` is
+    the semi-join keep-list shape ``prepare_corpus`` consumes.
+
+    Scale (100 TB): component state is one row per doc; the canonical
+    argmin is a partial-aggregatable ``min(struct)`` per component (no
+    per-component window sort — a mega-component of boilerplate docs
+    must not become one hot sorted partition).
+    """
+    comp = connected_components(docs.select(id_col), pairs, id_col,
+                                src_col, dst_col)
+    if prefer_col is None:
+        ranked = comp.select(
+            id_col, "component",
+            F.struct(F.col(id_col).alias("_i")).alias("_key"),
+        )
+    else:
+        pref = docs.select(id_col, F.col(prefer_col).alias("_p"))
+        ranked = comp.join(pref, id_col).select(
+            id_col, "component",
+            F.struct((-F.col("_p")).alias("_np"),
+                     F.col(id_col).alias("_i")).alias("_key"),
+        )
+    best = ranked.groupBy("component").agg(F.min("_key").alias("_best"))
+    return (
+        ranked.join(best, "component")
+        .select(
+            F.col(id_col), F.col("component"),
+            F.when(F.col("_key") == F.col("_best"), F.lit(1))
+            .otherwise(F.lit(0)).alias("is_canonical"),
+        )
+    )

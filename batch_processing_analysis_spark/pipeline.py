@@ -41,7 +41,8 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
                    tokens_min: int = 5, tokens_max: int = 10_000,
                    shard_tokens: int = 4096,
                    benchmark: DataFrame | None = None,
-                   decontamination_n: int = 8) -> DataFrame:
+                   decontamination_n: int = 8,
+                   near_dedup: bool = False) -> DataFrame:
     """Training-corpus preparation facade: exact-dedup keep-list →
     quality/token filter → [benchmark decontamination] → language
     attach → token-budget shard assignment — the operators composed the
@@ -51,6 +52,12 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     ``decontamination_n``-gram with the eval set (operators/
     decontamination.py) — the GPT-3/PaLM contamination rule — before
     shard assignment, so shards stay contiguous after the drop.
+
+    ``near_dedup=True`` widens the keep-list from exact duplicates to
+    near-duplicate CLUSTERS: q52's edge set (exact ∪ n-gram Jaccard) →
+    connected components → one canonical (longest) survivor per cluster
+    (operators/graph.py:resolve_duplicates). Strictly a subset of the
+    exact keep-list.
 
     Returns (doc_id, predicted_lang, n_tokens, quality_score, shard).
     One wide scan of the corpus; the dedup keep-list is a content-hash
@@ -64,7 +71,20 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
 
     qual = TA.quality_features(docs).select("doc_id", "n_tokens", "quality_score")
     pred = TA.language_id(docs).select("doc_id", "predicted_lang")
-    canon = D.exact_dedup(docs).filter(F.col("is_canonical") == 1).select("doc_id")
+    if near_dedup:
+        from .operators.graph import resolve_duplicates
+
+        edges = D.exact_pair_edges(docs).unionByName(
+            D.ngram_jaccard_pairs(docs, n=5, df_max=10, threshold=0.5)
+            .select("id_a", "id_b")
+        )
+        canon = (
+            resolve_duplicates(docs, edges, prefer_col="n_chars")
+            .filter(F.col("is_canonical") == 1)
+            .select("doc_id")
+        )
+    else:
+        canon = D.exact_dedup(docs).filter(F.col("is_canonical") == 1).select("doc_id")
     kept = (
         qual.filter(
             (F.col("quality_score") >= quality_min)

@@ -1518,3 +1518,78 @@ def q74_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry; oracle-gated by tests/test_extra_queries.py."""
     return S.semantic_dedup_pairs(_embs(spark, sf_dir), threshold=0.3,
                                   stride=50, max_cluster=1000)
+
+
+@query(
+    "q75_dedup_resolution",
+    r"""
+    WITH RECURSIVE hx AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+      FROM documents
+    ),
+    epairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT min(doc_id) OVER (PARTITION BY ch) AS id_a, doc_id AS id_b
+        FROM hx
+      ) WHERE id_a <> id_b
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(text) - 3),
+                                          i -> text[i:i+4])) AS g
+      FROM documents WHERE len(text) >= 5
+    ),
+    ex AS (SELECT doc_id, unnest(g) AS gr FROM grams),
+    dfreq AS (SELECT gr, count(*) AS df FROM ex GROUP BY gr),
+    rare AS (
+      SELECT ex.doc_id, ex.gr FROM ex JOIN dfreq USING (gr)
+      WHERE df BETWEEN 2 AND 10
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    ),
+    npairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN grams ga ON ga.doc_id = id_a
+      JOIN grams gb ON gb.doc_id = id_b
+      WHERE len(list_intersect(ga.g, gb.g)) * 1.0
+            / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.5
+    ),
+    allp AS (SELECT * FROM epairs UNION SELECT * FROM npairs),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM allp
+      UNION SELECT id_b, id_a FROM allp
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component
+              FROM reach GROUP BY id),
+    ranked AS (
+      SELECT c.doc_id, c.component,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comps c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, component,
+           CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_canonical
+    FROM ranked
+    """,
+    primary=False,
+)
+def q75_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (operators/graph.py:
+    resolve_duplicates): q52's edge set (exact ∪ n-gram near-dup) →
+    connected components → ONE canonical survivor per cluster, keeping
+    the LONGEST variant (n_chars, ties → min doc id). Secondary
+    registry; oracle-gated by tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir)
+    edges = D.exact_pair_edges(docs).unionByName(
+        D.ngram_jaccard_pairs(docs, n=5, df_max=10, threshold=0.5)
+        .select("id_a", "id_b")
+    )
+    return G.resolve_duplicates(docs, edges, prefer_col="n_chars")

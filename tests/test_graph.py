@@ -48,3 +48,47 @@ def test_duplicate_and_self_edges_are_harmless(spark):
     )
     got = cc_map(nodes, edges)
     assert got == {1: 1, 2: 1, 3: 3}
+
+
+# ---------------------------------------------------------------------------
+# resolve_duplicates (M41): pairs -> components -> canonical keep-list
+# ---------------------------------------------------------------------------
+
+def test_resolve_duplicates_default_min_id(spark):
+    from batch_processing_analysis_spark.operators.graph import (
+        resolve_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 7, 9]], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in resolve_duplicates(docs, pairs).collect()
+    }
+    # Chain 1-2-3 collapses to component 1; min id is canonical.
+    assert got[1] == (1, 1) and got[2] == (1, 0) and got[3] == (1, 0)
+    # Isolated docs are their own kept component.
+    assert got[7] == (7, 1) and got[9] == (9, 1)
+
+
+def test_resolve_duplicates_prefer_column(spark):
+    from batch_processing_analysis_spark.operators.graph import (
+        resolve_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["is_canonical"]
+        for r in resolve_duplicates(docs, pairs, prefer_col="n_chars").collect()
+    }
+    # Longest wins; tie on n_chars=99 broken by min doc id -> 2.
+    assert got == {1: 0, 2: 1, 3: 0}

@@ -146,3 +146,12 @@ def test_build_training_set_pins_to_verified_pieces(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want and got
+
+
+def test_prepare_corpus_near_dedup_is_subset(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {r["doc_id"] for r in prepare_corpus(docs).collect()}
+    near = {r["doc_id"] for r in prepare_corpus(docs, near_dedup=True).collect()}
+    # Near-dup clustering can only merge more docs away, never add.
+    assert near <= exact
+    assert near  # and it keeps something
