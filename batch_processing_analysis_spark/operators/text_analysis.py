@@ -525,3 +525,68 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
             6,
         ).alias("avg_neglogp"),
     )
+
+
+def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document bigram conditional cross-entropy against the
+    corpus's own bigram model — the next step up from
+    :func:`unigram_logprob` toward the CCNet/KenLM perplexity filter
+    (Wenzek et al. 2020) without an external model artifact:
+    H = (1/(n−1)) Σ −ln p(wᵢ | wᵢ₋₁), with p(w₂|w₁) =
+    c(w₁w₂) / c(w₁·) estimated from the corpus itself (every observed
+    bigram has nonzero count, so no smoothing is needed). Low =
+    predictable/boilerplate text, high = incoherent token soup —
+    filter both tails.
+
+    Returns ``(id_col, n_bigrams, sum_neglogp_micro, avg_neglogp)``;
+    docs with < 2 tokens report 0 (left-join contract).
+
+    Determinism: each distinct bigram's −ln p is quantized ONCE to
+    integer micros so per-doc sums are exact integers in any engine
+    and order (the quantize-then-sum rule of plans/registry.py).
+
+    Scale: the model is two partial-aggregatable counts (bigram,
+    prefix — the prefix count derives from the bigram counts, not a
+    second pass over occurrences); scoring is one equi-join on the
+    bigram key (Zipf-head bigrams hash-spread by doc) plus one per-doc
+    aggregate. The only per-doc ordering is the window building the
+    bigram rows.
+    """
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t")
+    )
+    w = W.partitionBy(id_col).orderBy("_pos")
+    big = tok.select(
+        F.col(id_col),
+        F.col("_t").alias("_w1"),
+        F.lead("_t", 1).over(w).alias("_w2"),
+    ).filter(F.col("_w2").isNotNull())
+    bc = big.groupBy(
+        F.col("_w1").alias("_v1"), F.col("_w2").alias("_v2")
+    ).agg(F.count(F.lit(1)).alias("_cb"))
+    pc = bc.groupBy("_v1").agg(F.sum("_cb").alias("_cp"))
+    q = bc.join(pc, "_v1").select(
+        "_v1", "_v2",
+        F.floor(-F.log(F.col("_cb") / F.col("_cp")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("_qlp"),
+    )
+    agg = (
+        big.join(q, (big["_w1"] == q["_v1"]) & (big["_w2"] == q["_v2"]))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("_qlp").alias("sum_neglogp_micro"))
+    )
+    zero = F.lit(0).cast("long")
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", zero).alias("n_bigrams"),
+        F.coalesce("sum_neglogp_micro", zero).alias("sum_neglogp_micro"),
+        F.round(
+            F.coalesce(
+                F.col("sum_neglogp_micro") / F.col("n_bigrams") / F.lit(1e6),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("avg_neglogp"),
+    )

@@ -1593,3 +1593,40 @@ def q75_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return G.resolve_duplicates(docs, edges, prefer_col="n_chars")
+
+
+@query(
+    "q76_bigram_logprob",
+    "WITH " + TOKS_SQL + r""",
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+      FROM toks WHERE len(tk) >= 2
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+    pc AS (SELECT w1, sum(cb) AS cp FROM bc GROUP BY w1),
+    q AS (
+      SELECT w1, w2,
+             CAST(floor(-ln(cb * 1.0 / cp) * 1e6 + 0.5) AS BIGINT) AS qlp
+      FROM bc JOIN pc USING (w1)
+    ),
+    agg AS (
+      SELECT b.doc_id, count(*) AS n_bigrams, sum(q.qlp) AS s
+      FROM big b JOIN q ON b.w1 = q.w1 AND b.w2 = q.w2
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(s, 0) AS sum_neglogp_micro,
+           round(COALESCE(s * 1.0 / n_bigrams / 1e6, 0.0), 6) AS avg_neglogp
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    primary=False,
+)
+def q76_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram conditional cross-entropy per document
+    (operators/text_analysis.py:bigram_logprob) — the perplexity-proxy
+    quality signal one order up from q72's unigram. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    return TA.bigram_logprob(_docs(spark, sf_dir))

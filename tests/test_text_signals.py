@@ -81,3 +81,26 @@ def test_prepare_corpus_facade(spark, sf_dir):
     for (lang, shard), tot in by_shard.items():
         if shard < last[lang]:
             assert tot >= 4096 - 10_000  # never pathologically empty
+
+
+def test_bigram_logprob_semantics(spark):
+    import math
+
+    from batch_processing_analysis_spark.operators.text_analysis import (
+        bigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    # Corpus bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> p(b|a)=2/3, p(a|b)=1,
+    # p(c|a)=1/3.
+    q = lambda p: math.floor(-math.log(p) * 1e6 + 0.5)
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["sum_neglogp_micro"] == 2 * q(2 / 3) + q(1.0)
+    assert got[2]["sum_neglogp_micro"] == q(1 / 3)
+    # < 2 tokens -> zeros
+    assert (got[3]["n_bigrams"], got[3]["avg_neglogp"]) == (0, 0.0)
+    assert (got[4]["n_bigrams"], got[4]["avg_neglogp"]) == (0, 0.0)
