@@ -105,19 +105,38 @@ def lsh_increment_pairs(base: DataFrame, delta: DataFrame,
     guard population count is a map-side-combinable aggregate over
     stored bands plus the delta's.
     """
-    bsig = minhash_signatures(base, id_col, text_col, k, num_hashes)
-    dsig = minhash_signatures(delta, id_col, text_col, k, num_hashes)
-    bb = _bands(bsig, id_col, num_hashes, rows_per_band)
-    db = _bands(dsig, id_col, num_hashes, rows_per_band)
-    allb = bb.unionByName(db)
+    bb = band_rows(base, id_col, text_col, k, num_hashes, rows_per_band)
+    db = band_rows(delta, id_col, text_col, k, num_hashes, rows_per_band)
+    return increment_pairs_from_bands(db, bb.unionByName(db), id_col,
+                                      max_bucket)
+
+
+def band_rows(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", k: int = 3, num_hashes: int = 8,
+              rows_per_band: int = 2) -> DataFrame:
+    """(id, band, bkey) LSH band rows for ``docs`` — the unit stored in
+    a durable band registry (streaming/incremental_ingest.py) or a
+    bucketed base-band table (sources/bucketed.py)."""
+    sig = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    return _bands(sig, id_col, num_hashes, rows_per_band)
+
+
+def increment_pairs_from_bands(delta_bands: DataFrame,
+                               all_bands: DataFrame,
+                               id_col: str = "doc_id",
+                               max_bucket: int = 1000) -> DataFrame:
+    """Candidate pairs with ≥1 side in the delta, from PRE-BUILT band
+    rows: the join core of :func:`lsh_increment_pairs`, factored out so
+    the streaming ingest loop can feed it stored bands instead of
+    re-signaturing the base corpus."""
     pop = (
-        allb.groupBy("band", "bkey")
+        all_bands.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
     )
-    guarded_all = allb.join(pop, ["band", "bkey"])
-    guarded_delta = db.join(pop, ["band", "bkey"])
+    guarded_all = all_bands.join(pop, ["band", "bkey"])
+    guarded_delta = delta_bands.join(pop, ["band", "bkey"])
     x, y = guarded_delta.alias("x"), guarded_all.alias("y")
     return (
         x.join(
@@ -138,5 +157,7 @@ __all__ = [
     "content_hash",
     "merge_exact_increment",
     "lsh_increment_pairs",
+    "band_rows",
+    "increment_pairs_from_bands",
     "lsh_candidate_pairs",
 ]

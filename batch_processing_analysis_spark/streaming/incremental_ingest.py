@@ -106,3 +106,87 @@ def start_incremental_ingest(stream_docs: DataFrame, *, corpus_path: str,
 def read_ingested(spark: SparkSession, corpus_path: str) -> DataFrame:
     """The deduplicated corpus accumulated so far (all batch partitions)."""
     return spark.read.option("basePath", corpus_path).parquet(corpus_path)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup ingest (M43): durable LSH band registry + per-batch pair flags
+# ---------------------------------------------------------------------------
+
+def neardup_micro_batch(batch_df: DataFrame, batch_id: int, *,
+                        bands_path: str, pairs_path: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, num_hashes: int = 8,
+                        rows_per_band: int = 2,
+                        max_bucket: int = 1000) -> None:
+    """One micro-batch of the streaming NEAR-dup gate: signature the
+    batch, join its band rows against the durable band registry (plus
+    itself), persist the pairs the batch introduced and the batch's own
+    bands — each into an ``ingest_batch=<id>`` overwrite partition
+    (retry-idempotent, same discipline as :func:`ingest_micro_batch`).
+
+    The base×base join is never built (operators/incremental.py
+    semantics): each arrival is compared against everything seen so
+    far exactly once, so the accumulated pair set over a whole stream
+    equals the one-shot batch ``lsh_candidate_pairs`` on the full
+    corpus whenever no bucket crosses ``max_bucket`` mid-stream (the
+    guard population grows with the registry; a bucket can be open
+    early and capped later — that ordering dependence is inherent to
+    ANY incremental skew guard and is documented, not hidden).
+    """
+    from ..operators.incremental import band_rows, increment_pairs_from_bands
+
+    spark = batch_df.sparkSession
+    db = band_rows(batch_df, id_col, text_col, k, num_hashes,
+                   rows_per_band).localCheckpoint(eager=True)
+    try:
+        stored = (
+            spark.read.option("basePath", bands_path).parquet(bands_path)
+            .filter(F.col("ingest_batch") != batch_id)
+            .select(id_col, "band", "bkey")
+        )
+    except AnalysisException:  # first batch: registry doesn't exist yet
+        stored = None
+    allb = db if stored is None else db.unionByName(stored)
+    pairs = increment_pairs_from_bands(db, allb, id_col, max_bucket)
+    pairs.write.mode("overwrite").parquet(
+        f"{pairs_path}/ingest_batch={batch_id}"
+    )
+    db.write.mode("overwrite").parquet(f"{bands_path}/ingest_batch={batch_id}")
+
+
+def start_neardup_ingest(stream_docs: DataFrame, *, bands_path: str,
+                         pairs_path: str, checkpoint_path: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 3, num_hashes: int = 8,
+                         rows_per_band: int = 2, max_bucket: int = 1000,
+                         available_now: bool = True) -> StreamingQuery:
+    """Durable streaming near-dup detection: every arriving document is
+    LSH-compared against the full history via the persisted band
+    registry — state on disk, restart-proof, shared with the batch
+    engine (same bands ⇒ ``lsh_increment_pairs`` over the same arrivals
+    flags the same pairs)."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_micro_batch(
+            batch_df, batch_id, bands_path=bands_path,
+            pairs_path=pairs_path, id_col=id_col, text_col=text_col,
+            k=k, num_hashes=num_hashes, rows_per_band=rows_per_band,
+            max_bucket=max_bucket,
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(_fn)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """All near-dup pairs flagged so far (distinct across batches —
+    a pair can only be introduced once, by its later side's batch)."""
+    return (
+        spark.read.option("basePath", pairs_path).parquet(pairs_path)
+        .select("id_a", "id_b").distinct()
+    )

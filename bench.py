@@ -64,6 +64,10 @@ HEADLINE += [
     "q70_source_mixing",
     "q71_context_packing",
     "q72_unigram_logprob",
+    "q73_dedup_segments",
+    "q74_semantic_dedup",
+    "q75_dedup_resolution",
+    "q76_bigram_logprob",
 ]
 
 

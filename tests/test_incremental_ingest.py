@@ -98,3 +98,66 @@ def test_retry_is_idempotent(spark, ingested):
         for r in read_ingested(spark, ingested["corpus_path"]).collect()
     )
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingest (M43): band registry across restarts
+# ---------------------------------------------------------------------------
+
+NWAVE1 = [(1, "the quick brown fox jumps", 0),
+          (2, "the quick brown fox leaps", 1),
+          (3, "completely different text here now", 2)]
+NWAVE2 = [(11, "the quick brown fox jumps high", 10),
+          (12, "unrelated fresh content entirely", 11)]
+
+
+@pytest.fixture(scope="module")
+def neardup_run(spark, tmp_path_factory):
+    from batch_processing_analysis_spark.streaming.incremental_ingest import (
+        start_neardup_ingest,
+    )
+
+    root = tmp_path_factory.mktemp("neardup")
+    src = str(root / "src")
+    paths = {
+        "bands_path": str(root / "bands"),
+        "pairs_path": str(root / "pairs"),
+        "checkpoint_path": str(root / "ckpt"),
+    }
+
+    def run_wave(rows):
+        _df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = start_neardup_ingest(stream, **paths)
+        q.awaitTermination()
+
+    run_wave(NWAVE1)
+    run_wave(NWAVE2)  # new query object: restart against stored bands
+    return paths
+
+
+def test_neardup_stream_equals_batch_lsh(spark, neardup_run):
+    from batch_processing_analysis_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures,
+    )
+    from batch_processing_analysis_spark.streaming.incremental_ingest import (
+        read_pairs,
+    )
+
+    streamed = {
+        (r.id_a, r.id_b)
+        for r in read_pairs(spark, neardup_run["pairs_path"]).collect()
+    }
+    full = _df(spark, NWAVE1 + NWAVE2)
+    batch = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(full)
+        ).select("id_a", "id_b").collect()
+    }
+    # Accumulated streamed pairs == one-shot batch LSH on the union
+    # (no bucket crosses the cap in this fixture).
+    assert streamed == batch
+    # And the near-dup family actually fires across the restart:
+    # doc 11 pairs with wave-1 docs it shares shingles with.
+    assert any(a in {1, 2} and b == 11 for a, b in streamed)
