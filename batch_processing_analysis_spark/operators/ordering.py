@@ -98,3 +98,41 @@ def pack_contexts(docs: DataFrame, ctx_len: int,
         F.floor(F.col("_gx") / ctx_len).cast("long").alias("ctx_id"),
         (F.col("_gx") % ctx_len).cast("long").alias("ctx_offset"),
     )
+
+
+def quality_buckets(scored: DataFrame, n_buckets: int = 10,
+                    group_col: str = "lang",
+                    score_col: str = "quality_score",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Equal-population quality buckets per group — the curriculum /
+    stratified-selection binning step (e.g. keep top-k buckets per
+    language, or anneal from low to high quality over training):
+    ``ntile(n_buckets)`` ordered by ``(score, id)`` within each group.
+    The unique-id tiebreak makes the assignment engine-deterministic.
+
+    Returns the input plus a ``bucket`` column (1 = lowest score).
+
+    Scale: ntile is a per-group SORT — correct and exact, and fine
+    while groups fit a partition's spill budget (languages, sources).
+    For quantile-binning a single 100 TB group, precompute boundary
+    values (e.g. from yesterday's profile or an approx-quantile pass)
+    and use :func:`bucket_by_bounds` — a pure narrow map, no sort.
+    """
+    w = W.partitionBy(group_col).orderBy(score_col, id_col)
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def bucket_by_bounds(scored: DataFrame, bounds: list[float],
+                     score_col: str = "quality_score") -> DataFrame:
+    """Bucket by PRECOMPUTED ascending boundary values: bucket i
+    (1-based) holds rows with ``bounds[i-2] <= score < bounds[i-1]``
+    (first bucket unbounded below, last unbounded above). The scale
+    twin of :func:`quality_buckets`: a branchless narrow expression —
+    no shuffle, no sort, boundaries are plan literals.
+    """
+    if not bounds:
+        raise ValueError("bounds must be non-empty")
+    expr = F.lit(1)
+    for b in bounds:
+        expr = expr + F.when(F.col(score_col) >= F.lit(b), 1).otherwise(0)
+    return scored.withColumn("bucket", expr)

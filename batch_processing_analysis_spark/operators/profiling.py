@@ -1,0 +1,76 @@
+"""Column profiling (M44 scale extension): the data-quality census a
+pipeline runs before touching a new 100 TB drop — per-column null
+rates, exact distinct counts, and modal values, as ONE relational plan
+(no per-column driver loop issuing N separate jobs, which is how naive
+profilers scale in job count instead of data).
+
+Shape: melt the selected columns into flat (col_name, value) rows with
+one generate (rows × n_cols, no shuffle), then two partial-aggregatable
+groupBys — (col, value) → value counts, col → totals. The modal value
+is a ``min(struct(-count, value))`` argmax, NOT a per-column window
+sort, so a column with one dominant value (the common case: status
+flags, languages) never concentrates into a hot sorted partition.
+
+Values are compared as strings (profiling semantics — the census cares
+about cardinality and mass, not numeric order); min/max/mean belong to
+typed per-column aggregates the relational surface already covers
+(A1/A3). Only integer-family and string columns should be melted —
+float/timestamp string forms are engine-specific (the determinism rule
+of plans/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column census over ``columns``: returns one row per column —
+    ``(col_name, n_rows, n_nulls, n_distinct, top_value, top_count)``.
+
+    ``n_distinct`` is exact (distinct values are a groupBy key, not a
+    sketch); ``top_value`` is the most frequent non-null value, ties
+    broken by min value so every engine agrees. Columns that are
+    entirely null profile as ``(n, n, 0, NULL, 0)``.
+    """
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("_kv")
+    ).select("_kv.col_name", "_kv.value")
+    totals = melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("_n_nonnull"),
+    )
+    vc = (
+        melted.filter(F.col("value").isNotNull())
+        .groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    top = vc.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min(
+            F.struct((-F.col("_c")).alias("_nc"), F.col("value").alias("_v"))
+        ).alias("_top"),
+    )
+    return (
+        totals.join(top, "col_name", "left")
+        .select(
+            "col_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("_n_nonnull")).alias("n_nulls"),
+            F.coalesce("n_distinct", F.lit(0).cast("long")).alias("n_distinct"),
+            F.col("_top._v").alias("top_value"),
+            F.coalesce(-F.col("_top._nc"), F.lit(0).cast("long"))
+            .alias("top_count"),
+        )
+    )

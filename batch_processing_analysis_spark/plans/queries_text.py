@@ -1630,3 +1630,82 @@ def q76_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality signal one order up from q72's unigram. Secondary registry;
     oracle-gated by tests/test_extra_queries.py."""
     return TA.bigram_logprob(_docs(spark, sf_dir))
+
+
+@query(
+    "q77_profile_columns",
+    r"""
+    WITH m AS (
+      SELECT 'lang' AS col_name, lang AS value FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+      UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+    ),
+    totals AS (
+      SELECT col_name, count(*) AS n_rows, count(value) AS n_nonnull
+      FROM m GROUP BY col_name
+    ),
+    vc AS (
+      SELECT col_name, value, count(*) AS c FROM m
+      WHERE value IS NOT NULL GROUP BY col_name, value
+    ),
+    ranked AS (
+      SELECT col_name, value, c,
+             row_number() OVER (PARTITION BY col_name
+                                ORDER BY c DESC, value) AS rn,
+             count(*) OVER (PARTITION BY col_name) AS n_distinct
+      FROM vc
+    )
+    SELECT t.col_name, t.n_rows,
+           t.n_rows - t.n_nonnull AS n_nulls,
+           COALESCE(r.n_distinct, 0) AS n_distinct,
+           r.value AS top_value,
+           COALESCE(r.c, 0) AS top_count
+    FROM totals t LEFT JOIN ranked r
+      ON t.col_name = r.col_name AND r.rn = 1
+    """,
+    primary=False,
+)
+def q77_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-plan column census over documents(lang, source, n_chars):
+    null rate, exact distinct count, modal value per column
+    (operators/profiling.py:profile_columns — single melt, argmax by
+    min-struct, no per-column job loop). Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.profiling import profile_columns
+
+    return profile_columns(_docs(spark, sf_dir), ["lang", "source", "n_chars"])
+
+
+@query(
+    "q78_quality_buckets",
+    "WITH " + TOKS_SQL + r""",
+    scored AS (
+      SELECT doc_id, lang,
+             round(least(1.0, len(tk) / 100.0)
+                   * (1.0 - len(regexp_replace(text, '[a-z0-9\s]', '', 'g'))
+                            * 1.0 / len(text))
+                   * (1.0 - abs(len(list_filter(tk, x -> x IN
+                          ('a','the','of','and','in','to','is'))) * 1.0
+                          / len(tk) - 0.25)), 6) AS quality_score
+      FROM toks
+    )
+    SELECT doc_id, lang, quality_score,
+           ntile(10) OVER (PARTITION BY lang
+                           ORDER BY quality_score, doc_id) AS bucket
+    FROM scored
+    """,
+    primary=False,
+)
+def q78_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population quality deciles per language
+    (operators/ordering.py:quality_buckets) — the curriculum binning
+    step over q47's composite score, deterministic via the doc-id
+    tiebreak. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir)
+    scored = TA.quality_features(docs).select("doc_id", "quality_score").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return ORD.quality_buckets(scored, 10).select(
+        "doc_id", "lang", "quality_score", "bucket"
+    )

@@ -81,3 +81,33 @@ def test_pack_contexts_rejects_bad_len(spark):
 
     with _pytest.raises(ValueError):
         pack_contexts(docs, 0)
+
+
+def test_quality_buckets_and_bounds_twin(spark):
+    from batch_processing_analysis_spark.operators.ordering import (
+        bucket_by_bounds, quality_buckets,
+    )
+
+    rows = [(i, "en", float(i)) for i in range(1, 9)]  # scores 1..8
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality_score double")
+    nt = {r["doc_id"]: r["bucket"] for r in quality_buckets(df, 4).collect()}
+    # 8 rows, 4 buckets -> 2 per bucket, ordered by score.
+    assert nt == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+    # bounds twin with the matching boundaries agrees exactly.
+    bb = {
+        r["doc_id"]: r["bucket"]
+        for r in bucket_by_bounds(df, [3.0, 5.0, 7.0]).collect()
+    }
+    assert bb == nt
+
+
+def test_bucket_by_bounds_open_ends(spark):
+    from batch_processing_analysis_spark.operators.ordering import (
+        bucket_by_bounds,
+    )
+
+    df = spark.createDataFrame(
+        [(1, -99.0), (2, 0.5), (3, 99.0)], "doc_id long, quality_score double"
+    )
+    got = {r["doc_id"]: r["bucket"] for r in bucket_by_bounds(df, [0.0, 1.0]).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}

@@ -104,3 +104,32 @@ def test_bigram_logprob_semantics(spark):
     # < 2 tokens -> zeros
     assert (got[3]["n_bigrams"], got[3]["avg_neglogp"]) == (0, 0.0)
     assert (got[4]["n_bigrams"], got[4]["avg_neglogp"]) == (0, 0.0)
+
+
+def test_profile_columns_census(spark):
+    from batch_processing_analysis_spark.operators.profiling import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [("en", None), ("en", 5), ("fr", None), (None, None)],
+        "lang string, score long",
+    )
+    got = {r["col_name"]: r for r in profile_columns(df, ["lang", "score"]).collect()}
+    assert (got["lang"]["n_rows"], got["lang"]["n_nulls"]) == (4, 1)
+    assert got["lang"]["n_distinct"] == 2
+    assert (got["lang"]["top_value"], got["lang"]["top_count"]) == ("en", 2)
+    # score: one non-null value
+    assert (got["score"]["n_nulls"], got["score"]["n_distinct"]) == (3, 1)
+    assert (got["score"]["top_value"], got["score"]["top_count"]) == ("5", 1)
+
+
+def test_profile_columns_all_null(spark):
+    from batch_processing_analysis_spark.operators.profiling import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame([(None,), (None,)], "x string")
+    row = profile_columns(df, ["x"]).collect()[0]
+    assert (row["n_rows"], row["n_nulls"], row["n_distinct"],
+            row["top_value"], row["top_count"]) == (2, 2, 0, None, 0)
