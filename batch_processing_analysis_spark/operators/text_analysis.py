@@ -27,23 +27,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .dedup import hash60, tokens
+from .dedup import char_windows, hash60, tokens
 
 STOPWORDS = ("a", "the", "of", "and", "in", "to", "is")
 
 
 def char_trigrams(text: Column) -> Column:
-    """Distinct lowercase character trigrams."""
-    t = F.lower(text)
-    return F.when(
-        F.length(t) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - 2),
-                lambda i: F.substring(t, i, 3),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Distinct lowercase character trigrams (O(L) sliding windows —
+    see dedup.char_windows for why not a substring loop)."""
+    return F.array_distinct(char_windows(F.lower(text), 3))
 
 
 def language_id(docs: DataFrame, id_col: str = "doc_id",
@@ -179,10 +171,7 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     explodes, so a 100 TB corpus stays one narrow pass.
     """
     t = F.col(text_col)
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.length(t) - (k - 1)),
-        lambda i: hash60(F.substring(t, i, k)),
-    )
+    hashes = F.transform(char_windows(t, k), lambda g: hash60(g))
     # Materialize the k-gram hash array as a column BEFORE the window
     # pass: referencing the `hashes` expression inside the next transform
     # would re-evaluate all L md5s per window position (O(L^2) hashing
@@ -367,17 +356,18 @@ def winnowing_fingerprint_rows(docs: DataFrame, id_col: str = "doc_id",
     pairing wants, with no arrays to cache.
     """
     t = F.col(text_col)
-    n_pos = F.length(t) - (k - 1)
     grams = (
         docs.filter(F.length(t) >= k + window - 1)
         .select(
             F.col(id_col),
-            F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"),
-            t.alias("_t"),
+            # O(L) windows, hashed per flat row — NOT substring(_i)
+            # over a carried full-text column, which is O(L²) per doc
+            # AND copies the text onto every exploded row.
+            F.posexplode(char_windows(t, k)).alias("_i0", "_g"),
         )
         .select(
-            id_col, "_i",
-            hash60(F.substring(F.col("_t"), F.col("_i"), F.lit(k))).alias("_h"),
+            id_col, (F.col("_i0") + 1).alias("_i"),
+            hash60(F.col("_g")).alias("_h"),
         )
     )
     w = W.partitionBy(id_col).orderBy("_i").rowsBetween(0, window - 1)
