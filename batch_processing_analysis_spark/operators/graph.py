@@ -125,11 +125,12 @@ def connected_components(
     )
 
 
-def resolve_duplicates(docs: DataFrame, pairs: DataFrame,
+def resolve_duplicates(docs: DataFrame, pairs: DataFrame | None = None,
                        id_col: str = "doc_id",
                        prefer_col: str | None = None,
                        src_col: str = "id_a",
-                       dst_col: str = "id_b") -> DataFrame:
+                       dst_col: str = "id_b",
+                       components: DataFrame | None = None) -> DataFrame:
     """Collapse near-duplicate PAIRS into a per-document verdict — the
     step every dedup family here feeds into: candidate pairs (MinHash /
     SimHash / n-gram / SRP / SemDeDup) → connected components → ONE
@@ -148,9 +149,17 @@ def resolve_duplicates(docs: DataFrame, pairs: DataFrame,
     argmin is a partial-aggregatable ``min(struct)`` per component (no
     per-component window sort — a mega-component of boilerplate docs
     must not become one hot sorted partition).
+
+    ``components`` (optional) supplies a precomputed ``(id, component)``
+    frame — e.g. one shared fixpoint run serving several consumers —
+    skipping the internal :func:`connected_components` call.
     """
-    comp = connected_components(docs.select(id_col), pairs, id_col,
-                                src_col, dst_col)
+    comp = (
+        components
+        if components is not None
+        else connected_components(docs.select(id_col), pairs, id_col,
+                                  src_col, dst_col)
+    )
     if prefer_col is None:
         ranked = comp.select(
             id_col, "component",

@@ -338,14 +338,33 @@ def q52_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join/agg on node id). Oracle: recursive-CTE transitive closure
     — exponentially more work, viable only at oracle scale, which is the
     point of the distributed formulation."""
-    docs = _docs(spark, sf_dir)
-    edges = D.exact_pair_edges(docs).unionByName(
-        D.ngram_jaccard_pairs(docs, n=5, df_max=10, threshold=0.5)
-        .select("id_a", "id_b")
-    )
-    cc = G.connected_components(docs.select("doc_id"), edges)
+    cc = _doc_components(spark, sf_dir)
     w = W.partitionBy("component")
     return cc.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+# One CC-fixpoint execution per (session, sf_dir): q52 and q75 consume
+# the SAME edge set (exact ∪ n-gram Jaccard) and the same component
+# labels; the fixpoint's output is eager-localCheckpointed (lineage-
+# free, block-cached) so both queries — and any facade — share one run
+# instead of each re-propagating (the _DISC_CACHE precedent,
+# plans/queries_eventlog.py).
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CC_CACHE:
+        docs = _docs(spark, sf_dir)
+        edges = D.exact_pair_edges(docs).unionByName(
+            D.ngram_jaccard_pairs(docs, n=5, df_max=10, threshold=0.5)
+            .select("id_a", "id_b")
+        )
+        cc = G.connected_components(docs.select("doc_id"), edges)
+        _CC_CACHE[key] = cc.localCheckpoint(eager=True)
+        for k in [k for k in _CC_CACHE if k[0] != key[0]]:
+            del _CC_CACHE[k]
+    return _CC_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -1585,14 +1604,14 @@ def q75_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution (operators/graph.py:
     resolve_duplicates): q52's edge set (exact ∪ n-gram near-dup) →
     connected components → ONE canonical survivor per cluster, keeping
-    the LONGEST variant (n_chars, ties → min doc id). Secondary
-    registry; oracle-gated by tests/test_extra_queries.py."""
+    the LONGEST variant (n_chars, ties → min doc id). Shares q52's
+    cached fixpoint run (_doc_components). Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
     docs = _docs(spark, sf_dir)
-    edges = D.exact_pair_edges(docs).unionByName(
-        D.ngram_jaccard_pairs(docs, n=5, df_max=10, threshold=0.5)
-        .select("id_a", "id_b")
+    return G.resolve_duplicates(
+        docs, prefer_col="n_chars",
+        components=_doc_components(spark, sf_dir),
     )
-    return G.resolve_duplicates(docs, edges, prefer_col="n_chars")
 
 
 @query(

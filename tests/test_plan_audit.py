@@ -62,7 +62,9 @@ def test_no_cartesian_or_nested_loop_join(name, spark, sf_dir):
 
 # Secondary-registry queries get the same audit. q65 is the quantized
 # brute-force top-k — dense by definition, like its float twin q45.
-EXTRA_DENSE_BY_DESIGN = {"q65_quantized_topk"}
+# q74 (SemDeDup) assigns vectors to a deliberately tiny broadcast
+# centroid table (the q46 precedent) — a broadcast of C rows, not n².
+EXTRA_DENSE_BY_DESIGN = {"q65_quantized_topk", "q74_semantic_dedup"}
 
 # Scalar broadcast join-backs: a 1-row aggregate (corpus N/avgdl, total
 # token count) crossJoin-broadcast onto every row. Plans as a
