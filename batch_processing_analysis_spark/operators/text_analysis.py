@@ -580,3 +580,56 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
             6,
         ).alias("avg_neglogp"),
     )
+
+
+def cdc_chunks(docs: DataFrame, k: int = 8, modulus: int = 16,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (the rolling-hash cut rule of
+    LBFS/rsync lineage, Muthitacharoen et al. 2001 — public method):
+    cut after every position whose k-char window hash ≡ 0 (mod
+    ``modulus``), yielding variable-size chunks with expected length
+    ``modulus`` chars whose boundaries are STABLE under insertions —
+    an edit reshuffles only the chunks it touches, unlike fixed tiling
+    where one inserted char shifts every downstream boundary. The
+    chunk-level dedup granularity storage/dedup systems use; pairs
+    with :func:`~..operators.dedup.dedup_segments`'s first-occurrence
+    logic for shift-robust segment dedup.
+
+    Returns ``(id_col, seg_idx, chunk, chunk_len)``; chunks
+    concatenate back to the exact original text. Documents shorter
+    than ``k`` form a single chunk; empty documents yield no rows.
+
+    Shape: ONE narrow projection per document — the window hashes, cut
+    positions, and chunk splits are all array ops over the O(L) char
+    windows (dedup.char_windows; no dynamic-start substring, which is
+    O(L²) on UTF-8) — followed by one explode. No shuffle at all.
+    """
+    t = F.col(text_col)
+    chars = F.split(t, "")
+    ws = char_windows(t, k)
+    cuts = F.filter(
+        F.transform(
+            ws,
+            lambda g, i: F.when(
+                hash60(g) % modulus == 0, i + k
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: x != -1,
+    )
+    bounds = F.array_distinct(
+        F.concat(F.array(F.lit(0)), cuts, F.array(F.length(t)))
+    )
+    nb = F.size(bounds)
+    chunks = F.zip_with(
+        F.slice(bounds, 1, nb - 1),
+        F.slice(bounds, 2, nb - 1),
+        lambda s, e: F.array_join(F.slice(chars, s + 1, e - s), ""),
+    )
+    return (
+        docs.filter(F.length(t) > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("seg_idx", "chunk"))
+        .select(
+            id_col, "seg_idx", "chunk",
+            F.length("chunk").alias("chunk_len"),
+        )
+    )

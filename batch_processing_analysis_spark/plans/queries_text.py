@@ -1728,3 +1728,41 @@ def q78_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ORD.quality_buckets(scored, 10).select(
         "doc_id", "lang", "quality_score", "bucket"
     )
+
+
+@query(
+    "q79_cdc_chunks",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+      FROM documents WHERE len(text) >= 8
+    ),
+    cut AS (
+      SELECT doc_id, i + 7 AS e FROM pos
+      WHERE {HASH60.format(x='text[i:i+7]')} % 16 = 0
+    ),
+    allcuts AS (
+      SELECT doc_id, e FROM cut
+      UNION
+      SELECT doc_id, len(text) AS e FROM documents WHERE len(text) > 0
+    ),
+    segs AS (
+      SELECT doc_id, lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS s, e
+      FROM allcuts
+    )
+    SELECT g.doc_id,
+           CAST(row_number() OVER (PARTITION BY g.doc_id ORDER BY g.s) - 1
+                AS INTEGER) AS seg_idx,
+           d.text[g.s + 1:g.e] AS chunk,
+           g.e - g.s AS chunk_len
+    FROM segs g JOIN documents d USING (doc_id)
+    WHERE g.e > g.s
+    """,
+    primary=False,
+)
+def q79_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text_analysis.py:cdc_chunks):
+    rolling 8-char-hash cut rule mod 16 — variable-size, shift-robust
+    chunk boundaries; chunks concatenate back to the original text.
+    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    return TA.cdc_chunks(_docs(spark, sf_dir), k=8, modulus=16)

@@ -133,3 +133,30 @@ def test_profile_columns_all_null(spark):
     row = profile_columns(df, ["x"]).collect()[0]
     assert (row["n_rows"], row["n_nulls"], row["n_distinct"],
             row["top_value"], row["top_count"]) == (2, 2, 0, None, 0)
+
+
+def test_cdc_chunks_reassemble_and_shift_stability(spark):
+    from batch_processing_analysis_spark.operators.text_analysis import (
+        cdc_chunks,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, "XY" + base), (3, "short"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs, k=8, modulus=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["seg_idx"], r["chunk"]))
+    # Chunks concatenate back to the exact original text, in order.
+    assert "".join(c for _, c in sorted(by_doc[1])) == base
+    assert "".join(c for _, c in sorted(by_doc[2])) == "XY" + base
+    # Sub-k document: one whole-text chunk. Empty: no rows.
+    assert by_doc[3] == [(0, "short")]
+    assert 4 not in by_doc
+    # Shift robustness: a 2-char prefix insertion leaves the TAIL chunk
+    # set identical (boundaries are content-defined, not offsets).
+    tail1 = {c for _, c in by_doc[1][1:]}
+    tail2 = {c for _, c in by_doc[2][1:]}
+    assert tail1 & tail2, (by_doc[1], by_doc[2])
