@@ -839,3 +839,70 @@ def q66_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("matched_ts").alias("matched_ts_s"),
         "view_value",
     )
+
+
+@query(
+    "q80_funnel_steps",
+    r"""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT t1.user_id,
+           CAST(floor(epoch(t1.ts1)) AS BIGINT) AS ts_1,
+           CAST(floor(epoch(t2.ts2)) AS BIGINT) AS ts_2,
+           CAST(floor(epoch(t3.ts3)) AS BIGINT) AS ts_3,
+           CASE WHEN t3.ts3 IS NOT NULL THEN 3
+                WHEN t2.ts2 IS NOT NULL THEN 2
+                ELSE 1 END AS depth
+    FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    """,
+    primary=False,
+)
+def q80_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user
+    (operators/events_analytics.py:funnel_steps): one Exchange carries
+    all step windows — never k joins onto the events table. Secondary
+    registry; oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.events_analytics import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@query(
+    "q81_retention_cohorts",
+    r"""
+    WITH first AS (
+      SELECT user_id, min(ts) AS f FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', f.f) AS DATE) AS cohort_week,
+           CAST(floor(date_diff('day', CAST(f.f AS DATE), CAST(e.ts AS DATE))
+                      / 7.0) AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    primary=False,
+)
+def q81_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (operators/events_analytics.py:
+    retention_cohorts): ISO-Monday cohorts × full-week offsets ×
+    distinct active users. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    from ..operators.events_analytics import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))

@@ -85,3 +85,45 @@ def test_extra_query_matches_oracle(name, spark, sf_dir, duck):
     assert s_cols == d_cols
     assert len(s_rows) == len(d_rows)
     assert s_rows == d_rows
+
+
+def test_funnel_semantics_hand_case(spark):
+    from datetime import datetime
+
+    from batch_processing_analysis_spark.operators.events_analytics import (
+        funnel_steps,
+    )
+
+    T = lambda m: datetime(2024, 1, 1, 9, m)
+    rows = [
+        # u1 completes in order
+        (1, "view", T(0)), (1, "click", T(5)), (1, "purchase", T(9)),
+        # u2: click BEFORE first view -> funnel breaks at step 2
+        (2, "click", T(0)), (2, "view", T(5)),
+        # u3: never enters (no view) -> excluded
+        (3, "purchase", T(1)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {r["user_id"]: r for r in funnel_steps(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["depth"] == 3
+    assert got[1]["ts_1"] < got[1]["ts_2"] < got[1]["ts_3"]
+    assert got[2]["depth"] == 1 and got[2]["ts_2"] is None
+
+
+def test_funnel_one_exchange_plan(spark, sf_dir):
+    # The scale claim: all step windows share ONE hash partitioning on
+    # user_id — no join of events back onto events.
+    from batch_processing_analysis_spark.operators.events_analytics import (
+        funnel_steps,
+    )
+    from batch_processing_analysis_spark.sources.tables import load_table
+
+    df = funnel_steps(load_table(spark, sf_dir, "events"),
+                      ["view", "click", "purchase"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
