@@ -136,3 +136,24 @@ def bucket_by_bounds(scored: DataFrame, bounds: list[float],
     for b in bounds:
         expr = expr + F.when(F.col(score_col) >= F.lit(b), 1).otherwise(0)
     return scored.withColumn("bucket", expr)
+
+
+def quantile_bounds(scored: DataFrame, n_buckets: int = 10,
+                    score_col: str = "quality_score",
+                    relative_error: float = 0.001) -> list[float]:
+    """Boundary values for :func:`bucket_by_bounds` from a
+    Greenwald–Khanna approximate-quantile pass
+    (``approxQuantile``, the Spark built-in sketch): the interior
+    (i/n)-quantiles of ``score_col``.
+
+    This is the documented 100 TB feeder for equal-population
+    bucketing WITHOUT a per-group sort: one sketch pass (driver gets
+    n−1 doubles), then the branchless narrow map. Approximate where
+    ntile is exact — populations are equal to within the sketch's
+    ``relative_error``; determinism depends on the input partitioning,
+    so pin boundaries (persist them) when reproducibility matters —
+    the bounds being DATA, not plan logic, is exactly what makes that
+    possible.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    return scored.approxQuantile(score_col, probs, relative_error)

@@ -111,3 +111,43 @@ def test_bucket_by_bounds_open_ends(spark):
     )
     got = {r["doc_id"]: r["bucket"] for r in bucket_by_bounds(df, [0.0, 1.0]).collect()}
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_quantile_bounds_feed_bucket_by_bounds(spark):
+    from batch_processing_analysis_spark.operators.ordering import (
+        bucket_by_bounds, quantile_bounds,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)],
+        "doc_id long, quality_score double",
+    )
+    bounds = quantile_bounds(df, 4, relative_error=0.0001)
+    assert len(bounds) == 3 and bounds == sorted(bounds)
+    pops = (
+        bucket_by_bounds(df, bounds).groupBy("bucket").count().collect()
+    )
+    sizes = {r["bucket"]: r["count"] for r in pops}
+    assert set(sizes) == {1, 2, 3, 4}
+    # near-equal populations (exact quantiles at this error bound)
+    assert all(20 <= v <= 30 for v in sizes.values()), sizes
+
+
+def test_profile_columns_approx_tolerance(spark):
+    from batch_processing_analysis_spark.operators.profiling import (
+        profile_columns, profile_columns_approx,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 97, str(i % 41) if i % 5 else None) for i in range(2000)],
+        "a long, b string",
+    )
+    exact = {r["col_name"]: r for r in profile_columns(df, ["a", "b"]).collect()}
+    approx = {r["col_name"]: r
+              for r in profile_columns_approx(df, ["a", "b"]).collect()}
+    for c in ("a", "b"):
+        assert approx[c]["n_rows"] == exact[c]["n_rows"]
+        assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
+        rel = abs(approx[c]["approx_distinct"] - exact[c]["n_distinct"]) \
+            / exact[c]["n_distinct"]
+        assert rel <= 0.15, (c, rel)
