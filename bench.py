@@ -152,12 +152,18 @@ def main() -> None:
         # full build+materialize — facades report steady-state like the
         # queries do (a cold-vs-warm delta here is JVM/session noise,
         # measured at 2-4x run-to-run).
+        from batch_processing_analysis_spark.pipeline import release_analysis
+
         def timed(label, fn):
             best = None
             for _ in range(2):  # min-of-2: facade runs show 2-4x
                 t0 = time.time()  # host-noise swings run-to-run
-                fn().write.format("noop").mode("overwrite").save()
+                out = fn()
+                out.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
+                # Drop the run's checkpoint blocks so run 2 measures the
+                # pipeline, not run 1's block-manager pressure.
+                release_analysis(out)
                 best = dt if best is None else min(best, dt)
             facades[label] = round(best, 3)
 

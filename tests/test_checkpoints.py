@@ -48,3 +48,26 @@ def test_connected_components_releases_superstep_checkpoints(spark):
     assert len(new) <= 1, new
     # Sanity: single path component labeled by its min node.
     assert {r["component"] for r in rows} == {0}
+
+
+def test_release_analysis_frees_blocks(spark):
+    from batch_processing_analysis_spark.fixtures import (
+        inject_batches, injected_log_df,
+    )
+    from batch_processing_analysis_spark.pipeline import (
+        analyze_batches, release_analysis,
+    )
+
+    log = injected_log_df(spark, inject_batches(n_batches=3, batch_size=4))
+    jsc = spark.sparkContext._jsc
+
+    def n_persistent():
+        return len(set(jsc.getPersistentRDDs().keySet().toArray()))
+
+    base = n_persistent()
+    out = analyze_batches(log)
+    out.count()
+    assert n_persistent() > base  # checkpoint-backed while in use
+    release_analysis(out)
+    assert n_persistent() == base  # handle frees EVERY block of the run
+    release_analysis(out)  # idempotent no-op
