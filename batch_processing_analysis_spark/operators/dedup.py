@@ -291,7 +291,16 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", hash60(F.col("tok")))
-    votes = toks.groupBy(id_col).agg(
+    return simhash_from_hashes(toks, id_col, bits)
+
+
+def simhash_from_hashes(rows: DataFrame, id_col: str = "doc_id",
+                        bits: int = 32) -> DataFrame:
+    """SimHash signatures from pre-hashed feature rows ``(id, h)`` —
+    the vote/fold core shared by the text-token form above and the
+    binary-payload form (operators/multimodal.py:payload_simhash);
+    feature multiplicity IS the tf weighting."""
+    votes = rows.groupBy(id_col).agg(
         *[
             F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
             for b in range(bits)

@@ -180,3 +180,45 @@ def binary_features(docs: DataFrame, id_col: str = "doc_id",
     """
     payloads = as_binary_payloads(docs, id_col, text_col)
     return payloads.mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+def payload_simhash(media: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload",
+                    bits: int = 32) -> DataFrame:
+    """Codec-free SimHash over RAW binary payloads: byte-aligned 4-byte
+    gram features (windows of the hex encoding at even offsets), then
+    the shared vote/fold core (operators/dedup.py:simhash_from_hashes).
+
+    This is the media-dedup primitive that needs NO decoder: re-encoded
+    or resized variants won't collide (that needs perceptual hashing on
+    decoded pixels — slot it behind the decode stubs), but exact and
+    near-exact blobs — truncated downloads, metadata-stripped copies,
+    watermark-appended variants — share most byte grams and land within
+    small Hamming distance. All expression work is JVM-side; one
+    explode, one groupBy on the id.
+    """
+    from .dedup import char_windows, hash60, simhash_from_hashes
+
+    h = F.upper(F.hex(F.col(payload_col)))
+    grams = F.filter(
+        char_windows(h, 8), lambda x, i: i % 2 == F.lit(0)
+    )
+    rows = media.select(
+        F.col(id_col), F.explode(grams).alias("_g")
+    ).withColumn("h", hash60(F.col("_g")))
+    return simhash_from_hashes(rows, id_col, bits)
+
+
+def payload_neardup_pairs(media: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "payload", bits: int = 32,
+                          max_hamming: int = 2,
+                          max_bucket: int = 1000) -> DataFrame:
+    """Near-duplicate binary payload pairs: :func:`payload_simhash` →
+    byte-banded candidate join with the standard bucket-population skew
+    guard → Hamming verify (operators/dedup.py:simhash_pairs — the
+    identical scale shape as text SimHash dedup)."""
+    from .dedup import simhash_pairs
+
+    sigs = payload_simhash(media, id_col, payload_col, bits)
+    return simhash_pairs(sigs, id_col, bits, max_hamming=max_hamming,
+                         max_bucket=max_bucket)

@@ -1766,3 +1766,50 @@ def q79_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk boundaries; chunks concatenate back to the original text.
     Secondary registry; oracle-gated by tests/test_extra_queries.py."""
     return TA.cdc_chunks(_docs(spark, sf_dir), k=8, modulus=16)
+
+
+@query(
+    "q82_payload_neardup",
+    f"""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(h) - 6, 2),
+                                   i -> h[i:i+7])) AS g
+      FROM hx WHERE len(h) >= 8
+    ),
+    hashed AS (SELECT doc_id, {HASH60.format(x='g')} AS h FROM grams),
+    votes AS (SELECT doc_id, {SIMHASH_VOTES} FROM hashed GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {SIMHASH_SIG} AS sig FROM votes),
+    bands AS (
+    """
+    + "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, sig, {k} AS band, (sig >> {8*k}) & 255 AS bkey"
+        " FROM sigs"
+        for k in range(4)
+    )
+    + """
+    ),
+    guarded AS (
+      SELECT doc_id, sig, band, bkey FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bkey) AS _n FROM bands
+      ) WHERE _n <= 1000
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM guarded a JOIN guarded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    """,
+    primary=False,
+)
+def q82_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free binary-payload near-dup (operators/multimodal.py:
+    payload_neardup_pairs): byte-aligned 4-byte-gram SimHash over raw
+    blobs, byte-banded candidates with the bucket skew guard, Hamming
+    ≤ 2 verify. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    media = M.as_binary_payloads(_docs(spark, sf_dir))
+    return M.payload_neardup_pairs(media)

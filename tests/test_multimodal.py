@@ -34,3 +34,26 @@ def test_resize_payload_stride(spark):
     assert rows[1]["resized_bytes"] == 3
     assert rows[1]["resized_checksum"] == (0 + 4 + 8) % 997
     assert rows[2]["resized_bytes"] == 0 and rows[2]["resized_checksum"] == 0
+
+
+def test_payload_neardup_detects_truncated_copy(spark):
+    from batch_processing_analysis_spark.operators.multimodal import (
+        payload_neardup_pairs,
+    )
+
+    blob = bytes(range(256)) * 8  # 2 KB structured payload
+    media = spark.createDataFrame(
+        [
+            (1, blob),
+            (2, blob[:-16]),          # truncated copy: near-dup
+            (3, bytes(reversed(blob))),  # same bytes, different order
+            (4, b"\x00" * 64),        # unrelated
+        ],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in payload_neardup_pairs(media, max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs  # truncation survives byte-gram simhash
+    assert all(4 not in p for p in pairs)  # unrelated blob stays out
