@@ -184,3 +184,59 @@ def test_chunking_covers_tokens_exactly(mk_docs, lengths, shape):
         })
         assert covered == list(range(n)), i
         assert max(chunks) * stride < n
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operator invariants: a few randomized Spark examples each
+# (Spark actions are too slow for hundreds of hypothesis examples; the
+# pure-python search space is covered by the operators' unit suites).
+# ---------------------------------------------------------------------------
+
+word = st.text(alphabet="abcx", min_size=1, max_size=4)
+doc_text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(doc_text, min_size=1, max_size=6), st.integers(2, 4))
+def test_dedup_segments_properties(spark, texts, width):
+    from batch_processing_analysis_spark.operators.dedup import dedup_segments
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dedup_segments(docs, width=width).collect()}
+    assert set(rows) == set(range(len(texts)))
+    seen = set()
+    for i, t in enumerate(texts):
+        toks = t.split()
+        segs = [" ".join(toks[j:j + width]) for j in range(0, len(toks), width)]
+        keep = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                keep.append(s)
+        # first-occurrence semantics in (doc, seg) order, exact counts
+        assert rows[i]["clean_text"] == " ".join(keep), (i, texts)
+        assert rows[i]["n_seg"] == len(segs)
+        assert rows[i]["n_kept"] == len(keep)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=60),
+                min_size=1, max_size=5),
+       st.sampled_from([4, 8]), st.sampled_from([4, 16]))
+def test_cdc_chunks_reassembly_property(spark, texts, k, modulus):
+    from batch_processing_analysis_spark.operators.text_analysis import (
+        cdc_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    by_doc: dict[int, list] = {}
+    for r in cdc_chunks(docs, k=k, modulus=modulus).collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["seg_idx"], r["chunk"]))
+        assert r["chunk_len"] == len(r["chunk"]) > 0
+    for i, t in enumerate(texts):
+        got = "".join(c for _, c in sorted(by_doc.get(i, [])))
+        assert got == t, (i, texts)  # exact reassembly, empty -> no rows
