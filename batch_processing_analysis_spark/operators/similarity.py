@@ -569,3 +569,66 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float = 0.9,
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semantic_increment_pairs(base: DataFrame, delta: DataFrame,
+                             threshold: float = 0.9, stride: int = 50,
+                             max_cluster: int = 1000,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup pairs INTRODUCED by a delta batch: every within-cluster
+    pair with cosine ≥ ``threshold`` and at least one side in
+    ``delta`` — the embedding-space twin of
+    operators/incremental.lsh_increment_pairs, for periodically
+    refreshed corpora where re-running the base×base comparison per
+    ingest is the quadratic trap.
+
+    The centroid table must be FIXED across ingests (stride over the
+    base, or a trained table passed in) — re-fitting centroids per
+    delta would silently reassign base vectors and change which pairs
+    are comparable. Identity (tests/test_similarity_srp.py): with the
+    cluster-size guard evaluated over base ∪ delta, this equals
+    ``semantic_dedup_pairs(base ∪ delta)`` minus its base-internal
+    pairs. Ids must be globally unique across base and delta.
+
+    Scale: base contributes its (id, centroid, vec) assignment — at
+    production scale a stored table, not a re-scan; the join is
+    delta-assignments ⋈ union-assignments on ``centroid_id``.
+    """
+    base = _as_double(base, vec_col)
+    delta = _as_double(delta, vec_col)
+    if centroids is None:
+        centroids = base.filter(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
+    else:
+        centroids = _as_double(centroids, vec_col).select(
+            "centroid_id", F.col(vec_col)
+        )
+    ab = ivf_assign(base, centroids, id_col, vec_col)
+    ad = ivf_assign(delta, centroids, id_col, vec_col)
+    alla = ab.unionByName(ad)
+    ok = (
+        alla.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_cluster)
+        .select("centroid_id")
+    )
+    d = ad.join(ok, "centroid_id").select(
+        "centroid_id", F.col(id_col).alias("_di"), F.col(vec_col).alias("_dv")
+    )
+    u = alla.join(ok, "centroid_id").select(
+        "centroid_id", F.col(id_col).alias("_ui"), F.col(vec_col).alias("_uv")
+    )
+    return (
+        d.join(u, "centroid_id")
+        .filter(F.col("_di") != F.col("_ui"))
+        .select(
+            F.least("_di", "_ui").alias("id_a"),
+            F.greatest("_di", "_ui").alias("id_b"),
+            F.round(cosine(F.col("_dv"), F.col("_uv")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )

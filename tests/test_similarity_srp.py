@@ -163,3 +163,34 @@ def test_semantic_dedup_max_cluster_guard(spark):
         ).count()
         == 0
     )
+
+
+def test_semantic_increment_identity(spark, sf_dir):
+    from batch_processing_analysis_spark.operators.similarity import (
+        semantic_dedup_pairs, semantic_increment_pairs,
+    )
+    from batch_processing_analysis_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    base = embs.filter("vec_id % 4 != 0")
+    delta = embs.filter("vec_id % 4 = 0")
+    cents = embs.filter("vec_id % 25 = 0").selectExpr(
+        "vec_id AS centroid_id", "embedding"
+    )
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_increment_pairs(
+            base, delta, threshold=0.3, centroids=cents
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            embs, threshold=0.3, centroids=cents
+        ).collect()
+    }
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    base_internal = {p for p in full if p[0] in base_ids and p[1] in base_ids}
+    # delta-introduced pairs == full minus base-internal
+    assert inc == full - base_internal
+    assert inc  # fixture actually produces cross pairs at this threshold
