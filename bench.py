@@ -68,6 +68,12 @@ HEADLINE += [
     "q74_semantic_dedup",
     "q75_dedup_resolution",
     "q76_bigram_logprob",
+    "q77_profile_columns",
+    "q78_quality_buckets",
+    "q79_cdc_chunks",
+    "q80_funnel_steps",
+    "q81_retention_cohorts",
+    "q82_payload_neardup",
 ]
 
 

@@ -97,11 +97,23 @@ PUSHDOWN_CASES = {
     "q47_text_quality": ("documents", "ReadSchema: struct<doc_id"),
 }
 
+# Same gate for representative round-3 secondary queries: the scans
+# behind segment dedup / CDC / funnels must stay pruned too.
+EXTRA_PUSHDOWN_CASES = {
+    "q73_dedup_segments": ("documents", "ReadSchema: struct<doc_id"),
+    "q79_cdc_chunks": ("documents", "ReadSchema: struct<doc_id"),
+    "q80_funnel_steps": ("events", "ReadSchema: struct<"),
+}
 
-@pytest.mark.parametrize("name", sorted(PUSHDOWN_CASES))
+
+@pytest.mark.parametrize(
+    "name", sorted({**PUSHDOWN_CASES, **EXTRA_PUSHDOWN_CASES})
+)
 def test_scan_pushdown_and_pruning(name, spark, sf_dir):
-    table, needle = PUSHDOWN_CASES[name]
-    df = registry.QUERIES[name](spark, sf_dir)
+    table, needle = {**PUSHDOWN_CASES, **EXTRA_PUSHDOWN_CASES}[name]
+    df = (registry.QUERIES.get(name) or registry.EXTRA_QUERIES[name])(
+        spark, sf_dir
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln
              and f"{table}.parquet" in ln]

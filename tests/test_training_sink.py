@@ -78,3 +78,43 @@ def test_partition_pruning_on_shard_filter(spark, shard_dir):
     assert "PartitionFilters" in plan and "shard" in plan.split(
         "PartitionFilters", 1)[1][:200]
     assert {r.shard for r in pruned.select("shard").distinct().collect()} == {0, 2}
+
+
+def test_manifest_publish_verify_and_tamper(spark, tmp_path):
+    import pytest as _pytest
+
+    from batch_processing_analysis_spark.sources.training_sink import (
+        load_verified_shards, publish_manifest, write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, i // 3, f"doc{i}") for i in range(30)],
+        "shard long, pos long, text string",
+    )
+    path = str(tmp_path / "train")
+    write_training_shards(df, path)
+
+    # Unpublished directory: loader refuses.
+    with _pytest.raises(FileNotFoundError):
+        load_verified_shards(spark, path)
+
+    m = publish_manifest(spark, path, extra={"seed": "train:0"})
+    assert set(m["shards"]) == {"0", "1", "2"}
+    assert all(v["n_rows"] == 10 for v in m["shards"].values())
+
+    # Verified load: full and pruned-subset both pass.
+    assert load_verified_shards(spark, path).count() == 30
+    assert load_verified_shards(spark, path, shards=[1]).count() == 10
+    with _pytest.raises(ValueError):
+        load_verified_shards(spark, path, shards=[7])
+
+    # Post-publish mutation surfaces as a hard error.
+    import glob
+    import os
+
+    victim = glob.glob(f"{path}/shard=2/*.parquet")[0]
+    os.remove(victim)
+    with _pytest.raises(ValueError, match="shard 2 fails"):
+        load_verified_shards(spark, path, shards=[2])
+    # Untouched shards still verify.
+    assert load_verified_shards(spark, path, shards=[0, 1]).count() == 20
