@@ -138,3 +138,93 @@ def workload_at_instants(
     return pairs.groupBy(resource, instant).agg(
         F.countDistinct("__rj_case").alias("workload")
     )
+
+
+_SPAN_A = "__rj_span_a"
+_SPAN_B = "__rj_span_b"
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    keys: Sequence[str] = (),
+    bucket: int | None = None,
+    max_span: int = 256,
+) -> DataFrame:
+    """All (a, b) pairs whose CLOSED intervals overlap
+    (``a_start <= b_end AND b_start <= a_end``) with equal ``keys`` —
+    the interval×interval generalization of
+    :func:`point_in_interval_join`. Non-key column names must be
+    disjoint across the inputs; each matched pair appears exactly once.
+
+    ``bucket=None``: keys-equality hash join with the overlap residual
+    (right when one side is small or the keys are selective).
+
+    ``bucket=<width>``: BOTH sides explode into the fixed-width time
+    buckets they cover and the join is a plain equi-join on
+    (keys…, bucket). An overlapping pair shares every bucket its
+    intersection covers, so to emit it EXACTLY once the match is
+    anchored to one canonical shared bucket — the bucket of
+    ``greatest(a_start, b_start)`` (the intersection's left endpoint,
+    which both sides necessarily cover). No distinct pass, so the
+    operator stays streaming-friendly and never materializes the
+    duplicate pre-image.
+
+    Intervals spanning ≥ ``max_span`` buckets on either side take the
+    residual path (few by construction of a sensible width): long-a ×
+    all-b, then short-a × long-b — a partition of the pair space, so
+    nothing is produced twice across strategies.
+    """
+    overlap = (F.col(a_start) <= F.col(b_end)) & (
+        F.col(b_start) <= F.col(a_end)
+    )
+    bk = _rename_keys(b, keys)
+
+    def residual(aa: DataFrame, bb: DataFrame, small: str) -> DataFrame:
+        cond = functools.reduce(operator.and_, _eq_cond(keys) + [overlap])
+        if small == "a":
+            return bb.join(F.broadcast(aa), cond)
+        return F.broadcast(bb).join(aa, cond) if small == "b" else aa.join(bb, cond)
+
+    if bucket is None:
+        return residual(a, bk, "none").drop(*[f"__rj_{k}" for k in keys])
+
+    w = F.lit(int(bucket))
+    aa = a.withColumn(
+        _SPAN_A, F.floor(F.col(a_end) / w) - F.floor(F.col(a_start) / w)
+    )
+    bb = bk.withColumn(
+        _SPAN_B, F.floor(F.col(b_end) / w) - F.floor(F.col(b_start) / w)
+    )
+    short_a, long_a = (aa.filter(F.col(_SPAN_A) < max_span),
+                       aa.filter(F.col(_SPAN_A) >= max_span))
+    short_b, long_b = (bb.filter(F.col(_SPAN_B) < max_span),
+                       bb.filter(F.col(_SPAN_B) >= max_span))
+
+    ea = short_a.withColumn(
+        _BUCKET,
+        F.explode(F.sequence(F.floor(F.col(a_start) / w),
+                             F.floor(F.col(a_end) / w))),
+    )
+    eb = short_b.withColumn(
+        _BUCKET,
+        F.explode(F.sequence(F.floor(F.col(b_start) / w),
+                             F.floor(F.col(b_end) / w))),
+    )
+    anchor = F.floor(F.greatest(F.col(a_start), F.col(b_start)) / w)
+    cond = functools.reduce(
+        operator.and_,
+        _eq_cond(keys)
+        + [ea[_BUCKET] == eb[_BUCKET], overlap, ea[_BUCKET] == anchor],
+    )
+    bucketed = ea.join(eb, cond).drop(_BUCKET)
+    # Long intervals: a partition of the remaining pair space.
+    rest1 = residual(long_a, bb, "a")             # long-a × all-b
+    rest2 = residual(short_a, long_b, "b")        # short-a × long-b
+    out = bucketed.unionByName(rest1).unionByName(rest2)
+    return out.drop(_SPAN_A, _SPAN_B, *[f"__rj_{k}" for k in keys])

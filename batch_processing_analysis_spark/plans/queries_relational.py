@@ -906,3 +906,51 @@ def q81_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.events_analytics import retention_cohorts
 
     return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q83_interval_overlap_join",
+    r"""
+    WITH iv AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + CAST(ceil(value) AS BIGINT) AS e
+      FROM events
+    ),
+    a AS (SELECT event_id AS id_a, user_id, s AS sa, e AS ea
+          FROM iv WHERE event_id % 2 = 0),
+    b AS (SELECT event_id AS id_b, user_id, s AS sb, e AS eb
+          FROM iv WHERE event_id % 2 = 1)
+    SELECT a.id_a, b.id_b, a.sa, a.ea, b.sb, b.eb
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a.sa <= b.eb AND b.sb <= a.ea
+    """,
+    primary=False,
+)
+def q83_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join, bucketed with exactly-once
+    anchored emission (operators/range_join.py:interval_overlap_join):
+    concurrent-activity pairs per user over the events table. Secondary
+    registry; oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.range_join import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.ceil("value").cast("long")).alias("e"),
+    )
+    a = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("id_a"), "user_id",
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_id_b"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    out = interval_overlap_join(
+        a, b.withColumnRenamed("user_id_b", "user_id"),
+        a_start="sa", a_end="ea", b_start="sb", b_end="eb",
+        keys=["user_id"], bucket=3600, max_span=64,
+    )
+    return out.select("id_a", "id_b", "sa", "ea", "sb", "eb")

@@ -113,3 +113,65 @@ def test_features_table_workload_strategies_agree(spark):
     auto = rows(replace(cfg, workload_auto_bucket_threshold=0))
     assert broadcast == bucketed == auto
     assert broadcast  # non-degenerate
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join (M56): exactly-once anchored-bucket emission
+# ---------------------------------------------------------------------------
+
+def _overlap_brute(arows, brows):
+    out = set()
+    for ia, sa, ea in arows:
+        for ib, sb, eb in brows:
+            if sa <= eb and sb <= ea:
+                out.add((ia, ib))
+    return out
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    import random
+
+    from batch_processing_analysis_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(7)
+    arows = [(i, s := rng.randrange(0, 2000), s + rng.randrange(0, 300))
+             for i in range(60)]
+    brows = [(i, s := rng.randrange(0, 2000),
+              s + rng.choice([0, 5, 50, 1500]))  # includes LONG intervals
+             for i in range(60)]
+    a = spark.createDataFrame(arows, "id_a long, sa long, ea long")
+    b = spark.createDataFrame(brows, "id_b long, sb long, eb long")
+    want = _overlap_brute(arows, brows)
+    for bucket in (None, 64):
+        got = [
+            (r["id_a"], r["id_b"])
+            for r in interval_overlap_join(
+                a, b, a_start="sa", a_end="ea", b_start="sb", b_end="eb",
+                bucket=bucket, max_span=8,
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicates with bucket={bucket}"
+        assert set(got) == want, f"wrong pairs with bucket={bucket}"
+
+
+def test_interval_overlap_join_keys(spark):
+    from batch_processing_analysis_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "u", 0, 10), (2, "v", 0, 10)], "id_a long, k string, sa long, ea long"
+    )
+    b = spark.createDataFrame(
+        [(7, "u", 5, 15)], "id_b long, k string, sb long, eb long"
+    )
+    got = [
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_join(
+            a, b, a_start="sa", a_end="ea", b_start="sb", b_end="eb",
+            keys=["k"], bucket=4,
+        ).collect()
+    ]
+    assert got == [(1, 7)]  # key mismatch keeps (2, 7) out
