@@ -1,0 +1,80 @@
+"""Time-series regularization operators (M57): turn irregular event
+streams into fixed-step series — the resample step every monitoring /
+feature-engineering pipeline runs before windowed models.
+
+``resample_locf``: per key, one row per ``step``-second grid slot
+between the key's first and last observation; slots without an
+observation carry the last observed value forward (LOCF). Shapes:
+
+- the grid is generated per key from its own min/max (``sequence`` +
+  explode) — no driver-side date arithmetic, no global calendar table;
+- per-slot "last observation" is a partial-aggregatable
+  ``max(struct(ts, tiebreak, value))`` — NOT a window over raw events,
+  so a key with millions of events in one slot aggregates map-side;
+- the carry-forward is ONE window (`last(..., ignorenulls)`) over the
+  per-key grid — grid rows per key = span/step, bounded and small
+  compared to raw events.
+
+All choices are engine-deterministic: the slot's last value ties-break
+on the event id, and the value surfaces unmodified (no float math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def resample_locf(events: DataFrame, step: int = 300,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value",
+                  tiebreak_col: str = "event_id") -> DataFrame:
+    """Fixed-step resample with last-observation-carried-forward.
+
+    Returns ``(key_col, slot_ts bigint epoch-seconds, value double,
+    observed int)`` — ``observed = 1`` where the slot had ≥1 event
+    (value = that slot's LAST event by ``(ts, tiebreak_col)``),
+    else 0 with the carried value. The first slot of every key is
+    observed by construction.
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    slot = (F.floor(sec / step) * step).cast("long")
+    obs = (
+        events.select(
+            F.col(key_col),
+            slot.alias("slot_ts"),
+            F.struct(
+                sec.alias("_t"),
+                F.col(tiebreak_col).alias("_tb"),
+                F.col(value_col).alias("_v"),
+            ).alias("_o"),
+        )
+        .groupBy(key_col, "slot_ts")
+        .agg(F.max("_o").alias("_last"))
+        .select(key_col, "slot_ts", F.col("_last._v").alias("_obs_v"))
+    )
+    spans = events.groupBy(key_col).agg(
+        (F.floor(F.min(sec) / step) * step).cast("long").alias("_lo"),
+        (F.floor(F.max(sec) / step) * step).cast("long").alias("_hi"),
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(step)))
+        ).alias("slot_ts"),
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("slot_ts")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, [key_col, "slot_ts"], "left")
+        .select(
+            key_col,
+            "slot_ts",
+            F.last("_obs_v", ignorenulls=True).over(w).alias("value"),
+            F.col("_obs_v").isNotNull().cast("int").alias("observed"),
+        )
+    )

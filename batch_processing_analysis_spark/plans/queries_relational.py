@@ -954,3 +954,43 @@ def q83_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"], bucket=3600, max_span=64,
     )
     return out.select("id_a", "id_b", "sa", "ea", "sb", "eb")
+
+
+@query(
+    "q84_resample_locf",
+    r"""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS slot_ts,
+             max(struct_pack(t := CAST(floor(epoch(ts)) AS BIGINT),
+                             tb := event_id, v := value)) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id,
+             CAST(floor(min(floor(epoch(ts))) / 3600) * 3600 AS BIGINT) AS lo,
+             CAST(floor(max(floor(epoch(ts))) / 3600) * 3600 AS BIGINT) AS hi
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS slot_ts
+      FROM spans
+    )
+    SELECT g.user_id, g.slot_ts,
+           last_value((o.o).v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.slot_ts
+             ROWS UNBOUNDED PRECEDING
+           ) AS value,
+           CASE WHEN o.o IS NULL THEN 0 ELSE 1 END AS observed
+    FROM grid g LEFT JOIN obs o USING (user_id, slot_ts)
+    """,
+    primary=False,
+)
+def q84_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly fixed-step resample of each user's event-value series
+    with last-observation-carried-forward
+    (operators/timeseries.py:resample_locf). Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.timeseries import resample_locf
+
+    return resample_locf(_t(spark, sf_dir, "events"), step=3600)

@@ -127,3 +127,50 @@ def test_funnel_one_exchange_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+def test_resample_locf_semantics(spark):
+    from datetime import datetime
+
+    from batch_processing_analysis_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    T = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)
+    ev = spark.createDataFrame(
+        [
+            # user 1: two obs in slot 0 (last wins by ts, then id),
+            # gap at slot 60-120, new obs at slot 180
+            (1, 1, T(0, 10), 10.0),
+            (2, 1, T(0, 50), 20.0),
+            (3, 1, T(3, 5), 30.0),
+            # user 2: single observation -> single observed slot
+            (9, 2, T(7), 70.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    rows = {
+        (r["user_id"], r["slot_ts"]): (r["value"], r["observed"])
+        for r in resample_locf(ev, step=60).collect()
+    }
+    base = int(datetime(2024, 1, 1).timestamp())
+    assert rows[(1, base + 0)] == (20.0, 1)      # last obs in slot wins
+    assert rows[(1, base + 60)] == (20.0, 0)     # carried forward
+    assert rows[(1, base + 120)] == (20.0, 0)    # carried forward
+    assert rows[(1, base + 180)] == (30.0, 1)
+    assert rows[(2, base + 420)] == (70.0, 1)
+    assert len(rows) == 5  # grid spans exactly min..max per key
+
+
+def test_resample_locf_tiebreak_same_second(spark):
+    from datetime import datetime
+
+    from batch_processing_analysis_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    t = datetime(2024, 1, 1, 0, 0, 30)
+    ev = spark.createDataFrame(
+        [(5, 1, t, 1.0), (6, 1, t, 2.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row = resample_locf(ev, step=60).collect()[0]
+    assert row["value"] == 2.0  # same second -> higher event_id wins
