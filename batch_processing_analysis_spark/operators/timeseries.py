@@ -78,3 +78,34 @@ def resample_locf(events: DataFrame, step: int = 300,
             F.col("_obs_v").isNotNull().cast("int").alias("observed"),
         )
     )
+
+
+def rolling_median(df: DataFrame, n: int = 5,
+                   key_col: str = "user_id", order_col: str = "ts",
+                   value_col: str = "value",
+                   out_col: str = "rolling_median") -> DataFrame:
+    """Exact median of the last ``n`` rows (inclusive) per key — the
+    deterministic rolling smoother. Mean/stddev rolling stats are
+    float-accumulation-order-dependent across engines; an order
+    statistic is not: sort the bounded frame, take the middle (even
+    frames average the two middles — one float op, engine-identical).
+
+    Cost is O(n log n) per row with ``n`` a small constant (the frame
+    is ``ROWS n-1 PRECEDING``); for percentiles over unbounded windows
+    use the sketch path (ordering.quantile_bounds) instead.
+    """
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    m = F.size(arr)
+    mid = F.element_at(arr, ((m + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (m / 2).cast("int"))
+        + F.element_at(arr, (m / 2 + 1).cast("int"))
+    ) / 2
+    return df.withColumn(
+        out_col, F.when(m % 2 == 1, mid).otherwise(even)
+    )

@@ -994,3 +994,34 @@ def q84_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import resample_locf
 
     return resample_locf(_t(spark, sf_dir, "events"), step=3600)
+
+
+@query(
+    "q85_rolling_median",
+    r"""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t,
+           median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS rolling_median
+    FROM events
+    """,
+    primary=False,
+)
+def q85_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-row rolling median of each user's value series
+    (operators/timeseries.py:rolling_median) — the deterministic
+    rolling smoother (order statistic, not float accumulation).
+    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.timeseries import rolling_median
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_median(
+        ev.withColumn("_ord", F.struct("ts", "event_id")), n=5,
+        order_col="_ord",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("t"), "rolling_median",
+    )

@@ -174,3 +174,25 @@ def test_resample_locf_tiebreak_same_second(spark):
     )
     row = resample_locf(ev, step=60).collect()[0]
     assert row["value"] == 2.0  # same second -> higher event_id wins
+
+
+def test_rolling_median_hand_case(spark):
+    from datetime import datetime, timedelta
+
+    from batch_processing_analysis_spark.operators.timeseries import (
+        rolling_median,
+    )
+
+    T0 = datetime(2024, 1, 1)
+    vals = [5.0, 1.0, 9.0, 3.0]
+    ev = spark.createDataFrame(
+        [(i, 1, T0 + timedelta(minutes=i), v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = [
+        r["rolling_median"]
+        for r in rolling_median(ev, n=3).orderBy("ts").collect()
+    ]
+    # growing frames: [5], [5,1] -> 3.0 (avg of middles), [5,1,9] -> 5,
+    # then sliding [1,9,3] -> 3
+    assert got == [5.0, 3.0, 5.0, 3.0]
