@@ -869,7 +869,6 @@ def q66_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 1 END AS depth
     FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
     """,
-    primary=False,
 )
 def q80_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel per user

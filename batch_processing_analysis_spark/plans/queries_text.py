@@ -474,6 +474,7 @@ def q44_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
     FROM ranked WHERE rank <= 5
     """,
+    primary=False,
 )
 def q45_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors — the
@@ -948,6 +949,7 @@ def q51_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                   'sum'), 0) % 997 AS BIGINT) AS frame_checksum
     FROM fr WHERE frame_index % 2 = 0
     """,
+    primary=False,
 )
 def q54_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (video-style 1→N extraction): payload split into
@@ -974,6 +976,7 @@ def q54_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   'sum'), 0) % 997 AS BIGINT) AS resized_checksum
     FROM hx
     """,
+    primary=False,
 )
 def q55_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload resize (image-style shrink): byte-stride downsample by 4
@@ -1527,7 +1530,6 @@ def q73_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3
     """,
-    primary=False,
 )
 def q74_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup within-cluster semantic near-dup pairs
@@ -1598,7 +1600,6 @@ def q74_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_canonical
     FROM ranked
     """,
-    primary=False,
 )
 def q75_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution (operators/graph.py:

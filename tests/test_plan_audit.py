@@ -7,8 +7,6 @@ query's physical plan at sf0.001 and asserts it, with an explicit
 allowlist for the operators that are *defined* as dense comparisons:
 
 - q19: theta self-join (J3) — the non-equi predicate IS the operator;
-- q45: brute-force cosine top-k — labeled small-corpus exactness
-  baseline (the registered scale path is q46/q44);
 - q46: IVF — centroid assignment broadcasts a deliberately tiny
   centroid table against the corpus (a broadcast "cross" of C rows,
   not an n² join);
@@ -37,10 +35,12 @@ from batch_processing_analysis_spark.plans import (  # noqa: F401 — register
 
 DENSE_BY_DESIGN = {
     "q19_theta_self_join",
-    "q45_ann_cosine_topk",
     "q46_ann_ivf_topk",
     "q18_range_join_workload",
     "q29_range_join_bucketed",
+    # SemDeDup assigns vectors against a deliberately tiny broadcast
+    # centroid table (the q46 precedent) — C rows, not n².
+    "q74_semantic_dedup",
 }
 
 # The rule miner runs RIPPER over collected per-group frames — building
@@ -60,11 +60,9 @@ def test_no_cartesian_or_nested_loop_join(name, spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-# Secondary-registry queries get the same audit. q65 is the quantized
-# brute-force top-k — dense by definition, like its float twin q45.
-# q74 (SemDeDup) assigns vectors to a deliberately tiny broadcast
-# centroid table (the q46 precedent) — a broadcast of C rows, not n².
-EXTRA_DENSE_BY_DESIGN = {"q65_quantized_topk", "q74_semantic_dedup"}
+# Secondary-registry queries get the same audit. q45/q65 are the
+# float/quantized brute-force top-k baselines — dense by definition.
+EXTRA_DENSE_BY_DESIGN = {"q45_ann_cosine_topk", "q65_quantized_topk"}
 
 # Scalar broadcast join-backs: a 1-row aggregate (corpus N/avgdl, total
 # token count) crossJoin-broadcast onto every row. Plans as a
