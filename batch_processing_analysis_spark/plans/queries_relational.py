@@ -1024,3 +1024,34 @@ def q85_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.unix_timestamp("ts").alias("t"), "rolling_median",
     )
+
+
+@query(
+    "q86_json_props_stats",
+    r"""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(CAST(props->>'$.k' AS BIGINT)) AS n_parsed,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    primary=False,
+)
+def q86_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: typed schema-on-read over the JSON
+    ``props`` column (functions/semistructured.py — from_json with an
+    explicit struct, JVM codegen, malformed → NULL not dropped) +
+    exact integer aggregates per event type. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    from ..functions.semistructured import parse_json_col
+
+    ev = parse_json_col(_t(spark, sf_dir, "events"), "props", "k long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("_j.k").alias("n_parsed"),
+        F.sum("_j.k").alias("sum_k"),
+        F.min("_j.k").alias("min_k"),
+        F.max("_j.k").alias("max_k"),
+    )

@@ -196,3 +196,26 @@ def test_rolling_median_hand_case(spark):
     # growing frames: [5], [5,1] -> 3.0 (avg of middles), [5,1,9] -> 5,
     # then sliding [1,9,3] -> 3
     assert got == [5.0, 3.0, 5.0, 3.0]
+
+
+def test_parse_json_col_malformed_rows_null_not_dropped(spark):
+    from batch_processing_analysis_spark.functions.semistructured import (
+        json_field, parse_json_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, "not json"), (3, None), (4, '{"k": null}')],
+        "id long, props string",
+    )
+    out = parse_json_col(df, "props", "k long")
+    got = {r["id"]: r["_j"]["k"] if r["_j"] else None for r in out.collect()}
+    assert got == {1: 7, 2: None, 3: None, 4: None}
+    assert out.count() == 4  # malformed rows kept, fields nulled
+    # one-field path extraction agrees
+    vals = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", json_field("props", "$.k").alias("v")
+        ).collect()
+    }
+    assert vals[1] == "7" and vals[2] is None
