@@ -240,3 +240,30 @@ def test_cdc_chunks_reassembly_property(spark, texts, k, modulus):
     for i, t in enumerate(texts):
         got = "".join(c for _, c in sorted(by_doc.get(i, [])))
         assert got == t, (i, texts)  # exact reassembly, empty -> no rows
+
+
+@pytest.mark.parametrize("name", [
+    "q41_dedup_minhash_lsh",    # LSH candidate generation + verify
+    "q58_stratified_sample",    # seeded sampling
+    "q74_semantic_dedup",       # clustering + pair generation
+    "q80_funnel_steps",         # window stack
+])
+def test_results_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    """Determinism evidence: identical results at different
+    parallelism — no operator may depend on partition count or
+    iteration order (the property that makes the DuckDB single-thread
+    oracle a valid referee at ANY cluster size)."""
+    from batch_processing_analysis_spark.plans import (  # noqa: F401
+        queries_eventlog, queries_relational, queries_text, registry,
+    )
+
+    fn = registry.QUERIES.get(name) or registry.EXTRA_QUERIES[name]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = sorted(map(repr, fn(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        high = sorted(map(repr, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert low == high
