@@ -1055,3 +1055,28 @@ def q86_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_j.k").alias("min_k"),
         F.max("_j.k").alias("max_k"),
     )
+
+
+@query(
+    "q87_pseudonymized_rollup",
+    r"""
+    SELECT substr(md5('salt0' || chr(31) || CAST(user_id AS VARCHAR)), 1, 16)
+             AS user_token,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY 1
+    """,
+    primary=False,
+)
+def q87_pseudonymized_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization (operators/privacy.py): tokenize user_id,
+    then aggregate per token — referential structure survives (150
+    tokens, same per-user counts as the raw rollup). Secondary
+    registry; oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.privacy import pseudonymize
+
+    ev = pseudonymize(_t(spark, sf_dir, "events"), ["user_id"], "salt0")
+    return ev.groupBy(F.col("user_id").alias("user_token")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+    )

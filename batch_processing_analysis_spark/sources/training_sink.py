@@ -171,3 +171,50 @@ def _digest_subset(df: DataFrame, shard_col: str, pos_col: str) -> dict:
         str(r["_s"]): {"n_rows": r["n_rows"], "digest": r["digest"]}
         for r in rows
     }
+
+
+def compact_shards(spark: SparkSession, path: str,
+                   shard_col: str = "shard", pos_col: str = "pos",
+                   max_records_per_file: int | None = None) -> dict:
+    """Small-file compaction for a shard directory: rewrite every
+    ``shard=<k>/`` as one (or ``max_records_per_file``-bounded) file,
+    preserving in-shard ``pos`` order — the maintenance pass that keeps
+    loader-side file listings O(shards) after many incremental appends.
+
+    Correctness is MANIFEST-DEFINED: the per-shard order-sensitive
+    digest (:func:`publish_manifest`) must be identical before and
+    after — compaction may only change the file layout, never content
+    or order; a mismatch aborts before the swap and raises. The rewrite
+    lands in a staging directory and replaces ``path`` by rename, so a
+    crash mid-compact leaves the original directory untouched (the
+    staging dir is scratch).
+
+    Returns the (re-published) manifest.
+    """
+    import os
+    import shutil
+
+    staged = path.rstrip("/") + ".__compact__"
+    backup = path.rstrip("/") + ".__precompact__"
+    shutil.rmtree(staged, ignore_errors=True)
+    df = spark.read.parquet(path)
+    write_training_shards(df, staged, shard_col, pos_col,
+                          max_records_per_file)
+    new_manifest = publish_manifest(spark, staged, shard_col, pos_col)
+    mpath = os.path.join(path, MANIFEST)
+    if os.path.exists(mpath):
+        import json
+
+        with open(mpath) as f:
+            old = json.load(f)
+        if old["shards"] != new_manifest["shards"]:
+            shutil.rmtree(staged)
+            raise ValueError(
+                "compaction changed shard content/order: "
+                f"old={old['shards']} new={new_manifest['shards']}"
+            )
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staged, path)
+    shutil.rmtree(backup)
+    return new_manifest

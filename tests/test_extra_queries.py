@@ -219,3 +219,22 @@ def test_parse_json_col_malformed_rows_null_not_dropped(spark):
         ).collect()
     }
     assert vals[1] == "7" and vals[2] is None
+
+
+def test_pseudonymize_referential_integrity(spark):
+    from batch_processing_analysis_spark.operators.privacy import (
+        pseudonymize,
+    )
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (None, "z")],
+                              "uid long, p string")
+    b = spark.createDataFrame([(1, 10), (1, 11), (3, 12)],
+                              "uid long, v long")
+    ta = pseudonymize(a, ["uid"], "s")
+    tb = pseudonymize(b, ["uid"], "s")
+    # Same salt -> joins across tables still line up exactly.
+    assert ta.join(tb, "uid").count() == a.join(b, "uid").count() == 2
+    # NULL passes through as NULL; different salt severs the mapping.
+    assert ta.filter("uid IS NULL").count() == 1
+    tb2 = pseudonymize(b, ["uid"], "OTHER")
+    assert ta.join(tb2, "uid").count() == 0
