@@ -161,3 +161,26 @@ __all__ = [
     "increment_pairs_from_bands",
     "lsh_candidate_pairs",
 ]
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot reconciliation between two corpus versions: one row per
+    doc id in either snapshot with ``status`` ∈ {added, removed,
+    changed, unchanged} — the audit report an ingest pipeline emits per
+    release. Comparison is by the exact-dedup content hash (whitespace/
+    case-normalized), so formatting-only edits read as ``unchanged``.
+
+    One full outer join on the id; content hashes are narrow
+    expressions — no text ever shuffles (hashes do).
+    """
+    o = old.select(F.col(id_col), content_hash(F.col(text_col)).alias("_ho"))
+    n = new.select(F.col(id_col), content_hash(F.col(text_col)).alias("_hn"))
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

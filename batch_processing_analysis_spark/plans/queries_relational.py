@@ -1080,3 +1080,38 @@ def q87_pseudonymized_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("event_type").alias("n_types"),
     )
+
+
+@query(
+    "q89_sql_surface",
+    r"""
+    SELECT n.n_name, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+    primary=False,
+)
+def q89_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw ANSI-SQL surface: tables registered as temp views, the
+    query text handed to ``spark.sql`` verbatim — a reference user who
+    writes SQL (not DataFrame code) runs it unchanged; Catalyst plans
+    it identically to the DataFrame builders. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py (the oracle IS the
+    same SQL string, modulo nothing)."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        """
+    )

@@ -1814,3 +1814,46 @@ def q82_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extra_queries.py."""
     media = M.as_binary_payloads(_docs(spark, sf_dir))
     return M.payload_neardup_pairs(media)
+
+
+@query(
+    "q88_corpus_diff",
+    r"""
+    WITH o AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ho
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    n AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN md5('edited:' || text)
+                  ELSE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             END AS hn
+      FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.ho IS NULL THEN 'added'
+                WHEN n.hn IS NULL THEN 'removed'
+                WHEN o.ho = n.hn THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n USING (doc_id)
+    """,
+    primary=False,
+)
+def q88_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/incremental.py:corpus_diff):
+    old = docs∉5·k, new = docs∉3·k with every 7th text edited —
+    exercises all four statuses. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    from ..operators.incremental import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("EDITED "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_diff(old, new)
