@@ -85,3 +85,45 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def dfg_drift(log_a: DataFrame, log_b: DataFrame,
+              case_col: str = "case_id", act_col: str = "activity",
+              order_col: str = "start_time") -> DataFrame:
+    """Process-drift report: the directly-follows graphs of two log
+    windows, reconciled edge by edge — transitions that appeared,
+    vanished, or shifted frequency between (say) last month and this
+    month. DFG comparison is the standard first look at concept drift
+    in process mining (public literature: Bose et al. 2011 "Handling
+    Concept Drift in Process Mining" frames drift detection over
+    follows-relations; this is the batch form of that signal).
+
+    Returns ``(src, dst, n_a, n_b, status ∈ {appeared, vanished,
+    common})``; frequencies are per-transition occurrence counts.
+    One window per log (case-partitioned sort) + one outer join on the
+    edge key — both inputs can be 100 TB logs; the edge tables are
+    |activities|²-bounded.
+    """
+    def edges(log: DataFrame, out: str) -> DataFrame:
+        w = W.partitionBy(case_col).orderBy(order_col)
+        return (
+            log.select(
+                F.col(act_col).alias("src"),
+                F.lead(act_col, 1).over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ea = edges(log_a, "n_a")
+    eb = edges(log_b, "n_b")
+    zero = F.lit(0).cast("long")
+    return ea.join(eb, ["src", "dst"], "full_outer").select(
+        "src", "dst",
+        F.coalesce("n_a", zero).alias("n_a"),
+        F.coalesce("n_b", zero).alias("n_b"),
+        F.when(F.col("n_a").isNull(), F.lit("appeared"))
+        .when(F.col("n_b").isNull(), F.lit("vanished"))
+        .otherwise(F.lit("common")).alias("status"),
+    )

@@ -108,3 +108,49 @@ def profile_columns_approx(df: DataFrame, columns: list[str],
         (F.count(F.lit(1)) - F.count("value")).alias("n_nulls"),
         F.approx_count_distinct("value", rsd).alias("approx_distinct"),
     )
+
+
+def profile_drift(old_profile: DataFrame,
+                  new_profile: DataFrame) -> DataFrame:
+    """Data-quality drift report between two :func:`profile_columns`
+    snapshots (e.g. yesterday's release vs today's): per column, the
+    null-rate delta, distinct-count ratio, and whether the modal value
+    changed — the monitoring signal that catches a broken upstream
+    extractor before it trains into a model.
+
+    Columns present in only one snapshot report status
+    ``added``/``removed``; both → ``common``. Ratios are exact
+    integer arithmetic rounded once (engine-portable).
+    """
+    o = old_profile.select(
+        "col_name",
+        F.col("n_rows").alias("_or"), F.col("n_nulls").alias("_on"),
+        F.col("n_distinct").alias("_od"), F.col("top_value").alias("_ot"),
+    )
+    n = new_profile.select(
+        "col_name",
+        F.col("n_rows").alias("_nr"), F.col("n_nulls").alias("_nn"),
+        F.col("n_distinct").alias("_nd"), F.col("top_value").alias("_nt"),
+    )
+    return o.join(n, "col_name", "full_outer").select(
+        "col_name",
+        F.when(F.col("_or").isNull(), F.lit("added"))
+        .when(F.col("_nr").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common")).alias("status"),
+        F.round(
+            F.coalesce(F.col("_nn") / F.col("_nr"), F.lit(0.0))
+            - F.coalesce(F.col("_on") / F.col("_or"), F.lit(0.0)),
+            6,
+        ).alias("null_rate_delta"),
+        F.round(
+            F.when(
+                F.col("_od").isNotNull() & (F.col("_od") > 0),
+                F.coalesce(F.col("_nd"), F.lit(0)) / F.col("_od"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("distinct_ratio"),
+        (
+            F.coalesce(F.col("_ot") != F.col("_nt"),
+                       F.col("_ot").isNotNull() | F.col("_nt").isNotNull())
+        ).cast("int").alias("modal_changed"),
+    )

@@ -1174,3 +1174,62 @@ def q61_event_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct(F.col(IDS.case)).alias("n_cases"),
     )
+
+
+@query(
+    "q90_dfg_drift",
+    r"""
+    WITH log AS (
+      SELECT CAST(user_id AS VARCHAR) AS case_id, event_type AS activity,
+             ts, event_id
+      FROM events
+    ),
+    ea AS (
+      SELECT src, dst, count(*) AS n_a FROM (
+        SELECT activity AS src,
+               lead(activity) OVER (PARTITION BY case_id
+                                    ORDER BY ts, event_id) AS dst
+        FROM log WHERE ts < TIMESTAMP '2024-01-16'
+      ) WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    eb AS (
+      SELECT src, dst, count(*) AS n_b FROM (
+        SELECT activity AS src,
+               lead(activity) OVER (PARTITION BY case_id
+                                    ORDER BY ts, event_id) AS dst
+        FROM log WHERE ts >= TIMESTAMP '2024-01-16'
+      ) WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT COALESCE(ea.src, eb.src) AS src,
+           COALESCE(ea.dst, eb.dst) AS dst,
+           COALESCE(n_a, 0) AS n_a,
+           COALESCE(n_b, 0) AS n_b,
+           CASE WHEN n_a IS NULL THEN 'appeared'
+                WHEN n_b IS NULL THEN 'vanished'
+                ELSE 'common' END AS status
+    FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst
+    """,
+    primary=False,
+)
+def q90_dfg_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directly-follows process drift between the first and second half
+    of the events window (operators/events_analytics.py:dfg_drift) —
+    per-transition frequency reconciliation, the standard first look at
+    concept drift in process mining. Secondary registry; oracle-gated
+    by tests/test_extra_queries.py."""
+    from datetime import datetime
+
+    from ..operators.events_analytics import dfg_drift
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("case_id"),
+        F.col("event_type").alias("activity"),
+        "ts",
+        F.struct("ts", "event_id").alias("_ord"),
+    )
+    cut = datetime(2024, 1, 16)
+    return dfg_drift(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        order_col="_ord",
+    )

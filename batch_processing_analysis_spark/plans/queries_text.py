@@ -1857,3 +1857,75 @@ def q88_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"),
     )
     return corpus_diff(old, new)
+
+
+@query(
+    "q91_profile_drift",
+    r"""
+    WITH m1 AS (
+      SELECT 'lang' AS col_name, lang AS value FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'source', source FROM documents WHERE doc_id % 2 = 0
+    ),
+    t1 AS (SELECT col_name, count(*) AS n_rows, count(value) AS nn
+           FROM m1 GROUP BY col_name),
+    v1 AS (SELECT col_name, value, count(*) AS c FROM m1
+           WHERE value IS NOT NULL GROUP BY col_name, value),
+    r1 AS (SELECT col_name, value, c,
+                  row_number() OVER (PARTITION BY col_name
+                                     ORDER BY c DESC, value) AS rn,
+                  count(*) OVER (PARTITION BY col_name) AS nd
+           FROM v1),
+    p1 AS (SELECT t1.col_name, t1.n_rows, t1.n_rows - t1.nn AS n_nulls,
+                  COALESCE(r1.nd, 0) AS n_distinct, r1.value AS top_value
+           FROM t1 LEFT JOIN r1 ON t1.col_name = r1.col_name AND r1.rn = 1),
+    m2 AS (
+      SELECT 'lang' AS col_name, lang AS value FROM documents
+      WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT 'source', source FROM documents WHERE doc_id % 2 = 1
+    ),
+    t2 AS (SELECT col_name, count(*) AS n_rows, count(value) AS nn
+           FROM m2 GROUP BY col_name),
+    v2 AS (SELECT col_name, value, count(*) AS c FROM m2
+           WHERE value IS NOT NULL GROUP BY col_name, value),
+    r2 AS (SELECT col_name, value, c,
+                  row_number() OVER (PARTITION BY col_name
+                                     ORDER BY c DESC, value) AS rn,
+                  count(*) OVER (PARTITION BY col_name) AS nd
+           FROM v2),
+    p2 AS (SELECT t2.col_name, t2.n_rows, t2.n_rows - t2.nn AS n_nulls,
+                  COALESCE(r2.nd, 0) AS n_distinct, r2.value AS top_value
+           FROM t2 LEFT JOIN r2 ON t2.col_name = r2.col_name AND r2.rn = 1)
+    SELECT COALESCE(p1.col_name, p2.col_name) AS col_name,
+           CASE WHEN p1.n_rows IS NULL THEN 'added'
+                WHEN p2.n_rows IS NULL THEN 'removed'
+                ELSE 'common' END AS status,
+           round(COALESCE(p2.n_nulls * 1.0 / p2.n_rows, 0.0)
+                 - COALESCE(p1.n_nulls * 1.0 / p1.n_rows, 0.0), 6)
+             AS null_rate_delta,
+           round(CASE WHEN p1.n_distinct IS NOT NULL AND p1.n_distinct > 0
+                      THEN COALESCE(p2.n_distinct, 0) * 1.0 / p1.n_distinct
+                      ELSE 0.0 END, 6) AS distinct_ratio,
+           CAST(COALESCE(p1.top_value <> p2.top_value,
+                         p1.top_value IS NOT NULL
+                         OR p2.top_value IS NOT NULL) AS INTEGER)
+             AS modal_changed
+    FROM p1 FULL OUTER JOIN p2 ON p1.col_name = p2.col_name
+    """,
+    primary=False,
+)
+def q91_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-census drift between two document snapshots (even vs odd
+    doc ids) — null-rate delta, distinct ratio, modal change
+    (operators/profiling.py:profile_drift over profile_columns).
+    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.profiling import profile_columns, profile_drift
+
+    docs = _docs(spark, sf_dir)
+    p_old = profile_columns(docs.filter(F.col("doc_id") % 2 == 0),
+                            ["lang", "source"])
+    p_new = profile_columns(docs.filter(F.col("doc_id") % 2 == 1),
+                            ["lang", "source"])
+    return profile_drift(p_old, p_new)
