@@ -47,3 +47,47 @@ def pseudonymize(df: DataFrame, cols: Sequence[str], salt: str) -> DataFrame:
     for c in cols:
         out = out.withColumn(c, pseudonym(F.col(c), salt))
     return out
+
+
+# Free-text redaction (M66). The portable class/quantifier regex subset
+# of text_analysis.pattern_counts (Java regex and RE2 agree on it), so
+# the DuckDB oracle twin produces byte-identical redacted text. Applied
+# in a FIXED order — emails before URLs before digit runs — because the
+# patterns overlap (an email contains dots and digits; a URL may embed
+# an email): both engines must rewrite in the same sequence or the
+# outputs diverge on adversarial inputs.
+REDACTION_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("digits", r"[0-9]{6,}", "<NUMBER>"),
+)
+
+
+def redact_text(col: Column,
+                rules: Sequence[tuple[str, str, str]] = REDACTION_RULES) -> Column:
+    """Free-text PII redaction: every match of each rule's pattern is
+    replaced by its placeholder token, in rule order. Pure
+    ``regexp_replace`` codegen — zero shuffles, no UDF; the transform
+    stage of a content-safety pass (pattern_counts is the audit stage).
+
+    Redaction is lossy by design (unlike :func:`pseudonym` the original
+    cannot be recovered), and regex redaction is best-effort: it
+    removes the *patterned* PII classes, not free-form names/addresses
+    — document that contract to downstream consumers.
+    """
+    out = col
+    for _name, pat, token in rules:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def redact_documents(docs: DataFrame, text_col: str = "text",
+                     rules: Sequence[tuple[str, str, str]] = REDACTION_RULES,
+                     ) -> DataFrame:
+    """``text_col`` redacted in place + a ``was_redacted`` 0/1 flag
+    (cheap release-audit aggregate: ``sum(was_redacted)`` = docs
+    touched). One narrow projection over the scan."""
+    redacted = redact_text(F.col(text_col), rules)
+    return docs.withColumn("was_redacted",
+                           (F.col(text_col) != redacted).cast("int")) \
+               .withColumn(text_col, redacted)

@@ -1929,3 +1929,34 @@ def q91_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_new = profile_columns(docs.filter(F.col("doc_id") % 2 == 1),
                             ["lang", "source"])
     return profile_drift(p_old, p_new)
+
+
+@query(
+    "q92_redact_pii",
+    r"""
+    WITH r AS (
+      SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+',
+                   '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+               '[0-9]{6,}', '<NUMBER>', 'g') AS text_red
+      FROM documents
+    )
+    SELECT doc_id, text_red AS text,
+           CAST(text <> text_red AS INTEGER) AS was_redacted
+    FROM r
+    """,
+    primary=False,
+)
+def q92_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction transform (operators/privacy.py:redact_documents):
+    emails/URLs/long digit runs replaced by placeholder tokens, fixed
+    rule order, byte-identical in both engines (portable regex subset).
+    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.privacy import redact_documents
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return redact_documents(docs)

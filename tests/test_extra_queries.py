@@ -238,3 +238,34 @@ def test_pseudonymize_referential_integrity(spark):
     assert ta.filter("uid IS NULL").count() == 1
     tb2 = pseudonymize(b, ["uid"], "OTHER")
     assert ta.join(tb2, "uid").count() == 0
+
+
+def test_redact_documents_rules_and_edges(spark):
+    from batch_processing_analysis_spark.operators.privacy import (
+        redact_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com now"),
+            (2, "see https://example.com/a?id=123456789 ok"),
+            (3, "card 4111111112222222 and 12345 short"),
+            (4, "clean text, nothing to hide"),
+            (5, None),
+            # email embedded in a URL: email rule fires first (fixed
+            # order), URL rule then eats the remainder.
+            (6, "http://x.io/u/a@b.co trailing"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_documents(docs).collect()}
+    assert out[1]["text"] == "mail <EMAIL> now"
+    # URL rule consumes the whole non-space run, digits included.
+    assert out[2]["text"] == "see <URL> ok"
+    assert out[3]["text"] == "card <NUMBER> and 12345 short"
+    assert out[4]["text"] == "clean text, nothing to hide"
+    assert out[4]["was_redacted"] == 0
+    assert out[5]["text"] is None and out[5]["was_redacted"] is None
+    # the URL rule then swallows the placeholder too — whole run gone.
+    assert out[6]["text"] == "<URL> trailing"
+    assert sum(r["was_redacted"] or 0 for r in out.values()) == 4
