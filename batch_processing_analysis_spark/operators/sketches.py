@@ -1,0 +1,94 @@
+"""Count-min sketch (M67): fixed-memory frequency estimation, the
+frequency member of the sketch family (M50 holds HLL cardinality and
+GK quantiles).
+
+Cormode & Muthukrishnan 2005 ("An improved data stream summary: the
+count-min sketch and its applications"): a depth×width counter grid;
+every item increments one counter per row (bucket = hash_d(item) mod
+width); the estimate is the MIN over rows — always ≥ the true count,
+over by at most ≈ 2·N/width with probability 1 − 2⁻ᵈᵉᵖᵗʰ.
+
+Why this shape at 100 TB: the sketch state is depth·width rows
+REGARDLESS of vocabulary size, the build is one partial-aggregatable
+groupBy over flat (d, bucket) rows (map-side combine collapses each
+partition to ≤ depth·width rows before the shuffle), and two sketches
+built on different data splits merge by adding counters — the
+classic distributed-counting trade when exact per-key counts would
+shuffle billions of distinct keys.
+
+Hashing is the repo's portable ``hash60`` convention (md5-derived, see
+operators/dedup.py:42), so a DuckDB oracle twin reproduces the grid —
+and therefore every estimate — bit-for-bit. No UDFs, no arrays beyond
+one depth-sized literal per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash60
+
+
+def _bucket(item: Column, d: int, width: int) -> Column:
+    """Row-``d`` bucket of ``item``: hash60(d ‖ unit-sep ‖ item) mod
+    width (hash60 is non-negative, so ``pmod`` == the oracle's ``%``)."""
+    return F.pmod(
+        hash60(F.concat(F.lit(str(d)), F.lit("\x1f"), item.cast("string"))),
+        F.lit(width),
+    )
+
+
+def cms_sketch(items: DataFrame, item_col: str = "item",
+               depth: int = 4, width: int = 1024,
+               weight_col: str | None = None) -> DataFrame:
+    """Build the sketch: one row per occupied (d, bucket) counter,
+    ``c`` = occurrence count (or sum of ``weight_col``) of the items
+    hashing there. ≤ depth·width rows regardless of input size.
+    """
+    grid = items.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     _bucket(F.col(item_col), d, width).alias("bucket"))
+            for d in range(depth)
+        ])).alias("_db"),
+        *( [F.col(weight_col).alias("_w")] if weight_col else [] ),
+    ).select("_db.d", "_db.bucket", *(["_w"] if weight_col else []))
+    agg = F.sum("_w") if weight_col else F.count(F.lit(1))
+    return grid.groupBy("d", "bucket").agg(agg.alias("c"))
+
+
+def cms_estimate(sketch: DataFrame, queries: DataFrame,
+                 item_col: str = "item",
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-query the sketch: per distinct query item, ``est`` =
+    min over rows of its bucket counter (0 where the bucket is
+    empty). ``depth``/``width`` MUST match the build. The sketch side
+    is ≤ depth·width rows — Spark broadcasts it; the query side never
+    shuffles.
+    """
+    q = queries.select(item_col).distinct()
+    qe = q.select(
+        F.col(item_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     _bucket(F.col(item_col), d, width).alias("bucket"))
+            for d in range(depth)
+        ])).alias("_db"),
+    ).select(item_col, "_db.d", "_db.bucket")
+    return (
+        qe.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the SAME (depth, width): counters
+    add. This is what makes the sketch distributive — per-day / per-
+    split sketches combine without touching the raw data again."""
+    return (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -1960,3 +1960,46 @@ def q92_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return redact_documents(docs)
+
+
+_CMS_BUCKET = ("CAST('0x' || substr(md5(CAST(d AS VARCHAR) || chr(31) "
+               "|| token), 1, 15) AS BIGINT) % 1024")
+
+@query(
+    "q93_cms_heavy_hitters",
+    r"""
+    WITH """ + TOKS_SQL + r""",
+    tok AS (SELECT unnest(tk) AS token FROM toks),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    sk AS (
+      SELECT d, """ + _CMS_BUCKET + r""" AS bucket, count(*) AS c
+      FROM tok CROSS JOIN ds GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT token FROM tok WHERE len(token) >= 8),
+    qe AS (SELECT token, d, """ + _CMS_BUCKET + r""" AS bucket
+           FROM cand CROSS JOIN ds),
+    est AS (
+      SELECT token, min(COALESCE(c, 0)) AS est
+      FROM qe LEFT JOIN sk USING (d, bucket) GROUP BY token
+    )
+    SELECT token, est FROM est ORDER BY est DESC, token LIMIT 20
+    """,
+    primary=False,
+)
+def q93_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketches.py): build a
+    4×1024 counter grid over ALL corpus token occurrences, then
+    point-query the long (≥8-char) vocabulary and keep the top 20
+    estimates. The grid is what shuffles (≤4096 rows) — never the
+    vocabulary. md5-derived buckets → the oracle reproduces every
+    counter, so estimates match bit-for-bit. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.sketches import cms_estimate, cms_sketch
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(D.tokens(F.col("text"))).alias("token")
+    )
+    sketch = cms_sketch(toks, "token", depth=4, width=1024)
+    cand = toks.filter(F.length("token") >= 8)
+    est = cms_estimate(sketch, cand, "token", depth=4, width=1024)
+    return est.orderBy(F.col("est").desc(), "token").limit(20)
