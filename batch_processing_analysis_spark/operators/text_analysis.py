@@ -633,3 +633,51 @@ def cdc_chunks(docs: DataFrame, k: int = 8, modulus: int = 16,
             F.length("chunk").alias("chunk_len"),
         )
     )
+
+
+def distinctive_terms(docs: DataFrame, group_col: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      top_k: int = 5, min_token_len: int = 1) -> DataFrame:
+    """Top-``top_k`` distinguishing tokens per group (e.g. per source
+    or language) by tf·idf — the corpus-exploration signal behind
+    "what is IN this slice" dashboards and mixture debugging.
+
+    Score = (token occurrences within the group) × idf, where idf =
+    ln(N_docs / doc-frequency) quantized ONCE to integer micros — the
+    M37/M31 quantize-then-multiply trick, so scores are exact integers,
+    the per-group ranking is engine-reproducible, and ties break on the
+    token string (unique key, the registry top-k rule).
+
+    Scale: one explode → two partial-agg shuffles (tf keyed on
+    (group, token), df keyed on token) + a 1-row scalar broadcast; the
+    ranking window partitions by group over ≤ |vocab| rows, never by
+    document. Zipf-head tokens are spread across reducers by the
+    (group, token) composite key.
+    """
+    occ = docs.select(
+        F.col(group_col).alias("_g"), F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ).filter(F.length("_t") >= min_token_len)
+    tf = occ.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        occ.select("_id", "_t").distinct()
+        .groupBy("_t").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count_distinct(F.col(id_col)).alias("_N"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "_t", "df",
+        F.floor(F.log(F.col("_N") / F.col("df")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("_idf_micro"),
+    )
+    scored = tf.join(idf, "_t").select(
+        F.col("_g").alias(group_col), F.col("_t").alias("token"),
+        "tf", "df",
+        (F.col("tf") * F.col("_idf_micro")).alias("score_micro"),
+    )
+    w = W.partitionBy(group_col).orderBy(
+        F.col("score_micro").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -2003,3 +2003,86 @@ def q93_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = toks.filter(F.length("token") >= 8)
     est = cms_estimate(sketch, cand, "token", depth=4, width=1024)
     return est.orderBy(F.col("est").desc(), "token").limit(20)
+
+
+@query(
+    "q94_distinctive_terms",
+    r"""
+    WITH occ AS (
+      SELECT g, doc_id, token FROM (
+        SELECT source AS g, doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+      ) WHERE len(token) >= 4
+    ),
+    tf AS (SELECT g, token, count(*) AS tf FROM occ GROUP BY g, token),
+    dfq AS (SELECT token, count(*) AS df FROM
+              (SELECT DISTINCT doc_id, token FROM occ) GROUP BY token),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    idf AS (SELECT token, df,
+                   CAST(floor(ln(n * 1.0 / df) * 1000000 + 0.5) AS BIGINT)
+                     AS im
+            FROM dfq CROSS JOIN nd),
+    sc AS (SELECT g AS source, tf.token, tf.tf, idf.df,
+                  tf.tf * idf.im AS score_micro
+           FROM tf JOIN idf USING (token)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY score_micro DESC, token) AS rank
+          FROM sc)
+    SELECT source, token, tf, df, score_micro, rank FROM r WHERE rank <= 5
+    """,
+    primary=False,
+)
+def q94_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinguishing tokens by quantized tf·idf
+    (operators/text_analysis.py:distinctive_terms): exact-integer
+    scores, unique-key tiebreak, top 5 per source. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    return TA.distinctive_terms(docs, "source", top_k=5, min_token_len=4)
+
+
+@query(
+    "q95_validation_summary",
+    r"""
+    SELECT rule, count(*) AS n_rows,
+           CAST(sum(ok) AS BIGINT) AS n_pass,
+           CAST(count(*) - sum(ok) AS BIGINT) AS n_fail
+    FROM (
+      SELECT unnest([
+        struct_pack(rule := 'text_present',
+                    ok := CAST(COALESCE(text IS NOT NULL
+                                        AND length(text) > 0, FALSE)
+                               AS BIGINT)),
+        struct_pack(rule := 'lang_known',
+                    ok := CAST(COALESCE(lang IN ('en','de','fr','es','it'),
+                                        FALSE) AS BIGINT)),
+        struct_pack(rule := 'n_chars_consistent',
+                    ok := CAST(COALESCE(n_chars = length(text), FALSE)
+                               AS BIGINT)),
+        struct_pack(rule := 'id_positive',
+                    ok := CAST(COALESCE(doc_id >= 0, FALSE) AS BIGINT))
+      ], recursive := true)
+      FROM documents
+    )
+    GROUP BY rule
+    """,
+    primary=False,
+)
+def q95_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/validation.py): four
+    row-local admission rules over documents, one-pass flags, unpivoted
+    audit summary (rule, n_rows, n_pass, n_fail). NULL rule results
+    count as failures in both engines. Secondary registry; oracle-gated
+    by tests/test_extra_queries.py."""
+    from ..operators.validation import validate, validation_summary
+
+    docs = _docs(spark, sf_dir)
+    flagged = validate(docs, {
+        "text_present": F.col("text").isNotNull() & (F.length("text") > 0),
+        "lang_known": F.col("lang").isin("en", "de", "fr", "es", "it"),
+        "n_chars_consistent": F.col("n_chars") == F.length("text"),
+        "id_positive": F.col("doc_id") >= 0,
+    })
+    return validation_summary(flagged)

@@ -299,3 +299,29 @@ def test_cms_overestimates_and_merges(spark):
     ghost = spark.createDataFrame([("zzz-never-seen",)], "item string")
     g = cms_estimate(sk, ghost, depth=4, width=64).collect()[0]["est"]
     assert g >= 0
+
+
+def test_validate_null_is_failure_and_split(spark):
+    from pyspark.sql import functions as F
+
+    from batch_processing_analysis_spark.operators.validation import (
+        quarantine_split, validate, validation_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5), (2, None, 5), (3, "ok", None), (4, "bad", -1)],
+        "id long, s string, v long",
+    )
+    flagged = validate(df, {
+        "s_ok": F.col("s") == "ok",        # NULL s -> NULL -> fail
+        "v_pos": F.col("v") > 0,           # NULL v -> NULL -> fail
+    })
+    got = {r["id"]: (r["ok_s_ok"], r["ok_v_pos"], r["n_violations"])
+           for r in flagged.collect()}
+    assert got == {1: (1, 1, 0), 2: (0, 1, 1), 3: (1, 0, 1), 4: (0, 0, 2)}
+    clean, quar = quarantine_split(flagged)
+    assert {r["id"] for r in clean.collect()} == {1}
+    assert {r["id"] for r in quar.collect()} == {2, 3, 4}
+    summ = {r["rule"]: (r["n_rows"], r["n_pass"], r["n_fail"])
+            for r in validation_summary(flagged).collect()}
+    assert summ == {"s_ok": (4, 2, 2), "v_pos": (4, 2, 2)}
