@@ -157,3 +157,40 @@ def quantile_bounds(scored: DataFrame, n_buckets: int = 10,
     """
     probs = [i / n_buckets for i in range(1, n_buckets)]
     return scored.approxQuantile(score_col, probs, relative_error)
+
+
+def assign_splits(df: DataFrame, fractions: dict[str, float],
+                  seed: str, id_col: str = "doc_id",
+                  group_col: str | None = None) -> DataFrame:
+    """Seeded train/val/test split (M72): every row gets a ``split``
+    label, assignment = which cumulative-fraction band the row's
+    md5-derived hash falls in. Deterministic (same seed → same split in
+    every run/engine), disjoint and exhaustive by construction, and —
+    the part naive `randomSplit` gets wrong for training data —
+    **leakage-aware**: pass ``group_col`` (a domain, a near-dup
+    component id from graph.resolve_duplicates, a source) and the hash
+    is taken over the GROUP key, so correlated documents land in the
+    same split instead of straddling train and test.
+
+    Bands are integer millionths of the hash space (fractions are
+    quantized once, remainder goes to the LAST label), so Spark and any
+    SQL oracle agree exactly. One narrow projection; no shuffle, no
+    sampling pass.
+    """
+    from .dedup import hash60
+
+    labels = list(fractions)
+    quanta = [int(fractions[l] * 1_000_000) for l in labels]
+    quanta[-1] = 1_000_000 - sum(quanta[:-1])  # exhaustive by construction
+    key = F.col(group_col if group_col is not None else id_col)
+    u = F.pmod(hash60(F.concat(F.lit(seed), F.lit("\x1f"),
+                               key.cast("string"))),
+               F.lit(1_000_000))
+    expr = None
+    acc = 0
+    for label, q in zip(labels, quanta):
+        acc += q
+        cond = u < F.lit(acc)
+        expr = (F.when(cond, F.lit(label)) if expr is None
+                else expr.when(cond, F.lit(label)))
+    return df.withColumn("split", expr)

@@ -2086,3 +2086,43 @@ def q95_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_positive": F.col("doc_id") >= 0,
     })
     return validation_summary(flagged)
+
+
+@query(
+    "q96_train_split",
+    r"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5('s1' || chr(31) || source), 1, 15)
+                  AS BIGINT) % 1000000 AS u
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN u < 800000 THEN 'train'
+                  WHEN u < 900000 THEN 'val'
+                  ELSE 'test' END AS split,
+             source
+      FROM s
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources
+    FROM lab GROUP BY split
+    """,
+    primary=False,
+)
+def q96_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware seeded train/val/test split
+    (operators/ordering.py:assign_splits): hash over the GROUP key
+    (source) so correlated docs share a split; 80/10/10 integer-
+    millionth bands. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    lab = ORD.assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "s1",
+        group_col="source",
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+    )

@@ -151,3 +151,40 @@ def test_profile_columns_approx_tolerance(spark):
         rel = abs(approx[c]["approx_distinct"] - exact[c]["n_distinct"]) \
             / exact[c]["n_distinct"]
         assert rel <= 0.15, (c, rel)
+
+
+def test_assign_splits_disjoint_exhaustive_group_cohesive(spark):
+    from pyspark.sql import functions as F
+
+    from batch_processing_analysis_spark.operators.ordering import (
+        assign_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(500)], "doc_id long, grp string"
+    )
+    out = assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                        "seedX", group_col="grp")
+    rows = out.collect()
+    # Exhaustive: every row labeled with one of the three labels.
+    assert all(r["split"] in {"train", "val", "test"} for r in rows)
+    assert len(rows) == 500
+    # Group cohesion: a group never straddles splits.
+    per_group = out.groupBy("grp").agg(
+        F.count_distinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in per_group)
+    # Deterministic: same seed reproduces; different seed moves groups.
+    again = {r["doc_id"]: r["split"]
+             for r in assign_splits(docs, {"train": 0.8, "val": 0.1,
+                                           "test": 0.1},
+                                    "seedX", group_col="grp").collect()}
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+    other = {r["doc_id"]: r["split"]
+             for r in assign_splits(docs, {"train": 0.8, "val": 0.1,
+                                           "test": 0.1},
+                                    "seedY", group_col="grp").collect()}
+    assert other != again
+    # Ungrouped: per-doc hashing approximates the fractions.
+    solo = assign_splits(docs, {"train": 0.8, "val": 0.2}, "s")
+    n_train = solo.filter("split = 'train'").count()
+    assert 350 <= n_train <= 450
