@@ -119,3 +119,20 @@ def stream_decontaminate(docs: DataFrame, benchmark_grams: set[str],
     return docs.withColumn(
         "contaminated", _hit(word_ngrams(F.col(text_col), n))
     )
+
+
+def stream_validate(docs: DataFrame, rules) -> DataFrame:
+    """Streaming twin of operators/validation.validate (M71): the
+    admission-control gate applied AS DOCUMENTS ARRIVE.
+
+    Rules are stateless per-row Column predicates, so the exact batch
+    operator applies unchanged to an unbounded stream — same flags,
+    same NULL-is-failure coercion, no watermark, no state (the same
+    argument as stream_quality_filter). Route ``n_violations == 0``
+    to the corpus sink and the rest to a quarantine sink from ONE
+    writeStream each (two filters over the same flagged plan).
+    Batch-replay equality is pinned in tests/test_corpus_stream.py.
+    """
+    from ..operators.validation import validate
+
+    return validate(docs, rules)

@@ -168,3 +168,52 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path_factory):
     }
     assert streamed == batch
     assert batch[1] == 1 and batch[2] == 0 and batch[4] == 0
+
+
+def test_stream_validate_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Replay: streaming admission flags == batch validate flags."""
+    from pyspark.sql.functions import col, length
+
+    from batch_processing_analysis_spark.operators.validation import validate
+    from batch_processing_analysis_spark.streaming.corpus_stream import (
+        stream_validate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    src = str(tmp_path_factory.mktemp("vstream") / "docs")
+    docs.filter(col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    def rules():
+        return {
+            "text_present": col("text").isNotNull() & (length("text") > 0),
+            "lang_known": col("lang").isin("en", "de", "fr"),
+        }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ckpt = str(tmp_path_factory.mktemp("vstream") / "ckpt")
+    q = (
+        stream_validate(stream, rules())
+        .writeStream.format("memory").queryName("stream_validate")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["ok_text_present"], r["ok_lang_known"],
+                      r["n_violations"])
+        for r in spark.sql("SELECT * FROM stream_validate").collect()
+    }
+    want = {
+        r["doc_id"]: (r["ok_text_present"], r["ok_lang_known"],
+                      r["n_violations"])
+        for r in validate(docs, rules()).collect()
+    }
+    assert got == want and want
+    assert any(v[2] > 0 for v in want.values())  # gate actually fires
