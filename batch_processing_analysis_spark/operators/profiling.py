@@ -154,3 +154,55 @@ def profile_drift(old_profile: DataFrame,
                        F.col("_ot").isNotNull() | F.col("_nt").isNotNull())
         ).cast("int").alias("modal_changed"),
     )
+
+
+def distribution_drift(old: DataFrame, new: DataFrame, value_col: str,
+                       lo: float, hi: float, n_bins: int = 20) -> DataFrame:
+    """Distribution-drift report between two snapshots of a numeric
+    column (M75; completes the drift trio — M64 process edges, M65
+    column census, this one value distributions): fixed-bin histograms
+    of both sides reconciled bin by bin, with exact integer proportions
+    in millionths — the input to an L1 / chi-square / PSI alarm, which
+    the caller computes by summing bins.
+
+    Bins are ``n_bins`` equal widths over the CALLER-FIXED [lo, hi) —
+    fixed bounds, not data-derived quantiles, so the two sides (and any
+    SQL oracle) bin identically and drift in the data cannot move the
+    bin edges under the comparison. Outliers clamp into the edge bins
+    (bin 0 / n_bins−1); NULLs are dropped and reported via the
+    proportions' denominators. One partial-agg groupBy per side + a
+    full-outer join on ≤ n_bins rows.
+    """
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        raw = F.floor((v - F.lit(lo)) / F.lit((hi - lo) / n_bins))
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(b.cast("int").alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    h_old = hist(old, "n_old")
+    h_new = hist(new, "n_new")
+    t_old = old.agg(F.count(F.col(value_col)).alias("_to"))
+    t_new = new.agg(F.count(F.col(value_col)).alias("_tn"))
+    zero = F.lit(0).cast("long")
+    return (
+        h_old.join(h_new, "bin", "full_outer")
+        .crossJoin(F.broadcast(t_old))
+        .crossJoin(F.broadcast(t_new))
+        .select(
+            "bin",
+            F.coalesce("n_old", zero).alias("n_old"),
+            F.coalesce("n_new", zero).alias("n_new"),
+            F.when(F.col("_to") > 0,
+                   F.floor(F.coalesce("n_old", zero) * F.lit(1_000_000)
+                           / F.col("_to")))
+            .otherwise(F.lit(0)).cast("long").alias("p_old_micro"),
+            F.when(F.col("_tn") > 0,
+                   F.floor(F.coalesce("n_new", zero) * F.lit(1_000_000)
+                           / F.col("_tn")))
+            .otherwise(F.lit(0)).cast("long").alias("p_new_micro"),
+        )
+    )

@@ -2126,3 +2126,50 @@ def q96_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("source").alias("n_sources"),
     )
+
+
+@query(
+    "q97_distribution_drift",
+    r"""
+    WITH o AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+    n AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+    ho AS (
+      SELECT CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0)
+                                       / 200.0), 0), 19) AS INTEGER)
+               AS bin, count(*) AS n_old
+      FROM o WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    hn AS (
+      SELECT CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0)
+                                       / 200.0), 0), 19) AS INTEGER)
+               AS bin, count(*) AS n_new
+      FROM n WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT (SELECT count(n_chars) FROM o) AS toc,
+                 (SELECT count(n_chars) FROM n) AS tnc)
+    SELECT COALESCE(ho.bin, hn.bin) AS bin,
+           COALESCE(n_old, 0) AS n_old,
+           COALESCE(n_new, 0) AS n_new,
+           CAST(CASE WHEN toc > 0
+                THEN floor(COALESCE(n_old, 0) * 1000000.0 / toc)
+                ELSE 0 END AS BIGINT) AS p_old_micro,
+           CAST(CASE WHEN tnc > 0
+                THEN floor(COALESCE(n_new, 0) * 1000000.0 / tnc)
+                ELSE 0 END AS BIGINT) AS p_new_micro
+    FROM ho FULL OUTER JOIN hn ON ho.bin = hn.bin CROSS JOIN t
+    """,
+    primary=False,
+)
+def q97_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin distribution drift of n_chars between the even and odd
+    document snapshots (operators/profiling.py:distribution_drift):
+    20 bins over [0, 4000), exact integer proportions in millionths.
+    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.profiling import distribution_drift
+
+    docs = _docs(spark, sf_dir)
+    return distribution_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars", lo=0.0, hi=4000.0, n_bins=20,
+    )

@@ -325,3 +325,24 @@ def test_validate_null_is_failure_and_split(spark):
     summ = {r["rule"]: (r["n_rows"], r["n_pass"], r["n_fail"])
             for r in validation_summary(flagged).collect()}
     assert summ == {"s_ok": (4, 2, 2), "v_pos": (4, 2, 2)}
+
+
+def test_distribution_drift_clamps_and_nulls(spark):
+    from batch_processing_analysis_spark.operators.profiling import (
+        distribution_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(float(v),) for v in [-5, 0, 9, 10, 95, 200]] + [(None,)],
+        "v double",
+    )
+    new = spark.createDataFrame([(5.0,), (15.0,), (None,)], "v double")
+    # 10 bins over [0, 100): width 10; -5 clamps to bin 0, 200 to bin 9.
+    got = {r["bin"]: (r["n_old"], r["n_new"], r["p_old_micro"],
+                      r["p_new_micro"])
+          for r in distribution_drift(old, new, "v", 0.0, 100.0,
+                                      n_bins=10).collect()}
+    assert got[0] == (3, 1, 500000, 500000)   # -5, 0, 9 | 5
+    assert got[1] == (1, 1, 166666, 500000)   # 10 | 15
+    assert got[9] == (2, 0, 333333, 0)        # 95 + clamped 200 | —
+    assert set(got) == {0, 1, 9}              # NULLs dropped from both
