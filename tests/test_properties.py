@@ -267,3 +267,56 @@ def test_results_invariant_to_shuffle_partitions(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert low == high
+
+
+# ---------------------------------------------------------------------------
+# Sketch + split properties (few examples: each runs Spark jobs)
+# ---------------------------------------------------------------------------
+
+multisets = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=80
+)
+
+
+@given(multisets)
+@settings(max_examples=5, deadline=None)
+def test_cms_never_underestimates(spark, multiset):
+    from collections import Counter
+
+    from batch_processing_analysis_spark.operators.sketches import (
+        cms_estimate, cms_sketch,
+    )
+
+    items = spark.createDataFrame([(w,) for w in multiset], "item string")
+    sk = cms_sketch(items, depth=3, width=16)  # tiny grid: forces collisions
+    est = {r["item"]: r["est"]
+           for r in cms_estimate(sk, items, depth=3, width=16).collect()}
+    true = Counter(multiset)
+    # The CM guarantee: one-sided error even under heavy collision.
+    assert all(est[w] >= c for w, c in true.items())
+    # And bounded: an estimate never exceeds the total stream length.
+    assert all(v <= len(multiset) for v in est.values())
+
+
+groupings = st.lists(st.integers(0, 9), min_size=1, max_size=60)
+
+
+@given(groupings, st.sampled_from(["sA", "sB"]))
+@settings(max_examples=5, deadline=None)
+def test_assign_splits_partition_and_cohesion(spark, grps, seed):
+    from batch_processing_analysis_spark.operators.ordering import (
+        assign_splits,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{g}") for i, g in enumerate(grps)], "doc_id long, grp string"
+    )
+    out = assign_splits(df, {"a": 0.5, "b": 0.3, "c": 0.2}, seed,
+                        group_col="grp").collect()
+    # Partition: every row gets exactly one of the declared labels.
+    assert all(r["split"] in {"a", "b", "c"} for r in out)
+    assert len(out) == len(grps)
+    # Cohesion: split is a function of the group key.
+    seen: dict[str, str] = {}
+    for r in out:
+        assert seen.setdefault(r["grp"], r["split"]) == r["split"]
