@@ -89,6 +89,10 @@ HEADLINE += [
     "q91_profile_drift",
     "q92_redact_pii",
     "q93_cms_heavy_hitters",
+    "q94_distinctive_terms",
+    "q95_validation_summary",
+    "q96_train_split",
+    "q97_distribution_drift",
 ]
 
 

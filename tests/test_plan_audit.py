@@ -70,7 +70,13 @@ EXTRA_DENSE_BY_DESIGN = {"q45_ann_cosine_topk", "q65_quantized_topk"}
 # dense pairing (the discovery.py:556 precedent). A literal-key
 # equi-join does not help: Catalyst constant-folds it back to a
 # true-condition NLJ.
-EXTRA_SCALAR_BROADCAST = {"q67_bm25_topk", "q72_unigram_logprob"}
+EXTRA_SCALAR_BROADCAST = {
+    "q67_bm25_topk",
+    "q72_unigram_logprob",
+    # tf·idf: the corpus-size aggregate (1 row) broadcasts onto the
+    # document-frequency table — same shape as q72's total-count join.
+    "q94_distinctive_terms",
+}
 
 
 @pytest.mark.parametrize("name", sorted(registry.EXTRA_QUERIES))
