@@ -155,3 +155,37 @@ def test_prepare_corpus_near_dedup_is_subset(spark, sf_dir):
     # Near-dup clustering can only merge more docs away, never add.
     assert near <= exact
     assert near  # and it keeps something
+
+
+def test_corpus_report_sections_match_components(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from batch_processing_analysis_spark.operators.dedup import exact_dedup
+    from batch_processing_analysis_spark.operators.profiling import (
+        profile_columns,
+    )
+    from batch_processing_analysis_spark.pipeline import corpus_report
+    from batch_processing_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = {(r["section"], r["metric"]): r["value"]
+           for r in corpus_report(docs).collect()}
+
+    # Census section pins to the q77-verified plan's numbers.
+    prof = {r["col_name"]: r for r in profile_columns(
+        docs, ["lang", "source"]).collect()}
+    assert rep[("census", "distinct:lang")] == prof["lang"]["n_distinct"]
+    assert rep[("census", "nulls:source")] == prof["source"]["n_nulls"]
+
+    # Dedup section pins to the q40-verified keep-list arithmetic.
+    dd = exact_dedup(docs).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_canonical").alias("k")
+    ).first()
+    assert rep[("dedup", "n_docs")] == dd["n"]
+    assert rep[("dedup", "n_unique")] == dd["k"]
+    assert rep[("dedup", "n_exact_dups")] == dd["n"] - dd["k"]
+
+    # Quality section: totals are positive and docs count is coherent.
+    assert rep[("quality", "n_docs")] == docs.count()
+    assert rep[("quality", "total_tokens")] > 0
+    assert 0 < rep[("quality", "mean_quality_micro")] < 1_000_000
