@@ -76,6 +76,9 @@ EXTRA_SCALAR_BROADCAST = {
     # tf·idf: the corpus-size aggregate (1 row) broadcasts onto the
     # document-frequency table — same shape as q72's total-count join.
     "q94_distinctive_terms",
+    # distribution drift: both snapshot totals are 1-row aggregates
+    # broadcast onto the ≤ n_bins histogram join.
+    "q97_distribution_drift",
 }
 
 
