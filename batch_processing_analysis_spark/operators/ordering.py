@@ -194,3 +194,41 @@ def assign_splits(df: DataFrame, fractions: dict[str, float],
         expr = (F.when(cond, F.lit(label)) if expr is None
                 else expr.when(cond, F.lit(label)))
     return df.withColumn("split", expr)
+
+
+def rendezvous_shard(df: DataFrame, n_shards: int,
+                     id_col: str = "doc_id", seed: str = "hrw",
+                     out_col: str = "shard") -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding (Thaler &
+    Ravishankar 1998): ``shard = argmax_s hash(seed ‖ s ‖ id)``.
+
+    Why not ``hash(id) % n``: when the shard count changes, modulo
+    reassigns ≈ (n−1)/n of ALL keys — an incremental corpus rebuild
+    rewrites almost every shard. Rendezvous moves ONLY the keys whose
+    new shard wins the argmax, ≈ 1/(n+1) of them when growing n → n+1;
+    every other key's winner is unchanged by construction (adding a
+    candidate can only steal the argmax, never reorder the rest).
+
+    Pure codegen: an ``n_shards``-wide ``greatest`` over md5-derived
+    (weight, shard) structs — no shuffle, no state; deterministic and
+    oracle-reproducible. Ties are impossible in practice (60-bit
+    weights) and break to the lower shard id via the struct tiebreak.
+    Keep ``n_shards`` modest (≤ a few hundred): the expression tree is
+    O(n_shards) wide per row — for thousands of shards, shard
+    hierarchically (rendezvous over shard groups, then within).
+    """
+    from .dedup import hash60
+
+    if n_shards == 1:
+        return df.withColumn(out_col, F.lit(0))
+    cands = [
+        F.struct(
+            hash60(F.concat(F.lit(seed), F.lit("\x1f"), F.lit(str(s)),
+                            F.lit("\x1f"), F.col(id_col).cast("string")))
+            .alias("w"),
+            F.lit(n_shards - 1 - s).alias("_inv"),  # ties -> lower shard id
+            F.lit(s).alias("s"),
+        )
+        for s in range(n_shards)
+    ]
+    return df.withColumn(out_col, F.greatest(*cands)["s"])

@@ -2173,3 +2173,33 @@ def q97_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 1),
         "n_chars", lo=0.0, hi=4000.0, n_bins=20,
     )
+
+
+@query(
+    "q98_rendezvous_shards",
+    r"""
+    WITH e AS (
+      SELECT doc_id, s,
+             CAST('0x' || substr(md5('hrw' || chr(31)
+                  || CAST(s AS VARCHAR) || chr(31)
+                  || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS w
+      FROM documents CROSS JOIN (SELECT unnest(range(8)) AS s)
+    ),
+    a AS (SELECT doc_id, arg_max(s, w) AS shard FROM e GROUP BY doc_id)
+    SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs
+    FROM a GROUP BY 1
+    """,
+    primary=False,
+)
+def q98_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) sharding occupancy
+    (operators/ordering.py:rendezvous_shard): argmax over per-shard
+    md5 weights — resharding n→n+1 moves only the stolen keys, unlike
+    mod-n. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (
+        ORD.rendezvous_shard(docs, 8)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -93,6 +93,7 @@ HEADLINE += [
     "q95_validation_summary",
     "q96_train_split",
     "q97_distribution_drift",
+    "q98_rendezvous_shards",
 ]
 
 

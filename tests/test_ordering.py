@@ -188,3 +188,28 @@ def test_assign_splits_disjoint_exhaustive_group_cohesive(spark):
     solo = assign_splits(docs, {"train": 0.8, "val": 0.2}, "s")
     n_train = solo.filter("split = 'train'").count()
     assert 350 <= n_train <= 450
+
+
+def test_rendezvous_resharding_moves_minimal_keys(spark):
+    from batch_processing_analysis_spark.operators.ordering import (
+        rendezvous_shard,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    s16 = {r["doc_id"]: r["shard"]
+           for r in rendezvous_shard(docs, 16).collect()}
+    s17 = {r["doc_id"]: r["shard"]
+           for r in rendezvous_shard(docs, 17).collect()}
+    moved = [i for i in s16 if s16[i] != s17[i]]
+    # HRW contract: growing 16 -> 17 moves ~1/17 of keys (118 expected);
+    # allow generous sampling slack but stay far under mod-n's ~16/17.
+    assert len(moved) < 2000 * 3 / 17
+    # Every moved key moved TO the new shard — an existing candidate's
+    # weight never changed, so only shard 16 can steal an argmax.
+    assert all(s17[i] == 16 for i in moved)
+    # Deterministic and roughly balanced.
+    assert s16 == {r["doc_id"]: r["shard"]
+                   for r in rendezvous_shard(docs, 16).collect()}
+    from collections import Counter
+    occ = Counter(s16.values())
+    assert len(occ) == 16 and max(occ.values()) < 3 * (2000 // 16)
