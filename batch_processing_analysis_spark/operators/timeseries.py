@@ -109,3 +109,43 @@ def rolling_median(df: DataFrame, n: int = 5,
     return df.withColumn(
         out_col, F.when(m % 2 == 1, mid).otherwise(even)
     )
+
+
+def bucket_rollup(events: DataFrame, ts_col: str, group_cols: list[str],
+                  fine_s: int, coarse_s: int,
+                  weight_col: str | None = None) -> DataFrame:
+    """Hierarchical time-bucket rollup (the hypertable continuous-
+    aggregate pattern, TimescaleDB public docs): aggregate raw events
+    into FINE buckets once, then derive every COARSER granularity from
+    the fine aggregate — never re-scanning raw data.
+
+    Why at 100 TB: the fine aggregate is |groups|·|fine buckets| rows —
+    typically 4-6 orders of magnitude smaller than the raw table — so
+    each additional granularity (day from hour, week from day) costs a
+    shuffle of the SUMMARY, not a scan of the corpus. Only
+    sum-decomposable aggregates roll up exactly (counts, sums, min/max
+    — NOT count-distinct; use the M50 HLL census for approximate
+    distinct rollups), which is why the output carries ``n_events`` /
+    ``total_w`` and nothing non-decomposable.
+
+    ``coarse_s`` must be a multiple of ``fine_s`` (bucket boundaries
+    must nest or the identity coarse-from-fine == coarse-from-raw
+    breaks — asserted here, proven per-value by the q99 oracle).
+    Returns ``(bucket_ts, *group_cols, n_events[, total_w])`` at the
+    coarse granularity, built via the fine intermediate.
+    """
+    if coarse_s % fine_s != 0:
+        raise ValueError(
+            f"coarse_s ({coarse_s}) must be a multiple of fine_s ({fine_s})"
+        )
+    epoch = F.unix_timestamp(F.col(ts_col))
+    fine_b = (F.floor(epoch / fine_s) * fine_s).alias("_fb")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("total_w"))
+    fine = events.groupBy(fine_b, *group_cols).agg(*aggs)
+    coarse_b = (F.floor(F.col("_fb") / coarse_s) * coarse_s).alias("bucket_ts")
+    re_aggs = [F.sum("n_events").alias("n_events")]
+    if weight_col is not None:
+        re_aggs.append(F.sum("total_w").alias("total_w"))
+    return fine.groupBy(coarse_b, *group_cols).agg(*re_aggs)

@@ -1233,3 +1233,27 @@ def q90_dfg_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
         order_col="_ord",
     )
+
+
+@query(
+    "q99_bucket_rollup",
+    r"""
+    SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_ts,
+           event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    primary=False,
+)
+def q99_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time-bucket rollup (operators/timeseries.py:
+    bucket_rollup): daily counts per event type derived FROM the hourly
+    aggregate, never re-scanning raw events. The oracle computes daily
+    DIRECTLY from raw — hash equality IS the rollup-identity proof
+    (coarse-from-fine == coarse-from-raw). Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.timeseries import bucket_rollup
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    return bucket_rollup(ev, "ts", ["event_type"],
+                         fine_s=3600, coarse_s=86400)

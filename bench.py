@@ -94,6 +94,7 @@ HEADLINE += [
     "q96_train_split",
     "q97_distribution_drift",
     "q98_rendezvous_shards",
+    "q99_bucket_rollup",
 ]
 
 

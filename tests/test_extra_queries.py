@@ -346,3 +346,33 @@ def test_distribution_drift_clamps_and_nulls(spark):
     assert got[1] == (1, 1, 166666, 500000)   # 10 | 15
     assert got[9] == (2, 0, 333333, 0)        # 95 + clamped 200 | —
     assert set(got) == {0, 1, 9}              # NULLs dropped from both
+
+
+def test_bucket_rollup_weight_and_nesting_guard(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from batch_processing_analysis_spark.operators.timeseries import (
+        bucket_rollup,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 30), 2.0),
+            ("a", datetime(2024, 1, 1, 5, 0), 3.0),
+            ("a", datetime(2024, 1, 2, 1, 0), 5.0),
+            ("b", datetime(2024, 1, 1, 23, 59, 59), 7.0),
+        ],
+        "event_type string, ts timestamp, w double",
+    )
+    got = {(r["bucket_ts"], r["event_type"]): (r["n_events"], r["total_w"])
+           for r in bucket_rollup(ev, "ts", ["event_type"], 3600, 86400,
+                                  weight_col="w").collect()}
+    d1 = int(datetime(2024, 1, 1).timestamp())
+    d2 = int(datetime(2024, 1, 2).timestamp())
+    assert got == {(d1, "a"): (2, 5.0), (d2, "a"): (1, 5.0),
+                   (d1, "b"): (1, 7.0)}
+    # Non-nesting granularities are rejected, not silently wrong.
+    with _pytest.raises(ValueError):
+        bucket_rollup(ev, "ts", ["event_type"], 3600, 5000)
