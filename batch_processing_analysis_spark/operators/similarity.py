@@ -632,3 +632,80 @@ def semantic_increment_pairs(base: DataFrame, delta: DataFrame,
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
+
+
+def project_embeddings(corpus: DataFrame, out_dim: int = 8, dim: int = 64,
+                       seed: str = "jl", id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       strategy: str = "matmul") -> DataFrame:
+    """Johnson-Lindenstrauss random projection (M79): reduce
+    ``dim``-wide embeddings to ``out_dim`` integer components —
+    the standard pre-ANN shrink (project once, then run IVF/LSH over
+    vectors an order of magnitude narrower; JL: pairwise distances
+    survive within ε for out_dim = O(ln n / ε²)).
+
+    Same exact-integer contract as srp_signatures: components and the
+    seeded plane weights both quantize through floor(x·Q + 0.5), so
+    each projected component is an EXACT int64 dot product —
+    engine/order/batching independent (components scale by Q² ≈ 2⁴⁰;
+    downstream cosine is scale-invariant). ``strategy="matmul"`` is
+    the scale path (one Arrow-batched int64 matmul per ~10k rows,
+    zero shuffles); ``"relational"`` is the SQL-transcribable oracle
+    twin, equality-tested in tests/test_similarity_srp.py. Empty
+    vectors project to the zero vector in both.
+    """
+    corpus = _as_double(corpus, vec_col)
+    planes_q = _quantized_planes(out_dim, dim, seed)
+    if strategy == "matmul":
+        wq = np.array(planes_q, dtype=np.int64)  # out_dim × dim
+
+        @F.pandas_udf("array<long>")
+        def _proj(vs: pd.Series) -> pd.Series:
+            out = [None] * len(vs)
+            lengths = vs.map(lambda v: 0 if v is None else len(v)).to_numpy()
+            zero = [0] * wq.shape[0]
+            for ln in np.unique(lengths):
+                idx = np.nonzero(lengths == ln)[0]
+                if ln == 0:
+                    for j in idx:
+                        out[j] = list(zero)
+                    continue
+                x = np.stack(vs.iloc[idx].to_numpy())
+                xq = np.floor(x * SRP_Q + 0.5).astype(np.int64)
+                dots = xq @ wq[:, :ln].T  # n × out_dim, exact int64
+                for j, row in zip(idx, dots):
+                    out[j] = [int(v) for v in row]
+            return pd.Series(out)
+
+        return corpus.select(F.col(id_col), F.col(vec_col),
+                             _proj(F.col(vec_col)).alias("proj_q"))
+    if strategy != "relational":
+        raise ValueError(f"unknown projection strategy: {strategy!r}")
+
+    spark = corpus.sparkSession
+    planes = spark.createDataFrame(
+        [(p, i, wq_) for p, plane in enumerate(planes_q)
+         for i, wq_ in enumerate(plane)],
+        "p int, i int, wq long",
+    )
+    qv = corpus.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).select(
+        id_col, "i",
+        F.floor(F.col("x") * F.lit(float(SRP_Q)) + F.lit(0.5))
+        .cast("long").alias("xq"),
+    )
+    proj = (
+        qv.join(F.broadcast(planes), "i")
+        .groupBy(id_col, "p")
+        .agg(F.sum(F.col("xq") * F.col("wq")).alias("dq"))
+        .groupBy(id_col)
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "dq"))),
+            lambda s: s["dq"],
+        ).alias("proj_q"))
+    )
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(out_dim)])
+    return corpus.join(proj, id_col, "left").select(
+        id_col, vec_col, F.coalesce("proj_q", zeros).alias("proj_q")
+    )

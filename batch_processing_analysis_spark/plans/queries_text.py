@@ -2203,3 +2203,47 @@ def q98_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_JL_DIMS = 8
+_JL_HP_SQL = (
+    "hp AS (SELECT * FROM (VALUES "
+    + ", ".join(
+        "({}, [{}]::BIGINT[])".format(
+            p,
+            ", ".join(str(int(math.floor(x * S.SRP_Q + 0.5))) for x in plane),
+        )
+        for p, plane in enumerate(S.hyperplanes(_JL_DIMS, 64, "jl"))
+    )
+    + ") AS t(p, w))"
+)
+
+
+@query(
+    "q100_jl_projection",
+    f"""
+    WITH {EMB_SQL},
+    {_JL_HP_SQL},
+    dots AS (
+      SELECT e.vec_id, hp.p,
+             list_reduce(list_transform(range(1, len(e.v) + 1),
+                                        i -> CAST(floor(e.v[i] * {S.SRP_Q}.0 + 0.5)
+                                                  AS BIGINT) * hp.w[i]),
+                         (x, y) -> x + y) AS dot
+      FROM e CROSS JOIN hp
+    )
+    SELECT vec_id, list(dot ORDER BY p) AS proj_q
+    FROM dots GROUP BY vec_id
+    """,
+    primary=False,
+)
+def q100_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection of the embeddings table to 8
+    exact-integer components (operators/similarity.py:
+    project_embeddings, matmul strategy — the oracle transcribes the
+    relational twin, equality-tested between strategies in
+    tests/test_similarity_srp.py). Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    emb = _embs(spark, sf_dir)
+    return S.project_embeddings(emb, out_dim=_JL_DIMS, dim=64, seed="jl") \
+        .select("vec_id", "proj_q")

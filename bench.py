@@ -95,6 +95,7 @@ HEADLINE += [
     "q97_distribution_drift",
     "q98_rendezvous_shards",
     "q99_bucket_rollup",
+    "q100_jl_projection",
 ]
 
 

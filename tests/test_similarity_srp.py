@@ -194,3 +194,35 @@ def test_semantic_increment_identity(spark, sf_dir):
     # delta-introduced pairs == full minus base-internal
     assert inc == full - base_internal
     assert inc  # fixture actually produces cross pairs at this threshold
+
+
+def test_jl_projection_strategies_agree_and_handle_empty(spark):
+    from batch_processing_analysis_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    rows = [
+        (1, [0.5, -0.25, 0.125, 1.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, []),                      # empty vector -> zero projection
+        (4, [1.0, 1.0]),              # ragged (shorter than dim)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mat = {r["vec_id"]: r["proj_q"]
+           for r in project_embeddings(emb, out_dim=4, dim=4,
+                                       strategy="matmul").collect()}
+    rel = {r["vec_id"]: r["proj_q"]
+           for r in project_embeddings(emb, out_dim=4, dim=4,
+                                       strategy="relational").collect()}
+    assert mat == rel                      # exact, not approximate
+    assert mat[3] == [0, 0, 0, 0]
+    assert len(mat[4]) == 4 and any(v != 0 for v in mat[4])
+    # JL contract smoke: projection is linear, so scaling the input
+    # scales every component (exactly, in quantized integers x2).
+    emb2 = spark.createDataFrame([(9, [1.0, -0.5, 0.25, 2.0])],
+                                 "vec_id long, embedding array<double>")
+    half = spark.createDataFrame([(9, [0.5, -0.25, 0.125, 1.0])],
+                                 "vec_id long, embedding array<double>")
+    p2 = project_embeddings(emb2, out_dim=4, dim=4).collect()[0]["proj_q"]
+    p1 = project_embeddings(half, out_dim=4, dim=4).collect()[0]["proj_q"]
+    assert p2 == [2 * v for v in p1]
