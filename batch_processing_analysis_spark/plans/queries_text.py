@@ -2247,3 +2247,51 @@ def q100_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
     return S.project_embeddings(emb, out_dim=_JL_DIMS, dim=64, seed="jl") \
         .select("vec_id", "proj_q")
+
+
+@query(
+    "q101_negative_samples",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('neg' || chr(31)
+                  || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+      FROM documents
+    ),
+    reps AS (SELECT b, min(doc_id) AS neg_id FROM h GROUP BY b),
+    probes AS (
+      SELECT doc_id AS anchor_id, i,
+             CAST('0x' || substr(md5('neg' || chr(31)
+                  || CAST(doc_id AS VARCHAR) || chr(31)
+                  || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+      FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+    ),
+    cl AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                    AS c
+           FROM documents),
+    p AS (SELECT anchor_id, neg_id, i FROM probes JOIN reps USING (b)
+          WHERE anchor_id <> neg_id)
+    SELECT p.anchor_id, p.neg_id, CAST(p.i AS INTEGER) AS i
+    FROM p
+    JOIN cl ca ON ca.doc_id = p.anchor_id
+    JOIN cl cb ON cb.doc_id = p.neg_id
+    WHERE ca.c <> cb.c
+    """,
+    primary=False,
+)
+def q101_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded contrastive negative sampling with exact-duplicate
+    exclusion (operators/sampling.py:negative_samples): 3 hash-jump
+    negatives per anchor from 64 bucket representatives; same-content
+    pairs dropped. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    from ..operators.sampling import negative_samples
+
+    docs = _docs(spark, sf_dir)
+    clusters = docs.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+        .alias("cluster"),
+    )
+    return negative_samples(docs, k=3, n_buckets=64, clusters=clusters)

@@ -96,6 +96,7 @@ HEADLINE += [
     "q98_rendezvous_shards",
     "q99_bucket_rollup",
     "q100_jl_projection",
+    "q101_negative_samples",
 ]
 
 

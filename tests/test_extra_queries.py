@@ -376,3 +376,30 @@ def test_bucket_rollup_weight_and_nesting_guard(spark):
     # Non-nesting granularities are rejected, not silently wrong.
     with _pytest.raises(ValueError):
         bucket_rollup(ev, "ts", ["event_type"], 3600, 5000)
+
+
+def test_negative_samples_determinism_and_exclusion(spark):
+    from batch_processing_analysis_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    # Pair every even id with its odd neighbor as one "near-dup" cluster.
+    clusters = spark.createDataFrame(
+        [(i, i // 2) for i in range(100)], "doc_id long, cluster long"
+    )
+    out = negative_samples(docs, k=4, n_buckets=32, clusters=clusters)
+    rows = [(r["anchor_id"], r["neg_id"], r["i"]) for r in out.collect()]
+    # No self-pairs, no same-cluster pairs.
+    assert all(a != n for a, n, _ in rows)
+    assert all(a // 2 != n // 2 for a, n, _ in rows)
+    # Up to k per anchor; most anchors get close to k.
+    from collections import Counter
+    per = Counter(a for a, _, _ in rows)
+    assert max(per.values()) <= 4
+    assert sum(per.values()) > 100 * 2  # bulk of the k*N budget survives
+    # Deterministic: same seed -> identical pair set.
+    again = [(r["anchor_id"], r["neg_id"], r["i"])
+             for r in negative_samples(docs, k=4, n_buckets=32,
+                                       clusters=clusters).collect()]
+    assert sorted(rows) == sorted(again)
