@@ -488,3 +488,23 @@ def dedup_segments(docs: DataFrame, id_col: str = "doc_id",
             F.coalesce("n_kept", zero).alias("n_kept"),
         )
     )
+
+
+def dedup_weights(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Soft dedup (M81): keep EVERY document but weight it by
+    1/cluster-size, so a text duplicated 1 000× contributes one
+    document's worth of training signal instead of 1 000 (the
+    duplication-aware weighting alternative to dropping — public data
+    recipes debate drop-vs-downweight; this is the downweight arm,
+    sharing :func:`exact_dedup`'s one content-hash shuffle).
+
+    ``weight_micro`` = floor(10⁶ / cluster_size) — exact integers, so
+    Σ weights per cluster ≈ 10⁶ (short by the floor remainder,
+    documented) and any engine reproduces the weights bit-for-bit.
+    """
+    return exact_dedup(docs, id_col, text_col).select(
+        id_col, "content_hash", "cluster_size",
+        F.floor(F.lit(1_000_000) / F.col("cluster_size"))
+        .cast("long").alias("weight_micro"),
+    )

@@ -149,3 +149,42 @@ def bucket_rollup(events: DataFrame, ts_col: str, group_cols: list[str],
     if weight_col is not None:
         re_aggs.append(F.sum("total_w").alias("total_w"))
     return fine.groupBy(coarse_b, *group_cols).agg(*re_aggs)
+
+
+def _array_median(arr):
+    """Exact median of a sorted array column (shared by rolling_median
+    and rolling_mad): middle element, or the mean of the two middles."""
+    m = F.size(arr)
+    mid = F.element_at(arr, ((m + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (m / 2).cast("int"))
+        + F.element_at(arr, (m / 2 + 1).cast("int"))
+    ) / 2
+    return F.when(m % 2 == 1, mid).otherwise(even)
+
+
+def rolling_mad(df: DataFrame, key_col: str = "user_id",
+                order_col: str = "ts", value_col: str = "value",
+                n: int = 5, out_col: str = "rolling_mad") -> DataFrame:
+    """Rolling median absolute deviation over the same bounded frame as
+    :func:`rolling_median` — the robust spread estimator behind
+    outlier flags (|x − median| > k·MAD), immune to the exact outliers
+    it is hunting, unlike a rolling stddev (which an anomaly inflates,
+    masking itself — and whose float accumulation is engine-
+    nondeterministic besides; medians are order statistics, exact).
+
+    One window + array expressions per row: sort the frame, take its
+    median, re-sort absolute deviations, take THEIR median. O(n log n)
+    per row with frame-constant n — fine for the bounded frames this
+    is for; unbounded spread wants the sketch path
+    (ordering.quantile_bounds).
+    """
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    med = _array_median(arr)
+    devs = F.array_sort(F.transform(arr, lambda x: F.abs(x - med)))
+    return df.withColumn(out_col, _array_median(devs))

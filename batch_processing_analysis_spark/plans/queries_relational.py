@@ -1115,3 +1115,35 @@ def q89_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@query(
+    "q103_rolling_mad",
+    r"""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t,
+           mad(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS rolling_mad
+    FROM events
+    """,
+    primary=False,
+)
+def q103_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-row rolling median absolute deviation per user
+    (operators/timeseries.py:rolling_mad) — the robust spread behind
+    outlier flags; order statistics, so engine-deterministic where a
+    rolling stddev is not. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    from ..operators.timeseries import rolling_mad
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_mad(
+        ev.withColumn("_ord", F.struct("ts", "event_id")), n=5,
+        order_col="_ord",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("t"), "rolling_mad",
+    )

@@ -2295,3 +2295,29 @@ def q101_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cluster"),
     )
     return negative_samples(docs, k=3, n_buckets=64, clusters=clusters)
+
+
+@query(
+    "q102_dedup_weights",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS content_hash
+      FROM documents
+    ),
+    c AS (SELECT content_hash, count(*) AS cluster_size
+          FROM h GROUP BY content_hash)
+    SELECT h.doc_id, h.content_hash, c.cluster_size,
+           CAST(floor(1000000.0 / c.cluster_size) AS BIGINT)
+             AS weight_micro
+    FROM h JOIN c USING (content_hash)
+    """,
+    primary=False,
+)
+def q102_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware soft-dedup weights
+    (operators/dedup.py:dedup_weights): every doc kept, weighted
+    1/cluster-size in exact integer micros. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    return D.dedup_weights(_docs(spark, sf_dir))

@@ -97,6 +97,8 @@ HEADLINE += [
     "q99_bucket_rollup",
     "q100_jl_projection",
     "q101_negative_samples",
+    "q102_dedup_weights",
+    "q103_rolling_mad",
 ]
 
 

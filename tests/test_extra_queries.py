@@ -403,3 +403,23 @@ def test_negative_samples_determinism_and_exclusion(spark):
              for r in negative_samples(docs, k=4, n_buckets=32,
                                        clusters=clusters).collect()]
     assert sorted(rows) == sorted(again)
+
+
+def test_rolling_mad_hand_case(spark):
+    from datetime import datetime, timedelta
+
+    from batch_processing_analysis_spark.operators.timeseries import (
+        rolling_mad,
+    )
+
+    T0 = datetime(2024, 1, 1)
+    vals = [1.0, 9.0, 2.0, 100.0]  # the 100 outlier must not mask itself
+    ev = spark.createDataFrame(
+        [(i, 1, T0 + timedelta(minutes=i), v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = [r["rolling_mad"]
+           for r in rolling_mad(ev, n=3).orderBy("ts").collect()]
+    # [1] -> 0; [1,9] -> med 5, devs [4,4] -> 4; [1,9,2] -> med 2,
+    # devs [0,1,7] -> 1; [9,2,100] -> med 9, devs [0,7,91] -> 7.
+    assert got == [0.0, 4.0, 1.0, 7.0]
