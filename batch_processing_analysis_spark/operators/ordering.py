@@ -232,3 +232,32 @@ def rendezvous_shard(df: DataFrame, n_shards: int,
         for s in range(n_shards)
     ]
     return df.withColumn(out_col, F.greatest(*cands)["s"])
+
+
+def percentile_normalize(scored: DataFrame, group_col: str,
+                         score_col: str = "quality_score",
+                         id_col: str = "doc_id",
+                         out_col: str = "pct_micro") -> DataFrame:
+    """Per-group percentile normalization (M83): replace each raw score
+    with its percentile rank WITHIN its group, in exact integer
+    millionths — making quality comparable across sources whose raw
+    score scales differ (a 0.4 from a clean-wiki source and a 0.4 from
+    a web crawl mean different things; their within-source percentiles
+    don't). The standard pre-step before mixing sources by a single
+    quality threshold.
+
+    ``pct`` = floor((rank − 1)·10⁶ / (n − 1)) with the unique
+    (score, id) tiebreak — deterministic, 0 for the group minimum,
+    10⁶ for the maximum, 0 for singleton groups. One partitioned
+    window per group (never a global sort); group sizes are data
+    width, not cluster width.
+    """
+    w = W.partitionBy(group_col).orderBy(score_col, id_col)
+    n = F.count(F.lit(1)).over(W.partitionBy(group_col))
+    r = F.row_number().over(w)
+    return scored.withColumn(
+        out_col,
+        F.when(n > 1,
+               F.floor((r - 1) * F.lit(1_000_000) / (n - 1)))
+        .otherwise(F.lit(0)).cast("long"),
+    )

@@ -2321,3 +2321,31 @@ def q102_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/cluster-size in exact integer micros. Secondary registry;
     oracle-gated by tests/test_extra_queries.py."""
     return D.dedup_weights(_docs(spark, sf_dir))
+
+
+@query(
+    "q104_percentile_normalize",
+    r"""
+    WITH q AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(CASE WHEN n > 1
+                THEN floor((r - 1) * 1000000.0 / (n - 1))
+                ELSE 0 END AS BIGINT) AS pct_micro
+    FROM q
+    """,
+    primary=False,
+)
+def q104_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile normalization
+    (operators/ordering.py:percentile_normalize) of n_chars — exact
+    integer millionths, unique tiebreak, partitioned window (no global
+    sort). Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return ORD.percentile_normalize(docs, "source", score_col="n_chars")

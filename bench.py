@@ -99,6 +99,7 @@ HEADLINE += [
     "q101_negative_samples",
     "q102_dedup_weights",
     "q103_rolling_mad",
+    "q104_percentile_normalize",
 ]
 
 
