@@ -681,3 +681,47 @@ def distinctive_terms(docs: DataFrame, group_col: str,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def novelty_signals(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-novelty score (M84): the fraction of a document's
+    distinct word ``n``-grams that occur in NO other document —
+    boilerplate/template detection from the opposite direction of the
+    dedup family (near-dups score ~0; genuinely novel prose scores
+    ~10⁶). Low novelty + no near-dup match = shared template text, the
+    class that survives pair-based dedup and still bloats training
+    loss.
+
+    ``novelty_micro`` = floor(10⁶ · unique-grams / total-grams), exact
+    integers; docs with fewer than ``n`` tokens report 0 grams and
+    novelty 0 (no evidence ≠ novel). Distinct grams per doc (not
+    occurrences) so within-doc repetition doesn't inflate df.
+
+    Scale: flat (id, gram) rows → one partial-agg df count keyed on
+    gram → join back → per-doc aggregate. Same two-shuffle shape as
+    the M37 vocabulary join; Zipf-head grams spread by (gram) hash.
+    """
+    from .decontamination import word_ngrams
+
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    df_counts = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        grams.join(df_counts, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+               F.floor(F.col("n_unique") * F.lit(1_000_000)
+                       / F.col("n_grams")))
+        .otherwise(F.lit(0)).cast("long").alias("novelty_micro"),
+    )

@@ -2349,3 +2349,45 @@ def q104_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extra_queries.py."""
     docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
     return ORD.percentile_normalize(docs, "source", score_col="n_chars")
+
+
+@query(
+    "q105_novelty_signals",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(tk) >= 8
+             THEN list_transform(range(1, len(tk) - 6),
+                                 i -> array_to_string(tk[i:i+7], ' '))
+             ELSE []::VARCHAR[] END)) AS gm
+      FROM t
+    ),
+    d AS (SELECT gm, count(*) AS df FROM g GROUP BY gm),
+    p AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM g JOIN d USING (gm) GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           CAST(COALESCE(p.n_unique, 0) AS BIGINT) AS n_unique,
+           CAST(CASE WHEN COALESCE(p.n_grams, 0) > 0
+                THEN floor(p.n_unique * 1000000.0 / p.n_grams)
+                ELSE 0 END AS BIGINT) AS novelty_micro
+    FROM t LEFT JOIN p USING (doc_id)
+    """,
+    primary=False,
+)
+def q105_novelty_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty score (operators/text_analysis.py:
+    novelty_signals): share of each doc's distinct 8-grams that occur
+    nowhere else — the template/boilerplate signal pair-based dedup
+    misses. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return TA.novelty_signals(_docs(spark, sf_dir), n=8)

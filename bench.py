@@ -100,6 +100,7 @@ HEADLINE += [
     "q102_dedup_weights",
     "q103_rolling_mad",
     "q104_percentile_normalize",
+    "q105_novelty_signals",
 ]
 
 
