@@ -2391,3 +2391,43 @@ def q105_novelty_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses. Secondary registry; oracle-gated by
     tests/test_extra_queries.py."""
     return TA.novelty_signals(_docs(spark, sf_dir), n=8)
+
+
+@query(
+    "q106_dedup_audit_by_source",
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS content_hash
+      FROM documents
+    ),
+    c AS (SELECT content_hash, min(doc_id) AS canon
+          FROM h GROUP BY content_hash)
+    SELECT h.source, count(*) AS n_docs,
+           sum(CASE WHEN h.doc_id = c.canon THEN 1 ELSE 0 END) AS n_kept,
+           CAST(floor(sum(CASE WHEN h.doc_id = c.canon THEN 1 ELSE 0 END)
+                      * 1000000.0 / count(*)) AS BIGINT) AS retention_micro
+    FROM h JOIN c USING (content_hash)
+    GROUP BY h.source
+    """,
+    primary=False,
+)
+def q106_dedup_audit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dedup audit: docs, survivors, retention rate in
+    exact millionths — the "which upstream feed is mostly duplicates"
+    report (operators/dedup.py:exact_dedup + one rollup). Secondary
+    registry; oracle-gated by tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir)
+    dd = D.exact_dedup(docs).select("doc_id", "is_canonical")
+    return (
+        docs.select("doc_id", "source").join(dd, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_canonical").alias("n_kept"),
+            F.floor(F.sum("is_canonical") * F.lit(1_000_000)
+                    / F.count(F.lit(1))).cast("long")
+            .alias("retention_micro"),
+        )
+    )

@@ -101,6 +101,7 @@ HEADLINE += [
     "q103_rolling_mad",
     "q104_percentile_normalize",
     "q105_novelty_signals",
+    "q106_dedup_audit_by_source",
 ]
 
 
