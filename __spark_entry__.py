@@ -42,7 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
     sessionization query on the events table.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return _registry.QUERIES["q11_sessionize"](spark, "/root/testdata/sf0.001")
+    # Resolve across both registries: rotation (registry.PRIMARY_ROTATION)
+    # moves names between the driver window and the pytest-gated extras.
+    builders = {**_registry.EXTRA_QUERIES, **_registry.QUERIES}
+    return builders["q11_sessionize"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

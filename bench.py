@@ -242,7 +242,22 @@ def main() -> None:
         "facades": facades,
         "sf": sf,
     }
+    # Full record first (per-query timings — this line outgrew the
+    # driver's tail-capture window in r3, leaving BENCH_r03.json with
+    # parsed: null), then a compact summary as the LAST line so the
+    # driver's tail capture always gets one complete parseable JSON
+    # object regardless of how many queries the headline set holds.
     print(json.dumps(out))
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(ok), 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(ok),
+        "n_failed": sum(1 for v in timings.values() if v is None),
+        "facades": facades,
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

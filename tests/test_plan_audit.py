@@ -33,6 +33,9 @@ from batch_processing_analysis_spark.plans import (  # noqa: F401 — register
     queries_text,
 )
 
+# Membership here is by query name, not by registry — the round-4
+# rotation (registry.PRIMARY_ROTATION) moves names between QUERIES and
+# EXTRA_QUERIES, and the audit follows the name wherever it lands.
 DENSE_BY_DESIGN = {
     "q19_theta_self_join",
     "q46_ann_ivf_topk",
@@ -41,28 +44,15 @@ DENSE_BY_DESIGN = {
     # SemDeDup assigns vectors against a deliberately tiny broadcast
     # centroid table (the q46 precedent) — C rows, not n².
     "q74_semantic_dedup",
+    # float/quantized brute-force top-k baselines — dense by definition.
+    "q45_ann_cosine_topk",
+    "q65_quantized_topk",
 }
 
 # The rule miner runs RIPPER over collected per-group frames — building
 # its "plan" executes the whole mining loop; covered by its own tests.
 SKIP = {"q37_activation_rules"}
 
-
-@pytest.mark.parametrize("name", sorted(registry.QUERIES))
-def test_no_cartesian_or_nested_loop_join(name, spark, sf_dir):
-    if name in SKIP:
-        pytest.skip("eager mining query; plan audited via unit tests")
-    df = registry.QUERIES[name](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if name in DENSE_BY_DESIGN:
-        return  # documented dense comparison
-    assert "CartesianProduct" not in plan, name
-    assert "BroadcastNestedLoopJoin" not in plan, name
-
-
-# Secondary-registry queries get the same audit. q45/q65 are the
-# float/quantized brute-force top-k baselines — dense by definition.
-EXTRA_DENSE_BY_DESIGN = {"q45_ann_cosine_topk", "q65_quantized_topk"}
 
 # Scalar broadcast join-backs: a 1-row aggregate (corpus N/avgdl, total
 # token count) crossJoin-broadcast onto every row. Plans as a
@@ -82,12 +72,18 @@ EXTRA_SCALAR_BROADCAST = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(registry.EXTRA_QUERIES))
-def test_extra_no_cartesian_or_nested_loop_join(name, spark, sf_dir):
-    df = registry.EXTRA_QUERIES[name](spark, sf_dir)
+@pytest.mark.parametrize(
+    "name", sorted({**registry.QUERIES, **registry.EXTRA_QUERIES})
+)
+def test_no_cartesian_or_nested_loop_join(name, spark, sf_dir):
+    if name in SKIP:
+        pytest.skip("eager mining query; plan audited via unit tests")
+    df = (registry.QUERIES.get(name) or registry.EXTRA_QUERIES[name])(
+        spark, sf_dir
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if name in EXTRA_DENSE_BY_DESIGN:
-        return
+    if name in DENSE_BY_DESIGN:
+        return  # documented dense comparison
     assert "CartesianProduct" not in plan, name
     if name not in EXTRA_SCALAR_BROADCAST:
         assert "BroadcastNestedLoopJoin" not in plan, name
