@@ -57,20 +57,34 @@ def tokens(text: Column) -> Column:
 def char_windows(text: Column, n: int) -> Column:
     """ALL length-``n`` character windows of ``text``, in order.
 
-    Built by zipping ``n`` shifted slices of the one-pass char split —
-    O(L·n) array ops. The obvious ``transform(sequence(...),
-    i -> substring(text, i, n))`` is O(L²) per row: ``substring`` with a
-    dynamic start re-walks the UTF-8 string from byte 0 on EVERY call
-    (variable-width encoding has no random access), which measured 2.6×
-    slower end-to-end on the langID pass at sf0.1 — and grows
-    quadratically with document length.
+    One char split, then each window is ``array_join(slice(chars, i,
+    n))`` — O(L·n) char copies. Two rejected shapes, both measured on
+    the sf0.1 documents table:
+
+    - ``transform(sequence(...), i -> substring(text, i, n))`` is O(L²)
+      per row: ``substring`` with a dynamic start re-walks the UTF-8
+      string from byte 0 on EVERY call (variable-width encoding has no
+      random access) — 2.6× slower on the langID pass, and quadratic in
+      document length;
+    - chaining ``n`` ``zip_with``+``concat`` passes over shifted slices
+      re-copies every growing prefix — O(L·n²) char copies, 1.8× slower
+      at the winnowing k=8 (the q50 r3 regression; equal at n=3).
+
+    The char split must be evaluated ONCE: referenced directly inside
+    the per-window lambda it would re-split per position (the 13×
+    lesson at winnowing_fingerprints). An expression-level helper can't
+    stage a column, so the split is let-bound by wrapping it as the
+    single element of an array and ``transform``-ing over it — lambda
+    variables are bound values, never re-evaluated.
     """
-    chars = F.split(text, "")
-    m = F.size(chars) - (n - 1)
-    out = F.slice(chars, 1, m)
-    for i in range(1, n):
-        out = F.zip_with(out, F.slice(chars, i + 1, m),
-                         lambda a, b: F.concat(a, b))
+    def windows(chars: Column) -> Column:
+        m = F.size(chars) - (n - 1)
+        return F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.array_join(F.slice(chars, i, n), ""),
+        )
+
+    out = F.get(F.transform(F.array(F.split(text, "")), windows), 0)
     return F.when(F.length(text) >= n, out).otherwise(
         F.array().cast("array<string>")
     )
