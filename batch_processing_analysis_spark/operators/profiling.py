@@ -173,6 +173,11 @@ def distribution_drift(old: DataFrame, new: DataFrame, value_col: str,
     proportions' denominators. One partial-agg groupBy per side + a
     full-outer join on ≤ n_bins rows.
     """
+    if not hi > lo:
+        raise ValueError(f"hi ({hi}) must be > lo ({lo})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins ({n_bins}) must be >= 1")
+
     def hist(df: DataFrame, out: str) -> DataFrame:
         v = F.col(value_col).cast("double")
         raw = F.floor((v - F.lit(lo)) / F.lit((hi - lo) / n_bins))

@@ -102,8 +102,15 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
             D.ngram_jaccard_pairs(docs, n=5, df_max=10, threshold=0.5)
             .select("id_a", "id_b")
         )
+        # Prefer the longest variant, derived from the text itself so
+        # the facade needs only (doc_id, text, ...) — requiring a
+        # precomputed n_chars column here was an undocumented schema
+        # demand the exact-dedup path doesn't make.
         canon = (
-            resolve_duplicates(docs, edges, prefer_col="n_chars")
+            resolve_duplicates(
+                docs.withColumn("_pref_len", F.length("text")),
+                edges, prefer_col="_pref_len",
+            )
             .filter(F.col("is_canonical") == 1)
             .select("doc_id")
         )
@@ -205,10 +212,17 @@ def corpus_report(docs: DataFrame,
                           F.col("col_name")).alias("metric"),
                  F.col("n_distinct").cast("long").alias("value")),
     )).alias("_s")).select("_s.section", "_s.metric", "_s.value")
+    # Quantize-then-sum (the M37/M81 convention): floor each row to
+    # integer micros BEFORE aggregating, then integer-divide. A float
+    # avg() is partition-order-dependent and can flip the floored micro
+    # value across cluster layouts.
     q = TA.quality_features(docs).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("n_tokens").alias("_tok"),
-        F.floor(F.avg("quality_score") * F.lit(1e6)).cast("long").alias("_q"),
+        F.floor(
+            F.sum(F.floor(F.col("quality_score") * F.lit(1e6)).cast("long"))
+            / F.count(F.lit(1))
+        ).cast("long").alias("_q"),
     )
     quality = q.select(F.explode(F.array(
         F.struct(F.lit("quality").alias("section"),

@@ -184,13 +184,21 @@ def compact_shards(spark: SparkSession, path: str,
     Correctness is MANIFEST-DEFINED: the per-shard order-sensitive
     digest (:func:`publish_manifest`) must be identical before and
     after — compaction may only change the file layout, never content
-    or order; a mismatch aborts before the swap and raises. The rewrite
-    lands in a staging directory and replaces ``path`` by rename, so a
-    crash mid-compact leaves the original directory untouched (the
-    staging dir is scratch).
+    or order; a mismatch aborts before the swap and raises. The digest
+    gate needs a published manifest at ``path``; compacting a directory
+    that was never published skips the gate (logged) and relies on the
+    staged rewrite alone.
+
+    Crash window: the swap is TWO renames (``path``→backup, staged→
+    ``path``), not one atomic move — a crash between them leaves
+    ``path`` absent. The pre-compact copy is never deleted before the
+    swap completes: recovery is ``mv <path>.__precompact__ <path>``
+    (the staged dir is scratch and can be dropped). A crash anywhere
+    before the first rename leaves the original directory untouched.
 
     Returns the (re-published) manifest.
     """
+    import logging
     import os
     import shutil
 
@@ -213,6 +221,11 @@ def compact_shards(spark: SparkSession, path: str,
                 "compaction changed shard content/order: "
                 f"old={old['shards']} new={new_manifest['shards']}"
             )
+    else:
+        logging.getLogger(__name__).warning(
+            "compact_shards: no manifest at %s — digest-equality gate "
+            "skipped (directory was never published)", mpath,
+        )
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(staged, path)

@@ -346,6 +346,12 @@ def test_distribution_drift_clamps_and_nulls(spark):
     assert got[1] == (1, 1, 166666, 500000)   # 10 | 15
     assert got[9] == (2, 0, 333333, 0)        # 95 + clamped 200 | —
     assert set(got) == {0, 1, 9}              # NULLs dropped from both
+    # Degenerate bounds are rejected up front, not a ZeroDivisionError
+    # at plan-build time.
+    with pytest.raises(ValueError, match="hi"):
+        distribution_drift(old, new, "v", 5.0, 5.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        distribution_drift(old, new, "v", 0.0, 100.0, n_bins=0)
 
 
 def test_bucket_rollup_weight_and_nesting_guard(spark):
