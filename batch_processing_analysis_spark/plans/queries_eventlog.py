@@ -875,15 +875,44 @@ def q36_activation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q37_activation_rules")  # no oracle: iterative rule induction (SURVEY §2.7 U1)
+@query(
+    "q37_activation_rules",
+    # GOLDEN-SNAPSHOT oracle, not an independent SQL derivation: the
+    # covering loop is iterative and not SQL-expressible, but its output
+    # is fully deterministic (order-independent sums/quantiles per
+    # group, deterministic tie-breaks in the grower), so the sf0.01
+    # result is pinned as literal rows. Any upstream change to
+    # discovery / enablement / features that moves a mined rule fails
+    # this row visibly instead of hiding behind a rows-only check.
+    # Valid ONLY at sf0.01 (the driver's correctness scale).
+    """
+    SELECT group_key, num_obs, model,
+           CAST(confidence AS DOUBLE) AS confidence,
+           CAST(support AS DOUBLE) AS support
+    FROM (VALUES
+      ('click',    CAST(15 AS BIGINT),
+       '[t_waiting=>2.07855e+06] v [day_of_week=1]',
+       1.0, 0.3333333333333333),
+      ('purchase', CAST(12 AS BIGINT),
+       '[t_waiting=>281192 ^ minute=>6]',
+       1.0, 0.3333333333333333),
+      ('view',     CAST(18 AS BIGINT),
+       '[t_waiting=>867442 ^ minute=>13]',
+       1.0, 0.2777777777777778)
+    ) AS t(group_key, num_obs, model, confidence, support)
+    """,
+)
 def q37_activation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activation-rule mining end-to-end (U1 + A14/A15 guards):
     features table → group per batch type → sequential-covering rule
     induction (FOIL-gain grower, accept/remove/repeat with the
     reference's support threshold) inside ``applyInPandas``.
 
-    Not SQL-expressible (iterative covering loop) — driver records the
-    rows-only check. Groups are tiny (≤ thousands of rows), so the
+    The covering loop is iterative (not SQL-expressible) but
+    deterministic — every statistic in the grower is an order-
+    independent reduction and ties break on a total key — so the
+    correctness gate pins the sf0.01 result as a golden snapshot (see
+    the oracle above). Groups are tiny (≤ thousands of rows), so the
     pandas hop is O(#groups), not O(log).
     """
     disc, cfg = _discovered(spark, sf_dir)

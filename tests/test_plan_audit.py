@@ -95,25 +95,40 @@ def test_no_cartesian_or_nested_loop_join(name, spark, sf_dir):
 # scan-shaped family keeps refactors honest (a `select *` creeping in
 # upstream of a filter silently kills pruning).
 PUSHDOWN_CASES = {
+    # relational scans
     "q07_in_case_when": ("lineitem", "PushedFilters: [In(l_linestatus"),
+    # q03 reads 3 of lineitem's 11 columns through the orders join —
+    # a `select *` creeping in upstream widens this schema.
+    "q03_top_revenue_orders": (
+        "lineitem",
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice",
+    ),
+    # events scans: pruned to the columns each pipeline touches
+    # (props/value/event_type dropped where unused).
     "q10_argmin_first_event": ("events", "ReadSchema: struct<"),
+    "q80_funnel_steps": ("events", "ReadSchema: struct<"),
+    "q81_retention_cohorts": (
+        "events", "ReadSchema: struct<ts:timestamp,user_id:bigint>",
+    ),
+    # documents scans behind the text/dedup families
     "q47_text_quality": ("documents", "ReadSchema: struct<doc_id"),
-}
-
-# Same gate for representative round-3 secondary queries: the scans
-# behind segment dedup / CDC / funnels must stay pruned too.
-EXTRA_PUSHDOWN_CASES = {
     "q73_dedup_segments": ("documents", "ReadSchema: struct<doc_id"),
     "q79_cdc_chunks": ("documents", "ReadSchema: struct<doc_id"),
-    "q80_funnel_steps": ("events", "ReadSchema: struct<"),
+    # embeddings scans: the `label` column must never be read by ANN /
+    # near-dup; q46's probe-side vec_id filter must reach the reader.
+    "q44_embedding_neardup": (
+        "embeddings",
+        "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+    ),
+    "q46_ann_ivf_topk": (
+        "embeddings", "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id",
+    ),
 }
 
 
-@pytest.mark.parametrize(
-    "name", sorted({**PUSHDOWN_CASES, **EXTRA_PUSHDOWN_CASES})
-)
+@pytest.mark.parametrize("name", sorted(PUSHDOWN_CASES))
 def test_scan_pushdown_and_pruning(name, spark, sf_dir):
-    table, needle = {**PUSHDOWN_CASES, **EXTRA_PUSHDOWN_CASES}[name]
+    table, needle = PUSHDOWN_CASES[name]
     df = (registry.QUERIES.get(name) or registry.EXTRA_QUERIES[name])(
         spark, sf_dir
     )
