@@ -41,20 +41,44 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to HxWxC uint8.
+    """Decode an image payload to an HxWxC uint8 array.
 
-    STUB — replace with ``PIL.Image.open(io.BytesIO(payload))`` (or
-    cv2.imdecode) where the codec libraries are installed. The Spark
-    plumbing around this call (schema, Arrow batching, partitioning) is
-    real and tested; only the codec is absent in this container.
+    Optional-dependency gate, not a dead stub: when PIL is importable
+    the payload really decodes (tests/test_multimodal.py exercises the
+    full ``mapInPandas`` path under ``pytest.importorskip("PIL")``);
+    in codec-less environments this raises ``NotImplementedError`` and
+    the byte-feature stand-ins carry the plumbing tests. cv2.imdecode
+    is the drop-in alternative.
     """
-    raise NotImplementedError("image codec not available in this environment")
+    try:
+        from PIL import Image
+    except ImportError as e:  # codec-less container: documented gate
+        raise NotImplementedError(
+            "image codec not available in this environment (pip install "
+            "Pillow to enable decode_image)"
+        ) from e
+    import io
+
+    import numpy as np
+
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Decode an audio payload to (samples float32, sample_rate). STUB —
-    see :func:`decode_image`."""
-    raise NotImplementedError("audio codec not available in this environment")
+    """Decode an audio payload to (samples float32, sample_rate).
+    Same optional-dependency gate as :func:`decode_image`; soundfile is
+    the intended codec."""
+    try:
+        import soundfile
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio codec not available in this environment (pip install "
+            "soundfile to enable decode_audio)"
+        ) from e
+    import io
+
+    samples, rate = soundfile.read(io.BytesIO(payload), dtype="float32")
+    return samples, rate
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -154,6 +178,49 @@ def resize_payload(media: DataFrame, factor: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_pixel_milli", T.LongType()),
+    ]
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """DECODED image features through the same Arrow ``mapInPandas``
+    plumbing as :func:`binary_features` — this is the stage that makes
+    :func:`decode_image` load-bearing: each payload is decoded to
+    pixels and summarized as (height, width, channels, mean pixel in
+    integer millis). Requires a codec (PIL); in codec-less
+    environments the NotImplementedError surfaces at task level — the
+    PIL-gated test (tests/test_multimodal.py) proves the structure the
+    day the environment has the library.
+    """
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, cs, means = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload))
+                ids.append(doc_id)
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                cs.append(arr.shape[2] if arr.ndim == 3 else 1)
+                # integer millis: quantize-then-sum, engine-reproducible
+                means.append(int(arr.sum()) * 1000 // arr.size)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "height": pd.Series(hs, dtype="int32"),
+                 "width": pd.Series(ws, dtype="int32"),
+                 "channels": pd.Series(cs, dtype="int32"),
+                 "mean_pixel_milli": pd.Series(means, dtype="int64")}
+            )
+
+    return media.mapInPandas(_decode, IMAGE_FEATURE_SCHEMA)
 
 
 def as_binary_payloads(docs: DataFrame, id_col: str = "doc_id",

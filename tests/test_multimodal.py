@@ -36,6 +36,47 @@ def test_resize_payload_stride(spark):
     assert rows[2]["resized_bytes"] == 0 and rows[2]["resized_checksum"] == 0
 
 
+def test_decode_image_gate_without_codec():
+    # In a codec-less environment the swap-point must fail loudly with
+    # the install hint, not a silent fake decode.
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            M.decode_image(b"\x89PNG\r\n\x1a\n not really a png")
+    else:
+        pytest.skip("PIL present; covered by test_image_features_with_pil")
+
+
+def test_image_features_with_pil(spark):
+    # End-to-end decoded path: only runs where the codec exists, so the
+    # day the environment has PIL this proves the mapInPandas structure
+    # (schema, Arrow batch shape, per-payload decode) is real.
+    import io
+
+    import pytest
+
+    PILImage = pytest.importorskip("PIL.Image")
+
+    def png(w, h, color):
+        buf = io.BytesIO()
+        PILImage.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = _payloads(
+        spark,
+        [(1, png(4, 3, (255, 0, 0))), (2, png(2, 2, (10, 20, 30)))],
+    )
+    rows = {r["doc_id"]: r for r in M.image_features(media).collect()}
+    assert rows[1]["height"] == 3 and rows[1]["width"] == 4
+    assert rows[1]["channels"] == 3
+    # mean of (255,0,0) pixels = 85 exactly -> 85000 millis
+    assert rows[1]["mean_pixel_milli"] == 85_000
+    assert rows[2]["mean_pixel_milli"] == (10 + 20 + 30) * 1000 // 3
+
+
 def test_payload_neardup_detects_truncated_copy(spark):
     from batch_processing_analysis_spark.operators.multimodal import (
         payload_neardup_pairs,
