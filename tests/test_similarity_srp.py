@@ -226,3 +226,49 @@ def test_jl_projection_strategies_agree_and_handle_empty(spark):
     p2 = project_embeddings(emb2, out_dim=4, dim=4).collect()[0]["proj_q"]
     p1 = project_embeddings(half, out_dim=4, dim=4).collect()[0]["proj_q"]
     assert p2 == [2 * v for v in p1]
+
+
+def test_ivf_assign_matmul_equals_hof(spark, sf_dir):
+    from batch_processing_analysis_spark.operators.similarity import (
+        _as_double, ivf_assign,
+    )
+    from batch_processing_analysis_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"), "embedding")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    hof = {r["vec_id"]: r["centroid_id"]
+           for r in ivf_assign(emb, cents).collect()}
+    mat = {r["vec_id"]: r["centroid_id"]
+           for r in ivf_assign(emb, cents, strategy="matmul").collect()}
+    assert mat == hof  # every vector lands on the same centroid
+
+
+def test_ivf_assign_matmul_edge_vectors(spark):
+    from batch_processing_analysis_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 0.0]),   # zero vector -> min centroid id
+            (4, [1.0, 1.0]),        # ragged (shorter) vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (20, [0.0, 1.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    for strategy in ("hof", "matmul"):
+        got = {r["vec_id"]: r["centroid_id"]
+               for r in ivf_assign(emb, cents,
+                                   strategy=strategy).collect()}
+        assert got[1] == 10 and got[2] == 20, strategy
+        assert got[3] == 10, strategy   # all-ties -> min centroid id
+        # ragged: dot truncates to the shorter length in both paths
+        assert got[4] == 10, strategy
