@@ -185,12 +185,21 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         lambda i: F.array_min(F.slice(h, i, window)),
     )
     fps = F.array_sort(F.array_distinct(mins))
-    return hashed.select(
-        F.col(id_col),
-        F.size(fps).alias("n_fingerprints"),
-        F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")).alias(
-            "fp_digest"
-        ),
+    # Stage the fingerprint array: referenced by BOTH the size and the
+    # digest, the inline expression would run the window-min + distinct
+    # + sort tree twice per row (the q103 staging lesson; measured
+    # ~25% of q50 at sf0.1).
+    return (
+        hashed.select(F.col(id_col), fps.alias("_fps"))
+        .select(
+            F.col(id_col),
+            F.size("_fps").alias("n_fingerprints"),
+            F.md5(
+                F.array_join(
+                    F.transform("_fps", lambda x: x.cast("string")), ","
+                )
+            ).alias("fp_digest"),
+        )
     )
 
 
