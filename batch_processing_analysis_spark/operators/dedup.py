@@ -54,37 +54,53 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
-def char_windows(text: Column, n: int) -> Column:
+def char_windows(text: Column, n: int, strategy: str | None = None) -> Column:
     """ALL length-``n`` character windows of ``text``, in order.
 
-    One char split, then each window is ``array_join(slice(chars, i,
-    n))`` — O(L·n) char copies. Two rejected shapes, both measured on
-    the sf0.1 documents table:
+    One rejected shape first: ``transform(sequence(...), i ->
+    substring(text, i, n))`` is O(L²) per row — ``substring`` with a
+    dynamic start re-walks the UTF-8 string from byte 0 on EVERY call
+    (variable-width encoding has no random access); measured 2.6×
+    slower on the langID pass and quadratic in document length.
 
-    - ``transform(sequence(...), i -> substring(text, i, n))`` is O(L²)
-      per row: ``substring`` with a dynamic start re-walks the UTF-8
-      string from byte 0 on EVERY call (variable-width encoding has no
-      random access) — 2.6× slower on the langID pass, and quadratic in
-      document length;
-    - chaining ``n`` ``zip_with``+``concat`` passes over shifted slices
-      re-copies every growing prefix — O(L·n²) char copies, 1.8× slower
-      at the winnowing k=8 (the q50 r3 regression; equal at n=3).
+    Two viable builders, auto-selected by ``n`` (both measured on the
+    sf0.1 documents table and its 10× blow-up; identical output
+    including multibyte text, equality-tested):
 
-    The char split must be evaluated ONCE: referenced directly inside
-    the per-window lambda it would re-split per position (the 13×
-    lesson at winnowing_fingerprints). An expression-level helper can't
-    stage a column, so the split is let-bound by wrapping it as the
-    single element of an array and ``transform``-ing over it — lambda
-    variables are bound values, never re-evaluated.
+    - ``"zip"``: chain ``n`` ``zip_with``+``concat`` passes over
+      shifted slices of the char split. O(L·n²) char copies but a flat
+      per-element constant — wins for raw window building at every n
+      tried (0.6 s vs 4.3 s at n=3 on 10× docs: the langID /
+      n-gram-Jaccard paths).
+    - ``"let"``: let-bind the char split (single-element-array
+      ``transform`` — lambda variables are bound values, never
+      re-evaluated; referenced directly inside a per-window lambda the
+      split would re-run per position, the 13× lesson at
+      winnowing_fingerprints), then ``array_join(slice(chars, i, n))``
+      per window. O(L·n) copies with a higher per-window constant —
+      wins when a per-element expression (the winnowing md5) consumes
+      the windows downstream at large n (q50 4.6 → 2.5 s at k=8).
     """
-    def windows(chars: Column) -> Column:
+    if strategy is None:
+        strategy = "zip" if n <= 6 else "let"
+    if strategy == "zip":
+        chars = F.split(text, "")
         m = F.size(chars) - (n - 1)
-        return F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: F.array_join(F.slice(chars, i, n), ""),
-        )
+        out = F.slice(chars, 1, m)
+        for i in range(1, n):
+            out = F.zip_with(out, F.slice(chars, i + 1, m),
+                             lambda a, b: F.concat(a, b))
+    elif strategy == "let":
+        def windows(chars: Column) -> Column:
+            m = F.size(chars) - (n - 1)
+            return F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.array_join(F.slice(chars, i, n), ""),
+            )
 
-    out = F.get(F.transform(F.array(F.split(text, "")), windows), 0)
+        out = F.get(F.transform(F.array(F.split(text, "")), windows), 0)
+    else:
+        raise ValueError(f"unknown char_windows strategy: {strategy!r}")
     return F.when(F.length(text) >= n, out).otherwise(
         F.array().cast("array<string>")
     )
