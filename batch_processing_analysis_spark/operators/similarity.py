@@ -209,17 +209,21 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     Two scale properties of this pass, both load-bearing at K ∝ N
     (stride centroids):
 
-    - the argmax is a partial-aggregatable ``min(struct(-cos, id,
-      vec))`` per vector, NOT a row_number window: the broadcast join
-      explodes N·K candidate rows, and a window would shuffle and sort
-      all of them, while the struct-min combines map-side so the
-      exchange carries one row per VECTOR regardless of K. (A
-      zero-norm side is ``try_divide``-coalesced to +inf so the
-      candidate LOSES — under ANSI mode a plain division would raise,
-      and the old desc-window ranked the NaN first, i.e. a degenerate
-      centroid would capture every vector. A zero-norm VECTOR ties all
-      candidates at +inf and resolves to the min centroid id, same as
-      the matmul path.)
+    - the argmax is a partial-aggregatable ``min(struct(-cos, id))``
+      per vector, NOT a row_number window: the broadcast join explodes
+      N·K candidate rows, and a window would shuffle and sort all of
+      them, while the struct-min combines map-side so the exchange
+      carries one row per VECTOR regardless of K. The struct holds
+      PRIMITIVES only — the vector rides back via an equi-join on the
+      id afterwards; carrying the array inside the aggregation buffer
+      forced an object-based (non-Tungsten) aggregate whose repeated
+      runs measured 18 → 44 → 66 s on the 10× blow-up (heap churn),
+      vs a stable ~6 s for the primitive form. (A zero-norm side is
+      ``try_divide``-coalesced to +inf so the candidate LOSES — under
+      ANSI mode a plain division would raise, and the old desc-window
+      ranked the NaN first, i.e. a degenerate centroid would capture
+      every vector. A zero-norm VECTOR ties all candidates at +inf and
+      resolves to the min centroid id, same as the matmul path.)
     - norms are hoisted OUT of the N·K candidate rows: ``cosine()``
       would re-aggregate norm(v) for each of the K candidates (and
       norm(c) for each of the N), so each candidate row ran three
@@ -249,12 +253,11 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                 F.lit(float("inf")),
             ).alias("_ncs"),
             F.col(cent_id).alias("_cid"),
-            F.col(vec_col).alias("_v"),
         ).alias("_cand"),
     )
     best = cand.groupBy(id_col).agg(F.min("_cand").alias("_b"))
-    return best.select(
-        id_col, F.col("_b._v").alias(vec_col), F.col("_b._cid").alias(cent_id)
+    return corpus.select(id_col, vec_col).join(best, id_col).select(
+        id_col, vec_col, F.col("_b._cid").alias(cent_id)
     )
 
 
