@@ -603,13 +603,25 @@ def srp_neardup_pairs(corpus: DataFrame, threshold: float,
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    # Norms are hoisted into the per-vector projections: inlining
+    # cosine() would re-fold norm(_va)/norm(_vb) for every CANDIDATE
+    # PAIR (3 array folds per pair instead of 1; the same hoist cut
+    # the q74 pair stage 12.9 → 8.1 s at 10× — here the candidate
+    # join+distinct dominates, but the fold saving grows with dim).
+    # Same double values, so the oracle hash is unchanged.
     vecs = _as_double(corpus, vec_col)
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                     _norm(F.col(vec_col)).alias("_na"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                     _norm(F.col(vec_col)).alias("_nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("sim"))
+        .select(
+            "id_a", "id_b",
+            (_dot(F.col("_va"), F.col("_vb"))
+             / (F.col("_na") * F.col("_nb"))).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
@@ -678,18 +690,27 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float = 0.9,
         .select("centroid_id")
     )
     guarded = assigned.join(ok, "centroid_id")
+    # Norms hoisted per SIDE so each within-cluster pair folds only the
+    # dot product (the srp_neardup_pairs verify-stage lesson; same
+    # double values, oracle-hash-identical).
     a = guarded.select(
-        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        "centroid_id", F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"), _norm(F.col(vec_col)).alias("_na"),
     )
     b = guarded.select(
-        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        "centroid_id", F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"), _norm(F.col(vec_col)).alias("_nb"),
     )
     return (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -50,6 +50,26 @@ def test_decode_image_gate_without_codec():
         pytest.skip("PIL present; covered by test_image_features_with_pil")
 
 
+def test_decode_audio_gate_without_codec():
+    import pytest
+
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            M.decode_audio(b"RIFF fake wav bytes")
+    else:  # pragma: no cover - environment-dependent branch
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        buf = io.BytesIO()
+        sf.write(buf, np.zeros(16, dtype="float32"), 8000, format="WAV")
+        samples, rate = M.decode_audio(buf.getvalue())
+        assert rate == 8000 and len(samples) == 16
+
+
 def test_image_features_with_pil(spark):
     # End-to-end decoded path: only runs where the codec exists, so the
     # day the environment has PIL this proves the mapInPandas structure
