@@ -267,10 +267,14 @@ def _grow_rule(df: pd.DataFrame, features: list[str]) -> list[tuple[str, str, fl
             candidates: list[tuple[str, float]] = []
             if feat in _CATEGORICAL:
                 candidates += [("==", v) for v in uniq]
-            # numeric thresholds at up to 32 quantile cut points
-            qs = uniq if len(uniq) <= 32 else [
-                vals.quantile(i / 32, interpolation="nearest") for i in range(1, 32)
-            ]
+            # numeric thresholds at up to 32 quantile cut points — one
+            # batched quantile() call (a single sort) instead of 31
+            # separate ones; identical values, and the dominant cost of
+            # mining sf0.1-sized groups (q37 17.8 -> ~5 s).
+            qs = uniq if len(uniq) <= 32 else list(
+                vals.quantile([i / 32 for i in range(1, 32)],
+                              interpolation="nearest")
+            )
             for v in qs:
                 candidates += [("<=", v), (">=", v)]
             for op, v in candidates:

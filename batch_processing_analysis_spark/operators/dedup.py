@@ -54,8 +54,13 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
-def char_windows(text: Column, n: int, strategy: str | None = None) -> Column:
-    """ALL length-``n`` character windows of ``text``, in order.
+def char_windows(text: Column, n: int, strategy: str | None = None,
+                 step: int = 1) -> Column:
+    """Length-``n`` character windows of ``text`` at offsets 1, 1+step,
+    … (1-based), in order — ``step=1`` (default) yields ALL windows.
+    A caller that needs only every ``step``-th window (the byte-aligned
+    payload grams) should pass ``step`` instead of filtering the full
+    set afterwards: the strided build does 1/step of the work.
 
     One rejected shape first: ``transform(sequence(...), i ->
     substring(text, i, n))`` is O(L²) per row — ``substring`` with a
@@ -81,7 +86,9 @@ def char_windows(text: Column, n: int, strategy: str | None = None) -> Column:
       wins when a per-element expression (the winnowing md5) consumes
       the windows downstream at large n (q50 4.6 → 2.5 s at k=8).
     """
-    if strategy is None:
+    if step != 1:
+        strategy = "let"  # the zip chain can only build every window
+    elif strategy is None:
         strategy = "zip" if n <= 6 else "let"
     if strategy == "zip":
         chars = F.split(text, "")
@@ -94,7 +101,7 @@ def char_windows(text: Column, n: int, strategy: str | None = None) -> Column:
         def windows(chars: Column) -> Column:
             m = F.size(chars) - (n - 1)
             return F.transform(
-                F.sequence(F.lit(1), m),
+                F.sequence(F.lit(1), m, F.lit(step)),
                 lambda i: F.array_join(F.slice(chars, i, n), ""),
             )
 

@@ -267,9 +267,9 @@ def payload_simhash(media: DataFrame, id_col: str = "doc_id",
     from .dedup import char_windows, hash60, simhash_from_hashes
 
     h = F.upper(F.hex(F.col(payload_col)))
-    grams = F.filter(
-        char_windows(h, 8), lambda x, i: i % 2 == F.lit(0)
-    )
+    # Byte alignment = every 2nd hex offset; the strided build does
+    # half the window work instead of building all and filtering.
+    grams = char_windows(h, 8, step=2)
     rows = media.select(
         F.col(id_col), F.explode(grams).alias("_g")
     ).withColumn("h", hash60(F.col("_g")))

@@ -103,6 +103,45 @@ HEADLINE += [
     "q105_novelty_signals",
     "q106_dedup_audit_by_source",
 ]
+# Round-4: complete the surface — every registered query benches, so
+# each round's record carries a per-query timing for the full 104.
+HEADLINE += [
+    "q02_filter_project",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q07_in_case_when",
+    "q08_string_ops",
+    "q10_argmin_first_event",
+    "q14_nested_two_level_agg",
+    "q15_histogram",
+    "q16_rollup",
+    "q17_cte_ratio",
+    "q19_theta_self_join",
+    "q20_chunking",
+    "q21_rolling_sequence",
+    "q22_dense_rank",
+    "q23_instant_generation",
+    "q24_union_rekey",
+    "q25_conditional_pivot",
+    "q26_trace_subset",
+    "q27_calendar_displacement",
+    "q28_prioritization_pairs",
+    "q29_range_join_bucketed",
+    "q31_task_batches",
+    "q35_concurrency_pairs",
+    "q36_activation_features",
+    "q37_activation_rules",
+    "q43_dedup_ngram_jaccard",
+    "q48_lang_id",
+    "q49_token_count",
+    "q51_multimodal_features",
+    "q54_frame_sample",
+    "q55_payload_resize",
+    "q57_pattern_counts",
+    "q58_stratified_sample",
+    "q59_token_shard_packing",
+    "q62_doc_chunking",
+]
 
 
 def main() -> None:
