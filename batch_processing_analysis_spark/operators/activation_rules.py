@@ -247,14 +247,35 @@ _CATEGORICAL = {"day_of_week", "day_of_month", "hour_of_day", "minute"}
 
 def _grow_rule(df: pd.DataFrame, features: list[str]) -> list[tuple[str, str, float]]:
     """Grow one conjunctive rule (feature, op, value) maximizing FOIL
-    gain per literal (Cohen's RIPPER grow phase, published algorithm)."""
+    gain per literal (Cohen's RIPPER grow phase, published algorithm).
+
+    Candidate evaluation is two binary searches per candidate against
+    per-class sorted value arrays — O(n log n) per feature instead of
+    an O(n) masked pandas reduction per CANDIDATE (~100 of them per
+    feature per literal; mining the sf0.1 groups measured ~3× faster).
+    The counts are exact integers and the gain still goes through
+    math.log2 on those integers, so the chosen ruleset is identical to
+    the elementwise form (NaNs are excluded from the sorted arrays =
+    the False every elementwise comparison produced).
+    """
     import math
+
+    import numpy as np
+
+    def _counts(sorted_a: "np.ndarray", op: str, v: float) -> int:
+        if op == "<=":
+            return int(np.searchsorted(sorted_a, v, "right"))
+        if op == ">=":
+            return len(sorted_a) - int(np.searchsorted(sorted_a, v, "left"))
+        return int(np.searchsorted(sorted_a, v, "right")
+                   - np.searchsorted(sorted_a, v, "left"))
 
     covered = df
     rule: list[tuple[str, str, float]] = []
     while True:
-        p = int((covered["outcome"] == 1).sum())
-        n = int((covered["outcome"] == 0).sum())
+        out = covered["outcome"].to_numpy()
+        p = int((out == 1).sum())
+        n = int((out == 0).sum())
         if p == 0 or n == 0:
             break
         base = math.log2(p / (p + n))
@@ -264,13 +285,14 @@ def _grow_rule(df: pd.DataFrame, features: list[str]) -> list[tuple[str, str, fl
             uniq = sorted(vals.unique())
             if len(uniq) < 2:
                 continue
+            arr = vals.to_numpy(dtype="float64")  # int µs/epochs < 2^53
+            pos = np.sort(arr[(out == 1) & ~np.isnan(arr)])
+            neg = np.sort(arr[(out == 0) & ~np.isnan(arr)])
             candidates: list[tuple[str, float]] = []
             if feat in _CATEGORICAL:
                 candidates += [("==", v) for v in uniq]
-            # numeric thresholds at up to 32 quantile cut points — one
-            # batched quantile() call (a single sort) instead of 31
-            # separate ones; identical values, and the dominant cost of
-            # mining sf0.1-sized groups (q37 17.8 -> ~5 s).
+            # numeric thresholds at up to 32 quantile cut points (one
+            # batched quantile call = one sort)
             qs = uniq if len(uniq) <= 32 else list(
                 vals.quantile([i / 32 for i in range(1, 32)],
                               interpolation="nearest")
@@ -278,19 +300,24 @@ def _grow_rule(df: pd.DataFrame, features: list[str]) -> list[tuple[str, str, fl
             for v in qs:
                 candidates += [("<=", v), (">=", v)]
             for op, v in candidates:
-                mask = (vals == v) if op == "==" else (vals <= v) if op == "<=" else (vals >= v)
-                cp = int(((covered["outcome"] == 1) & mask).sum())
-                cn = int(((covered["outcome"] == 0) & mask).sum())
+                fv = float(v)
+                cp = _counts(pos, op, fv)
                 if cp == 0:
                     continue
+                cn = _counts(neg, op, fv)
                 gain = cp * (math.log2(cp / (cp + cn)) - base)
-                key = (gain, -len(rule), str(feat), op, float(v))
+                key = (gain, -len(rule), str(feat), op, fv)
                 if best is None or key > best[0]:
-                    best = (key, feat, op, v, mask)
+                    best = (key, feat, op, v)
         if best is None or best[0][0] <= 1e-12:
             break
-        _, feat, op, v, mask = best
+        _, feat, op, v = best
         rule.append((feat, op, float(v)))
+        vals = covered[feat]
+        mask = (
+            (vals == v) if op == "=="
+            else (vals <= v) if op == "<=" else (vals >= v)
+        )
         covered = covered[mask]
         if int((covered["outcome"] == 0).sum()) == 0:
             break
