@@ -320,3 +320,41 @@ def test_assign_splits_partition_and_cohesion(spark, grps, seed):
     seen: dict[str, str] = {}
     for r in out:
         assert seen.setdefault(r["grp"], r["split"]) == r["split"]
+
+
+# Rolling order statistics vs a pandas reference (the r4 staging
+# rewrite touched both operators; frames are ROWS n-1 PRECEDING..CURRENT
+# per key, which pandas models as rolling(n, min_periods=1)).
+rolling_vals = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False, width=32),
+    min_size=1, max_size=24,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rolling_vals, st.integers(2, 6))
+def test_rolling_median_and_mad_match_pandas(spark, vals, n):
+    import pandas as pd
+
+    from batch_processing_analysis_spark.operators.timeseries import (
+        rolling_mad, rolling_median,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, 1, t0 + timedelta(minutes=i), float(v))
+         for i, v in enumerate(vals)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got_med = [r["rolling_median"]
+               for r in rolling_median(df, n=n).orderBy("ts").collect()]
+    got_mad = [r["rolling_mad"]
+               for r in rolling_mad(df, n=n).orderBy("ts").collect()]
+    s = pd.Series(vals)
+    want_med = s.rolling(n, min_periods=1).median().tolist()
+    want_mad = s.rolling(n, min_periods=1).apply(
+        lambda w: (w - w.median()).abs().median()
+    ).tolist()
+    assert got_med == pytest.approx(want_med, abs=1e-9)
+    assert got_mad == pytest.approx(want_mad, abs=1e-9)
