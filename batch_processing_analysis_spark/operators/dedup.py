@@ -418,10 +418,17 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     Scale: gram df is a partial-aggregable count; the candidate join is
     on (gram) with bounded fan-out ≤ df_max choose 2.
     """
-    grams = docs.select(
-        F.col(id_col).alias("gid"), char_grams(F.col(text_col), n).alias("grams")
-    )
-    ex = grams.select("gid", F.explode("grams").alias("g"))
+    # One LAZY localCheckpoint materializes the exploded (doc, gram)
+    # rows on first action; the five consumers below (df counts, both
+    # join sides of candidate generation, both verify sides + sizes)
+    # would otherwise each re-run the char-gram build. Lazy, so the
+    # plan audit can still build without executing; blocks are
+    # reclaimed by the ContextCleaner once the result frame is dropped
+    # (unlike the module-cached eager checkpoints).
+    ex = docs.select(
+        F.col(id_col).alias("gid"),
+        F.explode(char_grams(F.col(text_col), n)).alias("g"),
+    ).localCheckpoint(eager=False)
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     rare = ex.join(
         dfreq.filter((F.col("df") >= 2) & (F.col("df") <= df_max)), "g"
@@ -432,18 +439,29 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
         .distinct()
     )
-    ga = grams.select(F.col("gid").alias("id_a"), F.col("grams").alias("_ga"))
-    gb = grams.select(F.col("gid").alias("id_b"), F.col("grams").alias("_gb"))
+    # Streamed verify (the verify_jaccard_rows shape): |A∩B| by joining
+    # both sides' gram ROWS, |A∪B| = |A| + |B| − |A∩B| — identical
+    # integers to array_intersect/array_union over the distinct gram
+    # arrays, without copying both gram sets onto every candidate row
+    # (the array form measured 24 s vs 1.5 s at sf0.1).
+    sizes = ex.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
+    sa = ex.select(F.col("gid").alias("id_a"), "g")
+    sb = ex.select(F.col("gid").alias("id_b"), "g")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        inter.join(sizes.withColumnRenamed("gid", "id_a")
+                   .withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("gid", "id_b")
+              .withColumnRenamed("_n", "_nb"), "id_b")
         .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("_ga", "_gb"))
-                / F.size(F.array_union("_ga", "_gb"))
-            ).alias("jaccard"),
+            "id_a", "id_b",
+            (F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")))
+            .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
