@@ -91,3 +91,39 @@ def redact_documents(docs: DataFrame, text_col: str = "text",
     return docs.withColumn("was_redacted",
                            (F.col(text_col) != redacted).cast("int")) \
                .withColumn(text_col, redacted)
+
+
+def k_anonymize(df: DataFrame, group_cols: Sequence[str],
+                k: int = 5) -> DataFrame:
+    """k-anonymity gate for published rollups (M87): group counts where
+    every emitted combination of ``group_cols`` covers at least ``k``
+    rows; rarer combinations — the re-identifiable ones — are folded
+    into a single ``__suppressed__`` row carrying their total, so the
+    publication stays additive (column sums equal the input row count)
+    without exposing any small group.
+
+    Group columns are emitted as strings (the suppressed sentinel must
+    be representable in every column). Two partial-agg passes over a
+    groups-sized frame; the suppressed row appears only when at least
+    one group was below ``k``.
+    """
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    gcols = [F.col(c).cast("string").alias(c) for c in group_cols]
+    counts = df.select(*gcols).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    ok = counts.filter(F.col("n_rows") >= k)
+    suppressed = (
+        counts.filter(F.col("n_rows") < k)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("_g"),
+        )
+        .filter(F.col("_g") > 0)
+        .select(
+            *[F.lit("__suppressed__").alias(c) for c in group_cols],
+            "n_rows",
+        )
+    )
+    return ok.unionByName(suppressed)

@@ -83,3 +83,42 @@ def negative_samples(docs: DataFrame, k: int = 4, n_buckets: int = 256,
             .select("anchor_id", "neg_id", "i")
         )
     return pairs
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    seed: str, id_col: str = "doc_id") -> DataFrame:
+    """Seeded weighted sampling WITHOUT replacement (M86): k rows drawn
+    with probability proportional to ``weight_col`` — the quality- or
+    length-weighted corpus draw (sample high-quality documents more
+    often without hard-filtering the tail).
+
+    Algorithm A-Res (Efraimidis & Spiliopoulos 2006, "Weighted random
+    sampling with a reservoir", public): each row gets key
+    u^(1/w) with u uniform in (0,1]; the k largest keys are the
+    sample. Here u is the md5-derived 60-bit hash of ``seed ‖ id``
+    mapped to (0,1] — deterministic and engine-reproducible — and the
+    ordering uses the monotone-equivalent ln(u)/w (descending, id
+    tiebreak), avoiding pow().
+
+    Scale: ORDER BY + LIMIT plans as TakeOrderedAndProject — a
+    distributed per-partition top-k + k-row driver merge, never a
+    global sort. Rows with NULL or non-positive weight are excluded
+    (their inclusion probability is 0/undefined).
+
+    Returns the input columns plus ``sample_key`` (the ln(u)/w key,
+    rounded; exposed so re-draws with a larger k are prefix-stable).
+    """
+    if k <= 0:
+        raise ValueError(f"k ({k}) must be positive")
+    h = hash60(F.concat(F.lit(seed), F.lit("\x1f"),
+                        F.col(id_col).cast("string")))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_wkey", key)
+        .orderBy(F.desc("_wkey"), F.asc(id_col))
+        .limit(k)
+        .withColumn("sample_key", F.round("_wkey", 9))
+        .drop("_wkey")
+    )

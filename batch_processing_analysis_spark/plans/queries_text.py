@@ -2431,3 +2431,59 @@ def q106_dedup_audit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: weighted sampling (M86), k-anonymity gate (M87)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q107_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(({HASH60.format(x="'ws:0' || chr(31) || CAST(doc_id AS VARCHAR)")} + 1.0)
+                / 1152921504606846977.0) / n_chars AS k
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(k, 9) AS sample_key
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """,
+    primary=False,
+)
+def q107_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded weight-proportional sample (M86, A-Res — Efraimidis &
+    Spiliopoulos 2006): 50 documents drawn with probability ∝ n_chars,
+    deterministic via the md5 hash convention; plans as a distributed
+    TakeOrderedAndProject, never a global sort. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample(docs, k=50, weight_col="n_chars", seed="ws:0")
+
+
+@query(
+    "q108_k_anonymous_rollup",
+    """
+    WITH c AS (
+      SELECT CAST(lang AS VARCHAR) AS lang, CAST(source AS VARCHAR) AS source,
+             count(*) AS n_rows
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n_rows FROM c WHERE n_rows >= 10
+    UNION ALL
+    SELECT '__suppressed__', '__suppressed__', sum(n_rows)
+    FROM c WHERE n_rows < 10 HAVING count(*) > 0
+    """,
+    primary=False,
+)
+def q108_k_anonymous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity publication gate (M87): (lang, source) counts with
+    every under-k combination folded into one __suppressed__ row so the
+    rollup stays additive without exposing re-identifiable small
+    groups. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    from ..operators.privacy import k_anonymize
+
+    return k_anonymize(_docs(spark, sf_dir), ["lang", "source"], k=10)

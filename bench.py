@@ -141,6 +141,8 @@ HEADLINE += [
     "q58_stratified_sample",
     "q59_token_shard_packing",
     "q62_doc_chunking",
+    "q107_weighted_sample",
+    "q108_k_anonymous_rollup",
 ]
 
 

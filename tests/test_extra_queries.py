@@ -429,3 +429,54 @@ def test_rolling_mad_hand_case(spark):
     # [1] -> 0; [1,9] -> med 5, devs [4,4] -> 4; [1,9,2] -> med 2,
     # devs [0,1,7] -> 1; [9,2,100] -> med 9, devs [0,7,91] -> 7.
     assert got == [0.0, 4.0, 1.0, 7.0]
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from batch_processing_analysis_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 1000 if i < 10 else 1) for i in range(200)]
+        + [(900, None), (901, 0), (902, -5)],
+        "doc_id long, w long",
+    )
+    out = weighted_sample(docs, k=20, weight_col="w", seed="t:0")
+    rows = [(r.doc_id, r.sample_key) for r in out.collect()]
+    assert len(rows) == 20
+    # Null / zero / negative weights can never be drawn.
+    assert all(r[0] < 900 for r in rows)
+    # Heavy rows (weight 1000 vs 1) dominate the sample.
+    assert sum(1 for r in rows if r[0] < 10) >= 8
+    # Deterministic: same seed -> identical sample; keys descending.
+    again = [(r.doc_id, r.sample_key)
+             for r in weighted_sample(docs, k=20, weight_col="w",
+                                      seed="t:0").collect()]
+    assert rows == again
+    keys = [k for _, k in rows]
+    assert keys == sorted(keys, reverse=True)
+    # Different seed -> different draw (with overwhelming probability).
+    other = {r.doc_id for r in weighted_sample(
+        docs, k=20, weight_col="w", seed="t:1").collect()}
+    assert other != {d for d, _ in rows}
+    with pytest.raises(ValueError):
+        weighted_sample(docs, k=0, weight_col="w", seed="t:0")
+
+
+def test_k_anonymize_additivity_and_suppression(spark):
+    from batch_processing_analysis_spark.operators.privacy import k_anonymize
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 7 + [("b", 1)] * 3 + [("c", None)] * 2,
+        "g string, v int",
+    )
+    out = {(r.g,): r.n_rows for r in k_anonymize(df, ["g"], k=5).collect()}
+    # 'a' (7 rows) survives; 'b' (3) and 'c' (2) fold into one row.
+    assert out == {("a",): 7, ("__suppressed__",): 5}
+    assert sum(out.values()) == 12  # additive: totals preserved
+    # No suppressed row when every group clears k.
+    all_ok = {(r.g,): r.n_rows
+              for r in k_anonymize(df, ["g"], k=2).collect()}
+    assert all_ok == {("a",): 7, ("b",): 3, ("c",): 2}
+    with pytest.raises(ValueError):
+        k_anonymize(df, ["g"], k=0)
