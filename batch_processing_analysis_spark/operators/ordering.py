@@ -261,3 +261,32 @@ def percentile_normalize(scored: DataFrame, group_col: str,
                F.floor((r - 1) * F.lit(1_000_000) / (n - 1)))
         .otherwise(F.lit(0)).cast("long"),
     )
+
+
+def time_split_with_embargo(df: DataFrame, ts_col: str,
+                            eval_start_epoch_s: int,
+                            embargo_s: int = 0) -> DataFrame:
+    """Temporal train/eval split with an embargo gap (M88): rows before
+    ``eval_start − embargo`` are ``train``, rows at/after
+    ``eval_start`` are ``eval``, and the gap in between is labeled
+    ``embargo`` — excluded from BOTH sides. The time-ordered
+    counterpart of :func:`assign_splits`' group-aware hash split:
+    forecasting/outcome models trained on events adjacent to the eval
+    window leak near-boundary information (the purged/embargoed-split
+    rule of time-series cross-validation, public quant-ML practice);
+    the embargo makes the boundary leak-free instead of adjacent.
+
+    Cutoffs are integer epoch seconds, so the label is a pure narrow
+    projection (no shuffle) and any SQL oracle agrees exactly. NULL
+    timestamps get a NULL label (surfaced, not silently dropped).
+    """
+    if embargo_s < 0:
+        raise ValueError(f"embargo_s ({embargo_s}) must be >= 0")
+    ts = F.unix_timestamp(F.col(ts_col))
+    return df.withColumn(
+        "split",
+        F.when(F.col(ts_col).isNull(), F.lit(None).cast("string"))
+        .when(ts < F.lit(eval_start_epoch_s - embargo_s), F.lit("train"))
+        .when(ts >= F.lit(eval_start_epoch_s), F.lit("eval"))
+        .otherwise(F.lit("embargo")),
+    )

@@ -1147,3 +1147,38 @@ def q103_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.unix_timestamp("ts").alias("t"), "rolling_mad",
     )
+
+
+@query(
+    "q109_time_split_embargo",
+    r"""
+    WITH lab AS (
+      SELECT user_id,
+             CASE WHEN ts IS NULL THEN NULL
+                  WHEN floor(epoch(ts)) < 1706140800 - 172800 THEN 'train'
+                  WHEN floor(epoch(ts)) >= 1706140800 THEN 'eval'
+                  ELSE 'embargo' END AS split
+      FROM events
+    )
+    SELECT split, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM lab GROUP BY split
+    """,
+    primary=False,
+)
+def q109_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split with a 2-day embargo gap before the
+    2024-01-25 eval cutoff (operators/ordering.py:
+    time_split_with_embargo, M88) — the purged-boundary rule of
+    time-series evaluation, summarized per split. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    from ..operators.ordering import time_split_with_embargo
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    lab = time_split_with_embargo(
+        ev, "ts", eval_start_epoch_s=1_706_140_800, embargo_s=172_800
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -143,6 +143,7 @@ HEADLINE += [
     "q62_doc_chunking",
     "q107_weighted_sample",
     "q108_k_anonymous_rollup",
+    "q109_time_split_embargo",
 ]
 
 

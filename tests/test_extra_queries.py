@@ -480,3 +480,35 @@ def test_k_anonymize_additivity_and_suppression(spark):
     assert all_ok == {("a",): 7, ("b",): 3, ("c",): 2}
     with pytest.raises(ValueError):
         k_anonymize(df, ["g"], k=0)
+
+
+def test_time_split_embargo_semantics(spark):
+    from datetime import datetime
+
+    from batch_processing_analysis_spark.operators.ordering import (
+        time_split_with_embargo,
+    )
+
+    cut = int(datetime(2024, 6, 1).timestamp())
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 5, 1)),          # well before -> train
+            (2, datetime(2024, 5, 30, 23, 59)), # inside embargo (2d)
+            (3, datetime(2024, 5, 29, 23, 59, 59)),  # 1 s before gap
+            (4, datetime(2024, 6, 1)),          # exactly at cut -> eval
+            (5, datetime(2024, 7, 1)),          # after -> eval
+            (6, None),                          # NULL ts -> NULL label
+        ],
+        "id long, ts timestamp",
+    )
+    got = {r.id: r.split
+           for r in time_split_with_embargo(
+               ev, "ts", cut, embargo_s=2 * 86400).collect()}
+    assert got == {1: "train", 2: "embargo", 3: "train",
+                   4: "eval", 5: "eval", 6: None}
+    # Zero embargo: the gap label disappears entirely.
+    none_gap = {r.split for r in time_split_with_embargo(
+        ev.filter("ts IS NOT NULL"), "ts", cut).collect()}
+    assert none_gap == {"train", "eval"}
+    with pytest.raises(ValueError):
+        time_split_with_embargo(ev, "ts", cut, embargo_s=-1)
