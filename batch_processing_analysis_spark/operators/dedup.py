@@ -563,3 +563,40 @@ def dedup_weights(docs: DataFrame, id_col: str = "doc_id",
         F.floor(F.lit(1_000_000) / F.col("cluster_size"))
         .cast("long").alias("weight_micro"),
     )
+
+
+def cross_source_dup_matrix(docs: DataFrame, pairs: DataFrame | None = None,
+                            id_col: str = "doc_id",
+                            source_col: str = "source",
+                            text_col: str = "text") -> DataFrame:
+    """Cross-source duplication matrix (M89): how many duplicate PAIRS
+    link each (unordered) pair of upstream feeds — the feed-level
+    diagnosis behind M85's per-source retention ("src7 is mostly a
+    mirror of src2", "src9 only duplicates itself"). Diagonal rows are
+    within-source duplication.
+
+    ``pairs`` defaults to the exact content-hash star edges
+    (:func:`exact_pair_edges`); pass any (id_a, id_b) near-dup pair
+    frame (MinHash/SimHash/SemDeDup) for the fuzzy variant — the
+    matrix shape is pair-source-agnostic.
+
+    Scale: two equi-joins of the pair set against the (id, source)
+    projection + one count; the matrix itself is ≤ |sources|² rows.
+    """
+    if pairs is None:
+        pairs = exact_pair_edges(docs, id_col, text_col)
+    src = docs.select(F.col(id_col), F.col(source_col))
+    sa = src.select(F.col(id_col).alias("id_a"),
+                    F.col(source_col).alias("_sa"))
+    sb = src.select(F.col(id_col).alias("id_b"),
+                    F.col(source_col).alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -2487,3 +2487,40 @@ def q108_k_anonymous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.privacy import k_anonymize
 
     return k_anonymize(_docs(spark, sf_dir), ["lang", "source"], k=10)
+
+
+@query(
+    "q110_cross_source_dup_matrix",
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS content_hash
+      FROM documents
+    ),
+    c AS (SELECT content_hash, min(doc_id) AS canon
+          FROM h GROUP BY content_hash),
+    edges AS (
+      SELECT c.canon AS id_a, h.doc_id AS id_b
+      FROM h JOIN c USING (content_hash)
+      WHERE h.doc_id <> c.canon
+    ),
+    lab AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b
+      FROM edges e
+      JOIN h a ON a.doc_id = e.id_a
+      JOIN h b ON b.doc_id = e.id_b
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs
+    FROM lab GROUP BY source_a, source_b
+    """,
+    primary=False,
+)
+def q110_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (operators/dedup.py:
+    cross_source_dup_matrix, M89): exact-duplicate pairs rolled up to
+    unordered (source, source) cells — which feeds mirror each other
+    vs duplicate internally. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return D.cross_source_dup_matrix(_docs(spark, sf_dir))

@@ -144,6 +144,7 @@ HEADLINE += [
     "q107_weighted_sample",
     "q108_k_anonymous_rollup",
     "q109_time_split_embargo",
+    "q110_cross_source_dup_matrix",
 ]
 
 

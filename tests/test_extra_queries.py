@@ -512,3 +512,28 @@ def test_time_split_embargo_semantics(spark):
     assert none_gap == {"train", "eval"}
     with pytest.raises(ValueError):
         time_split_with_embargo(ev, "ts", cut, embargo_s=-1)
+
+
+def test_cross_source_dup_matrix_cells(spark):
+    from batch_processing_analysis_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha text", "s1"),   # canon of {1,2,3}
+            (2, "ALPHA  text", "s2"),  # cross-source dup of 1
+            (3, "alpha text", "s1"),   # within-source dup of 1
+            (4, "unique here", "s2"),  # no pair
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.source_a, r.source_b): r.n_pairs
+           for r in cross_source_dup_matrix(docs).collect()}
+    # Star edges from canon 1: (1,2) -> s1/s2 cell, (1,3) -> s1 diag.
+    assert got == {("s1", "s2"): 1, ("s1", "s1"): 1}
+    # Pluggable pair frame: a supplied near-dup edge set is honored.
+    pairs = spark.createDataFrame([(2, 4)], "id_a long, id_b long")
+    fuzzy = {(r.source_a, r.source_b): r.n_pairs
+             for r in cross_source_dup_matrix(docs, pairs).collect()}
+    assert fuzzy == {("s2", "s2"): 1}
