@@ -102,8 +102,11 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
 
     Scale: ORDER BY + LIMIT plans as TakeOrderedAndProject — a
     distributed per-partition top-k + k-row driver merge, never a
-    global sort. Rows with NULL or non-positive weight are excluded
-    (their inclusion probability is 0/undefined).
+    global sort. Rows with NULL, NaN, or non-positive weight are
+    excluded (their inclusion probability is 0/undefined — and Spark
+    orders NaN ABOVE every double, so without the explicit isnan guard
+    a single NaN weight would pass ``> 0`` AND win the descending sort,
+    monopolizing the sample).
 
     Returns the input columns plus ``sample_key`` (the ln(u)/w key,
     rounded; exposed so re-draws with a larger k are prefix-stable).
@@ -113,9 +116,10 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
     h = hash60(F.concat(F.lit(seed), F.lit("\x1f"),
                         F.col(id_col).cast("string")))
     u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
-    key = F.log(u) / F.col(weight_col).cast("double")
+    wd = F.col(weight_col).cast("double")
+    key = F.log(u) / wd
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.filter(wd.isNotNull() & ~F.isnan(wd) & (wd > 0))
         .withColumn("_wkey", key)
         .orderBy(F.desc("_wkey"), F.asc(id_col))
         .limit(k)

@@ -57,8 +57,14 @@ SRP_Q = 1 << 20
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # zip_with null-pads the SHORTER array; coalescing each side to 0
+    # makes a ragged dot product truncate to the overlapping length
+    # (null-padded products would null the whole sum). Identical for
+    # equal-length arrays — the oracle-verified hot paths.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        F.zip_with(a, b, lambda x, y: F.coalesce(x, F.lit(0.0))
+                   * F.coalesce(y, F.lit(0.0))),
+        F.lit(0.0), lambda acc, x: acc + x,
     )
 
 
@@ -308,10 +314,18 @@ def _ivf_assign_matmul(corpus: DataFrame, centroids: DataFrame,
                     best[idx] = cids[0]  # all scores 0 -> min cid
                     continue
                 X = np.stack(vs.iloc[idx].to_numpy()).astype(np.float64)
-                xn = np.linalg.norm(X, axis=1)
+                xn = np.linalg.norm(X, axis=1)  # full-length norm, like hof
                 xnz = xn > 0
                 X[xnz] = X[xnz] / xn[xnz, None]
-                scores = X @ C[:, :ln].T if ln < dim else X @ C.T
+                # Ragged dot truncates to the overlapping length on BOTH
+                # sides (a vector LONGER than the centroid dim sliced the
+                # centroids only and crashed the matmul before).
+                if ln < dim:
+                    scores = X @ C[:, :ln].T
+                elif ln > dim:
+                    scores = X[:, :dim] @ C.T
+                else:
+                    scores = X @ C.T
                 best[idx] = cids[np.argmax(scores, axis=1)]
             yield pd.DataFrame({
                 id_col: pdf[id_col],

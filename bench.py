@@ -104,7 +104,8 @@ HEADLINE += [
     "q106_dedup_audit_by_source",
 ]
 # Round-4: complete the surface — every registered query benches, so
-# each round's record carries a per-query timing for the full 104.
+# each round's record carries a per-query timing for all of them
+# (108 as of round 4; new registrations append below).
 HEADLINE += [
     "q02_filter_project",
     "q04_semi_join",

@@ -437,14 +437,15 @@ def test_weighted_sample_determinism_and_bias(spark):
     )
 
     docs = spark.createDataFrame(
-        [(i, 1000 if i < 10 else 1) for i in range(200)]
-        + [(900, None), (901, 0), (902, -5)],
-        "doc_id long, w long",
+        [(i, float(1000 if i < 10 else 1)) for i in range(200)]
+        + [(900, None), (901, 0.0), (902, -5.0),
+           (903, float("nan"))],  # NaN passes `> 0` and wins desc sorts
+        "doc_id long, w double",
     )
     out = weighted_sample(docs, k=20, weight_col="w", seed="t:0")
     rows = [(r.doc_id, r.sample_key) for r in out.collect()]
     assert len(rows) == 20
-    # Null / zero / negative weights can never be drawn.
+    # Null / NaN / zero / negative weights can never be drawn.
     assert all(r[0] < 900 for r in rows)
     # Heavy rows (weight 1000 vs 1) dominate the sample.
     assert sum(1 for r in rows if r[0] < 10) >= 8

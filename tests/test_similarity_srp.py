@@ -256,7 +256,9 @@ def test_ivf_assign_matmul_edge_vectors(spark):
             (1, [1.0, 0.0, 0.0]),
             (2, [0.0, 1.0, 0.0]),
             (3, [0.0, 0.0, 0.0]),   # zero vector -> min centroid id
-            (4, [1.0, 1.0]),        # ragged (shorter) vector
+            (4, [1.0, 1.0]),        # ragged, symmetric -> tie -> min cid
+            (5, [0.0, 1.0]),        # ragged, asymmetric -> truncated dot
+            (6, [1.0, 0.0, 0.0, 5.0]),  # LONGER than centroid dim
         ],
         "vec_id long, embedding array<double>",
     )
@@ -270,5 +272,9 @@ def test_ivf_assign_matmul_edge_vectors(spark):
                                    strategy=strategy).collect()}
         assert got[1] == 10 and got[2] == 20, strategy
         assert got[3] == 10, strategy   # all-ties -> min centroid id
-        # ragged: dot truncates to the shorter length in both paths
+        # ragged: the dot truncates to the OVERLAPPING length in both
+        # paths (the hof zip_with used to null the whole sum; the
+        # matmul used to crash on the longer-than-dim side).
         assert got[4] == 10, strategy
+        assert got[5] == 20, strategy
+        assert got[6] == 10, strategy

@@ -52,11 +52,14 @@ def build_blowup(spark, sf_dir: str, factor: int) -> str:
     docs = load_table(spark, sf_dir, "documents")
     big_docs = None
     for i in range(factor):
+        suffix = f" v{i}"
         part = docs.select(
             (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" v{i}")).alias("text"),
+            F.concat(F.col("text"), F.lit(suffix)).alias("text"),
             "lang", "source",
-            (F.col("n_chars") + F.lit(3)).alias("n_chars"),
+            # keep n_chars == length(text) at every factor (" v10" is
+            # 4 chars, not 3)
+            (F.col("n_chars") + F.lit(len(suffix))).alias("n_chars"),
         )
         big_docs = part if big_docs is None else big_docs.unionByName(part)
     big_docs.repartition(8).write.parquet(f"{out}/documents.parquet")
