@@ -81,9 +81,19 @@ def features_table(log: DataFrame, config: Configuration) -> DataFrame:
     Durations are emitted in SECONDS (double) and the instant as epoch
     seconds, matching the reference's final parsed table
     (activation_rules.py:159-164). day_of_week is Monday=0 (F3 shift).
+
+    ``cases``/``inst`` are LAZY localCheckpoints: each is referenced by
+    four plan branches below (instants, subset, flow, final join), and
+    without materialization every branch re-runs the per-case windows
+    over the discovery output (the q43 lesson; lazy, so plan building
+    stays execution-free and the blocks are ContextCleaner-reclaimed).
+    Modest at sf0.1 (the upstream discovery frame is already
+    checkpointed, so each branch recompute was one window pass) but it
+    bounds the fan-out cost at corpus scale, where four re-runs of the
+    per-case aggregation are four shuffles.
     """
     ids = config.log_ids
-    cases = _per_case(log, config)
+    cases = _per_case(log, config).localCheckpoint(eager=False)
 
     inst = cases.groupBy(ids.batch_id).agg(
         F.first(ids.batch_type).alias(ids.batch_type),
@@ -97,7 +107,7 @@ def features_table(log: DataFrame, config: Configuration) -> DataFrame:
         "inst_enabled", "inst_first_enabled",
         F.col("_first.case_start").alias("inst_start"),
         "activities",
-    )
+    ).localCheckpoint(eager=False)
 
     # --- candidate instants -------------------------------------------------
     n_ready = config.num_batch_ready_negative_events
