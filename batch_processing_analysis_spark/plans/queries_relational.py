@@ -1032,7 +1032,7 @@ def q85_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_events,
            count(CAST(props->>'$.k' AS BIGINT)) AS n_parsed,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            max(CAST(props->>'$.k' AS BIGINT)) AS max_k
     FROM events GROUP BY event_type

@@ -1102,7 +1102,7 @@ def q63_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, sum(c) AS m, sum(c * c) AS css FROM cc2 GROUP BY doc_id
     )
     SELECT d.doc_id,
-           COALESCE(ta.n, 0) AS n_tokens,
+           CAST(COALESCE(ta.n, 0) AS BIGINT) AS n_tokens,
            COALESCE(ta.uq, 0) AS n_distinct_tokens,
            CASE WHEN COALESCE(ta.n, 0) > 0
                 THEN round(ta.uq * 1.0 / ta.n, 6) ELSE 0.0 END
@@ -1356,8 +1356,9 @@ MIX_WEIGHTS = {f"src{i}": (2.0 if i % 2 == 0 else 1.0) for i in range(20)}
     ),
     cum AS (
       SELECT doc_id, source, n_tokens, _budget,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY _k, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY _k, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
       FROM keyed
     )
     SELECT doc_id, source, n_tokens, cum_tokens
@@ -1638,7 +1639,7 @@ def q75_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            COALESCE(n_bigrams, 0) AS n_bigrams,
-           COALESCE(s, 0) AS sum_neglogp_micro,
+           CAST(COALESCE(s, 0) AS BIGINT) AS sum_neglogp_micro,
            round(COALESCE(s * 1.0 / n_bigrams / 1e6, 0.0), 6) AS avg_neglogp
     FROM documents d LEFT JOIN agg USING (doc_id)
     """,
@@ -2232,8 +2233,9 @@ _JL_HP_SQL = (
                          (x, y) -> x + y) AS dot
       FROM e CROSS JOIN hp
     )
-    SELECT vec_id, list(dot ORDER BY p) AS proj_q
-    FROM dots GROUP BY vec_id
+    SELECT vec_id, CAST(p AS INTEGER) AS dim,
+           CAST(dot AS BIGINT) AS component_q
+    FROM dots
     """,
     primary=False,
 )
@@ -2242,11 +2244,17 @@ def q100_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer components (operators/similarity.py:
     project_embeddings, matmul strategy — the oracle transcribes the
     relational twin, equality-tested between strategies in
-    tests/test_similarity_srp.py). Secondary registry; oracle-gated by
-    tests/test_extra_queries.py."""
+    tests/test_similarity_srp.py). Emitted as one scalar row per
+    (vector, component): the driver's pandas canonicalizer cannot hash
+    array cells (CORRECTNESS_r04 q100 `TypeError: unhashable type:
+    'list'`), so windowed outputs must be scalar-typed — the array form
+    stays available via project_embeddings itself. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
     emb = _embs(spark, sf_dir)
-    return S.project_embeddings(emb, out_dim=_JL_DIMS, dim=64, seed="jl") \
-        .select("vec_id", "proj_q")
+    proj = S.project_embeddings(emb, out_dim=_JL_DIMS, dim=64, seed="jl")
+    return proj.select(
+        "vec_id", F.posexplode("proj_q").alias("dim", "component_q")
+    )
 
 
 @query(
@@ -2405,7 +2413,8 @@ def q105_novelty_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT content_hash, min(doc_id) AS canon
           FROM h GROUP BY content_hash)
     SELECT h.source, count(*) AS n_docs,
-           sum(CASE WHEN h.doc_id = c.canon THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN h.doc_id = c.canon THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
            CAST(floor(sum(CASE WHEN h.doc_id = c.canon THEN 1 ELSE 0 END)
                       * 1000000.0 / count(*)) AS BIGINT) AS retention_micro
     FROM h JOIN c USING (content_hash)
@@ -2473,7 +2482,7 @@ def q107_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, source, n_rows FROM c WHERE n_rows >= 10
     UNION ALL
-    SELECT '__suppressed__', '__suppressed__', sum(n_rows)
+    SELECT '__suppressed__', '__suppressed__', CAST(sum(n_rows) AS BIGINT)
     FROM c WHERE n_rows < 10 HAVING count(*) > 0
     """,
     primary=False,

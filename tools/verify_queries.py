@@ -7,6 +7,16 @@ hash (cells canonicalized to strings, columns sorted by name, rows
 sorted). Strict hash mismatches are re-checked with a small float
 tolerance so float-noise is distinguishable from real bugs.
 
+``--strict-driver`` additionally replays the DRIVER's canonicalization
+path (learned from CORRECTNESS_r04): the driver pulls both sides through
+pandas, so DuckDB HUGEINT (any un-cast ``sum()``) becomes float64 and
+hashes as ``"370.0"`` against Spark's int64 ``"370"`` — the exact
+mechanism behind the five r4 hash-red rows — and array cells crash its
+canonicalizer (``TypeError: unhashable type: 'list'``, r4 q100). In this
+mode the comparison runs on ``.df()``/``toPandas()`` frames, array/map
+columns are hard errors, and any oracle output column typed
+HUGEINT/DECIMAL is reported even when values happen to match.
+
 Usage: python tools/verify_queries.py [--sf-dir /root/testdata/sf0.01] [--only q1,q2]
 """
 
@@ -83,12 +93,38 @@ def tolerant_equal(a_rows, b_rows, tol=1e-6) -> bool:
     return True
 
 
+def pandas_tuples(df) -> list[tuple]:
+    """Rows as the driver sees them: through a pandas frame (NaN for
+    SQL NULL in numeric columns, float64 for DuckDB HUGEINT)."""
+    rows = []
+    for rec in df.itertuples(index=False, name=None):
+        out = []
+        for v in rec:
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                raise TypeError(
+                    "array cell in windowed output — the driver's pandas "
+                    "canonicalizer crashes on these (r4 q100); emit scalar "
+                    "rows instead"
+                )
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                out.append(None)
+            elif hasattr(v, "item"):  # numpy scalar → python
+                out.append(v.item())
+            else:
+                out.append(v)
+        rows.append(tuple(out))
+    return rows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--extra", action="store_true",
                     help="also verify the secondary (pytest-gated) registry")
+    ap.add_argument("--strict-driver", action="store_true",
+                    help="replay the driver's pandas canonicalization path "
+                         "(HUGEINT→float64, array cells are hard errors)")
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -117,7 +153,10 @@ def main() -> int:
         try:
             sdf = fn(spark, args.sf_dir)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            if args.strict_driver:
+                s_rows = pandas_tuples(sdf.toPandas())
+            else:
+                s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -127,9 +166,24 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
+            if args.strict_driver:
+                bad = [
+                    (c, t) for c, t, *_ in
+                    con.execute("DESCRIBE " + oracles[name]).fetchall()
+                    if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()
+                    or "[]" in t
+                ]
+                if bad:
+                    print(f"FAIL  {name}: driver-fragile oracle types {bad} "
+                          f"— CAST to BIGINT/DOUBLE or emit scalar rows")
+                    n_fail += 1
+                    continue
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            if args.strict_driver:
+                d_rows = pandas_tuples(res.df())
+            else:
+                d_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
