@@ -32,6 +32,10 @@ try:
     from batch_processing_analysis_spark.plans import queries_text  # noqa: F401
 except ImportError:
     pass
+try:
+    from batch_processing_analysis_spark.plans import queries_canary  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

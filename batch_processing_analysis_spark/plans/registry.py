@@ -33,70 +33,88 @@ ORACLES: dict[str, str] = {}
 EXTRA_QUERIES: dict[str, SparkBuilder] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
-# Round-4 rotation (VERDICT r3 task 1): the driver window should spend
-# its 50 slots on the queries that have never earned a driver-green
-# CORRECTNESS row. This set overrides the per-call ``primary=`` flag
-# (which keeps documenting the steady-state family split): the 44
-# never-driver-checked queries from CORRECTNESS_r01..r03, plus one
-# already-green representative per §2 family whose members are NOT in
-# that 44 (relational core, enablement, discovery→WT→report, rule
-# mining, dedup-LSH flagship, ANN flagship) so parity evidence isn't
-# lost round-over-round. Union of r1-r3 green rows + this window =
-# all 104 registered names. Set to None to fall back to the flags.
+# Round-5 rotation (VERDICT r4 tasks 1-2, 8). 50 slots:
+# - 6 family representatives (kept every round so reference-parity
+#   evidence stays fresh);
+# - the 6 r4 hash-red queries, re-rotated after the HUGEINT-oracle /
+#   scalar-output fixes (commit e809290) so CORRECTNESS_r05 records
+#   the repaired rows;
+# - the 4 round-4 operators never yet driver-checked (q107-q110);
+# - the 7 environment canaries (plans/queries_canary.py) — q116 is the
+#   deliberate HUGEINT probe, expected red iff the r4 divergence
+#   mechanism holds in the driver env;
+# - the 27 stalest driver-greens (latest green row r2 or r3-only), so
+#   every query's most recent green row stays ≤2 rounds old.
+# Union of r1-r4 green rows + this window = all 115 registered names.
+# Set to None to fall back to the per-call flags.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
-    # family representatives (already driver-green in r1-r3)
+    # family representatives (driver-green r1-r4)
     "q01_pricing_summary",
     "q30_enabled_times",
     "q34_waiting_time_report",
     "q37_activation_rules",
     "q41_dedup_minhash_lsh",
     "q44_embedding_neardup",
-    # never driver-checked before round 4
-    "q54_frame_sample",
-    "q55_payload_resize",
-    "q62_doc_chunking",
-    "q63_decontaminate",
+    # r4 hash-red, fixed this round (oracle HUGEINT casts / q100 scalar)
     "q64_diversity_signals",
-    "q65_quantized_topk",
-    "q66_asof_join",
-    "q67_bm25_topk",
-    "q68_incremental_merge",
-    "q69_seeded_shuffle",
     "q70_source_mixing",
-    "q71_context_packing",
-    "q72_unigram_logprob",
-    "q73_dedup_segments",
     "q76_bigram_logprob",
-    "q77_profile_columns",
-    "q78_quality_buckets",
-    "q79_cdc_chunks",
-    "q81_retention_cohorts",
-    "q82_payload_neardup",
-    "q83_interval_overlap_join",
-    "q84_resample_locf",
-    "q85_rolling_median",
     "q86_json_props_stats",
-    "q87_pseudonymized_rollup",
-    "q88_corpus_diff",
-    "q89_sql_surface",
-    "q90_dfg_drift",
-    "q91_profile_drift",
-    "q92_redact_pii",
-    "q93_cms_heavy_hitters",
-    "q94_distinctive_terms",
-    "q95_validation_summary",
-    "q96_train_split",
-    "q97_distribution_drift",
-    "q98_rendezvous_shards",
-    "q99_bucket_rollup",
     "q100_jl_projection",
-    "q101_negative_samples",
-    "q102_dedup_weights",
-    "q103_rolling_mad",
-    "q104_percentile_normalize",
-    "q105_novelty_signals",
     "q106_dedup_audit_by_source",
+    # round-4 operators, first driver check
+    "q107_weighted_sample",
+    "q108_k_anonymous_rollup",
+    "q109_time_split_embargo",
+    "q110_cross_source_dup_matrix",
+    # environment canaries (queries_canary.py)
+    "q111_canary_float_round",
+    "q112_canary_regex_split",
+    "q113_canary_json_extract",
+    "q114_canary_hex_cast",
+    "q115_canary_nullable_agg",
+    "q116_canary_hugeint_probe",
+    "q117_canary_unicode_lower",
+    # stalest greens: last green in r2
+    "q02_filter_project",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q14_nested_two_level_agg",
+    "q15_histogram",
+    "q16_rollup",
+    "q22_dense_rank",
+    "q23_instant_generation",
+    "q25_conditional_pivot",
+    "q45_ann_cosine_topk",
+    # stalest greens: green only in r3
+    "q51_multimodal_features",
+    "q53_corpus_filter",
+    "q58_stratified_sample",
+    "q59_token_shard_packing",
+    "q60_winnowing_pairs",
+    "q61_event_blacklist",
+    "q74_semantic_dedup",
+    "q75_dedup_resolution",
+    "q80_funnel_steps",
+    # stalest greens: last green in r3
+    "q07_in_case_when",
+    "q11_sessionize",
+    "q26_trace_subset",
+    "q27_calendar_displacement",
+    "q28_prioritization_pairs",
+    "q29_range_join_bucketed",
+    "q38_interval_sweep",
+    "q50_fingerprint",
 })
+
+
+# Names registered with ``primary=True`` that the active rotation
+# excluded from the driver window (ADVICE r4: while PRIMARY_ROTATION is
+# set the per-call flag is otherwise silently dead — a new
+# ``@query(..., primary=True)`` would never reach the driver).
+# tests/test_registry_rotation.py pins this set to an explicit snapshot
+# so any window-membership change is a deliberate, reviewed edit.
+ROTATION_SHADOWED: set[str] = set()
 
 
 def query(name: str, oracle: str | None = None, primary: bool = True):
@@ -105,7 +123,9 @@ def query(name: str, oracle: str | None = None, primary: bool = True):
     ``primary=False`` routes to the pytest-verified secondary registry
     (kept out of the driver's 50-row correctness window). When
     ``PRIMARY_ROTATION`` is set, window membership comes from the
-    rotation set instead and the flag is documentation only.
+    rotation set instead and the flag is documentation only; a
+    ``primary=True`` registration the rotation excludes is recorded in
+    ``ROTATION_SHADOWED`` and pinned by tests/test_registry_rotation.py.
     """
 
     def deco(fn: SparkBuilder) -> SparkBuilder:
@@ -113,6 +133,8 @@ def query(name: str, oracle: str | None = None, primary: bool = True):
             name in PRIMARY_ROTATION if PRIMARY_ROTATION is not None
             else primary
         )
+        if PRIMARY_ROTATION is not None and primary and not is_primary:
+            ROTATION_SHADOWED.add(name)
         q, o = (
             (QUERIES, ORACLES) if is_primary
             else (EXTRA_QUERIES, EXTRA_ORACLES)

@@ -27,6 +27,7 @@ sys.path.insert(0, str(REPO))
 def main() -> None:
     from batch_processing_analysis_spark.plans import registry
     from batch_processing_analysis_spark.plans import (  # noqa: F401
+        queries_canary,
         queries_eventlog,
         queries_relational,
         queries_text,

@@ -40,6 +40,10 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Deliberately carries a raw HUGEINT sum: the canary probing the
+# driver's pandas canonicalization (plans/queries_canary.py).
+TYPE_GUARD_ALLOWLIST = {"q116_canary_hugeint_probe"}
+
 
 def canon_cell(v) -> str:
     if v is None:
@@ -166,7 +170,7 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            if args.strict_driver:
+            if args.strict_driver and name not in TYPE_GUARD_ALLOWLIST:
                 bad = [
                     (c, t) for c, t, *_ in
                     con.execute("DESCRIBE " + oracles[name]).fetchall()
