@@ -93,23 +93,47 @@ def redact_documents(docs: DataFrame, text_col: str = "text",
                .withColumn(text_col, redacted)
 
 
+SUPPRESSED = "__suppressed__"
+
+
 def k_anonymize(df: DataFrame, group_cols: Sequence[str],
                 k: int = 5) -> DataFrame:
     """k-anonymity gate for published rollups (M87): group counts where
     every emitted combination of ``group_cols`` covers at least ``k``
     rows; rarer combinations — the re-identifiable ones — are folded
     into a single ``__suppressed__`` row carrying their total, so the
-    publication stays additive (column sums equal the input row count)
-    without exposing any small group.
+    publication stays additive (column sums equal the input row count).
+
+    Privacy contract (ADVICE r4): when EXACTLY ONE group falls below
+    ``k``, the suppressed row publishes that single group's exact
+    count, and if the ``group_cols`` domain is enumerable its identity
+    is recoverable by complement — the classic complementary-
+    suppression gap. This gate intentionally keeps the additive-total
+    semantics (the SQL-oracle-checkable contract); callers whose
+    domain is enumerable and adversarial should apply secondary
+    suppression on top (fold the smallest ≥k group too) or publish no
+    suppressed total. The caveat is structural to cell suppression,
+    not a bug in the fold.
 
     Group columns are emitted as strings (the suppressed sentinel must
-    be representable in every column). Two partial-agg passes over a
-    groups-sized frame; the suppressed row appears only when at least
-    one group was below ``k``.
+    be representable in every column); a genuine group VALUE equal to
+    ``'__suppressed__'`` would silently merge with the sentinel row,
+    so it fails the job at execution time instead. Two partial-agg
+    passes over a groups-sized frame; the suppressed row appears only
+    when at least one group was below ``k``.
     """
     if k < 1:
         raise ValueError(f"k ({k}) must be >= 1")
-    gcols = [F.col(c).cast("string").alias(c) for c in group_cols]
+    gcols = [
+        F.when(
+            F.col(c).cast("string") == SUPPRESSED,
+            F.raise_error(F.lit(
+                f"k_anonymize: group value in {c!r} collides with the "
+                f"{SUPPRESSED!r} sentinel"
+            )),
+        ).otherwise(F.col(c).cast("string")).alias(c)
+        for c in group_cols
+    ]
     counts = df.select(*gcols).groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
@@ -122,7 +146,7 @@ def k_anonymize(df: DataFrame, group_cols: Sequence[str],
         )
         .filter(F.col("_g") > 0)
         .select(
-            *[F.lit("__suppressed__").alias(c) for c in group_cols],
+            *[F.lit(SUPPRESSED).alias(c) for c in group_cols],
             "n_rows",
         )
     )

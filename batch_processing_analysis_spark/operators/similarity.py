@@ -277,10 +277,14 @@ def _ivf_assign_matmul(corpus: DataFrame, centroids: DataFrame,
     matmul X_unit @ C_unit.T followed by an argmax. Ties and
     zero-norm vectors both resolve to the MIN centroid id (np.argmax
     returns the first maximum and rows are sorted by id), matching the
-    hof path's min-struct tie-break; a zero-norm CENTROID scores 0
-    (the hof path's NaN loses every comparison, so neither path lets a
-    degenerate centroid capture vectors). Ragged batches group by
-    vector length, as in the SRP kernel.
+    hof path's min-struct tie-break. Degenerate CENTROIDS (zero-norm
+    or any non-finite component) are masked to −inf before the argmax
+    so they can never capture a vector — mirroring the hof path, where
+    their NaN cosine loses every comparison (ADVICE r4: np.argmax
+    treats NaN as the maximum, and a raw 0 score would beat all-
+    negative real cosines). If EVERY centroid is degenerate the argmax
+    falls back to the min centroid id, again like the hof tie-break.
+    Ragged batches group by vector length, as in the SRP kernel.
     """
     rows = sorted(
         (r[0], r[1]) for r in centroids.select(cent_id, vec_col).collect()
@@ -293,9 +297,11 @@ def _ivf_assign_matmul(corpus: DataFrame, centroids: DataFrame,
     for i, (_, v) in enumerate(rows):
         if v:
             C[i, : len(v)] = np.asarray(v, dtype=np.float64)
+    finite_rows = np.isfinite(C).all(axis=1)
+    C[~finite_rows] = 0.0  # keep the matmul NaN-free
     norms = np.linalg.norm(C, axis=1)
-    nz = norms > 0
-    C[nz] = C[nz] / norms[nz, None]  # zero-norm centroid row stays 0
+    ok = finite_rows & (norms > 0)  # degenerate centroids masked below
+    C[ok] = C[ok] / norms[ok, None]
 
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
@@ -326,6 +332,11 @@ def _ivf_assign_matmul(corpus: DataFrame, centroids: DataFrame,
                     scores = X[:, :dim] @ C.T
                 else:
                     scores = X @ C.T
+                # degenerate centroids and NaN scores (non-finite
+                # vector components) lose every comparison, as in the
+                # hof path; all-(-inf) rows argmax to 0 → min cid
+                scores[:, ~ok] = -np.inf
+                scores = np.where(np.isnan(scores), -np.inf, scores)
                 best[idx] = cids[np.argmax(scores, axis=1)]
             yield pd.DataFrame({
                 id_col: pdf[id_col],

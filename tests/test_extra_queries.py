@@ -483,6 +483,22 @@ def test_k_anonymize_additivity_and_suppression(spark):
         k_anonymize(df, ["g"], k=0)
 
 
+def test_k_anonymize_sentinel_collision_fails_loudly(spark):
+    """ADVICE r4: a genuine group value equal to '__suppressed__' would
+    silently merge with the sentinel row — the gate must fail instead."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from batch_processing_analysis_spark.operators.privacy import k_anonymize
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 6 + [("__suppressed__", 1)] * 6, "g string, v int"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        k_anonymize(df, ["g"], k=5).collect()
+    assert "collides with" in str(ei.value)
+
+
 def test_time_split_embargo_semantics(spark):
     from datetime import datetime
 

@@ -278,3 +278,33 @@ def test_ivf_assign_matmul_edge_vectors(spark):
         assert got[4] == 10, strategy
         assert got[5] == 20, strategy
         assert got[6] == 10, strategy
+
+
+def test_ivf_assign_degenerate_centroids_never_capture(spark):
+    """ADVICE r4 (similarity.py matmul path): a centroid with a NaN
+    component must not capture every vector (np.argmax treats NaN as
+    the maximum), and a zero-norm centroid must lose even when every
+    real cosine is negative (raw 0 would win). Both paths must agree."""
+    from batch_processing_analysis_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.createDataFrame(
+        # cosine vs centroid 10 is NEGATIVE for both vectors, so an
+        # unmasked zero-norm centroid (score 0) would capture them
+        [(1, [-1.0, 0.0, 0.0]), (2, [-1.0, -1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),
+            (20, [float("nan"), 1.0, 0.0]),  # NaN component
+            (30, [0.0, 0.0, 0.0]),           # zero-norm
+        ],
+        "centroid_id long, embedding array<double>",
+    )
+    for strategy in ("hof", "matmul"):
+        got = {r["vec_id"]: r["centroid_id"]
+               for r in ivf_assign(emb, cents,
+                                   strategy=strategy).collect()}
+        assert got == {1: 10, 2: 10}, strategy
