@@ -28,6 +28,7 @@ import pytest
 
 from batch_processing_analysis_spark.plans import registry
 from batch_processing_analysis_spark.plans import (  # noqa: F401 — register
+    queries_canary,
     queries_eventlog,
     queries_relational,
     queries_text,
@@ -72,6 +73,43 @@ EXTRA_SCALAR_BROADCAST = {
 }
 
 
+# Global (unpartitioned) windows move ALL input rows to one partition —
+# a scale-killer over row-scale data, but safe by construction when the
+# window's input is a grouped aggregate (frame size = |groups|, e.g.
+# the per-source offset windows of context packing / source mixing:
+# ordering.py's `woff` stage). VERDICT r4 task 6: the `No Partition
+# Defined` WindowExec warnings those frames emit must not be able to
+# mask a real single-partition regression — so every global Window is
+# (a) only allowed in queries named here AND (b) structurally required
+# to sit above an Aggregate with grouping keys. A new global window
+# anywhere else, or one of these losing its bounding aggregate, fails
+# the audit.
+GLOBAL_WINDOW_BOUNDED = {
+    "q26_trace_subset",
+    "q71_context_packing",
+}
+
+
+def _subtree_has_grouping_agg(node) -> bool:
+    if node.nodeName() == "Aggregate" and \
+            not node.groupingExpressions().isEmpty():
+        return True
+    ch = node.children()
+    return any(_subtree_has_grouping_agg(ch.apply(i))
+               for i in range(ch.length()))
+
+
+def _global_windows_bounded(node, out: list) -> list:
+    """Collect, for each unpartitioned logical Window node, whether its
+    input subtree is bounded by a grouped aggregate."""
+    if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+        out.append(_subtree_has_grouping_agg(node.children().apply(0)))
+    ch = node.children()
+    for i in range(ch.length()):
+        _global_windows_bounded(ch.apply(i), out)
+    return out
+
+
 @pytest.mark.parametrize(
     "name", sorted({**registry.QUERIES, **registry.EXTRA_QUERIES})
 )
@@ -81,7 +119,20 @@ def test_no_cartesian_or_nested_loop_join(name, spark, sf_dir):
     df = (registry.QUERIES.get(name) or registry.EXTRA_QUERIES[name])(
         spark, sf_dir
     )
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    qe = df._jdf.queryExecution()
+    gw = _global_windows_bounded(qe.optimizedPlan(), [])
+    if name in GLOBAL_WINDOW_BOUNDED:
+        assert gw and all(gw), (
+            f"{name}: allowlisted global window lost its bounding "
+            f"grouped aggregate (bounded flags: {gw})"
+        )
+    else:
+        assert not gw, (
+            f"{name}: unpartitioned Window over non-aggregated input — "
+            f"single-partition scale killer; partition it or add it to "
+            f"GLOBAL_WINDOW_BOUNDED with a size-bound justification"
+        )
+    plan = qe.executedPlan().toString()
     if name in DENSE_BY_DESIGN:
         return  # documented dense comparison
     assert "CartesianProduct" not in plan, name
