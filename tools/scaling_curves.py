@@ -29,6 +29,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 HEAVY = [
+    "q28_prioritization_pairs",
     "q41_dedup_minhash_lsh",
     "q44_embedding_neardup",
     "q53_corpus_filter",
@@ -46,8 +47,29 @@ def build_blowup(spark, sf_dir: str, factor: int) -> str:
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     for p in Path(sf_dir).glob("*.parquet"):
-        if p.stem not in ("documents", "embeddings"):
+        if p.stem not in ("documents", "embeddings", "events"):
             os.symlink(p, os.path.join(out, p.name))
+
+    # events: ×factor as a LONGER HISTORY — each copy keeps the same 20
+    # resources (user_id shifts by a multiple of 20, so user_id % 20 is
+    # invariant) but occupies a disjoint 35-day time window, the natural
+    # growth dimension of an event log. Cross-copy theta-join pairs
+    # (q28's e2.s == e1.e) are impossible across windows, so true pair
+    # density scales ×factor — linear in the data, isolating the PLAN's
+    # scaling. A same-timestamp clone instead would square the
+    # per-(resource, instant) pair count: a property of that degenerate
+    # data, not of the join.
+    ev = load_table(spark, sf_dir, "events")
+    big_ev = None
+    for i in range(factor):
+        part = ev.select(
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * 35} DAYS")).alias("ts"),
+            (F.col("user_id") + F.lit(i * 100_000_000)).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        big_ev = part if big_ev is None else big_ev.unionByName(part)
+    big_ev.repartition(8).write.parquet(f"{out}/events.parquet")
 
     docs = load_table(spark, sf_dir, "documents")
     big_docs = None
