@@ -600,3 +600,74 @@ def cross_source_dup_matrix(docs: DataFrame, pairs: DataFrame | None = None,
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def source_overlap_sketch(docs: DataFrame, k: int = 64,
+                          id_col: str = "doc_id",
+                          source_col: str = "source",
+                          text_col: str = "text") -> DataFrame:
+    """Sketch-based cross-source content overlap (M91): a ``k``-seed
+    bottom-1 MinHash signature per SOURCE over the exact content
+    hashes of its documents, compared pairwise to estimate the Jaccard
+    similarity of each source pair's distinct-content sets. The
+    one-pass estimator companion to M89's exact
+    :func:`cross_source_dup_matrix` — that join counts duplicate pairs
+    exactly at a content-hash shuffle; this answers "which feeds
+    mirror each other" from |sources|·k integers, the shape that still
+    works when the pair join itself is the budget item.
+
+    Each seed's hash is the portable ``hash60(seed ':' content_hash)``
+    (md5-derived, same on both engines); a source's signature component
+    is the MIN over its docs. For sources A, B the match fraction of
+    their k components is the standard unbiased MinHash estimate of
+    ``|A∩B| / |A∪B|`` (Broder 1997) over DISTINCT contents — exact
+    duplicates inside one source collapse to one set element, so
+    within-source duplication does not inflate the estimate (unlike a
+    pair count).
+
+    Output: ``(source_a, source_b, k, n_match, est_jaccard_micro)``
+    for each unordered pair, ``source_a < source_b``.
+
+    Scale: one map-side explode to k rows per doc feeding a
+    partial-aggregated min — shuffle volume is |sources|·k regardless
+    of corpus size; the pairwise stage is |sources|²·k tiny rows. No
+    all-pairs document join anywhere.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    h = docs.select(F.col(source_col).alias("source"),
+                    F.md5(norm).alias("_ch"))
+    seeded = h.select(
+        "source",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed"),
+        "_ch",
+    ).select(
+        "source", "seed",
+        hash60(F.concat(F.col("seed").cast("string"), F.lit(":"),
+                        F.col("_ch"))).alias("_hv"),
+    )
+    sig = seeded.groupBy("source", "seed").agg(F.min("_hv").alias("_mh"))
+    # The signature feeds BOTH sides of the pairwise join; without
+    # staging, each side would re-run the full-corpus explode+min. The
+    # staged frame is |sources|·k rows (deferred materialization — the
+    # next action computes it once).
+    from .checkpoints import checkpoint_tracked
+
+    sig, _ = checkpoint_tracked(sig, eager=False)
+    a = sig.select(F.col("source").alias("source_a"), "seed",
+                   F.col("_mh").alias("_ma"))
+    b = sig.select(F.col("source").alias("source_b"), "seed",
+                   F.col("_mh").alias("_mb"))
+    return (
+        a.join(b, (a["seed"] == b["seed"])
+               & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum((F.col("_ma") == F.col("_mb")).cast("long"))
+             .alias("n_match"))
+        .select(
+            "source_a", "source_b", F.lit(k).alias("k"), "n_match",
+            F.floor(F.col("n_match") * F.lit(1_000_000) / F.lit(k))
+            .cast("long").alias("est_jaccard_micro"),
+        )
+    )

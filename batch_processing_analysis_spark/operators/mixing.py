@@ -67,3 +67,59 @@ def mix_sources(docs: DataFrame, weights: dict[str, float],
                 < F.floor(F.col("_budget")))
         .select(id_col, source_col, tokens_col, "cum_tokens")
     )
+
+
+def temperature_mix_weights(docs: DataFrame, alpha: float = 0.3,
+                            source_col: str = "source",
+                            size_col: str | None = None) -> DataFrame:
+    """Temperature-scaled source sampling weights (M92): the public
+    multilingual-pretraining recipe (XLM, Conneau & Lample 2019 §3.1;
+    mBERT; mT5 §3.2) — a source with empirical share ``p_s`` samples
+    with probability ``q_s ∝ p_s^α``, flattening the head (α<1) so
+    low-resource sources are not drowned out.
+
+    ``size_col`` measures a source's mass (e.g. ``n_chars`` or a token
+    count); ``None`` counts documents. Output, one row per source:
+
+    - ``n_size`` — the source's exact integer mass;
+    - ``p_micro`` — empirical share, integer micros;
+    - ``q_micro`` — temperature-scaled sampling weight, integer
+      micros, normalized over sources.
+
+    Determinism: ``p_s^α`` is a pure per-row double (identical IEEE
+    result in both engines); the cross-source normalizer sums the
+    QUANTIZED ``floor(p_s^α·1e6)`` integers, so no float sum's
+    ordering can flip a micro (the plans/registry.py convention).
+
+    Scale: one partial-aggregated groupBy on source + one broadcast of
+    the |sources|-row total; the weights table is dimension-sized.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be non-negative")
+    mass = (F.count(F.lit(1)) if size_col is None
+            else F.sum(size_col).cast("long"))
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        mass.alias("n_size")
+    )
+    # ``per`` is referenced by the total, the scores, and the
+    # normalizer — unstaged, each reference re-scans the corpus. The
+    # staged frame is |sources| rows.
+    from .checkpoints import checkpoint_tracked
+
+    per, _ = checkpoint_tracked(per, eager=False)
+    tot = per.agg(F.sum("n_size").alias("_tot"))
+    scored = per.join(F.broadcast(tot)).select(
+        "source", "n_size",
+        F.floor(F.col("n_size") * F.lit(1_000_000) / F.col("_tot"))
+        .cast("long").alias("p_micro"),
+        F.floor(
+            F.pow(F.col("n_size").cast("double") / F.col("_tot"),
+                  F.lit(float(alpha))) * F.lit(1e6)
+        ).cast("long").alias("_pa_micro"),
+    )
+    norm = scored.agg(F.sum("_pa_micro").alias("_z"))
+    return scored.join(F.broadcast(norm)).select(
+        "source", "n_size", "p_micro",
+        F.floor(F.col("_pa_micro") * F.lit(1_000_000) / F.col("_z"))
+        .cast("long").alias("q_micro"),
+    )

@@ -879,3 +879,96 @@ def project_embeddings(corpus: DataFrame, out_dim: int = 8, dim: int = 64,
     return corpus.join(proj, id_col, "left").select(
         id_col, vec_col, F.coalesce("proj_q", zeros).alias("proj_q")
     )
+
+
+def embedding_outliers(corpus: DataFrame, k: int = 20,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Per-group embedding outlier detection (M90): each vector's
+    Euclidean distance to its group centroid, z-scored within the
+    group, top-``k`` most anomalous vectors per group — the standard
+    training-data hygiene pass that surfaces mislabeled / corrupt /
+    off-distribution embeddings before they enter a corpus.
+
+    Every moment is an EXACT integer sum over integer-micro quantized
+    components (``floor(x·1e6)``), so the result is bit-identical
+    regardless of partition or aggregation order and a DuckDB oracle
+    can reproduce it (the determinism convention of plans/registry.py):
+
+    1. component rows ``(id, label, dim, xm)`` — one ``posexplode``;
+    2. centroid ``cm[label, dim] = floor(Σ xm / n)`` — integer sums,
+       one partial-aggregated shuffle on (label, dim);
+    3. ``dist_micro = floor(sqrt(Σ (xm − cm)²))`` per vector — the
+       centroid table is |labels|·dim rows, broadcast back;
+    4. group moments of ``dist_micro`` with the sum of squares held in
+       ``decimal(38,0)`` (Spark ``sum(long)`` overflows silently;
+       DuckDB's HUGEINT is exact — both cast to double only at the
+       final z); ``z = (d − mean)/std`` rounded to 6 dp, 0.0 for a
+       zero-variance group;
+    5. rank by the exact integer ``dist_micro`` (desc, id tiebreak) —
+       identical ordering to z within a group, no float comparisons.
+
+    Scale: shuffles are (label, dim) → (id) → (label); the centroid
+    and moments tables are group-sized and broadcast. Exactness bound:
+    component sums stay under 2⁶³ up to ~10¹¹ vectors per group.
+    """
+    comp = corpus.select(
+        F.col(id_col), F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_x"),
+    ).select(
+        id_col, label_col, "_dim",
+        F.floor(F.col("_x").cast("double") * F.lit(1e6))
+        .cast("long").alias("_xm"),
+    )
+    cent = comp.groupBy(label_col, "_dim").agg(
+        F.sum("_xm").alias("_s"), F.count(F.lit(1)).alias("_n")
+    ).select(
+        label_col, "_dim",
+        F.floor(F.col("_s") / F.col("_n")).cast("long").alias("_cm"),
+    )
+    d2 = (
+        comp.join(F.broadcast(cent), [label_col, "_dim"])
+        .select(id_col, label_col,
+                ((F.col("_xm") - F.col("_cm"))
+                 * (F.col("_xm") - F.col("_cm"))).alias("_dd"))
+        .groupBy(id_col, label_col)
+        .agg(F.sum("_dd").alias("_d2"))
+        .select(id_col, label_col,
+                F.floor(F.sqrt(F.col("_d2"))).cast("long")
+                .alias("dist_micro"))
+    )
+    # ``d2`` feeds both the group moments and the scoring join —
+    # unstaged, each reference re-runs the explode/centroid/distance
+    # pipeline. The staged frame is one row per vector (id, label,
+    # dist_micro).
+    from .checkpoints import checkpoint_tracked
+
+    d2, _ = checkpoint_tracked(d2, eager=False)
+    mom = d2.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("_gn"),
+        F.sum("dist_micro").alias("_gs"),
+        F.sum(F.col("dist_micro").cast("decimal(38,0)")
+              * F.col("dist_micro")).alias("_gss"),
+    )
+    n = F.col("_gn")
+    var_num = (n.cast("decimal(38,0)") * F.col("_gss")
+               - F.col("_gs").cast("decimal(38,0)")
+               * F.col("_gs")).cast("double")
+    mean = F.col("_gs").cast("double") / n
+    std = F.sqrt(var_num) / n
+    scored = d2.join(F.broadcast(mom), label_col).select(
+        label_col, id_col, "dist_micro",
+        F.round(
+            F.when(std > 0,
+                   (F.col("dist_micro") - mean) / std)
+            .otherwise(F.lit(0.0)), 6
+        ).alias("z"),
+    )
+    w = W.partitionBy(label_col).orderBy(
+        F.col("dist_micro").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(label_col, id_col, "dist_micro", "z", "rank")
+    )

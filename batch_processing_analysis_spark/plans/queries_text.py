@@ -2533,3 +2533,131 @@ def q110_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs duplicate internally. Secondary registry; oracle-gated by
     tests/test_extra_queries.py."""
     return D.cross_source_dup_matrix(_docs(spark, sf_dir))
+
+
+@query(
+    "q118_embedding_outliers",
+    """
+    WITH dims AS (SELECT CAST(range AS INTEGER) AS dim FROM range(64)),
+    comp AS (
+      SELECT vec_id, label, d.dim,
+             CAST(floor(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xm
+      FROM embeddings, dims d
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(floor(CAST(sum(xm) AS BIGINT) * 1.0 / count(*))
+                  AS BIGINT) AS cm
+      FROM comp GROUP BY label, dim
+    ),
+    d2 AS (
+      SELECT c.vec_id, c.label,
+             CAST(floor(sqrt(CAST(sum((c.xm - ct.cm) * (c.xm - ct.cm))
+                                  AS BIGINT))) AS BIGINT) AS dist_micro
+      FROM comp c JOIN cent ct ON c.label = ct.label AND c.dim = ct.dim
+      GROUP BY c.vec_id, c.label
+    ),
+    mom AS (
+      SELECT label, count(*) AS gn,
+             CAST(sum(dist_micro) AS BIGINT) AS gs,
+             sum(CAST(dist_micro AS HUGEINT) * dist_micro) AS gss
+      FROM d2 GROUP BY label
+    ),
+    zz AS (
+      SELECT d.label, d.vec_id, d.dist_micro,
+             round(CASE WHEN sqrt(CAST(m.gn * m.gss
+                                       - CAST(m.gs AS HUGEINT) * m.gs
+                                       AS DOUBLE)) / m.gn > 0
+                        THEN (d.dist_micro - CAST(m.gs AS DOUBLE) / m.gn)
+                             / (sqrt(CAST(m.gn * m.gss
+                                          - CAST(m.gs AS HUGEINT) * m.gs
+                                          AS DOUBLE)) / m.gn)
+                        ELSE 0.0 END, 6) AS z
+      FROM d2 d JOIN mom m ON d.label = m.label
+    ),
+    ranked AS (
+      SELECT label, vec_id, dist_micro, z,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist_micro DESC, vec_id) AS rank
+      FROM zz
+    )
+    SELECT label, vec_id, dist_micro, z, rank FROM ranked WHERE rank <= 20
+    """,
+    primary=False,
+)
+def q118_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier detection (operators/similarity.py:
+    embedding_outliers, M90): exact integer-micro centroids, z-scored
+    centroid distances, top-20 per label. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    return S.embedding_outliers(_embs(spark, sf_dir), k=20)
+
+
+@query(
+    "q119_source_overlap_sketch",
+    r"""
+    WITH h AS (
+      SELECT source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+      FROM documents
+    ),
+    seeds AS (SELECT CAST(range AS INTEGER) AS seed FROM range(64)),
+    hv AS (
+      SELECT h.source, s.seed,
+             CAST('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || h.ch),
+                                 1, 15) AS BIGINT) AS hvv
+      FROM h, seeds s
+    ),
+    sig AS (SELECT source, seed, min(hvv) AS mh FROM hv GROUP BY source, seed)
+    SELECT a.source AS source_a, b.source AS source_b,
+           64 AS k,
+           CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           CAST(floor(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                      * 1000000.0 / 64) AS BIGINT) AS est_jaccard_micro
+    FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    primary=False,
+)
+def q119_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash source-overlap estimate (operators/dedup.py:
+    source_overlap_sketch, M91): 64-seed bottom-1 signatures per
+    source over exact content hashes → pairwise estimated Jaccard of
+    distinct-content sets — the sketch companion to q110's exact
+    matrix. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return D.source_overlap_sketch(_docs(spark, sf_dir), k=64)
+
+
+@query(
+    "q120_temperature_mix_weights",
+    """
+    WITH per AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_size
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_size) AS BIGINT) AS t FROM per),
+    scored AS (
+      SELECT source, n_size,
+             CAST(floor(n_size * 1000000.0 / t) AS BIGINT) AS p_micro,
+             CAST(floor(pow(CAST(n_size AS DOUBLE) / t, 0.3) * 1000000.0)
+                  AS BIGINT) AS pa
+      FROM per, tot
+    ),
+    z AS (SELECT CAST(sum(pa) AS BIGINT) AS zz FROM scored)
+    SELECT source, n_size, p_micro,
+           CAST(floor(pa * 1000000.0 / zz) AS BIGINT) AS q_micro
+    FROM scored, z
+    """,
+    primary=False,
+)
+def q120_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (operators/mixing.py:
+    temperature_mix_weights, M92): q_s proportional to (n_s/N)^0.3 over per-source
+    n_chars mass, all shares in exact integer micros. Secondary
+    registry; oracle-gated by tests/test_extra_queries.py."""
+    return MX.temperature_mix_weights(
+        _docs(spark, sf_dir), alpha=0.3, size_col="n_chars"
+    )

@@ -147,6 +147,20 @@ HEADLINE += [
     "q109_time_split_embargo",
     "q110_cross_source_dup_matrix",
 ]
+# Round-5 additions: canaries (q111-q117, cheap by design — they bench
+# the fixed driver-env constructs) and the M90-M92 operators.
+HEADLINE += [
+    "q111_canary_float_round",
+    "q112_canary_regex_split",
+    "q113_canary_json_extract",
+    "q114_canary_hex_cast",
+    "q115_canary_nullable_agg",
+    "q116_canary_hugeint_probe",
+    "q117_canary_unicode_lower",
+    "q118_embedding_outliers",
+    "q119_source_overlap_sketch",
+    "q120_temperature_mix_weights",
+]
 
 
 def main() -> None:

@@ -70,6 +70,9 @@ EXTRA_SCALAR_BROADCAST = {
     # distribution drift: both snapshot totals are 1-row aggregates
     # broadcast onto the ≤ n_bins histogram join.
     "q97_distribution_drift",
+    # temperature mixing: the corpus-total and normalizer aggregates
+    # (1 row each) broadcast onto the |sources|-row weights table.
+    "q120_temperature_mix_weights",
 }
 
 

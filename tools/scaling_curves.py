@@ -38,17 +38,63 @@ HEAVY = [
 ]
 
 
-def build_blowup(spark, sf_dir: str, factor: int) -> str:
+def build_blowup(spark, sf_dir: str, factor: int, full: bool = False) -> str:
     from pyspark.sql import functions as F
 
     from batch_processing_analysis_spark.sources.tables import load_table
 
-    out = f"/tmp/spark_graft_scale_x{factor}_{Path(sf_dir).name}"
+    suffix_tag = "_full" if full else ""
+    out = f"/tmp/spark_graft_scale_x{factor}{suffix_tag}_{Path(sf_dir).name}"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
+    blown = {"documents", "embeddings", "events"}
+    if full:
+        blown |= {"lineitem", "orders", "customer", "part", "supplier"}
     for p in Path(sf_dir).glob("*.parquet"):
-        if p.stem not in ("documents", "embeddings", "events"):
+        if p.stem not in blown:
             os.symlink(p, os.path.join(out, p.name))
+
+    if full:
+        # TPC-H-ish fact/dim tables ×factor with JOIN-CONSISTENT key
+        # shifts: every copy shifts order/cust/part/supp keys by the
+        # same per-copy offset on both sides of each FK, so join
+        # cardinality scales linearly (never ×factor² fan-out) and
+        # per-key group sizes stay flat — the realistic "more
+        # customers, more orders" growth axis. nationkeys and the
+        # category/date columns are left as-is: more volume over the
+        # same dimensions and period widens existing aggregate groups
+        # instead of multiplying them.
+        O, C, P, S = 10_000_000, 1_000_000, 1_000_000, 100_000
+        specs = {
+            "lineitem": lambda df, i: df.withColumns({
+                "l_orderkey": F.col("l_orderkey") + F.lit(i * O),
+                "l_partkey": F.col("l_partkey") + F.lit(i * P),
+                "l_suppkey": F.col("l_suppkey") + F.lit(i * S),
+            }),
+            "orders": lambda df, i: df.withColumns({
+                "o_orderkey": F.col("o_orderkey") + F.lit(i * O),
+                "o_custkey": F.col("o_custkey") + F.lit(i * C),
+            }),
+            "customer": lambda df, i: df.withColumns({
+                "c_custkey": F.col("c_custkey") + F.lit(i * C),
+                "c_name": F.concat(F.col("c_name"), F.lit(f"#{i}")),
+            }),
+            "part": lambda df, i: df.withColumns({
+                "p_partkey": F.col("p_partkey") + F.lit(i * P),
+                "p_name": F.concat(F.col("p_name"), F.lit(f"#{i}")),
+            }),
+            "supplier": lambda df, i: df.withColumns({
+                "s_suppkey": F.col("s_suppkey") + F.lit(i * S),
+                "s_name": F.concat(F.col("s_name"), F.lit(f"#{i}")),
+            }),
+        }
+        for name, shift in specs.items():
+            base = load_table(spark, sf_dir, name)
+            big = None
+            for i in range(factor):
+                part = shift(base, i)
+                big = part if big is None else big.unionByName(part)
+            big.repartition(16).write.parquet(f"{out}/{name}.parquet")
 
     # events: ×factor as a LONGER HISTORY — each copy keeps the same 20
     # resources (user_id shifts by a multiple of 20, so user_id % 20 is
@@ -134,6 +180,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default="-")
+    ap.add_argument("--build-full-only", action="store_true",
+                    help="build the ×factor blow-up of EVERY table "
+                         "(an sf1-equivalent dataset when --factor 10 "
+                         "at sf0.1) and exit — for a full-surface "
+                         "bench.py run via SPARK_GRAFT_SF_DIR")
     args = ap.parse_args()
 
     from batch_processing_analysis_spark.plans import registry
@@ -145,6 +196,10 @@ def main() -> None:
     from batch_processing_analysis_spark.session import get_spark
 
     spark = get_spark("scaling_curves")
+    if args.build_full_only:
+        out = build_blowup(spark, args.sf_dir, args.factor, full=True)
+        print(out)
+        return
     allq = {**registry.QUERIES, **registry.EXTRA_QUERIES}
     blow = build_blowup(spark, args.sf_dir, args.factor)
 
