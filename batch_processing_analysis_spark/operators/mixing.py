@@ -123,3 +123,50 @@ def temperature_mix_weights(docs: DataFrame, alpha: float = 0.3,
         F.floor(F.col("_pa_micro") * F.lit(1_000_000) / F.col("_z"))
         .cast("long").alias("q_micro"),
     )
+
+
+def epoch_plan(docs: DataFrame, token_budget: int, alpha: float = 0.3,
+               max_epochs_micro: int = 4_000_000,
+               source_col: str = "source",
+               size_col: str | None = "n_chars") -> DataFrame:
+    """Per-source epoch/repetition plan (M93): turn M92's
+    temperature-scaled weights into a concrete sampling plan for a
+    fixed token budget, with a repetition cap — the public
+    data-constrained recipe (Muennighoff et al. 2023 find ~4 epochs of
+    repetition near-free, rapidly decaying after) every mixture that
+    up-samples small sources needs.
+
+    Per source: ``requested = floor(budget · q_s)``;
+    ``epochs = requested / available`` (integer micros); sources whose
+    requested repetition exceeds ``max_epochs_micro`` are CAPPED at
+    ``floor(available · max_epochs)`` and flagged, so the training
+    loader can redistribute or shrink the run. All arithmetic is
+    integer micros (exactness bound: ``budget · 1e6 < 2⁶³``, i.e.
+    budgets up to ~9·10¹² units).
+
+    Output per source: ``n_size`` (available mass), ``q_micro``
+    (sampling weight), ``requested_tokens``, ``epochs_micro``
+    (requested/available), ``granted_tokens``, ``capped`` (0/1).
+
+    Scale: inherits :func:`temperature_mix_weights`' single
+    partial-aggregated groupBy; everything after is arithmetic on the
+    |sources|-row weights table.
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    if max_epochs_micro <= 0:
+        raise ValueError("max_epochs_micro must be positive")
+    w = temperature_mix_weights(docs, alpha=alpha, source_col=source_col,
+                                size_col=size_col)
+    req = F.floor(F.lit(token_budget) * F.col("q_micro") / F.lit(1_000_000)
+                  ).cast("long")
+    cap = F.floor(F.col("n_size") * F.lit(max_epochs_micro)
+                  / F.lit(1_000_000)).cast("long")
+    return w.select(
+        "source", "n_size", "q_micro",
+        req.alias("requested_tokens"),
+        F.floor(req * F.lit(1_000_000) / F.col("n_size")).cast("long")
+        .alias("epochs_micro"),
+        F.least(req, cap).alias("granted_tokens"),
+        (req > cap).cast("int").alias("capped"),
+    )

@@ -254,7 +254,10 @@ def percentile_normalize(scored: DataFrame, group_col: str,
     """
     w = W.partitionBy(group_col).orderBy(score_col, id_col)
     n = F.count(F.lit(1)).over(W.partitionBy(group_col))
-    r = F.row_number().over(w)
+    # row_number() is 32-bit: (r-1)·10⁶ overflows INT once a group
+    # exceeds 2148 rows (ANSI error at the sf1-equivalent bench, r5) —
+    # widen BEFORE the multiply.
+    r = F.row_number().over(w).cast("long")
     return scored.withColumn(
         out_col,
         F.when(n > 1,

@@ -471,10 +471,19 @@ def q19_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     search (pairs on one resource where one event starts inside the
     other's execution, handoff_batch.py:163-173).
 
-    Scale: equality on `resource` keeps this a partitioned hash join with
-    a range residual — NOT a cartesian product; skewed resources are
-    AQE-split.
+    Scale: the join's ONLY equality key is ``resource`` — 20 distinct
+    values — so a plain hash join evaluates O(Σ n_r²) candidate pairs:
+    measured 19.8× time at 10× events in the r5 sf1-equivalent bench,
+    the one super-linear query on the board. Since the intervals are
+    short (≤ ~488 s vs a months-long log), the J2 bucketed range join
+    fixes the shape: points hash to one 512 s time bucket, intervals
+    explode into the ≤2 buckets they touch, and the equi-key becomes
+    (resource, bucket) — candidates are now only same-bucket rows, so
+    growing the HISTORY grows buckets, not per-key candidates. The
+    value/id predicates stay residual filters on the exact matches.
     """
+    from ..operators.range_join import point_in_interval_join
+
     ev = _t(spark, sf_dir, "events")
     err = ev.filter(F.col("event_type") == "error").select(
         "event_id",
@@ -483,17 +492,20 @@ def q19_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("ts") + F.ceil("value").cast("long")).alias("e"),
         "value",
     )
-    a, b = err.alias("a"), err.alias("b")
+    pts = err.select(
+        F.col("event_id").alias("event_id_b"),
+        "resource",
+        F.col("s").alias("s_b"),
+        F.col("value").alias("value_b"),
+    )
+    matched = point_in_interval_join(
+        pts, err, point="s_b", start="s", end="e",
+        keys=["resource"], bucket=512, broadcast_points=False,
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.resource") == F.col("b.resource"))
-            & (F.col("a.event_id") != F.col("b.event_id"))
-            & (F.col("b.s") >= F.col("a.s"))
-            & (F.col("b.s") <= F.col("a.e"))
-            & (F.col("b.value") > F.col("a.value")),
-        )
-        .groupBy(F.col("a.resource").alias("resource"))
+        matched.filter((F.col("event_id_b") != F.col("event_id"))
+                       & (F.col("value_b") > F.col("value")))
+        .groupBy("resource")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 

@@ -2661,3 +2661,51 @@ def q120_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MX.temperature_mix_weights(
         _docs(spark, sf_dir), alpha=0.3, size_col="n_chars"
     )
+
+
+@query(
+    "q121_epoch_plan",
+    """
+    WITH per AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_size
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_size) AS BIGINT) AS t FROM per),
+    scored AS (
+      SELECT source, n_size,
+             CAST(floor(pow(CAST(n_size AS DOUBLE) / t, 0.3) * 1000000.0)
+                  AS BIGINT) AS pa
+      FROM per, tot
+    ),
+    z AS (SELECT CAST(sum(pa) AS BIGINT) AS zz FROM scored),
+    w AS (
+      SELECT source, n_size,
+             CAST(floor(pa * 1000000.0 / zz) AS BIGINT) AS q_micro
+      FROM scored, z
+    ),
+    plan AS (
+      SELECT source, n_size, q_micro,
+             CAST(floor(500000 * q_micro / 1000000.0) AS BIGINT)
+               AS requested_tokens,
+             CAST(floor(n_size * 4000000 / 1000000.0) AS BIGINT) AS cap
+      FROM w
+    )
+    SELECT source, n_size, q_micro, requested_tokens,
+           CAST(floor(requested_tokens * 1000000.0 / n_size) AS BIGINT)
+             AS epochs_micro,
+           least(requested_tokens, cap) AS granted_tokens,
+           CAST(CASE WHEN requested_tokens > cap THEN 1 ELSE 0 END
+                AS INTEGER) AS capped
+    FROM plan
+    """,
+    primary=False,
+)
+def q121_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch/repetition plan (operators/mixing.py:
+    epoch_plan, M93): a 500k-char budget allocated by alpha=0.3
+    temperature weights, repetition capped at 4 epochs with capped
+    sources flagged. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return MX.epoch_plan(_docs(spark, sf_dir), token_budget=500_000,
+                         alpha=0.3, max_epochs_micro=4_000_000,
+                         size_col="n_chars")

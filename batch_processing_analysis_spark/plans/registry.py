@@ -45,7 +45,10 @@ EXTRA_ORACLES: dict[str, str] = {}
 #   mechanism holds in the driver env;
 # - the 27 stalest driver-greens (latest green row r2 or r3-only), so
 #   every query's most recent green row stays ≤2 rounds old.
-# Union of r1-r4 green rows + this window = all 115 registered names.
+# Union of r1-r4 green rows + this window = all 115 names registered
+# when the window froze; the mid-r5 additions (q118-q121, M90-M93) are
+# extras and the head of the r6 rotation (tools/rotation_check.py
+# lists them as never-green).
 # Set to None to fall back to the per-call flags.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     # family representatives (driver-green r1-r4)

@@ -160,6 +160,7 @@ HEADLINE += [
     "q118_embedding_outliers",
     "q119_source_overlap_sketch",
     "q120_temperature_mix_weights",
+    "q121_epoch_plan",
 ]
 
 

@@ -1,7 +1,7 @@
-"""Unit tests for the M90-M92 operators: embedding outliers,
-source-overlap sketch, temperature mixing weights.
+"""Unit tests for the M90-M93 operators: embedding outliers,
+source-overlap sketch, temperature mixing weights, epoch planning.
 
-The oracle gate (tests/test_extra_queries.py on q118-q120) checks
+The oracle gate (tests/test_extra_queries.py on q118-q121) checks
 hash-exactness vs DuckDB; these tests check the SEMANTICS — planted
 outliers rank first, identical/disjoint sources bracket the sketch
 estimate, and the temperature limits (α=1 → empirical shares,
@@ -16,6 +16,7 @@ from batch_processing_analysis_spark.operators.dedup import (
     source_overlap_sketch,
 )
 from batch_processing_analysis_spark.operators.mixing import (
+    epoch_plan,
     temperature_mix_weights,
 )
 from batch_processing_analysis_spark.operators.similarity import (
@@ -138,3 +139,45 @@ class TestTemperatureMixWeights:
     def test_negative_alpha_raises(self, spark):
         with pytest.raises(ValueError):
             temperature_mix_weights(self._docs(spark), alpha=-0.1)
+
+
+class TestEpochPlan:
+    def _docs(self, spark):
+        rows = (
+            [(i, "big", 1000) for i in range(90)]
+            + [(100 + i, "small", 1000) for i in range(10)]
+        )
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        )
+
+    def test_budget_split_and_epoch_math(self, spark):
+        out = {r["source"]: r for r in
+               epoch_plan(self._docs(spark), token_budget=100_000,
+                          alpha=1.0).collect()}
+        # alpha=1: requested ~ empirical shares of the budget
+        assert abs(out["big"]["requested_tokens"] - 90_000) <= 2
+        assert abs(out["small"]["requested_tokens"] - 10_000) <= 2
+        # big: 90k requested over 90k available = 1 epoch, uncapped
+        assert abs(out["big"]["epochs_micro"] - 1_000_000) <= 100
+        assert out["big"]["capped"] == 0
+        assert out["big"]["granted_tokens"] == out["big"]["requested_tokens"]
+
+    def test_flattened_small_source_hits_the_cap(self, spark):
+        # alpha=0 splits 50/50: small gets 300k over 10k available =
+        # 30 epochs, capped at 4 -> granted 40k and flagged; big gets
+        # 300k over 90k = 3.33 epochs, under the cap.
+        out = {r["source"]: r for r in
+               epoch_plan(self._docs(spark), token_budget=600_000,
+                          alpha=0.0).collect()}
+        assert out["small"]["capped"] == 1
+        assert out["small"]["granted_tokens"] == 40_000
+        assert out["small"]["epochs_micro"] == 30_000_000
+        assert out["big"]["capped"] == 0
+        assert out["big"]["granted_tokens"] == 300_000
+
+    def test_invalid_args_raise(self, spark):
+        with pytest.raises(ValueError):
+            epoch_plan(self._docs(spark), token_budget=0)
+        with pytest.raises(ValueError):
+            epoch_plan(self._docs(spark), token_budget=10, max_epochs_micro=0)

@@ -73,6 +73,8 @@ EXTRA_SCALAR_BROADCAST = {
     # temperature mixing: the corpus-total and normalizer aggregates
     # (1 row each) broadcast onto the |sources|-row weights table.
     "q120_temperature_mix_weights",
+    # epoch planning builds on the same weights pipeline.
+    "q121_epoch_plan",
 }
 
 
