@@ -49,6 +49,17 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def content_norm(text_col: str = "text") -> Column:
+    """THE cross-engine content-normalization convention: lowercase,
+    collapse whitespace runs to one space, trim. Every exact-content
+    hash in the repo (batch + streaming dedup, the source-overlap
+    sketch, the q112 canary) and its SQL twin
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` must agree
+    on this expression — change it HERE or the hashes desynchronize.
+    """
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens, empty-string-free (portable split)."""
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
@@ -133,7 +144,7 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     Scale: one shuffle on the 128-bit content hash; cluster stats via a
     window over the same key reuse that shuffle (no second exchange).
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = content_norm(text_col)
     w = W.partitionBy("content_hash")
     return (
         docs.select(F.col(id_col), F.md5(norm).alias("content_hash"))
@@ -155,7 +166,7 @@ def exact_pair_edges(docs: DataFrame, id_col: str = "doc_id",
     cluster — the star-shaped edge set feeding connected-components
     clustering (operators/graph.py). Same single content-hash shuffle
     as :func:`exact_dedup`."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = content_norm(text_col)
     w = W.partitionBy("content_hash")
     return (
         docs.select(F.col(id_col), F.md5(norm).alias("content_hash"))
@@ -635,7 +646,7 @@ def source_overlap_sketch(docs: DataFrame, k: int = 64,
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = content_norm(text_col)
     h = docs.select(F.col(source_col).alias("source"),
                     F.md5(norm).alias("_ch"))
     seeded = h.select(

@@ -165,8 +165,13 @@ def epoch_plan(docs: DataFrame, token_budget: int, alpha: float = 0.3,
     return w.select(
         "source", "n_size", "q_micro",
         req.alias("requested_tokens"),
-        F.floor(req * F.lit(1_000_000) / F.col("n_size")).cast("long")
-        .alias("epochs_micro"),
+        # when-guard, not coalesce: ANSI raises on x/0 before
+        # null-handling could apply. A zero-mass source (all-empty
+        # texts) reports NULL epochs: requested > 0 over 0 available
+        # has no finite epoch count; granted stays 0 and capped flags.
+        F.when(F.col("n_size") > 0,
+               F.floor(req * F.lit(1_000_000) / F.col("n_size")))
+        .cast("long").alias("epochs_micro"),
         F.least(req, cap).alias("granted_tokens"),
         (req > cap).cast("int").alias("capped"),
     )

@@ -18,6 +18,8 @@ q116 hugeint-probe    raw sum() NEXT TO its BIGINT cast — expected RED
                       via pandas (the r4 mechanism); green means raw
                       sums are safe in that environment
 q117 unicode-lower    lower() over non-ASCII literals shared verbatim
+q122 pow              quantized libm pow at the mixing αs vs exact
+                      sqrt (extra — post-freeze, head of r6 rotation)
 
 All except q116 are expected green in every environment; q116 is a
 deliberate probe whose docstring (and this header) records that a red
@@ -246,4 +248,45 @@ def q117_canary_unicode_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         F.lower(F.col("s")).alias("lowered"),
         F.length("s").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122: libm pow — the q120/q121 (M92/M93) temperature-weight construct
+# floor(pow(p, α)·1e6). pow is NOT a correctly-rounded IEEE op (unlike
+# sqrt), so JVM Math.pow and the driver DuckDB's libm may differ by an
+# ulp; this canary quantizes pow over exact rationals at the three αs
+# the mixing surface uses, so a divergence names itself before a
+# mixing query rotates into a window. Registered as an extra — the r5
+# window froze before it existed; head of the r6 rotation.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q122_canary_pow",
+    r"""
+    SELECT n_nationkey,
+           CAST(floor(pow((n_nationkey + 1) * 1.0 / 26, 0.3) * 1e6)
+                AS BIGINT) AS pow03_micro,
+           CAST(floor(pow((n_nationkey + 1) * 1.0 / 26, 0.5) * 1e6)
+                AS BIGINT) AS pow05_micro,
+           CAST(floor(pow((n_nationkey + 1) * 1.0 / 26, 0.7) * 1e6)
+                AS BIGINT) AS pow07_micro,
+           CAST(floor(sqrt((n_nationkey + 1) * 1.0 / 26) * 1e6)
+                AS BIGINT) AS sqrt_micro
+    FROM nation
+    """,
+    primary=False,
+)
+def q122_canary_pow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary: quantized libm pow at α ∈ {0.3, 0.5, 0.7} + exact sqrt
+    (25 rows). sqrt IS correctly rounded — if pow columns diverge and
+    sqrt doesn't, the mechanism is libm pow ulp drift."""
+    n = _t(spark, sf_dir, "nation")
+    p = (F.col("n_nationkey") + 1) * 1.0 / 26
+    return n.select(
+        "n_nationkey",
+        F.floor(F.pow(p, F.lit(0.3)) * 1e6).cast("long").alias("pow03_micro"),
+        F.floor(F.pow(p, F.lit(0.5)) * 1e6).cast("long").alias("pow05_micro"),
+        F.floor(F.pow(p, F.lit(0.7)) * 1e6).cast("long").alias("pow07_micro"),
+        F.floor(F.sqrt(p) * 1e6).cast("long").alias("sqrt_micro"),
     )

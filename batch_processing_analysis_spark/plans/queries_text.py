@@ -2691,8 +2691,9 @@ def q120_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     )
     SELECT source, n_size, q_micro, requested_tokens,
-           CAST(floor(requested_tokens * 1000000.0 / n_size) AS BIGINT)
-             AS epochs_micro,
+           CAST(CASE WHEN n_size > 0
+                     THEN floor(requested_tokens * 1000000.0 / n_size)
+                END AS BIGINT) AS epochs_micro,
            least(requested_tokens, cap) AS granted_tokens,
            CAST(CASE WHEN requested_tokens > cap THEN 1 ELSE 0 END
                 AS INTEGER) AS capped

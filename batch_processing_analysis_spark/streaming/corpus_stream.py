@@ -22,12 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.dedup import content_norm
+
 CONTENT_HASH = "content_hash"
 
 
 def with_content_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Batch-identical content hash (operators/dedup.py:exact_dedup)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = content_norm(text_col)
     return docs.withColumn(CONTENT_HASH, F.md5(norm))
 
 

@@ -114,11 +114,12 @@ def pandas_tuples(df) -> list[tuple]:
     for rec in df.itertuples(index=False, name=None):
         out = []
         for v in rec:
-            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            if (isinstance(v, (list, tuple, dict))
+                    or type(v).__name__ == "ndarray"):
                 raise TypeError(
-                    "array cell in windowed output — the driver's pandas "
-                    "canonicalizer crashes on these (r4 q100); emit scalar "
-                    "rows instead"
+                    "array/map/struct cell in windowed output — the "
+                    "driver's pandas canonicalizer crashes on these "
+                    "(r4 q100); emit scalar rows instead"
                 )
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 out.append(None)
@@ -185,7 +186,8 @@ def main() -> int:
                     (c, t) for c, t, *_ in
                     con.execute("DESCRIBE " + oracles[name]).fetchall()
                     if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()
-                    or "[]" in t
+                    or "[]" in t or "MAP(" in t.upper()
+                    or "STRUCT(" in t.upper()
                 ]
                 if bad:
                     print(f"FAIL  {name}: driver-fragile oracle types {bad} "
@@ -213,7 +215,15 @@ def main() -> int:
             _show_diff(sr, dr)
             n_fail += 1
         elif value_hash(sr) != value_hash(dr):
-            if tolerant_equal(sr, dr):
+            if args.strict_driver and name in TYPE_GUARD_ALLOWLIST:
+                # The deliberate HUGEINT probe: a strict-mode mismatch
+                # here is the expected probe outcome (DRIVER_ENV.md),
+                # not a regression — don't poison the exit code.
+                print(f"PROBE {name}: strict-driver mismatch as designed "
+                      f"({len(sr)} rows, {dt:.1f}s) — pandas path "
+                      f"converts the raw HUGEINT")
+                n_pass += 1
+            elif tolerant_equal(sr, dr):
                 print(f"WARN  {name}: strict hash mismatch but within float tolerance "
                       f"({len(sr)} rows, {dt:.1f}s) — tighten rounding!")
                 _show_diff(sr, dr)
