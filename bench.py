@@ -161,6 +161,7 @@ HEADLINE += [
     "q119_source_overlap_sketch",
     "q120_temperature_mix_weights",
     "q121_epoch_plan",
+    "q122_canary_pow",
 ]
 
 
