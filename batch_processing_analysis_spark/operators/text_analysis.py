@@ -734,3 +734,64 @@ def novelty_signals(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
                        / F.col("n_grams")))
         .otherwise(F.lit(0)).cast("long").alias("novelty_micro"),
     )
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 1000,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Vocabulary coverage / OOV-rate analysis (M94): build the
+    corpus's own top-``vocab_size`` token vocabulary (the fixed-vocab
+    proxy every tokenizer-coverage audit uses) and report, per
+    document, how much of its text that vocabulary covers — the
+    standard pre-tokenizer health check: a corpus slice with high OOV
+    against the pretraining vocab will fragment into bytes/unknowns
+    and train poorly.
+
+    Vocabulary selection is deterministic: tokens ranked by (corpus
+    frequency DESC, token ASC) — the unique-key tiebreak convention —
+    and cut at ``vocab_size``. Output per document: ``n_tokens``,
+    ``n_oov`` (occurrences outside the vocabulary), ``oov_micro``
+    (= floor(n_oov·10⁶ / n_tokens), 0 for empty documents).
+
+    Scale: one token explode feeds a partial-aggregated corpus
+    frequency; the top-V cut is orderBy+limit — Spark plans it as
+    TakeOrderedAndProject (per-partition top-V then a V-sized merge,
+    never a global sort shuffle); the per-doc pass left-joins the
+    BROADCAST vocabulary and re-aggregates on the doc id. Tokens are
+    lowercased so vocabulary identity matches the dedup/content
+    conventions.
+    """
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    tok_rows = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    vocab = (
+        tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_tok"))
+        .limit(vocab_size)
+        .select("_tok", F.lit(1).alias("_in_vocab"))
+    )
+    per_doc = (
+        tok_rows.join(F.broadcast(vocab), "_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .alias("n_oov"),
+        )
+    )
+    n = F.coalesce(F.col("n_tokens"), F.lit(0))
+    oov = F.coalesce(F.col("n_oov"), F.lit(0))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.when(n > 0, F.floor(oov * F.lit(1_000_000) / n))
+            .otherwise(F.lit(0)).cast("long").alias("oov_micro"),
+        )
+    )

@@ -2710,3 +2710,44 @@ def q121_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MX.epoch_plan(_docs(spark, sf_dir), token_budget=500_000,
                          alpha=0.3, max_epochs_micro=4_000_000,
                          size_col="n_chars")
+
+
+@query(
+    "q123_vocab_coverage",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM freq
+      ) WHERE rn <= 100
+    ),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                     THEN floor(COALESCE(p.n_oov, 0) * 1000000.0 / p.n_tokens)
+                     ELSE 0 END AS BIGINT) AS oov_micro
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    primary=False,
+)
+def q123_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV rate (operators/text_analysis.py:
+    vocab_coverage, M94): top-100 corpus vocabulary (freq-desc,
+    token-asc tiebreak), per-doc OOV occurrences and rate in integer
+    micros. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return TA.vocab_coverage(_docs(spark, sf_dir), vocab_size=100)

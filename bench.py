@@ -162,6 +162,7 @@ HEADLINE += [
     "q120_temperature_mix_weights",
     "q121_epoch_plan",
     "q122_canary_pow",
+    "q123_vocab_coverage",
 ]
 
 

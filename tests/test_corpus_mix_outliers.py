@@ -181,3 +181,58 @@ class TestEpochPlan:
             epoch_plan(self._docs(spark), token_budget=0)
         with pytest.raises(ValueError):
             epoch_plan(self._docs(spark), token_budget=10, max_epochs_micro=0)
+
+
+class TestVocabCoverage:
+    def test_oov_identified_against_top_vocab(self, spark):
+        from batch_processing_analysis_spark.operators.text_analysis import (
+            vocab_coverage,
+        )
+        # "common" appears in every doc (in-vocab at V=1); each doc
+        # also carries one unique token (OOV at V=1).
+        rows = [(i, "s", f"common unique{i}") for i in range(10)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               vocab_coverage(docs, vocab_size=1).collect()}
+        assert all(r["n_tokens"] == 2 and r["n_oov"] == 1
+                   and r["oov_micro"] == 500_000 for r in out.values())
+
+    def test_full_vocab_covers_everything(self, spark):
+        from batch_processing_analysis_spark.operators.text_analysis import (
+            vocab_coverage,
+        )
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "b c d"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               vocab_coverage(docs, vocab_size=10).collect()}
+        assert out[1]["n_oov"] == out[2]["n_oov"] == 0
+        # empty doc: zero tokens, rate pinned to 0 (not NULL/crash)
+        assert out[3]["n_tokens"] == 0 and out[3]["oov_micro"] == 0
+
+    def test_deterministic_tie_cut(self, spark):
+        from batch_processing_analysis_spark.operators.text_analysis import (
+            vocab_coverage,
+        )
+        # four tokens all freq=1: V=2 must keep the lexicographically
+        # first two ("a", "b"), so "c"/"d" docs are fully OOV.
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["n_oov"] for r in
+               vocab_coverage(docs, vocab_size=2).collect()}
+        assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+
+    def test_invalid_vocab_size_raises(self, spark):
+        import pytest as _pytest
+
+        from batch_processing_analysis_spark.operators.text_analysis import (
+            vocab_coverage,
+        )
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            vocab_coverage(docs, vocab_size=0)
