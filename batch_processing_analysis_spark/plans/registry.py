@@ -43,12 +43,15 @@ EXTRA_ORACLES: dict[str, str] = {}
 # - the 7 environment canaries (plans/queries_canary.py) — q116 is the
 #   deliberate HUGEINT probe, expected red iff the r4 divergence
 #   mechanism holds in the driver env;
-# - the 27 stalest driver-greens (latest green row r2 or r3-only), so
-#   every query's most recent green row stays ≤2 rounds old.
-# Union of r1-r4 green rows + this window = all 115 names registered
-# when the window froze; the mid-r5 additions (q118-q121, M90-M93) are
-# extras and the head of the r6 rotation (tools/rotation_check.py
-# lists them as never-green).
+# - the 6 mid-r5 additions (q118-q123, M90-M94 + the pow canary),
+#   swapped in late-r5 so they get their first driver check this round
+#   instead of waiting for r6 (all six strict-driver green locally);
+# - the 21 stalest driver-greens (latest green row r2 or r3-only).
+#   The swap ceded q07/q26/q27/q29/q38/q51 (each already green in two
+#   rounds, latest r3, untouched this round — their re-green can wait
+#   for r6 at 2-rounds-stale, cheaper than a never-checked query
+#   waiting a full round).
+# Union of r1-r4 green rows + this window = all 121 registered names.
 # Set to None to fall back to the per-call flags.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     # family representatives (driver-green r1-r4)
@@ -78,6 +81,13 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q115_canary_nullable_agg",
     "q116_canary_hugeint_probe",
     "q117_canary_unicode_lower",
+    # mid-r5 additions (M90-M94 + pow canary), first driver check
+    "q118_embedding_outliers",
+    "q119_source_overlap_sketch",
+    "q120_temperature_mix_weights",
+    "q121_epoch_plan",
+    "q122_canary_pow",
+    "q123_vocab_coverage",
     # stalest greens: last green in r2
     "q02_filter_project",
     "q04_semi_join",
@@ -90,7 +100,6 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q25_conditional_pivot",
     "q45_ann_cosine_topk",
     # stalest greens: green only in r3
-    "q51_multimodal_features",
     "q53_corpus_filter",
     "q58_stratified_sample",
     "q59_token_shard_packing",
@@ -99,14 +108,11 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q74_semantic_dedup",
     "q75_dedup_resolution",
     "q80_funnel_steps",
-    # stalest greens: last green in r3
-    "q07_in_case_when",
+    # stalest greens: last green in r3 (q28/q50 changed this round —
+    # a fresh driver row doubles as a regression check; q11 is the
+    # entry() flagship)
     "q11_sessionize",
-    "q26_trace_subset",
-    "q27_calendar_displacement",
     "q28_prioritization_pairs",
-    "q29_range_join_bucketed",
-    "q38_interval_sweep",
     "q50_fingerprint",
 })
 
