@@ -293,3 +293,60 @@ def time_split_with_embargo(df: DataFrame, ts_col: str,
         .when(ts >= F.lit(eval_start_epoch_s), F.lit("eval"))
         .otherwise(F.lit("embargo")),
     )
+
+
+def striped_pack(df: DataFrame, n_bins: int, size_col: str = "n_chars",
+                 id_col: str = "doc_id", band_step: int = 64,
+                 n_bands: int = 64) -> DataFrame:
+    """Striped longest-first packing (M97): assign items to ``n_bins``
+    fixed bins by striping them in descending-size order — bin =
+    (rank − 1) mod n_bins over the (size desc, id asc) total order.
+    The distributed form of the LPT/first-fit-decreasing heuristic for
+    balanced training shards of similar token mass (Graham 1969's
+    longest-processing-time rule; striping replaces the sequential
+    least-loaded choice so the assignment is a pure function of rank —
+    reproducible, and still places the long-document tail one-per-bin
+    where naive hash sharding lets two giants collide).
+
+    The descending-size global rank is computed WITHOUT a global sort
+    (the pack_contexts two-phase shape applied to ordering): items are
+    banded by ``least(size div band_step, n_bands−1)``; bands are
+    size-disjoint, so (band desc, size desc, id asc) IS the global
+    order — a per-band window ranks within bands in parallel, and the
+    per-band counts prefix-sum into broadcast rank offsets (the only
+    single-partition window touches n_bands rows, not N).
+
+    Returns the input columns plus ``bin`` ∈ [0, n_bins). Per-bin load
+    is within max-item-size of ideal for the striped order; audit with
+    a (bin, count, sum) rollup. NULL sizes rank as smallest (Spark and
+    SQL NULLS LAST agree under desc with the id tiebreak).
+    """
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    if band_step <= 0 or n_bands <= 0:
+        raise ValueError("band_step and n_bands must be positive")
+    band = F.least(
+        F.floor(F.coalesce(F.col(size_col), F.lit(0)) / band_step),
+        F.lit(n_bands - 1),
+    ).cast("int")
+    banded = df.withColumn("_band", band)
+    w_band = W.partitionBy("_band").orderBy(
+        F.col(size_col).desc_nulls_last(), F.col(id_col)
+    )
+    ranked = banded.withColumn("_rn", F.row_number().over(w_band))
+    counts = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_n"))
+    w_pref = W.orderBy(F.col("_band").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_band",
+        F.coalesce(F.sum("_n").over(w_pref), F.lit(0)).alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_band")
+        .withColumn(
+            "bin",
+            ((F.col("_off") + F.col("_rn") - 1) % n_bins).cast("int"),
+        )
+        .drop("_band", "_rn", "_off")
+    )

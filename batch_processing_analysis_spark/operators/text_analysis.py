@@ -591,6 +591,174 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def nb_class_scores(docs: DataFrame, label_col: str = "lang",
+                    positive: str = "en", id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Seed-classifier document scoring (M95): train a multinomial
+    Naive-Bayes token model on the corpus's own labels and score every
+    document by its positive-class log-odds — the quality-filter recipe
+    of GPT-3's WebText classifier and CCNet's seed-vs-crawl split
+    (Brown et al. 2020 App. A; Wenzek et al. 2020), self-trained so no
+    model artifact ships. Here the seed label is any column (default:
+    ``lang == positive``); the caller substitutes a curated-source flag
+    for the classic wiki-vs-crawl setup.
+
+    score(d) = ln((N⁺+1)/(N⁻+1)) + Σ_t∈d [ln p(t|+) − ln p(t|−)],
+    with add-one (Laplace) smoothed p(t|c) = (c_c(t)+1)/(T_c+V).
+
+    Determinism: each vocabulary entry's log-odds weight is quantized
+    ONCE to integer micros (the quantize-then-sum rule), so per-doc
+    sums are exact integers in any engine/order; the prior is one more
+    pre-quantized constant. Returns (id, n_tokens, score_micro,
+    predicted) with the left-join contract: token-less docs score the
+    prior alone.
+
+    Scale: ONE token-count shuffle builds both class counts (sum of an
+    indicator — not a per-class pass), the smoothing scalars (T⁺, T⁻,
+    V, N⁺, N⁻) are a 1-row broadcast, and scoring is one equi-join on
+    the token key (Zipf-head tokens hash-spread across docs) plus one
+    per-doc aggregate. No Python anywhere.
+    """
+    is_pos = (F.col(label_col) == F.lit(positive)).cast("long")
+    occ = docs.select(
+        F.col(id_col), is_pos.alias("_y"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+    )
+    counts = occ.groupBy(F.col("_t").alias("_tv")).agg(
+        F.sum("_y").alias("_cp"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_cn"),
+    )
+    stats = counts.agg(
+        F.sum("_cp").alias("_Tp"), F.sum("_cn").alias("_Tn"),
+        F.count(F.lit(1)).alias("_V"),
+    )
+    prior = docs.agg(
+        F.sum(is_pos).alias("_Np"),
+        F.sum(F.lit(1) - is_pos).alias("_Nn"),
+    )
+    # Scalar broadcast join-backs (1-row build sides; plan-audit
+    # allowlisted like unigram_logprob's total).
+    w = counts.crossJoin(F.broadcast(stats)).select(
+        "_tv",
+        F.floor(
+            (F.log((F.col("_cp") + 1) / (F.col("_Tp") + F.col("_V")))
+             - F.log((F.col("_cn") + 1) / (F.col("_Tn") + F.col("_V"))))
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("_w_micro"),
+    )
+    agg = (
+        occ.join(w, occ["_t"] == w["_tv"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("_w_micro").alias("_sum_w"))
+    )
+    zero = F.lit(0).cast("long")
+    scored = (
+        docs.select(id_col).join(agg, id_col, "left")
+        .crossJoin(F.broadcast(prior.select(
+            F.floor(
+                (F.log(F.col("_Np") + 1) - F.log(F.col("_Nn") + 1))
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("_prior_micro"),
+        )))
+    )
+    return scored.select(
+        F.col(id_col),
+        F.coalesce("n_tokens", zero).alias("n_tokens"),
+        (F.col("_prior_micro") + F.coalesce("_sum_w", zero))
+        .cast("long").alias("score_micro"),
+        F.when(
+            F.col("_prior_micro") + F.coalesce("_sum_w", zero) >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("predicted"),
+    )
+
+
+def js_divergence_matrix(docs: DataFrame, group_col: str = "source",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-group unigram
+    distributions (M96) — "how differently do two feeds talk", the
+    distributional complement of M91's sketch overlap (which measures
+    shared *content*, not shared *language*). JSD(a,b) ∈ [0, ln 2];
+    feed the matrix to mixing decisions (near-identical sources are
+    redundant; a high-JSD source adds diversity).
+
+    Only tokens present in BOTH sides need pair rows: a token seen
+    only in `a` contributes p_a·ln2/2, and Σ of those p_a is
+    1 − (common mass), recoverable from integer count sums — so the
+    whole "outer" part of the per-pair full-outer join collapses into
+    one closed-form tail term. Per common token the contribution
+    ½·[p_a ln(2p_a/(p_a+p_b)) + p_b ln(2p_b/(p_a+p_b))] ≥ 0 (log-sum
+    inequality) is quantized ONCE to integer nanos; the per-pair sum
+    is then exact in any order, and the tail term is one float op on
+    exact integer count sums. Empty-overlap pairs report the maximum
+    ln 2 (kept via the tiny pair cross join).
+
+    Scale: one (group, token) count shuffle; the pair build is a
+    self-equi-join on the token key (each token contributes ≤|G|²/2
+    rows — |G| = #groups, small); the rollup output is ≤|G|²/2 rows.
+    Group totals are a |G|-row broadcast. No Python anywhere.
+    """
+    occ = docs.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+    )
+    freq = occ.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    totals = freq.groupBy("_g").agg(F.sum("_c").alias("_tot"))
+    # Attach each side's group total BEFORE the self-join (a |G|-row
+    # broadcast), then rename every column — the two sides share freq's
+    # lineage, so post-join references to un-renamed totals columns trip
+    # Spark's ambiguity check.
+    ft = freq.join(F.broadcast(totals), "_g")
+    a = ft.select(F.col("_g").alias("_ga"), F.col("_t").alias("_ta"),
+                  F.col("_c").alias("_ca"), F.col("_tot").alias("_tca"))
+    b = ft.select(F.col("_g").alias("_gb"), F.col("_t").alias("_tb"),
+                  F.col("_c").alias("_cb"), F.col("_tot").alias("_tcb"))
+    pa = F.col("_ca") / F.col("_tca")
+    pb = F.col("_cb") / F.col("_tcb")
+    term = (
+        pa * F.log(F.lit(2) * pa / (pa + pb))
+        + pb * F.log(F.lit(2) * pb / (pa + pb))
+    ) / F.lit(2)
+    common = (
+        a.join(b, (F.col("_ta") == F.col("_tb"))
+               & (F.col("_ga") < F.col("_gb")))
+        .select(
+            "_ga", "_gb", "_ca", "_cb", "_tca", "_tcb",
+            F.floor(term * F.lit(1e9) + F.lit(0.5))
+            .cast("long").alias("_t_nano"),
+        )
+        .groupBy("_ga", "_gb")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_tokens"),
+            F.sum("_t_nano").alias("_sum_nano"),
+            F.sum("_ca").alias("_ca_sum"), F.sum("_cb").alias("_cb_sum"),
+            F.first("_tca").alias("_tca"), F.first("_tcb").alias("_tcb"),
+        )
+    )
+    g1 = totals.select(F.col("_g").alias("_ga"))
+    g2 = totals.select(F.col("_g").alias("_gb"))
+    pairs = g1.crossJoin(g2).filter(F.col("_ga") < F.col("_gb"))
+    ln2_half = F.lit(0.34657359027997264)  # ln(2)/2
+    tail = ln2_half * (
+        (F.lit(1) - F.col("_ca_sum") / F.col("_tca"))
+        + (F.lit(1) - F.col("_cb_sum") / F.col("_tcb"))
+    )
+    joined = pairs.join(common, ["_ga", "_gb"], "left")
+    return joined.select(
+        F.col("_ga").alias("group_a"), F.col("_gb").alias("group_b"),
+        F.coalesce("n_common_tokens", F.lit(0).cast("long"))
+        .alias("n_common_tokens"),
+        F.when(
+            F.col("_sum_nano").isNotNull(),
+            F.col("_sum_nano")
+            + F.floor(tail * F.lit(1e9) + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(693147181).cast("long"))  # floor(ln2·1e9+.5)
+        .cast("long").alias("jsd_nano"),
+    )
+
+
 def cdc_chunks(docs: DataFrame, k: int = 8, modulus: int = 16,
                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Content-defined chunking (the rolling-hash cut rule of

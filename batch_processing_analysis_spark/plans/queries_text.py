@@ -2751,3 +2751,172 @@ def q123_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros. Secondary registry; oracle-gated by
     tests/test_extra_queries.py."""
     return TA.vocab_coverage(_docs(spark, sf_dir), vocab_size=100)
+
+
+@query(
+    "q124_nb_class_scores",
+    r"""
+    WITH lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, y,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM lab
+    ),
+    cnt AS (
+      SELECT tok, CAST(sum(y) AS BIGINT) AS cp,
+             CAST(sum(1 - y) AS BIGINT) AS cn
+      FROM tok GROUP BY tok
+    ),
+    st AS (
+      SELECT CAST(sum(cp) AS BIGINT) AS tp, CAST(sum(cn) AS BIGINT) AS tn,
+             CAST(count(*) AS BIGINT) AS v
+      FROM cnt
+    ),
+    pr AS (
+      SELECT CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn
+      FROM lab
+    ),
+    w AS (
+      SELECT tok,
+             CAST(floor((ln((cp + 1.0) / (tp + v))
+                         - ln((cn + 1.0) / (tn + v)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+      FROM cnt, st
+    ),
+    agg AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w.w_micro) AS BIGINT) AS sw
+      FROM tok t JOIN w ON t.tok = w.tok GROUP BY t.doc_id
+    ),
+    pm AS (
+      SELECT CAST(floor((ln(np + 1.0) - ln(nn + 1.0)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS prior_micro
+      FROM pr
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(pm.prior_micro + COALESCE(a.sw, 0) AS BIGINT) AS score_micro,
+           CAST(CASE WHEN pm.prior_micro + COALESCE(a.sw, 0) >= 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS predicted
+    FROM documents d LEFT JOIN agg a USING (doc_id), pm
+    """,
+    primary=False,
+)
+def q124_nb_class_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes seed-classifier scoring (operators/text_analysis.py:
+    nb_class_scores, M95): add-one smoothed token log-odds quantized
+    once to integer micros, per-doc exact-integer sums, positive seed =
+    lang 'en'. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return TA.nb_class_scores(_docs(spark, sf_dir))
+
+
+@query(
+    "q125_source_jsd_matrix",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, tok
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM freq
+            GROUP BY source),
+    common AS (
+      SELECT a.source AS ga, b.source AS gb,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(CAST(floor((
+                  (a.c * 1.0 / ta.t)
+                    * ln(2.0 * (a.c * 1.0 / ta.t)
+                         / (a.c * 1.0 / ta.t + b.c * 1.0 / tb.t))
+                + (b.c * 1.0 / tb.t)
+                    * ln(2.0 * (b.c * 1.0 / tb.t)
+                         / (a.c * 1.0 / ta.t + b.c * 1.0 / tb.t))
+             ) / 2.0 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_nano,
+             CAST(sum(a.c) AS BIGINT) AS ca_sum,
+             CAST(sum(b.c) AS BIGINT) AS cb_sum,
+             min(ta.t) AS t_a, min(tb.t) AS t_b
+      FROM freq a
+      JOIN freq b ON a.tok = b.tok AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p1.source AS group_a, p2.source AS group_b,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common_tokens,
+           CAST(CASE WHEN c.sum_nano IS NOT NULL
+                THEN c.sum_nano
+                     + CAST(floor(0.34657359027997264
+                            * ((1.0 - c.ca_sum * 1.0 / c.t_a)
+                               + (1.0 - c.cb_sum * 1.0 / c.t_b))
+                            * 1000000000.0 + 0.5) AS BIGINT)
+                ELSE 693147181 END AS BIGINT) AS jsd_nano
+    FROM tot p1
+    JOIN tot p2 ON p1.source < p2.source
+    LEFT JOIN common c ON c.ga = p1.source AND c.gb = p2.source
+    """,
+    primary=False,
+)
+def q125_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source Jensen-Shannon divergence (operators/
+    text_analysis.py:js_divergence_matrix, M96): per-token terms
+    quantized once to integer nanos, closed-form non-overlap tail from
+    exact count sums. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return TA.js_divergence_matrix(_docs(spark, sf_dir))
+
+
+@query(
+    "q126_striped_pack_audit",
+    r"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC NULLS LAST, doc_id)
+               AS rn
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars, CAST((rn - 1) % 16 AS INTEGER) AS bin
+      FROM ranked
+    ),
+    per AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM assigned GROUP BY bin
+    ),
+    g AS (SELECT CAST(sum(total_chars) AS BIGINT) AS gt FROM per)
+    SELECT bin, n_docs, total_chars,
+           CAST(floor(total_chars * 16000000.0 / gt) AS BIGINT) AS load_micro
+    FROM per, g
+    """,
+    primary=False,
+)
+def q126_striped_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Striped longest-first packing audit (operators/ordering.py:
+    striped_pack, M97): banded two-phase global rank (no global sort)
+    striped mod 16 bins; per-bin doc count, char mass and exact load
+    share in micros — the oracle computes the same striping from a
+    global row_number, so equality proves the banded rank IS the
+    global (size desc, id) order. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir)
+    packed = ORD.striped_pack(docs, n_bins=16, size_col="n_chars")
+    per = packed.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    gt = per.agg(F.sum("total_chars").alias("_gt"))
+    return per.crossJoin(F.broadcast(gt)).select(
+        "bin", "n_docs", "total_chars",
+        F.floor(F.col("total_chars") * F.lit(16000000.0) / F.col("_gt"))
+        .cast("long").alias("load_micro"),
+    )

@@ -75,6 +75,15 @@ EXTRA_SCALAR_BROADCAST = {
     "q120_temperature_mix_weights",
     # epoch planning builds on the same weights pipeline.
     "q121_epoch_plan",
+    # NB classifier: smoothing-scalar (1 row) and prior (1 row)
+    # broadcasts — q72's total-count shape twice.
+    "q124_nb_class_scores",
+    # JSD matrix: the |G|×|G| group-pair frame (G = #sources, tiny by
+    # contract) — the only non-1-row member; bounded by the grouped
+    # totals aggregate on both sides.
+    "q125_source_jsd_matrix",
+    # packing audit: grand-total (1 row) broadcast onto ≤ n_bins rows.
+    "q126_striped_pack_audit",
 }
 
 
@@ -92,6 +101,9 @@ EXTRA_SCALAR_BROADCAST = {
 GLOBAL_WINDOW_BOUNDED = {
     "q26_trace_subset",
     "q71_context_packing",
+    # striped_pack's rank-offset prefix window runs over the per-band
+    # counts aggregate (≤ n_bands rows), the pack_contexts shape.
+    "q126_striped_pack_audit",
 }
 
 
