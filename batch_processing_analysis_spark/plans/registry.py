@@ -88,10 +88,11 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q121_epoch_plan",
     "q122_canary_pow",
     "q123_vocab_coverage",
+    # r5 operator additions (M95-M97), first driver check
+    "q124_nb_class_scores",
+    "q125_source_jsd_matrix",
+    "q126_striped_pack_audit",
     # stalest greens: last green in r2
-    "q02_filter_project",
-    "q04_semi_join",
-    "q05_anti_join",
     "q14_nested_two_level_agg",
     "q15_histogram",
     "q16_rollup",
