@@ -682,3 +682,61 @@ def source_overlap_sketch(docs: DataFrame, k: int = 64,
             .cast("long").alias("est_jaccard_micro"),
         )
     )
+
+
+def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", w: int = 5) -> DataFrame:
+    """Duplicate-span audit (M99): for every document, the fraction of
+    its ``w``-token span *occurrences* whose span text also appears in
+    at least one other document — the per-document signal behind
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", which cuts duplicated
+    50-token spans; minhash answers "is the whole doc a near-dup",
+    this answers "how much of THIS doc is copied from anywhere").
+
+    Returns ``(id_col, n_spans, dup_spans, dup_rate_micro)`` with
+    dup_rate = floor(dup·1e6/n) — an exact integer ratio of exact
+    integer counts. Docs with fewer than ``w`` tokens report 0/0/0
+    (left-join contract). Occurrences, not distinct spans: a doc that
+    repeats a shared span 10 times is 10 spans duplicated.
+
+    Scale: span occurrences are the shingle_rows shape WITHOUT the
+    distinct (posexplode + ``w-1`` leads, all codegen'd); the global
+    span→doc-count aggregate and the join back run on the 60-bit
+    hash of the span — an 8-byte shuffle key instead of a ``w``-word
+    string (same Zipf spread, ~10× narrower rows; hash collisions are
+    mirrored exactly in the DuckDB oracle so determinism holds).
+    countDistinct is the standard two-phase expand — bounded by total
+    span occurrences, never by corpus size per key.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    win = W.partitionBy(id_col).orderBy("_pos")
+    leads = [F.col("_tok")] + [F.lead("_tok", i).over(win)
+                               for i in range(1, w)]
+    spans = (
+        tok.select(F.col(id_col),
+                   F.concat_ws(" ", *leads).alias("_span"),
+                   leads[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, hash60(F.col("_span")).alias("_h"))
+    )
+    docs_per_span = spans.groupBy("_h").agg(
+        F.countDistinct(id_col).alias("_nd")
+    )
+    agg = spans.join(docs_per_span, "_h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).alias("dup_spans"),
+    )
+    zero = F.lit(0).cast("long")
+    n = F.coalesce(F.col("n_spans"), zero)
+    d = F.coalesce(F.col("dup_spans"), zero)
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        n.alias("n_spans"),
+        d.alias("dup_spans"),
+        F.when(n > 0, F.floor(d * F.lit(1_000_000) / n))
+        .otherwise(F.lit(0)).cast("long").alias("dup_rate_micro"),
+    )

@@ -963,3 +963,138 @@ def vocab_coverage(docs: DataFrame, vocab_size: int = 1000,
             .otherwise(F.lit(0)).cast("long").alias("oov_micro"),
         )
     )
+
+
+def dsir_importance_weights(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            target_col: str = "lang",
+                            target_value: str = "en",
+                            n_buckets: int = 1024) -> DataFrame:
+    """Hashed n-gram importance log-weights (M98) — the DSIR recipe
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): fit two bag-of-hashed-ngrams unigram
+    models, target p (rows where ``target_col == target_value``, the
+    curated-corpus stand-in) and raw q (the rest), and weight every
+    document by ln w(d) = Σ_g [ln p(b(g)) − ln q(b(g))] over its gram
+    occurrences g, b = hash-bucket. Feed the weights to the A-Res
+    sampler (operators/sampling.py:weighted_sample) to complete the
+    importance-resampling loop.
+
+    Features are unigrams + bigrams of lowercased whitespace tokens,
+    hashed into ``n_buckets`` buckets with the portable 60-bit md5
+    prefix (dedup.hash60) — the fixed bucket domain makes Laplace
+    smoothing over exactly ``n_buckets`` cells well-defined in both
+    engines: p(b) = (c_p(b)+1)/(T_p+m).
+
+    Determinism: each bucket's log-ratio is quantized ONCE to integer
+    micros (the quantize-then-sum rule), so per-doc sums are exact
+    integers in any engine and partition order. Returns
+    ``(id_col, n_grams, logw_micro)``; gram-less docs report 0/0 via
+    the left-join contract.
+
+    Scale: ONE gram-occurrence shuffle builds both class counts (sum
+    of an indicator, the nb_class_scores shape); the model is a
+    ≤ ``n_buckets``-row frame whose smoothing totals are a 1-row
+    broadcast; scoring is one equi-join on the *bucket* key — at most
+    ``n_buckets`` distinct values, hash-spread across docs, so the
+    join never concentrates (contrast a raw-token key's Zipf head).
+    Bigrams are array HOFs (zip_with of two slices) — no per-doc
+    window shuffle. No Python anywhere.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    is_tgt = (F.col(target_col) == F.lit(target_value)).cast("long")
+    base = docs.select(
+        F.col(id_col), is_tgt.alias("_y"), t.alias("_tk"),
+    )
+    n = F.size("_tk")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("_tk", 1, n - 1),
+            F.slice("_tk", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select(
+        F.col(id_col), F.col("_y"),
+        F.explode(F.concat(F.col("_tk"), bigrams)).alias("_g"),
+    ).select(
+        id_col, "_y",
+        F.pmod(hash60(F.col("_g")), F.lit(n_buckets)).alias("_b"),
+    )
+    counts = occ.groupBy("_b").agg(
+        F.sum("_y").alias("_cp"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_cn"),
+    )
+    stats = counts.agg(F.sum("_cp").alias("_Tp"), F.sum("_cn").alias("_Tn"))
+    m = F.lit(float(n_buckets))
+    w = counts.crossJoin(F.broadcast(stats)).select(
+        "_b",
+        F.floor(
+            (F.log((F.col("_cp") + 1) / (F.col("_Tp") + m))
+             - F.log((F.col("_cn") + 1) / (F.col("_Tn") + m)))
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("_lr_micro"),
+    )
+    agg = occ.join(w, "_b").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_lr_micro").alias("_s"),
+    )
+    zero = F.lit(0).cast("long")
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_grams", zero).alias("n_grams"),
+        F.coalesce("_s", zero).alias("logw_micro"),
+    )
+
+
+def fertility_stats(docs: DataFrame, group_col: str = "lang",
+                    text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility audit per group (M100): fertility =
+    subword tokens per whitespace word — THE tokenizer-health number
+    for multilingual corpora (a tokenizer trained English-heavy
+    fragments other scripts into many more pieces; see e.g. Rust et
+    al. 2021, "How Good is Your Tokenizer?"). High-fertility groups
+    cost proportionally more sequence length per word of content —
+    this table is the budget input for per-language context planning.
+
+    Uses the repo's BPE-ish regex token stream (token_counts) as the
+    subword proxy and whitespace tokens as words. All ratios are
+    exact integer micros computed from exact per-group integer sums
+    (floor((Σtokens)·1e6 / Σwords) — quantize the *ratio of totals*,
+    not per-doc ratios, so group size never biases the estimate).
+
+    Output: (group, n_docs, n_words, n_tokens, n_chars,
+    fertility_micro, chars_per_token_micro); zero-word or zero-token
+    groups report 0 ratios.
+
+    Scale: one narrow projection + one partial-aggregatable groupBy
+    on ``group_col`` — a |groups|-row result. No Python, no windows.
+    """
+    t = F.col(text_col)
+    per = docs.select(
+        F.col(group_col),
+        F.size(tokens(t)).alias("_w"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("_t"),
+        F.length(t).alias("_c"),
+    )
+    g = per.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_t").alias("n_tokens"),
+        F.sum("_c").alias("n_chars"),
+    )
+    return g.select(
+        F.col(group_col),
+        "n_docs", "n_words", "n_tokens", "n_chars",
+        F.when(F.col("n_words") > 0,
+               F.floor(F.col("n_tokens") * F.lit(1_000_000)
+                       / F.col("n_words")))
+        .otherwise(F.lit(0)).cast("long").alias("fertility_micro"),
+        F.when(F.col("n_tokens") > 0,
+               F.floor(F.col("n_chars") * F.lit(1_000_000)
+                       / F.col("n_tokens")))
+        .otherwise(F.lit(0)).cast("long").alias("chars_per_token_micro"),
+    )

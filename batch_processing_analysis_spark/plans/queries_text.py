@@ -2920,3 +2920,155 @@ def q126_striped_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("total_chars") * F.lit(16000000.0) / F.col("_gt"))
         .cast("long").alias("load_micro"),
     )
+
+
+@query(
+    "q127_dsir_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             unnest(tk) AS g
+      FROM toks
+      UNION ALL
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1]))
+      FROM toks WHERE len(tk) >= 2
+    ),
+    occ AS (
+      SELECT doc_id, y,
+             CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024 AS b
+      FROM grams
+    ),
+    counts AS (
+      SELECT b, CAST(sum(y) AS BIGINT) AS cp,
+             CAST(sum(1 - y) AS BIGINT) AS cn
+      FROM occ GROUP BY b
+    ),
+    stats AS (
+      SELECT CAST(sum(cp) AS BIGINT) AS tp,
+             CAST(sum(cn) AS BIGINT) AS tn
+      FROM counts
+    ),
+    w AS (
+      SELECT b,
+             CAST(floor((ln((cp + 1.0) / (tp + 1024.0))
+                         - ln((cn + 1.0) / (tn + 1024.0)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lr
+      FROM counts, stats
+    ),
+    agg AS (
+      SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(w.lr) AS BIGINT) AS s
+      FROM occ o JOIN w USING (b)
+      GROUP BY o.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(s, 0) AS BIGINT) AS logw_micro
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    primary=False,
+)
+def q127_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed n-gram importance log-weights (operators/
+    text_analysis.py:dsir_importance_weights, M98): unigram+bigram
+    occurrences hashed into 1024 buckets, Laplace-smoothed
+    target-vs-raw log-ratios quantized once to integer micros, exact
+    per-doc sums. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return TA.dsir_importance_weights(_docs(spark, sf_dir))
+
+
+@query(
+    "q128_dup_span_audit",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(
+               unnest(list_transform(range(1, len(tk) - 3),
+                                     i -> array_to_string(tk[i:i+4], ' ')))
+             ), 1, 15) AS BIGINT) AS h
+      FROM toks WHERE len(tk) >= 5
+    ),
+    dps AS (
+      SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM spans GROUP BY h
+    ),
+    agg AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_spans
+      FROM spans s JOIN dps d USING (h)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(CASE WHEN COALESCE(n_spans, 0) > 0
+                THEN floor(dup_spans * 1000000.0 / n_spans)
+                ELSE 0 END AS BIGINT) AS dup_rate_micro
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    primary=False,
+)
+def q128_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate 5-token-span audit (operators/dedup.py:dup_span_stats,
+    M99): per-doc fraction of span occurrences shared with any other
+    document, on the 60-bit span hash. The oracle's list slice
+    ``tk[i:i+4]`` is 1-based INCLUSIVE (5 elements) and range's upper
+    bound is exclusive — together they enumerate exactly the
+    ``len-4`` spans the Spark lead-window builds. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    return D.dup_span_stats(_docs(spark, sf_dir), w=5)
+
+
+@query(
+    "q129_fertility_by_lang",
+    r"""
+    WITH per AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS w,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+               AS t,
+             length(text) AS c
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(t) AS BIGINT) AS n_tokens,
+             CAST(sum(c) AS BIGINT) AS n_chars
+      FROM per GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_tokens, n_chars,
+           CAST(CASE WHEN n_words > 0
+                THEN floor(n_tokens * 1000000.0 / n_words)
+                ELSE 0 END AS BIGINT) AS fertility_micro,
+           CAST(CASE WHEN n_tokens > 0
+                THEN floor(n_chars * 1000000.0 / n_tokens)
+                ELSE 0 END AS BIGINT) AS chars_per_token_micro
+    FROM g
+    """,
+    primary=False,
+)
+def q129_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language (operators/
+    text_analysis.py:fertility_stats, M100): BPE-ish tokens per
+    whitespace word and chars per token, both exact integer micros of
+    per-group exact sums. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return TA.fertility_stats(_docs(spark, sf_dir))

@@ -92,10 +92,11 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q124_nb_class_scores",
     "q125_source_jsd_matrix",
     "q126_striped_pack_audit",
+    # late-r5 additions (M98-M100), first driver check
+    "q127_dsir_weights",
+    "q128_dup_span_audit",
+    "q129_fertility_by_lang",
     # stalest greens: last green in r2
-    "q14_nested_two_level_agg",
-    "q15_histogram",
-    "q16_rollup",
     "q22_dense_rank",
     "q23_instant_generation",
     "q25_conditional_pivot",

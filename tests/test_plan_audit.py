@@ -84,6 +84,9 @@ EXTRA_SCALAR_BROADCAST = {
     "q125_source_jsd_matrix",
     # packing audit: grand-total (1 row) broadcast onto ≤ n_bins rows.
     "q126_striped_pack_audit",
+    # DSIR: smoothing-totals aggregate (1 row) broadcast onto the
+    # ≤ n_buckets-row log-ratio table — q124's shape.
+    "q127_dsir_weights",
 }
 
 

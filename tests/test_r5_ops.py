@@ -158,3 +158,103 @@ def test_striped_pack_rejects_bad_params(spark):
             raise AssertionError(f"expected ValueError for {kwargs}")
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------- M98
+
+def _hash60_py(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_dsir_separates_target_vocab(spark):
+    # Target (en) and raw (de) use disjoint vocabularies; unlabeled
+    # docs of each vocabulary must take the matching weight sign.
+    docs = _docs(spark, [
+        (1, "alpha beta gamma alpha", "en", "s"),
+        (2, "alpha gamma beta", "en", "s"),
+        (3, "zork quux blorp zork", "de", "s"),
+        (4, "quux blorp", "de", "s"),
+        (5, "alpha beta gamma", "de", "s"),   # target vocab, raw label
+        (6, "zork quux", "en", "s"),          # raw vocab, target label
+    ])
+    rows = {r["doc_id"]: r for r in
+            TA.dsir_importance_weights(docs).collect()}
+    # n_grams = tokens + bigrams
+    assert rows[1]["n_grams"] == 4 + 3
+    assert rows[5]["logw_micro"] > 0   # target-sounding doc upweighted
+    assert rows[6]["logw_micro"] < 0   # raw-sounding doc downweighted
+
+
+def test_dsir_exact_hand_recompute(spark):
+    # One target doc "a", one raw doc "b": recompute the quantized
+    # log-ratios bucket by bucket in plain Python.
+    docs = _docs(spark, [
+        (1, "a", "en", "s"),
+        (2, "b", "de", "s"),
+        (3, "", "de", "s"),
+    ])
+    m = 1024
+    ba, bb = _hash60_py("a") % m, _hash60_py("b") % m
+    tp, tn = 1, 1
+    lr = {
+        ba: math.floor((math.log(2 / (tp + m)) - math.log(1 / (tn + m)))
+                       * 1e6 + 0.5),
+        bb: math.floor((math.log(1 / (tp + m)) - math.log(2 / (tn + m)))
+                       * 1e6 + 0.5),
+    }
+    rows = {r["doc_id"]: r for r in
+            TA.dsir_importance_weights(docs).collect()}
+    assert rows[1]["logw_micro"] == lr[ba] and rows[1]["n_grams"] == 1
+    assert rows[2]["logw_micro"] == lr[bb]
+    assert rows[3]["n_grams"] == 0 and rows[3]["logw_micro"] == 0
+
+
+# ---------------------------------------------------------------- M99
+
+def test_dup_span_flags_shared_spans_only(spark):
+    shared = "one two three four five"
+    docs = _docs(spark, [
+        (1, shared + " tail1 tail2", "en", "s"),
+        (2, "head " + shared, "en", "s"),
+        (3, "all unique words here nothing shared", "en", "s"),
+        (4, "short doc", "en", "s"),
+    ])
+    from batch_processing_analysis_spark.operators import dedup as D
+    rows = {r["doc_id"]: r for r in D.dup_span_stats(docs, w=5).collect()}
+    # doc1: 7 tokens -> 3 spans; only the leading one is shared
+    assert rows[1]["n_spans"] == 3 and rows[1]["dup_spans"] == 1
+    assert rows[1]["dup_rate_micro"] == 1_000_000 // 3
+    # doc2: 6 tokens -> 2 spans; the trailing one is shared
+    assert rows[2]["n_spans"] == 2 and rows[2]["dup_spans"] == 1
+    assert rows[3]["dup_spans"] == 0
+    assert rows[4]["n_spans"] == 0 and rows[4]["dup_rate_micro"] == 0
+
+
+def test_dup_span_within_doc_repeat_not_dup(spark):
+    # The same span repeated inside ONE doc is not duplication across
+    # documents (countDistinct docs == 1).
+    t = "a b c d e a b c d e"   # 10 tokens, 6 spans, span1==span6
+    docs = _docs(spark, [(1, t, "en", "s")])
+    from batch_processing_analysis_spark.operators import dedup as D
+    r = D.dup_span_stats(docs, w=5).collect()[0]
+    assert r["n_spans"] == 6 and r["dup_spans"] == 0
+
+
+# ---------------------------------------------------------------- M100
+
+def test_fertility_exact_integer_ratios(spark):
+    docs = _docs(spark, [
+        (1, "ab cd", "en", "s"),        # 2 words, 2 tokens, 5 chars
+        (2, "ab, cd!", "en", "s"),      # 2 words, 4 tokens, 7 chars
+        (3, "", "xx", "s"),             # zero words -> 0 ratios
+    ])
+    rows = {r["lang"]: r for r in TA.fertility_stats(docs).collect()}
+    en = rows["en"]
+    assert en["n_docs"] == 2 and en["n_words"] == 4
+    assert en["n_tokens"] == 6 and en["n_chars"] == 12
+    assert en["fertility_micro"] == 6 * 1_000_000 // 4
+    assert en["chars_per_token_micro"] == 12 * 1_000_000 // 6
+    xx = rows["xx"]
+    assert xx["n_words"] == 0 and xx["fertility_micro"] == 0
+    assert xx["chars_per_token_micro"] == 0
