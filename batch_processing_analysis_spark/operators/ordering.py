@@ -350,3 +350,65 @@ def striped_pack(df: DataFrame, n_bins: int, size_col: str = "n_chars",
         )
         .drop("_band", "_rn", "_off")
     )
+
+
+def split_leakage_audit(df: DataFrame, fractions: dict[str, float],
+                        seed: str, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        group_col: str | None = "source",
+                        n: int = 5, df_max: int = 10,
+                        threshold: float = 0.5) -> DataFrame:
+    """Train/test split leakage audit (M101): find near-duplicate
+    document pairs that STRADDLE a split boundary — the contamination
+    a grouped :func:`assign_splits` is supposed to prevent but cannot
+    when duplicates cross the grouping key (e.g. the same article
+    syndicated by two sources hashed into different splits). The
+    published eval-contamination audits (GPT-3 App. C, Brown et al.
+    2020; Dodge et al. 2021 on C4) are exactly this join.
+
+    Composition: :func:`assign_splits` labels every row; ``dedup.
+    ngram_jaccard_pairs`` supplies verified near-dup pairs; each pair
+    is classed by its (lexicographically ordered) split pair. Returns
+    one row per observed class: ``(split_lo, split_hi, n_pairs,
+    n_docs)`` where ``n_docs`` counts distinct documents touched by
+    that class. Off-diagonal rows (split_lo ≠ split_hi) are leaks;
+    a clean grouped split shows only diagonal rows.
+
+    Scale: the pair table is the LSH/blocking-bounded near-dup output
+    (≪ N rows); both label joins are equi-joins on the id, and the
+    label frame is a narrow no-shuffle projection of the input. The
+    final aggregate has ≤ |splits|² groups.
+    """
+    from .dedup import ngram_jaccard_pairs
+
+    lab = assign_splits(
+        df.select(id_col, *( [group_col] if group_col else [] )),
+        fractions, seed, id_col=id_col, group_col=group_col,
+    ).select(F.col(id_col), F.col("split"))
+    pairs = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=n, df_max=df_max,
+        threshold=threshold,
+    )
+    la = lab.select(F.col(id_col).alias("id_a"), F.col("split").alias("_sa"))
+    lb = lab.select(F.col(id_col).alias("id_b"), F.col("split").alias("_sb"))
+    cls = (
+        pairs.join(la, "id_a").join(lb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_lo"),
+            F.greatest("_sa", "_sb").alias("split_hi"),
+            "id_a", "id_b",
+        )
+    )
+    per = cls.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    touched = (
+        cls.select("split_lo", "split_hi", F.col("id_a").alias("_d"))
+        .unionByName(
+            cls.select("split_lo", "split_hi", F.col("id_b").alias("_d"))
+        )
+        .distinct()
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return per.join(touched, ["split_lo", "split_hi"])

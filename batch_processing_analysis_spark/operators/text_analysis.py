@@ -1098,3 +1098,291 @@ def fertility_stats(docs: DataFrame, group_col: str = "lang",
                        / F.col("n_tokens")))
         .otherwise(F.lit(0)).cast("long").alias("chars_per_token_micro"),
     )
+
+
+def backoff_logprob(docs: DataFrame, model_filter: Column,
+                    alpha: float = 0.4, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Stupid-backoff cross-corpus scoring (M102; Brants et al. 2007,
+    "Large Language Models in Machine Translation"): train a bigram
+    model on the rows where ``model_filter`` holds (the curated/target
+    slice — CCNet's wiki-vs-crawl shape) and score EVERY document by
+    its mean negative log score under
+
+        S(w₂|w₁) = c(w₁w₂)/c(w₁·)        if the model saw the bigram,
+                   α · c(w₂)/N            elif it saw the unigram,
+                   α · 1/N                else (OOV floor, count 1).
+
+    Unlike :func:`bigram_logprob` (self-trained, every scored bigram
+    is in the model) the model here is a different corpus slice, so
+    backoff genuinely fires; the three hit counters it returns
+    (``n_hits/n_backoffs/n_oov``) are the model-coverage audit.
+
+    Determinism: each model entry's −ln S is quantized ONCE to integer
+    micros; the OOV floor is one more pre-quantized scalar; per-doc
+    sums are exact integers in any engine/order.
+
+    Scale: model = two partial-aggregatable counts over the filtered
+    slice (prefix counts derive from bigram counts, no second pass);
+    scoring = one equi-join on the bigram key + one left equi-join on
+    the unigram key + one per-doc aggregate. Docs with < 2 tokens
+    report 0 (left-join contract).
+    """
+    tok = docs.select(
+        F.col(id_col), model_filter.cast("long").alias("_m"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_pos", "_t"),
+    )
+    w = W.partitionBy(id_col).orderBy("_pos")
+    big = tok.select(
+        F.col(id_col), F.col("_m"),
+        F.col("_t").alias("_w1"),
+        F.lead("_t", 1).over(w).alias("_w2"),
+    ).filter(F.col("_w2").isNotNull()).localCheckpoint(eager=False)
+    # Model counts come from the SAME bigram rows (filter, don't
+    # re-tokenize); N (model token count) = model bigrams + 1 per
+    # model doc is wrong — count unigrams directly from tok instead.
+    mbig = big.filter(F.col("_m") == 1)
+    bc = mbig.groupBy(
+        F.col("_w1").alias("_v1"), F.col("_w2").alias("_v2")
+    ).agg(F.count(F.lit(1)).alias("_cb"))
+    pc = bc.groupBy("_v1").agg(F.sum("_cb").alias("_cp"))
+    uni = (
+        tok.filter(F.col("_m") == 1)
+        .groupBy(F.col("_t").alias("_vu"))
+        .agg(F.count(F.lit(1)).alias("_cu"))
+        .localCheckpoint(eager=False)
+    )
+    # N derives from the unigram dictionary (Σc_u) — no third pass
+    # over the token rows.
+    n_model = uni.agg(F.sum("_cu").alias("_N"))
+    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    qb = bc.join(pc, "_v1").select(
+        "_v1", "_v2",
+        micro(-F.log(F.col("_cb") / F.col("_cp"))).alias("_qb"),
+    )
+    qu = uni.crossJoin(F.broadcast(n_model)).select(
+        "_vu",
+        micro(-F.log(F.lit(alpha) * F.col("_cu") / F.col("_N")))
+        .alias("_qu"),
+    )
+    floor_q = n_model.select(
+        micro(-F.log(F.lit(alpha) / F.col("_N"))).alias("_qf")
+    )
+    scored = (
+        big.join(qb, (big["_w1"] == qb["_v1"]) & (big["_w2"] == qb["_v2"]),
+                 "left")
+        .join(qu, big["_w2"] == qu["_vu"], "left")
+        .crossJoin(F.broadcast(floor_q))
+        .select(
+            F.col(id_col),
+            F.coalesce("_qb", "_qu", "_qf").alias("_q"),
+            F.when(F.col("_qb").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            .alias("_hit"),
+            F.when(F.col("_qb").isNull() & F.col("_qu").isNotNull(),
+                   F.lit(1)).otherwise(F.lit(0)).alias("_back"),
+            F.when(F.col("_qb").isNull() & F.col("_qu").isNull(),
+                   F.lit(1)).otherwise(F.lit(0)).alias("_oov"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_hit").alias("n_hits"),
+        F.sum("_back").alias("n_backoffs"),
+        F.sum("_oov").alias("n_oov"),
+        F.sum("_q").alias("sum_neglogs_micro"),
+    )
+    zero = F.lit(0).cast("long")
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", zero).alias("n_bigrams"),
+        F.coalesce("n_hits", zero).alias("n_hits"),
+        F.coalesce("n_backoffs", zero).alias("n_backoffs"),
+        F.coalesce("n_oov", zero).alias("n_oov"),
+        F.coalesce("sum_neglogs_micro", zero).alias("sum_neglogs_micro"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.floor(F.col("sum_neglogs_micro") / F.col("n_bigrams")),
+        ).otherwise(zero).cast("long").alias("avg_neglogs_micro"),
+    )
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 100,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (M103; Church & Hanks 1990): PMI(w₁,w₂) = ln(p(w₁w₂)/(p(w₁)p(w₂)))
+    with p(w₁w₂) = c₁₂/N_big and p(w) = c_w/N_tok — the corpus-level
+    phrase/boilerplate discovery audit ("which token pairs travel
+    together far above chance").
+
+    ``min_count`` drops the unstable rare-pair tail (PMI's classic
+    low-frequency bias). Output: ``(w1, w2, n_pair, pmi_nano)`` with
+    PMI quantized to integer nanos and the deterministic order
+    (pmi_nano desc, w1, w2) — ties break on the words.
+
+    Determinism: the ratio is evaluated as the SAME IEEE expression
+    tree in both dialects — (c₁₂/N_big) / ((c₁/N_tok)·(c₂/N_tok)) —
+    then ln, then one quantization; no integer product that could
+    overflow at corpus scale.
+
+    Scale: bigram and unigram counts are partial-aggregatable; the
+    scalar totals broadcast; the two dictionary joins are equi-joins
+    on a token key; top-k is TakeOrderedAndProject (never a global
+    sort).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_pos", "_t"),
+    )
+    w = W.partitionBy(id_col).orderBy("_pos")
+    big = tok.select(
+        F.col(id_col),
+        F.col("_t").alias("_w1"),
+        F.lead("_t", 1).over(w).alias("_w2"),
+    ).filter(F.col("_w2").isNotNull())
+    bc = big.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
+    uc = tok.groupBy(F.col("_t").alias("_v")).agg(
+        F.count(F.lit(1)).alias("_cu")
+    )
+    totals = big.agg(F.count(F.lit(1)).alias("_NB")).crossJoin(
+        tok.agg(F.count(F.lit(1)).alias("_NT"))
+    )
+    u1 = uc.select(F.col("_v").alias("_u1"), F.col("_cu").alias("_c1"))
+    u2 = uc.select(F.col("_v").alias("_u2"), F.col("_cu").alias("_c2"))
+    scored = (
+        bc.filter(F.col("_cb") >= min_count)
+        .join(u1, F.col("_w1") == F.col("_u1"))
+        .join(u2, F.col("_w2") == F.col("_u2"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_w1").alias("w1"), F.col("_w2").alias("w2"),
+            F.col("_cb").alias("n_pair"),
+            F.floor(
+                F.log(
+                    (F.col("_cb") / F.col("_NB"))
+                    / ((F.col("_c1") / F.col("_NT"))
+                       * (F.col("_c2") / F.col("_NT")))
+                ) * F.lit(1e9) + F.lit(0.5)
+            ).cast("long").alias("pmi_nano"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_nano").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)
+
+
+def lexical_richness(docs: DataFrame, group_col: str = "source",
+                     text_col: str = "text") -> DataFrame:
+    """Per-group lexical-richness audit (M104): vocabulary size,
+    type-token ratio, and hapax-legomena fraction (Baayen 2001, the
+    classic LNRE vocabulary-growth statistics) — the "is this feed
+    degenerate or diverse" corpus-health signal a mixing plan reads
+    next to M96's JSD matrix.
+
+    Returns ``(group, n_tokens, vocab_size, n_hapax, ttr_micro,
+    hapax_frac_micro)`` where hapax counts tokens occurring EXACTLY
+    once within the group, and both ratios are integer micros of
+    exact counts.
+
+    Scale: one (group, token) count shuffle (partial-aggregatable),
+    then a |groups|-row rollup. No windows, no Python.
+    """
+    tc = docs.select(
+        F.col(group_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+    ).groupBy(group_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    g = tc.groupBy(group_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return g.select(
+        F.col(group_col),
+        "n_tokens", "vocab_size", "n_hapax",
+        F.when(F.col("n_tokens") > 0,
+               F.floor(F.col("vocab_size") * F.lit(1_000_000)
+                       / F.col("n_tokens")))
+        .otherwise(F.lit(0)).cast("long").alias("ttr_micro"),
+        F.when(F.col("vocab_size") > 0,
+               F.floor(F.col("n_hapax") * F.lit(1_000_000)
+                       / F.col("vocab_size")))
+        .otherwise(F.lit(0)).cast("long").alias("hapax_frac_micro"),
+    )
+
+
+def classifier_calibration(docs: DataFrame, label_col: str = "lang",
+                           positive: str = "en", n_bins: int = 10,
+                           n_bands: int = 64, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Score-decile calibration audit for the M95 seed classifier
+    (M105): bin every document into ``n_bins`` equal-population score
+    bins and report the ACTUAL positive-label rate per bin — the
+    reliability-diagram table (Niculescu-Mizil & Caruana 2005) that
+    tells a pipeline whether "NB score > cut" is a trustworthy quality
+    gate before it prunes at 100 TB.
+
+    Binning is by exact global rank, NOT a global sort: scores are
+    banded into ``n_bands`` equal-width ranges between the (broadcast)
+    min/max, ranked per band by (score, id), and band counts prefix-sum
+    into rank offsets — the striped_pack two-phase shape; the only
+    single-partition window touches ``n_bands`` rows. bin =
+    floor(rank · n_bins / N) on the 0-based rank.
+
+    Returns ``(bin, n_docs, n_pos, pos_rate_micro, min_score_micro,
+    max_score_micro)``.
+    """
+    scored = nb_class_scores(
+        docs, label_col=label_col, positive=positive,
+        id_col=id_col, text_col=text_col,
+    ).select(id_col, "score_micro")
+    lab = docs.select(
+        F.col(id_col),
+        (F.col(label_col) == F.lit(positive)).cast("long").alias("_y"),
+    )
+    # One lazy localCheckpoint: the scored frame feeds four branches
+    # (bounds, banding, per-band counts, final rollup) — without it the
+    # whole NB scoring pipeline re-executes per branch (73-exchange
+    # plan measured vs 8 staged).
+    s = scored.join(lab, id_col).localCheckpoint(eager=False)
+    bounds = s.agg(
+        F.min("score_micro").alias("_lo"),
+        F.max("score_micro").alias("_hi"),
+        F.count(F.lit(1)).alias("_N"),
+    )
+    banded = s.crossJoin(F.broadcast(bounds)).withColumn(
+        "_band",
+        F.least(
+            F.floor(
+                (F.col("score_micro") - F.col("_lo"))
+                * F.lit(n_bands)
+                / (F.col("_hi") - F.col("_lo") + 1)
+            ),
+            F.lit(n_bands - 1),
+        ).cast("long"),
+    )
+    w_band = W.partitionBy("_band").orderBy("score_micro", id_col)
+    ranked = banded.withColumn("_rn", F.row_number().over(w_band))
+    counts = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_n"))
+    w_pref = W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_band",
+        F.coalesce(F.sum("_n").over(w_pref), F.lit(0)).alias("_off"),
+    )
+    with_bin = (
+        ranked.join(F.broadcast(offsets), "_band")
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.col("_off") + F.col("_rn") - 1)
+                * F.lit(n_bins) / F.col("_N")
+            ).cast("int"),
+        )
+    )
+    return with_bin.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_y").alias("n_pos"),
+        F.floor(F.sum("_y") * F.lit(1_000_000) / F.count(F.lit(1)))
+        .cast("long").alias("pos_rate_micro"),
+        F.min("score_micro").alias("min_score_micro"),
+        F.max("score_micro").alias("max_score_micro"),
+    )

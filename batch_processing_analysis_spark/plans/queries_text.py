@@ -3072,3 +3072,327 @@ def q129_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group exact sums. Secondary registry; oracle-gated by
     tests/test_extra_queries.py."""
     return TA.fertility_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "q130_split_leakage",
+    r"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(text) - 3),
+                                          i -> text[i:i+4])) AS g
+      FROM documents WHERE len(text) >= 5
+    ),
+    ex AS (SELECT doc_id, unnest(g) AS gr FROM grams),
+    dfreq AS (SELECT gr, count(*) AS df FROM ex GROUP BY gr),
+    rare AS (
+      SELECT ex.doc_id, ex.gr FROM ex JOIN dfreq USING (gr)
+      WHERE df BETWEEN 2 AND 10
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN grams ga ON ga.doc_id = id_a
+      JOIN grams gb ON gb.doc_id = id_b
+      WHERE len(list_intersect(ga.g, gb.g)) * 1.0
+            / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.5
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN u < 800000 THEN 'train'
+                  WHEN u < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('s1' || chr(31) || source), 1, 15)
+                    AS BIGINT) % 1000000 AS u
+        FROM documents
+      )
+    ),
+    cls AS (
+      SELECT least(a.split, b.split) AS split_lo,
+             greatest(a.split, b.split) AS split_hi, id_a, id_b
+      FROM pairs
+      JOIN lab a ON a.doc_id = id_a
+      JOIN lab b ON b.doc_id = id_b
+    ),
+    pc AS (
+      SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM cls GROUP BY 1, 2
+    ),
+    dc AS (
+      SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_docs
+      FROM (
+        SELECT DISTINCT split_lo, split_hi, d FROM (
+          SELECT split_lo, split_hi, id_a AS d FROM cls
+          UNION ALL
+          SELECT split_lo, split_hi, id_b FROM cls
+        )
+      ) GROUP BY 1, 2
+    )
+    SELECT pc.split_lo, pc.split_hi, n_pairs, n_docs
+    FROM pc JOIN dc USING (split_lo, split_hi)
+    """,
+    primary=False,
+)
+def q130_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test near-dup leakage audit (operators/ordering.py:
+    split_leakage_audit, M101): n-gram-Jaccard near-dup pairs classed
+    by the split pair of the source-grouped 80/10/10 hash split —
+    off-diagonal rows are eval contamination. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    return ORD.split_leakage_audit(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1},
+        "s1", group_col="source",
+    )
+
+
+@query(
+    "q131_backoff_logprob",
+    r"""
+    WITH ltoks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS m,
+             unnest(tk) AS t
+      FROM ltoks
+    ),
+    big AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS m,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+      FROM ltoks WHERE len(tk) >= 2
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+      FROM big WHERE m = 1 GROUP BY w1, w2
+    ),
+    pc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp FROM bc GROUP BY w1),
+    qb AS (
+      SELECT w1, w2,
+             CAST(floor(-ln(cb * 1.0 / cp) * 1e6 + 0.5) AS BIGINT) AS q
+      FROM bc JOIN pc USING (w1)
+    ),
+    uni AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS cu
+      FROM occ WHERE m = 1 GROUP BY t
+    ),
+    nm AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+    qu AS (
+      SELECT t, CAST(floor(-ln(0.4 * cu / n) * 1e6 + 0.5) AS BIGINT) AS q
+      FROM uni, nm
+    ),
+    qf AS (
+      SELECT CAST(floor(-ln(0.4 / n) * 1e6 + 0.5) AS BIGINT) AS q FROM nm
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             COALESCE(qb.q, qu.q, qf.q) AS q,
+             CASE WHEN qb.q IS NOT NULL THEN 1 ELSE 0 END AS hit,
+             CASE WHEN qb.q IS NULL AND qu.q IS NOT NULL
+                  THEN 1 ELSE 0 END AS back,
+             CASE WHEN qb.q IS NULL AND qu.q IS NULL
+                  THEN 1 ELSE 0 END AS oov
+      FROM big b
+      LEFT JOIN qb ON b.w1 = qb.w1 AND b.w2 = qb.w2
+      LEFT JOIN qu ON b.w2 = qu.t, qf
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(hit) AS BIGINT) AS n_hits,
+             CAST(sum(back) AS BIGINT) AS n_backoffs,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             CAST(sum(q) AS BIGINT) AS s
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(n_backoffs, 0) AS BIGINT) AS n_backoffs,
+           CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(COALESCE(s, 0) AS BIGINT) AS sum_neglogs_micro,
+           CAST(CASE WHEN COALESCE(n_bigrams, 0) > 0
+                THEN floor(s * 1.0 / n_bigrams) ELSE 0 END AS BIGINT)
+             AS avg_neglogs_micro
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    primary=False,
+)
+def q131_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff cross-corpus scoring (operators/text_analysis.py:
+    backoff_logprob, M102): bigram model trained on the lang='en'
+    slice, every document scored with α=0.4 backoff to the unigram
+    then an OOV floor; the hit/backoff/OOV counters audit model
+    coverage. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return TA.backoff_logprob(
+        _docs(spark, sf_dir), F.col("lang") == F.lit("en"), alpha=0.4
+    )
+
+
+@query(
+    "q132_pmi_collocations",
+    r"""
+    WITH ltoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    occ AS (SELECT doc_id, unnest(tk) AS t FROM ltoks),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+      FROM ltoks WHERE len(tk) >= 2
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+      FROM big GROUP BY w1, w2
+    ),
+    uc AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM occ GROUP BY t),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS nb,
+             (SELECT CAST(count(*) AS BIGINT) FROM occ) AS nt
+    )
+    SELECT w1, w2, cb AS n_pair,
+           CAST(floor(ln((cb * 1.0 / nb)
+                         / ((u1.cu * 1.0 / nt) * (u2.cu * 1.0 / nt)))
+                      * 1e9 + 0.5) AS BIGINT) AS pmi_nano
+    FROM bc
+    JOIN uc u1 ON bc.w1 = u1.t
+    JOIN uc u2 ON bc.w2 = u2.t, tot
+    WHERE cb >= 5
+    ORDER BY pmi_nano DESC, w1, w2
+    LIMIT 100
+    """,
+    primary=False,
+)
+def q132_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI collocations (operators/text_analysis.py:
+    pmi_collocations, M103): pointwise mutual information over corpus
+    bigram/unigram counts, min pair count 5, integer-nano quantization,
+    (pmi desc, w1, w2) deterministic top-k. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    return TA.pmi_collocations(_docs(spark, sf_dir), min_count=5, k=100)
+
+
+@query(
+    "q133_lexical_richness",
+    r"""
+    WITH occ AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    tc AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      FROM occ GROUP BY source, t
+    ),
+    g AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM tc GROUP BY source
+    )
+    SELECT source, n_tokens, vocab_size, n_hapax,
+           CAST(CASE WHEN n_tokens > 0
+                THEN floor(vocab_size * 1000000.0 / n_tokens)
+                ELSE 0 END AS BIGINT) AS ttr_micro,
+           CAST(CASE WHEN vocab_size > 0
+                THEN floor(n_hapax * 1000000.0 / vocab_size)
+                ELSE 0 END AS BIGINT) AS hapax_frac_micro
+    FROM g
+    """,
+    primary=False,
+)
+def q133_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical richness (operators/text_analysis.py:
+    lexical_richness, M104): vocabulary size, type-token ratio and
+    hapax fraction from exact (source, token) counts, integer micros.
+    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    return TA.lexical_richness(_docs(spark, sf_dir))
+
+
+@query(
+    "q134_score_calibration",
+    r"""
+    WITH lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, y,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM lab
+    ),
+    cnt AS (
+      SELECT tok, CAST(sum(y) AS BIGINT) AS cp,
+             CAST(sum(1 - y) AS BIGINT) AS cn
+      FROM tok GROUP BY tok
+    ),
+    st AS (
+      SELECT CAST(sum(cp) AS BIGINT) AS tp, CAST(sum(cn) AS BIGINT) AS tn,
+             CAST(count(*) AS BIGINT) AS v
+      FROM cnt
+    ),
+    pr AS (
+      SELECT CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn
+      FROM lab
+    ),
+    w AS (
+      SELECT tok,
+             CAST(floor((ln((cp + 1.0) / (tp + v))
+                         - ln((cn + 1.0) / (tn + v)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+      FROM cnt, st
+    ),
+    agg AS (
+      SELECT t.doc_id, CAST(sum(w.w_micro) AS BIGINT) AS sw
+      FROM tok t JOIN w ON t.tok = w.tok GROUP BY t.doc_id
+    ),
+    pm AS (
+      SELECT CAST(floor((ln(np + 1.0) - ln(nn + 1.0)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS prior_micro
+      FROM pr
+    ),
+    sc AS (
+      SELECT d.doc_id,
+             CAST(pm.prior_micro + COALESCE(a.sw, 0) AS BIGINT) AS s,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents d LEFT JOIN agg a USING (doc_id), pm
+    ),
+    rk AS (
+      SELECT doc_id, s, y,
+             row_number() OVER (ORDER BY s, doc_id) - 1 AS r,
+             count(*) OVER () AS n
+      FROM sc
+    )
+    SELECT CAST(floor(r * 10 * 1.0 / n) AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(floor(sum(y) * 1000000.0 / count(*)) AS BIGINT)
+             AS pos_rate_micro,
+           CAST(min(s) AS BIGINT) AS min_score_micro,
+           CAST(max(s) AS BIGINT) AS max_score_micro
+    FROM rk GROUP BY 1
+    """,
+    primary=False,
+)
+def q134_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-decile calibration audit of the M95 seed classifier
+    (operators/text_analysis.py:classifier_calibration, M105):
+    equal-population bins by exact banded global rank (the
+    striped_pack two-phase shape — no global sort), actual positive
+    rate per bin. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return TA.classifier_calibration(_docs(spark, sf_dir))

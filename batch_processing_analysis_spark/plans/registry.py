@@ -96,13 +96,16 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q127_dsir_weights",
     "q128_dup_span_audit",
     "q129_fertility_by_lang",
-    # stalest greens: last green in r2
-    "q22_dense_rank",
-    "q23_instant_generation",
-    "q25_conditional_pivot",
-    "q45_ann_cosine_topk",
+    # late-r5 additions (M101-M105), first driver check (ceded the
+    # five stalest re-green slots q22/q23/q25/q45/q53 — each already
+    # green in a past round; never-checked > stale-green, the same
+    # triage VERDICT r4 task 2 applied)
+    "q130_split_leakage",
+    "q131_backoff_logprob",
+    "q132_pmi_collocations",
+    "q133_lexical_richness",
+    "q134_score_calibration",
     # stalest greens: green only in r3
-    "q53_corpus_filter",
     "q58_stratified_sample",
     "q59_token_shard_packing",
     "q60_winnowing_pairs",

@@ -87,6 +87,15 @@ EXTRA_SCALAR_BROADCAST = {
     # DSIR: smoothing-totals aggregate (1 row) broadcast onto the
     # ≤ n_buckets-row log-ratio table — q124's shape.
     "q127_dsir_weights",
+    # stupid-backoff: model-size aggregate (1 row) and OOV-floor
+    # scalar (1 row) broadcasts — q72's total-count shape twice.
+    "q131_backoff_logprob",
+    # PMI: the NB/NT totals aggregate (1 row) broadcast onto the
+    # min-count-filtered bigram dictionary.
+    "q132_pmi_collocations",
+    # calibration: min/max/N bounds aggregate (1 row) broadcast onto
+    # every scored row, plus q124's NB scalar shapes underneath.
+    "q134_score_calibration",
 }
 
 
@@ -107,6 +116,9 @@ GLOBAL_WINDOW_BOUNDED = {
     # striped_pack's rank-offset prefix window runs over the per-band
     # counts aggregate (≤ n_bands rows), the pack_contexts shape.
     "q126_striped_pack_audit",
+    # calibration reuses the same banded-rank shape: its only global
+    # window is the prefix sum over the ≤ n_bands-row band counts.
+    "q134_score_calibration",
 }
 
 

@@ -76,6 +76,11 @@ EXPECTED_SHADOWED = frozenset({
     "q43_dedup_ngram_jaccard", "q46_ann_ivf_topk", "q47_text_quality",
     "q48_lang_id", "q49_token_count", "q52_dedup_components",
     "q56_repetition_signals", "q57_pattern_counts",
+    # ceded late-r5 to give M101-M105 (q130-q134) their first driver
+    # check; green in two past rounds (rotation_check). The other four
+    # ceded slots (q22/q23/q25/q45) are registered primary=False, so
+    # they leave the window without entering the shadow set.
+    "q53_corpus_filter",
 })
 
 
