@@ -328,8 +328,18 @@ def main() -> None:
         print(f"bench: ingest facade failed: {e}", file=sys.stderr)
 
 
+    # Self-completing surface: any registered query the hand-ordered
+    # HEADLINE list misses is appended (sorted) so a new registration
+    # can never silently drop out of the per-round record (q124-q134
+    # did exactly that between the r5 list edit and this guard).
+    missing = sorted(set(qs) - set(HEADLINE))
+    if missing:
+        print(f"bench: auto-appending {len(missing)} unlisted queries: "
+              f"{missing}", file=sys.stderr)
+    bench_names = HEADLINE + missing
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in bench_names:
         fn = qs.get(name)
         if fn is None:
             continue
