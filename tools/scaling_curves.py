@@ -185,6 +185,10 @@ def main() -> None:
                          "(an sf1-equivalent dataset when --factor 10 "
                          "at sf0.1) and exit — for a full-surface "
                          "bench.py run via SPARK_GRAFT_SF_DIR")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated query names to curve instead "
+                         "of the default heavy set (skips the q74 "
+                         "matmul-variant stage)")
     args = ap.parse_args()
 
     from batch_processing_analysis_spark.plans import registry
@@ -203,8 +207,9 @@ def main() -> None:
     allq = {**registry.QUERIES, **registry.EXTRA_QUERIES}
     blow = build_blowup(spark, args.sf_dir, args.factor)
 
+    names = (args.queries.split(",") if args.queries else HEAVY)
     curves = {}
-    for name in HEAVY:
+    for name in names:
         base = timed(allq[name], spark, args.sf_dir)
         big = timed(allq[name], spark, blow)
         curves[name] = {
@@ -236,6 +241,17 @@ def main() -> None:
             threshold=0.3, stride=50, max_cluster=1000,
             assign_strategy="matmul",
         )
+
+    if args.queries:  # custom list: skip the q74-variant stage
+        result = {"sf_dir": args.sf_dir, "factor": args.factor,
+                  "curves": curves}
+        text = json.dumps(result, indent=2)
+        if args.out == "-":
+            print(text)
+        else:
+            Path(args.out).write_text(text + "\n")
+        spark.stop()
+        return
 
     base = timed(q74_matmul, spark, args.sf_dir)
     big = timed(q74_matmul, spark, blow)
