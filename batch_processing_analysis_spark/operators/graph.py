@@ -258,3 +258,25 @@ def pagerank(
     release_checkpoints(ranks, node_ck | ed_ck)
     return ranks.select(F.col("_id").alias(id_col),
                         F.col("_r").alias("rank_micros"))
+
+
+def dup_cluster_sizes(components: DataFrame,
+                      comp_col: str = "component") -> DataFrame:
+    """Duplicate-cluster size histogram (M108): from a components
+    labeling (:func:`connected_components` / the resolve_duplicates
+    edge set) report ``(cluster_size, n_clusters, n_docs)`` — the
+    corpus-health distribution behind every dedup report ("how much
+    mass sits in giant clusters"; the cluster-size tail drives both
+    the dedup savings estimate and the skew risk of any
+    cluster-keyed stage).
+
+    Scale: two partial-aggregatable counts (per component, then per
+    size); output is ≤ max-cluster-size rows.
+    """
+    sizes = components.groupBy(comp_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )

@@ -22,7 +22,7 @@ permutation with zero state carried between epochs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -412,3 +412,64 @@ def split_leakage_audit(df: DataFrame, fractions: dict[str, float],
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     return per.join(touched, ["split_lo", "split_hi"])
+
+
+def packing_efficiency(docs: DataFrame, ctx_len: int,
+                       group_col: str = "source",
+                       tokens_col: Column | None = None,
+                       text_col: str = "text") -> DataFrame:
+    """Context-packing efficiency audit (M107): per group, compare the
+    two closed-form packing strategies a training pipeline chooses
+    between — concat-and-split packing (pack_contexts: zero inter-doc
+    padding, one partial tail context per group) vs pad-each-document
+    (every doc rounded up to whole contexts — the no-packing
+    baseline) — and report the padding waste of each. The "packing
+    saves ~X% of compute" measurement (Krell et al. 2021 pack-BERT
+    analysis) before choosing a sink layout.
+
+    Returns ``(group, n_docs, total_tokens, packed_contexts,
+    packed_waste, padded_contexts, padded_waste, packed_util_micro,
+    padded_util_micro)`` — utilization = tokens/(contexts·ctx_len) in
+    integer micros of exact counts.
+
+    Scale: one narrow projection + one partial-aggregatable groupBy;
+    ceil-division per doc happens before the aggregate, so the plan is
+    a single shuffle on ``group_col`` with a |groups|-row result.
+    """
+    from .dedup import tokens as _tokens
+
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    n = (tokens_col if tokens_col is not None
+         else F.size(_tokens(F.col(text_col)))).cast("long")
+    per = docs.select(
+        F.col(group_col),
+        n.alias("_n"),
+        F.floor((n + F.lit(ctx_len - 1)) / F.lit(ctx_len))
+        .cast("long").alias("_ctx_padded"),
+    )
+    g = per.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("total_tokens"),
+        F.sum("_ctx_padded").alias("padded_contexts"),
+    )
+    packed = F.floor(
+        (F.col("total_tokens") + F.lit(ctx_len - 1)) / F.lit(ctx_len)
+    ).cast("long")
+    util = lambda ctxs: F.when(
+        ctxs > 0,
+        F.floor(F.col("total_tokens") * F.lit(1_000_000)
+                / (ctxs * F.lit(ctx_len)))
+    ).otherwise(F.lit(0)).cast("long")
+    return g.select(
+        F.col(group_col),
+        "n_docs", "total_tokens",
+        packed.alias("packed_contexts"),
+        (packed * ctx_len - F.col("total_tokens")).cast("long")
+        .alias("packed_waste"),
+        F.col("padded_contexts"),
+        (F.col("padded_contexts") * ctx_len - F.col("total_tokens"))
+        .cast("long").alias("padded_waste"),
+        util(packed).alias("packed_util_micro"),
+        util(F.col("padded_contexts")).alias("padded_util_micro"),
+    )

@@ -72,3 +72,47 @@ def validation_summary(flagged: DataFrame) -> DataFrame:
     ])).alias("_s")
     return one.select(stack).select("_s.rule", "_s.n_rows",
                                     "_s.n_pass", "_s.n_fail")
+
+
+def quality_funnel(df: DataFrame,
+                   gates: list[tuple[str, Column]]) -> DataFrame:
+    """Sequential quality-gate funnel audit (M106): apply the gates in
+    order as cumulative ANDs and report, per stage, how many rows
+    enter, survive, and drop — the "how much does each filter cost me"
+    table every published pipeline reports (C4's filter ablations,
+    Raffel et al. 2020 §2.2; Gopher's Table A1, Rae et al. 2021)
+    before committing to a prune at 100 TB.
+
+    Returns ``(stage_idx, stage, n_in, n_out, n_dropped,
+    pass_rate_micro)`` — pass rate is relative to the stage's OWN
+    input, integer micros, 0-guarded.
+
+    Scale: ONE scan and ONE 1-row aggregate (every cumulative gate is
+    a sum of an AND-chain indicator — partial-aggregatable); the
+    per-stage rows are exploded from that single row, so the plan has
+    no join, no window, no second pass, regardless of gate count.
+    """
+    if not gates:
+        raise ValueError("quality_funnel needs at least one gate")
+    sums = []
+    cum = None
+    for i, (_name, cond) in enumerate(gates):
+        cum = cond if cum is None else (cum & cond)
+        sums.append(F.sum(cum.cast("long")).alias(f"_s{i}"))
+    agg = df.agg(F.count(F.lit(1)).alias("_s_in"), *sums)
+    stages = []
+    for i, (name, _cond) in enumerate(gates):
+        n_in = F.col("_s_in") if i == 0 else F.col(f"_s{i-1}")
+        n_out = F.col(f"_s{i}")
+        stages.append(F.struct(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            n_in.alias("n_in"),
+            n_out.alias("n_out"),
+            (n_in - n_out).alias("n_dropped"),
+            F.when(n_in > 0,
+                   F.floor(n_out * F.lit(1_000_000) / n_in))
+            .otherwise(F.lit(0)).cast("long").alias("pass_rate_micro"),
+        ))
+    return agg.select(F.explode(F.array(*stages)).alias("_st")) \
+              .select("_st.*")

@@ -3396,3 +3396,238 @@ def q134_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate per bin. Secondary registry; oracle-gated by
     tests/test_extra_queries.py."""
     return TA.classifier_calibration(_docs(spark, sf_dir))
+
+
+@query(
+    "q135_quality_funnel",
+    r"""
+    WITH lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, y,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM lab
+    ),
+    cnt AS (
+      SELECT tok, CAST(sum(y) AS BIGINT) AS cp,
+             CAST(sum(1 - y) AS BIGINT) AS cn
+      FROM tok GROUP BY tok
+    ),
+    st AS (
+      SELECT CAST(sum(cp) AS BIGINT) AS tp, CAST(sum(cn) AS BIGINT) AS tn,
+             CAST(count(*) AS BIGINT) AS v
+      FROM cnt
+    ),
+    pr AS (
+      SELECT CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn
+      FROM lab
+    ),
+    w AS (
+      SELECT tok,
+             CAST(floor((ln((cp + 1.0) / (tp + v))
+                         - ln((cn + 1.0) / (tn + v)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+      FROM cnt, st
+    ),
+    agg AS (
+      SELECT t.doc_id, CAST(sum(w.w_micro) AS BIGINT) AS sw
+      FROM tok t JOIN w ON t.tok = w.tok GROUP BY t.doc_id
+    ),
+    pm AS (
+      SELECT CAST(floor((ln(np + 1.0) - ln(nn + 1.0)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS prior_micro
+      FROM pr
+    ),
+    ltk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    f AS (
+      SELECT d.doc_id,
+             (d.n_chars BETWEEN 120 AND 2000) AS g1,
+             (len(tk) >= 25) AS g2,
+             (len(list_distinct(tk)) * 1000000 >= 400000 * len(tk)) AS g3,
+             (pm.prior_micro + COALESCE(a.sw, 0) >= 0) AS g4
+      FROM documents d
+      JOIN ltk USING (doc_id)
+      LEFT JOIN agg a USING (doc_id), pm
+    ),
+    a2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s2,
+             CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s3,
+             CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s4
+      FROM f
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage_idx, 'len_chars' AS stage, n0 AS n_in,
+             s1 AS n_out, n0 - s1 AS n_dropped,
+             CAST(CASE WHEN n0 > 0 THEN floor(s1 * 1000000.0 / n0)
+                  ELSE 0 END AS BIGINT) AS pass_rate_micro
+      FROM a2
+      UNION ALL
+      SELECT 1, 'min_words', s1, s2, s1 - s2,
+             CAST(CASE WHEN s1 > 0 THEN floor(s2 * 1000000.0 / s1)
+                  ELSE 0 END AS BIGINT)
+      FROM a2
+      UNION ALL
+      SELECT 2, 'distinct_ratio', s2, s3, s2 - s3,
+             CAST(CASE WHEN s2 > 0 THEN floor(s3 * 1000000.0 / s2)
+                  ELSE 0 END AS BIGINT)
+      FROM a2
+      UNION ALL
+      SELECT 3, 'nb_positive', s3, s4, s3 - s4,
+             CAST(CASE WHEN s3 > 0 THEN floor(s4 * 1000000.0 / s3)
+                  ELSE 0 END AS BIGINT)
+      FROM a2
+    )
+    """,
+    primary=False,
+)
+def q135_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-gate funnel (operators/validation.py:
+    quality_funnel, M106): char-length band -> min word count ->
+    distinct-token ratio -> NB-positive, each stage's survivor count
+    from ONE scan + ONE 1-row aggregate. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    from ..operators import validation as V
+    from ..operators.dedup import tokens as _tk
+    from ..operators.text_analysis import nb_class_scores
+
+    docs = _docs(spark, sf_dir)
+    nb = nb_class_scores(docs).select("doc_id", "score_micro")
+    joined = docs.join(nb, "doc_id")
+    tk = _tk(F.col("text"))
+    gates = [
+        ("len_chars", F.col("n_chars").between(120, 2000)),
+        ("min_words", F.size(tk) >= 25),
+        ("distinct_ratio",
+         F.size(F.array_distinct(tk)) * 1_000_000
+         >= 400_000 * F.size(tk)),
+        ("nb_positive", F.col("score_micro") >= 0),
+    ]
+    return V.quality_funnel(joined, gates)
+
+
+@query(
+    "q136_packing_efficiency",
+    r"""
+    WITH per AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n
+      FROM documents
+    ),
+    per2 AS (
+      SELECT source, n,
+             CAST(floor((n + 511) * 1.0 / 512) AS BIGINT) AS cp
+      FROM per
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(sum(cp) AS BIGINT) AS padded_contexts
+      FROM per2 GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           CAST(floor((total_tokens + 511) * 1.0 / 512) AS BIGINT)
+             AS packed_contexts,
+           CAST(floor((total_tokens + 511) * 1.0 / 512) AS BIGINT) * 512
+             - total_tokens AS packed_waste,
+           padded_contexts,
+           padded_contexts * 512 - total_tokens AS padded_waste,
+           CAST(CASE WHEN floor((total_tokens + 511) * 1.0 / 512) > 0
+                THEN floor(total_tokens * 1000000.0
+                           / (floor((total_tokens + 511) * 1.0 / 512)
+                              * 512))
+                ELSE 0 END AS BIGINT) AS packed_util_micro,
+           CAST(CASE WHEN padded_contexts > 0
+                THEN floor(total_tokens * 1000000.0
+                           / (padded_contexts * 512))
+                ELSE 0 END AS BIGINT) AS padded_util_micro
+    FROM g
+    """,
+    primary=False,
+)
+def q136_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit at ctx_len=512 (operators/ordering.py:
+    packing_efficiency, M107): concat-split packing vs pad-each-doc
+    waste and utilization per source, exact integer counts. Secondary
+    registry; oracle-gated by tests/test_extra_queries.py."""
+    return ORD.packing_efficiency(_docs(spark, sf_dir), ctx_len=512)
+
+
+@query(
+    "q137_dup_cluster_sizes",
+    r"""
+    WITH RECURSIVE hx AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+      FROM documents
+    ),
+    epairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT min(doc_id) OVER (PARTITION BY ch) AS id_a, doc_id AS id_b
+        FROM hx
+      ) WHERE id_a <> id_b
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(text) - 3),
+                                          i -> text[i:i+4])) AS g
+      FROM documents WHERE len(text) >= 5
+    ),
+    ex AS (SELECT doc_id, unnest(g) AS gr FROM grams),
+    dfreq AS (SELECT gr, count(*) AS df FROM ex GROUP BY gr),
+    rare AS (
+      SELECT ex.doc_id, ex.gr FROM ex JOIN dfreq USING (gr)
+      WHERE df BETWEEN 2 AND 10
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    ),
+    npairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN grams ga ON ga.doc_id = id_a
+      JOIN grams gb ON gb.doc_id = id_b
+      WHERE len(list_intersect(ga.g, gb.g)) * 1.0
+            / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.5
+    ),
+    allp AS (SELECT * FROM epairs UNION SELECT * FROM npairs),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM allp
+      UNION SELECT id_b, id_a FROM allp
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component
+              FROM reach GROUP BY id),
+    cs AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comps GROUP BY component
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM cs GROUP BY cluster_size
+    """,
+    primary=False,
+)
+def q137_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (operators/graph.py:
+    dup_cluster_sizes, M108) over q52/q75's exact+near-dup component
+    labeling (shared cached fixpoint). Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    return G.dup_cluster_sizes(_doc_components(spark, sf_dir))

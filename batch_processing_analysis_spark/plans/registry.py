@@ -105,11 +105,14 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q132_pmi_collocations",
     "q133_lexical_richness",
     "q134_score_calibration",
+    # latest-r5 additions (M106-M108), first driver check (ceded the
+    # single-r3-green re-green slots q58/q59/q61 — they keep their r3
+    # green row; never-checked > stale-green)
+    "q135_quality_funnel",
+    "q136_packing_efficiency",
+    "q137_dup_cluster_sizes",
     # stalest greens: green only in r3
-    "q58_stratified_sample",
-    "q59_token_shard_packing",
     "q60_winnowing_pairs",
-    "q61_event_blacklist",
     "q74_semantic_dedup",
     "q75_dedup_resolution",
     "q80_funnel_steps",

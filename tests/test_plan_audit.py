@@ -96,6 +96,9 @@ EXTRA_SCALAR_BROADCAST = {
     # calibration: min/max/N bounds aggregate (1 row) broadcast onto
     # every scored row, plus q124's NB scalar shapes underneath.
     "q134_score_calibration",
+    # funnel: q124's NB scalar shapes feed the score gate; the funnel
+    # itself is one scan + one 1-row aggregate.
+    "q135_quality_funnel",
 }
 
 

@@ -224,3 +224,77 @@ def test_calibration_degenerate_all_equal_scores(spark):
     assert sorted(r["bin"] for r in rows) == list(range(10))
     assert all(r["n_docs"] == 1 for r in rows)
     assert all(r["min_score_micro"] == r["max_score_micro"] for r in rows)
+
+
+# --------------------------------------------------------------- M106
+
+def test_quality_funnel_hand_recomputed(spark):
+    from batch_processing_analysis_spark.operators import validation as V
+    df = spark.createDataFrame(
+        [(1, 10, 1), (2, 50, 1), (3, 50, 0), (4, 200, 0)],
+        "id long, size long, flag long",
+    )
+    rows = V.quality_funnel(df, [
+        ("big_enough", F.col("size") >= 20),     # drops 1 -> 3 left
+        ("flag_set", F.col("flag") == 1),        # drops 3,4 -> 1 left
+        ("not_too_big", F.col("size") <= 100),   # 2 passes -> 1 left
+    ]).collect()
+    got = [(r["stage_idx"], r["stage"], r["n_in"], r["n_out"],
+            r["n_dropped"], r["pass_rate_micro"]) for r in rows]
+    assert got == [
+        (0, "big_enough", 4, 3, 1, 750000),
+        (1, "flag_set", 3, 1, 2, 333333),
+        (2, "not_too_big", 1, 1, 0, 1000000),
+    ]
+
+
+def test_quality_funnel_rejects_empty_gates(spark):
+    import pytest
+    from batch_processing_analysis_spark.operators import validation as V
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        V.quality_funnel(df, [])
+
+
+# --------------------------------------------------------------- M107
+
+def test_packing_efficiency_hand_recomputed(spark):
+    # ctx=10. s1: docs of 7, 8, 12 tokens -> T=27, packed=3 (waste 3),
+    # padded=1+1+2=4 contexts (waste 13).
+    docs = _docs(spark, [
+        (1, " ".join(["t"] * 7), "en", "s1"),
+        (2, " ".join(["t"] * 8), "en", "s1"),
+        (3, " ".join(["t"] * 12), "en", "s1"),
+        (4, "", "en", "s2"),
+    ])
+    got = {r["source"]: r for r in
+           ORD.packing_efficiency(docs, ctx_len=10).collect()}
+    r1 = got["s1"]
+    assert (r1["n_docs"], r1["total_tokens"]) == (3, 27)
+    assert (r1["packed_contexts"], r1["packed_waste"]) == (3, 3)
+    assert (r1["padded_contexts"], r1["padded_waste"]) == (4, 13)
+    assert r1["packed_util_micro"] == math.floor(27 * 1e6 / 30)
+    assert r1["padded_util_micro"] == math.floor(27 * 1e6 / 40)
+    r2 = got["s2"]  # empty doc: zero tokens, zero contexts, util 0
+    assert (r2["total_tokens"], r2["packed_contexts"],
+            r2["padded_contexts"], r2["packed_util_micro"]) == (0, 0, 0, 0)
+
+
+def test_packing_efficiency_rejects_bad_ctx(spark):
+    import pytest
+    docs = _docs(spark, [(1, "a b", "en", "s")])
+    with pytest.raises(ValueError):
+        ORD.packing_efficiency(docs, ctx_len=0)
+
+
+# --------------------------------------------------------------- M108
+
+def test_dup_cluster_sizes_hand_recomputed(spark):
+    from batch_processing_analysis_spark.operators import graph as G
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, component long",
+    )
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+           for r in G.dup_cluster_sizes(comps).collect()}
+    assert got == {3: (1, 3), 1: (1, 1), 2: (1, 2)}

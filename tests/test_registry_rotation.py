@@ -81,6 +81,10 @@ EXPECTED_SHADOWED = frozenset({
     # ceded slots (q22/q23/q25/q45) are registered primary=False, so
     # they leave the window without entering the shadow set.
     "q53_corpus_filter",
+    # ceded latest-r5 for M106-M108 (q135-q137); each keeps its r3
+    # driver-green row.
+    "q58_stratified_sample", "q59_token_shard_packing",
+    "q61_event_blacklist",
 })
 
 
