@@ -473,3 +473,160 @@ def packing_efficiency(docs: DataFrame, ctx_len: int,
         util(packed).alias("packed_util_micro"),
         util(F.col("padded_contexts")).alias("padded_util_micro"),
     )
+
+
+def banded_global_rank(df: DataFrame, key_col: str, id_col: str,
+                       n_bands: int = 64,
+                       out_col: str = "rank") -> DataFrame:
+    """Exact 0-based global rank by ``(key, id)`` ascending WITHOUT a
+    global sort — the striped_pack/classifier_calibration two-phase
+    shape, factored for reuse: rows band into ``n_bands`` equal-width
+    ranges of the (broadcast) min/max key, rank per band by
+    ``(key, id)``, and band counts prefix-sum into broadcast offsets.
+    The only single-partition window touches ``n_bands`` rows; the
+    banding is monotone in the key, so band-local order concatenates
+    to the exact global order.
+
+    ``key_col`` must be numeric (long/int); callers quantize first
+    (the integer-micro convention). Adds ``out_col`` to the input
+    columns.
+    """
+    if n_bands <= 0:
+        raise ValueError("n_bands must be positive")
+    bounds = df.agg(
+        F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi")
+    )
+    banded = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_band",
+        F.least(
+            F.floor(
+                (F.col(key_col) - F.col("_lo")) * F.lit(n_bands)
+                / (F.col("_hi") - F.col("_lo") + 1)
+            ),
+            F.lit(n_bands - 1),
+        ).cast("long"),
+    )
+    w_band = W.partitionBy("_band").orderBy(key_col, id_col)
+    ranked = banded.withColumn("_rn", F.row_number().over(w_band))
+    counts = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_n"))
+    w_pref = W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_band",
+        F.coalesce(F.sum("_n").over(w_pref), F.lit(0)).alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_band")
+        .withColumn(out_col,
+                    (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_band", "_rn", "_off", "_lo", "_hi")
+    )
+
+
+def stratified_quotas(df: DataFrame, k: int, group_col: str = "lang",
+                      id_col: str = "doc_id",
+                      seed: str = "eval") -> DataFrame:
+    """Largest-remainder (Hamilton) eval-set apportionment (M109):
+    split ``k`` held-out slots across strata exactly proportionally —
+    base quota = ⌊n_g·k/N⌋, then one extra slot each to the largest
+    integer remainders (ties → group key asc) until the quotas sum to
+    ``k`` — and select each stratum's members deterministically by
+    seeded hash order. The "build the eval set" step: proportional to
+    the corpus, reproducible in any engine, no sampling pass.
+
+    Requires ``k ≤ N`` (guaranteeing quota_g ≤ n_g, so every stratum
+    can fill its quota). Returns per-stratum
+    ``(group, n_docs, quota, n_selected, sel_id_sum)`` where
+    ``sel_id_sum`` checksums the selected id set.
+
+    Scale: one count shuffle on the stratum key; the apportionment
+    runs on the |strata|-row counts frame (its global remainder-rank
+    window is aggregate-bounded); selection is one per-stratum window
+    ordered by the seeded 60-bit hash. All arithmetic is exact
+    integers — n_g·k and the remainders never touch a float.
+    """
+    from .dedup import hash60
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_N"))
+    qc = counts.crossJoin(F.broadcast(total)).select(
+        group_col, "n_docs",
+        F.floor(F.col("n_docs") * F.lit(k) / F.col("_N"))
+        .cast("long").alias("_base"),
+        (F.col("n_docs") * F.lit(k)
+         - F.floor(F.col("n_docs") * F.lit(k) / F.col("_N"))
+           .cast("long") * F.col("_N")).alias("_rem"),
+    )
+    base_sum = qc.agg(F.sum("_base").alias("_bs"))
+    w_rem = W.orderBy(F.col("_rem").desc(), F.col(group_col))
+    quotas = (
+        qc.withColumn("_rr", F.row_number().over(w_rem))
+        .crossJoin(F.broadcast(base_sum))
+        .select(
+            group_col, "n_docs",
+            (F.col("_base")
+             + F.when(F.col("_rr") <= F.lit(k) - F.col("_bs"), 1)
+               .otherwise(0)).cast("long").alias("quota"),
+        )
+    )
+    keyed = df.select(
+        F.col(group_col), F.col(id_col),
+        hash60(F.concat(F.lit(seed), F.lit(":"),
+                        F.col(id_col).cast("string"))).alias("_h"),
+    )
+    w_sel = W.partitionBy(group_col).orderBy("_h", id_col)
+    sel = (
+        keyed.withColumn("_rn", F.row_number().over(w_sel))
+        .join(F.broadcast(quotas.select(group_col, "quota")), group_col)
+        .filter(F.col("_rn") <= F.col("quota"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_selected"),
+             F.sum(id_col).alias("sel_id_sum"))
+    )
+    zero = F.lit(0).cast("long")
+    return quotas.join(sel, group_col, "left").select(
+        F.col(group_col), "n_docs", "quota",
+        F.coalesce("n_selected", zero).alias("n_selected"),
+        F.coalesce("sel_id_sum", zero).alias("sel_id_sum"),
+    )
+
+
+def rrf_fuse(df: DataFrame, signals: list[tuple[str, str]],
+             k_const: int = 60, top_k: int = 100,
+             id_col: str = "doc_id", n_bands: int = 64) -> DataFrame:
+    """Reciprocal-rank fusion of quality signals (M110; Cormack et al.
+    2009): fused(d) = Σ_s ⌊10⁹ / (k + rank_s(d) + 1)⌋ over the given
+    ``(name, key_col)`` signals, each ranked ASCENDING by
+    ``(key, id)`` — quantize keys so "ascending = better" (negate
+    integer scores to rank descending). The standard way to combine
+    heterogeneous filter signals (perplexity, classifier score, dup
+    rate) into one ordering without tuning weights.
+
+    Per-signal ranks come from :func:`banded_global_rank` — no global
+    sort; each contribution is quantized to an exact integer before
+    the sum, so the fusion is engine/order-independent. Returns the
+    ``top_k`` rows ``(id, rank_<name>..., rrf_score)`` by
+    (score desc, id) — TakeOrderedAndProject, never a full sort.
+    """
+    if not signals:
+        raise ValueError("rrf_fuse needs at least one signal")
+    ranked = df
+    for name, key in signals:
+        ranked = banded_global_rank(ranked, key, id_col,
+                                    n_bands=n_bands,
+                                    out_col=f"rank_{name}")
+    contrib = [
+        F.floor(F.lit(1_000_000_000)
+                / (F.lit(k_const) + F.col(f"rank_{name}") + 1))
+        .cast("long")
+        for name, _ in signals
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    out = ranked.select(
+        F.col(id_col),
+        *[F.col(f"rank_{name}") for name, _ in signals],
+        total.alias("rrf_score"),
+    )
+    return out.orderBy(F.col("rrf_score").desc(), F.col(id_col)) \
+              .limit(top_k)

@@ -3631,3 +3631,176 @@ def q137_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeling (shared cached fixpoint). Secondary registry;
     oracle-gated by tests/test_extra_queries.py."""
     return G.dup_cluster_sizes(_doc_components(spark, sf_dir))
+
+
+@query(
+    "q138_eval_quotas",
+    r"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM c),
+    qc AS (
+      SELECT lang, n_docs,
+             CAST(floor(n_docs * 100 * 1.0 / t.n) AS BIGINT) AS base,
+             n_docs * 100
+               - CAST(floor(n_docs * 100 * 1.0 / t.n) AS BIGINT) * t.n
+               AS rem
+      FROM c, t
+    ),
+    bs AS (SELECT CAST(sum(base) AS BIGINT) AS b FROM qc),
+    q AS (
+      SELECT lang, n_docs,
+             CAST(base + CASE WHEN row_number()
+                                   OVER (ORDER BY rem DESC, lang)
+                              <= 100 - bs.b
+                         THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM qc, bs
+    ),
+    keyed AS (
+      SELECT lang, doc_id,
+             CAST('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS h
+      FROM documents
+    ),
+    sel AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+               AS rn
+      FROM keyed
+    ),
+    agg AS (
+      SELECT s.lang, CAST(count(*) AS BIGINT) AS n_selected,
+             CAST(sum(s.doc_id) AS BIGINT) AS sel_id_sum
+      FROM sel s JOIN q USING (lang)
+      WHERE s.rn <= q.quota GROUP BY s.lang
+    )
+    SELECT q.lang, q.n_docs, q.quota,
+           CAST(COALESCE(n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(sel_id_sum, 0) AS BIGINT) AS sel_id_sum
+    FROM q LEFT JOIN agg USING (lang)
+    """,
+    primary=False,
+)
+def q138_eval_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder eval-set apportionment (operators/ordering.py:
+    stratified_quotas, M109): 100 held-out slots split exactly
+    proportionally across languages, members selected by seeded hash
+    order, selected-id checksum per stratum. Secondary registry;
+    oracle-gated by tests/test_extra_queries.py."""
+    return ORD.stratified_quotas(_docs(spark, sf_dir), k=100,
+                                 group_col="lang", seed="eval")
+
+
+@query(
+    "q139_rrf_fusion",
+    r"""
+    WITH ltk AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, y,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM lab
+    ),
+    cnt AS (
+      SELECT tok, CAST(sum(y) AS BIGINT) AS cp,
+             CAST(sum(1 - y) AS BIGINT) AS cn
+      FROM tok GROUP BY tok
+    ),
+    st AS (
+      SELECT CAST(sum(cp) AS BIGINT) AS tp, CAST(sum(cn) AS BIGINT) AS tn,
+             CAST(count(*) AS BIGINT) AS v
+      FROM cnt
+    ),
+    pr AS (
+      SELECT CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn
+      FROM lab
+    ),
+    w AS (
+      SELECT tok,
+             CAST(floor((ln((cp + 1.0) / (tp + v))
+                         - ln((cn + 1.0) / (tn + v)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+      FROM cnt, st
+    ),
+    agg AS (
+      SELECT t.doc_id, CAST(sum(w.w_micro) AS BIGINT) AS sw
+      FROM tok t JOIN w ON t.tok = w.tok GROUP BY t.doc_id
+    ),
+    pm AS (
+      SELECT CAST(floor((ln(np + 1.0) - ln(nn + 1.0)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS prior_micro
+      FROM pr
+    ),
+    sig AS (
+      SELECT l.doc_id,
+             -(pm.prior_micro + COALESCE(a.sw, 0)) AS k_nb,
+             -l.n_chars AS k_len,
+             -(CAST(CASE WHEN len(tk) > 0
+                    THEN floor(len(list_distinct(tk)) * 1000000.0
+                               / len(tk))
+                    ELSE 0 END AS BIGINT)) AS k_div
+      FROM ltk l LEFT JOIN agg a USING (doc_id), pm
+    ),
+    rk AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY k_nb, doc_id) - 1 AS rank_nb,
+             row_number() OVER (ORDER BY k_len, doc_id) - 1 AS rank_len,
+             row_number() OVER (ORDER BY k_div, doc_id) - 1 AS rank_div
+      FROM sig
+    )
+    SELECT doc_id,
+           CAST(rank_nb AS BIGINT) AS rank_nb,
+           CAST(rank_len AS BIGINT) AS rank_len,
+           CAST(rank_div AS BIGINT) AS rank_div,
+           CAST(floor(1000000000.0 / (60 + rank_nb + 1))
+                + floor(1000000000.0 / (60 + rank_len + 1))
+                + floor(1000000000.0 / (60 + rank_div + 1)) AS BIGINT)
+             AS rrf_score
+    FROM rk
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 100
+    """,
+    primary=False,
+)
+def q139_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of three quality signals (operators/
+    ordering.py:rrf_fuse, M110): NB seed-classifier score, char
+    length, distinct-token ratio — each negated so ascending rank =
+    better, ranked by the banded two-phase global rank, fused with
+    k=60, top-100. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    from ..operators.dedup import tokens as _tk
+    from ..operators.text_analysis import nb_class_scores
+
+    docs = _docs(spark, sf_dir)
+    nb = nb_class_scores(docs).select("doc_id", "score_micro")
+    tk = _tk(F.col("text"))
+    sig = (
+        docs.join(nb, "doc_id")
+        .select(
+            "doc_id",
+            (-F.col("score_micro")).alias("k_nb"),
+            (-F.col("n_chars")).cast("long").alias("k_len"),
+            (-F.when(
+                F.size(tk) > 0,
+                F.floor(F.size(F.array_distinct(tk)).cast("long")
+                        * F.lit(1_000_000) / F.size(tk)),
+            ).otherwise(F.lit(0)).cast("long")).alias("k_div"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return ORD.rrf_fuse(
+        sig, [("nb", "k_nb"), ("len", "k_len"), ("div", "k_div")],
+        k_const=60, top_k=100,
+    )

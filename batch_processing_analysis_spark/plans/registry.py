@@ -111,11 +111,13 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q135_quality_funnel",
     "q136_packing_efficiency",
     "q137_dup_cluster_sizes",
+    # latest-r5 additions (M109-M110), first driver check (ceded the
+    # single-r3-green re-green slots q60/q80)
+    "q138_eval_quotas",
+    "q139_rrf_fusion",
     # stalest greens: green only in r3
-    "q60_winnowing_pairs",
     "q74_semantic_dedup",
     "q75_dedup_resolution",
-    "q80_funnel_steps",
     # stalest greens: last green in r3 (q28/q50 changed this round —
     # a fresh driver row doubles as a regression check; q11 is the
     # entry() flagship)

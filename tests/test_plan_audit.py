@@ -99,6 +99,12 @@ EXTRA_SCALAR_BROADCAST = {
     # funnel: q124's NB scalar shapes feed the score gate; the funnel
     # itself is one scan + one 1-row aggregate.
     "q135_quality_funnel",
+    # quotas: corpus-total and base-sum aggregates (1 row each)
+    # broadcast onto the |strata|-row counts frame.
+    "q138_eval_quotas",
+    # RRF: q124's NB scalars plus one min/max bounds aggregate (1 row)
+    # per fused signal (banded_global_rank).
+    "q139_rrf_fusion",
 }
 
 
@@ -122,6 +128,12 @@ GLOBAL_WINDOW_BOUNDED = {
     # calibration reuses the same banded-rank shape: its only global
     # window is the prefix sum over the ≤ n_bands-row band counts.
     "q134_score_calibration",
+    # quotas: the remainder-rank window runs over the |strata|-row
+    # counts aggregate (Hamilton apportionment).
+    "q138_eval_quotas",
+    # RRF: one ≤ n_bands-row prefix window per fused signal
+    # (banded_global_rank × 3).
+    "q139_rrf_fusion",
 }
 
 

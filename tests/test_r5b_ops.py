@@ -298,3 +298,81 @@ def test_dup_cluster_sizes_hand_recomputed(spark):
     got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"])
            for r in G.dup_cluster_sizes(comps).collect()}
     assert got == {3: (1, 3), 1: (1, 1), 2: (1, 2)}
+
+
+# --------------------------------------------------------------- M109
+
+def test_stratified_quotas_hamilton_hand_case(spark):
+    # counts: a=5, b=3, c=2 (N=10), k=4 -> exact shares 2.0/1.2/0.8,
+    # bases 2/1/0, remainders 0/2/8 -> 1 leftover goes to c.
+    items = []
+    did = 0
+    for g, n in (("a", 5), ("b", 3), ("c", 2)):
+        for _ in range(n):
+            items.append((did, "t", g, "s"))
+            did += 1
+    docs = _docs(spark, items)
+    rows = {r["lang"]: r for r in ORD.stratified_quotas(
+        docs, k=4, group_col="lang", seed="ev").collect()}
+    assert {g: rows[g]["quota"] for g in "abc"} == {"a": 2, "b": 1, "c": 1}
+    assert sum(r["quota"] for r in rows.values()) == 4
+    # selection: replicate the seeded hash order in Python
+    for g, n0, n1 in (("a", 0, 5), ("b", 5, 8), ("c", 8, 10)):
+        ids = list(range(n0, n1))
+        order = sorted(ids, key=lambda d: (int(hashlib.md5(
+            f"ev:{d}".encode()).hexdigest()[:15], 16), d))
+        want = order[: rows[g]["quota"]]
+        assert rows[g]["n_selected"] == len(want)
+        assert rows[g]["sel_id_sum"] == sum(want)
+
+
+def test_stratified_quotas_remainder_tie_breaks_on_group(spark):
+    # Two groups with IDENTICAL remainders: the extra slot must go to
+    # the lexicographically smaller group. a=1, b=1 (N=2), k=1:
+    # bases 0/0, remainders 1/1 -> slot to 'a'.
+    docs = _docs(spark, [(1, "t", "a", "s"), (2, "t", "b", "s")])
+    rows = {r["lang"]: r["quota"] for r in ORD.stratified_quotas(
+        docs, k=1, group_col="lang", seed="ev").collect()}
+    assert rows == {"a": 1, "b": 0}
+
+
+# --------------------------------------------------------------- M110
+
+def test_banded_rank_parity_with_sorted_order(spark):
+    # Keys spanning negatives, duplicates, and a huge outlier so the
+    # equal-width bands are lopsided — rank must still equal the
+    # plain-sorted position with the id tiebreak.
+    keys = [5, -3, 0, 5, 99999, -3, 7, 1, 0, -50]
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "doc_id long, k long"
+    )
+    got = {r["doc_id"]: r["rank"] for r in
+           ORD.banded_global_rank(df, "k", "doc_id", n_bands=4).collect()}
+    want = {d: r for r, (k, d) in enumerate(
+        sorted((k, i) for i, k in enumerate(keys)))}
+    assert got == want
+
+
+def test_rrf_fuse_hand_recomputed(spark):
+    # Two signals over 3 docs; ranks and fused scores by hand (k=60).
+    df = spark.createDataFrame(
+        [(1, 10, 300), (2, 20, 100), (3, 30, 200)],
+        "doc_id long, s1 long, s2 long",
+    )
+    rows = ORD.rrf_fuse(df, [("a", "s1"), ("b", "s2")],
+                        k_const=60, top_k=3).collect()
+    # ranks asc by key: s1 -> 1:0 2:1 3:2 ; s2 -> 2:0 3:1 1:2
+    def c(r):
+        return math.floor(1e9 / (60 + r + 1))
+    want = {1: c(0) + c(2), 2: c(1) + c(0), 3: c(2) + c(1)}
+    got = {r["doc_id"]: r["rrf_score"] for r in rows}
+    assert got == want
+    order = [r["doc_id"] for r in rows]
+    assert order == sorted(want, key=lambda d: (-want[d], d))
+
+
+def test_rrf_fuse_rejects_empty_signals(spark):
+    import pytest
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        ORD.rrf_fuse(df, [])

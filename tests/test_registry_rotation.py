@@ -85,6 +85,8 @@ EXPECTED_SHADOWED = frozenset({
     # driver-green row.
     "q58_stratified_sample", "q59_token_shard_packing",
     "q61_event_blacklist",
+    # ceded latest-r5 for M109-M110 (q138-q139); r3 green rows kept.
+    "q60_winnowing_pairs", "q80_funnel_steps",
 })
 
 
