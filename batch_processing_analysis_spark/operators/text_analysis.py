@@ -1321,16 +1321,16 @@ def classifier_calibration(docs: DataFrame, label_col: str = "lang",
     tells a pipeline whether "NB score > cut" is a trustworthy quality
     gate before it prunes at 100 TB.
 
-    Binning is by exact global rank, NOT a global sort: scores are
-    banded into ``n_bands`` equal-width ranges between the (broadcast)
-    min/max, ranked per band by (score, id), and band counts prefix-sum
-    into rank offsets — the striped_pack two-phase shape; the only
-    single-partition window touches ``n_bands`` rows. bin =
+    Binning is by exact global rank via ``ordering.banded_global_rank``
+    (the striped_pack two-phase shape — no global sort; the only
+    single-partition window touches ``n_bands`` rows). bin =
     floor(rank · n_bins / N) on the 0-based rank.
 
     Returns ``(bin, n_docs, n_pos, pos_rate_micro, min_score_micro,
     max_score_micro)``.
     """
+    from .ordering import banded_global_rank
+
     scored = nb_class_scores(
         docs, label_col=label_col, positive=positive,
         id_col=id_col, text_col=text_col,
@@ -1344,38 +1344,15 @@ def classifier_calibration(docs: DataFrame, label_col: str = "lang",
     # whole NB scoring pipeline re-executes per branch (73-exchange
     # plan measured vs 8 staged).
     s = scored.join(lab, id_col).localCheckpoint(eager=False)
-    bounds = s.agg(
-        F.min("score_micro").alias("_lo"),
-        F.max("score_micro").alias("_hi"),
-        F.count(F.lit(1)).alias("_N"),
-    )
-    banded = s.crossJoin(F.broadcast(bounds)).withColumn(
-        "_band",
-        F.least(
-            F.floor(
-                (F.col("score_micro") - F.col("_lo"))
-                * F.lit(n_bands)
-                / (F.col("_hi") - F.col("_lo") + 1)
-            ),
-            F.lit(n_bands - 1),
-        ).cast("long"),
-    )
-    w_band = W.partitionBy("_band").orderBy("score_micro", id_col)
-    ranked = banded.withColumn("_rn", F.row_number().over(w_band))
-    counts = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_n"))
-    w_pref = W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_band",
-        F.coalesce(F.sum("_n").over(w_pref), F.lit(0)).alias("_off"),
-    )
+    n_total = s.agg(F.count(F.lit(1)).alias("_N"))
     with_bin = (
-        ranked.join(F.broadcast(offsets), "_band")
+        banded_global_rank(s, "score_micro", id_col, n_bands=n_bands,
+                           out_col="_rank")
+        .crossJoin(F.broadcast(n_total))
         .withColumn(
             "bin",
-            F.floor(
-                (F.col("_off") + F.col("_rn") - 1)
-                * F.lit(n_bins) / F.col("_N")
-            ).cast("int"),
+            F.floor(F.col("_rank") * F.lit(n_bins) / F.col("_N"))
+            .cast("int"),
         )
     )
     return with_bin.groupBy("bin").agg(
