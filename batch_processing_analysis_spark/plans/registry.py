@@ -51,7 +51,10 @@ EXTRA_ORACLES: dict[str, str] = {}
 #   rounds, latest r3, untouched this round — their re-green can wait
 #   for r6 at 2-rounds-stale, cheaper than a never-checked query
 #   waiting a full round).
-# Union of r1-r4 green rows + this window = all 121 registered names.
+# Union of r1-r4 green rows + this window = all 137 registered names
+# (tools/rotation_check.py verifies; the late-r5 additions displaced
+# re-green slots, so q22/q23/q25/q45/q53/q58/q59/q60/q61/q80 ride on
+# their existing green rows this round).
 # Set to None to fall back to the per-call flags.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     # family representatives (driver-green r1-r4)
