@@ -1313,7 +1313,8 @@ def lexical_richness(docs: DataFrame, group_col: str = "source",
 def classifier_calibration(docs: DataFrame, label_col: str = "lang",
                            positive: str = "en", n_bins: int = 10,
                            n_bands: int = 64, id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           scored: DataFrame | None = None) -> DataFrame:
     """Score-decile calibration audit for the M95 seed classifier
     (M105): bin every document into ``n_bins`` equal-population score
     bins and report the ACTUAL positive-label rate per bin — the
@@ -1331,10 +1332,12 @@ def classifier_calibration(docs: DataFrame, label_col: str = "lang",
     """
     from .ordering import banded_global_rank
 
-    scored = nb_class_scores(
-        docs, label_col=label_col, positive=positive,
-        id_col=id_col, text_col=text_col,
-    ).select(id_col, "score_micro")
+    if scored is None:  # else: caller passes a staged (id, score) frame
+        scored = nb_class_scores(
+            docs, label_col=label_col, positive=positive,
+            id_col=id_col, text_col=text_col,
+        )
+    scored = scored.select(id_col, "score_micro")
     lab = docs.select(
         F.col(id_col),
         (F.col(label_col) == F.lit(positive)).cast("long").alias("_y"),

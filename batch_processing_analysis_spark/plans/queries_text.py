@@ -367,6 +367,25 @@ def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CC_CACHE[key]
 
 
+_NB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached NB seed-classifier scores (doc_id, n_tokens,
+    score_micro, predicted) — four queries (q124/q134/q135/q139)
+    consume the same scoring pipeline; stage it once per
+    (application, sf_dir), the _doc_components / features-table
+    precedent."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NB_CACHE:
+        _NB_CACHE[key] = TA.nb_class_scores(
+            _docs(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+        for k in [k for k in _NB_CACHE if k[0] != key[0]]:
+            del _NB_CACHE[k]
+    return _NB_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -2812,7 +2831,7 @@ def q124_nb_class_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     once to integer micros, per-doc exact-integer sums, positive seed =
     lang 'en'. Secondary registry; oracle-gated by
     tests/test_extra_queries.py."""
-    return TA.nb_class_scores(_docs(spark, sf_dir))
+    return _nb_scores(spark, sf_dir)
 
 
 @query(
@@ -3395,7 +3414,9 @@ def q134_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     striped_pack two-phase shape — no global sort), actual positive
     rate per bin. Secondary registry; oracle-gated by
     tests/test_extra_queries.py."""
-    return TA.classifier_calibration(_docs(spark, sf_dir))
+    return TA.classifier_calibration(
+        _docs(spark, sf_dir), scored=_nb_scores(spark, sf_dir)
+    )
 
 
 @query(
@@ -3501,10 +3522,9 @@ def q135_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-gated by tests/test_extra_queries.py."""
     from ..operators import validation as V
     from ..operators.dedup import tokens as _tk
-    from ..operators.text_analysis import nb_class_scores
 
     docs = _docs(spark, sf_dir)
-    nb = nb_class_scores(docs).select("doc_id", "score_micro")
+    nb = _nb_scores(spark, sf_dir).select("doc_id", "score_micro")
     joined = docs.join(nb, "doc_id")
     tk = _tk(F.col("text"))
     gates = [
@@ -3781,10 +3801,9 @@ def q139_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=60, top-100. Secondary registry; oracle-gated by
     tests/test_extra_queries.py."""
     from ..operators.dedup import tokens as _tk
-    from ..operators.text_analysis import nb_class_scores
 
     docs = _docs(spark, sf_dir)
-    nb = nb_class_scores(docs).select("doc_id", "score_micro")
+    nb = _nb_scores(spark, sf_dir).select("doc_id", "score_micro")
     tk = _tk(F.col("text"))
     sig = (
         docs.join(nb, "doc_id")
