@@ -740,3 +740,110 @@ def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
         F.when(n > 0, F.floor(d * F.lit(1_000_000) / n))
         .otherwise(F.lit(0)).cast("long").alias("dup_rate_micro"),
     )
+
+
+def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", t_pct: int = 50,
+                 k: int = 3) -> DataFrame:
+    """EXACT shingle-set Jaccard similarity self-join via prefix
+    filtering (M111; Chaudhuri-Ganti-Kaushik SSJoin 2006, Xiao et al.
+    PPJoin 2008 — the public prefix-filter principle — over Broder
+    1997 w-shingle sets).
+
+    The repo's other near-dup joins trade exactness for scale
+    (LSH: probabilistic recall; ``ngram_jaccard_pairs``: df-blocked
+    recall ~1 but unproven). Prefix filtering keeps the scale shape —
+    equi-join on a shingle key, no all-pairs stage — while returning
+    the PROVABLY complete answer: order every document's distinct
+    ``k``-token-shingle set by one global total order (ascending
+    document frequency, then shingle — rarest first), and let only the
+    first ``p = L − ceil(t·L) + 1`` shingles of an L-shingle set
+    generate candidates. If J(A,B) ≥ t but the two prefixes were
+    disjoint, the smallest common shingle would lie in one set's
+    prefix and therefore (disjointness) above the other's prefix
+    boundary — forcing every common shingle above A's boundary and
+    capping |A∩B| at ceil(t·|A|) − 1 < t·|A| ≤ |A∩B|, a
+    contradiction. Candidates are a superset of all qualifying pairs;
+    the streamed verify then makes the output exact. ``k=1``
+    degenerates to plain word sets (useful for tests; real corpora
+    want k≥2 — element diversity is what gives the filter teeth).
+
+    ``t_pct`` is an integer percent so every boundary decision —
+    prefix length ``ceil(t·L) = floor((t_pct·L + 99)/100)``, the
+    length filter ``100·min ≥ t_pct·max``, the final threshold
+    ``100·i ≥ t_pct·(|A|+|B|−i)`` — is integer arithmetic a DuckDB
+    twin reproduces exactly.
+
+    Returns ``(id_a, id_b, jac_micro)`` with ``id_a < id_b`` and
+    ``jac_micro = floor(i·1e6/|A∪B|)`` for every pair with
+    J ≥ t_pct/100. Text is case-folded before shingling; docs with
+    fewer than ``k`` tokens have empty sets and never pair.
+
+    Scale (100 TB): shingle df is one partial-aggregable count; the
+    (df, shingle) per-doc ordering is a partitionBy(doc) window —
+    never a global sort; and ascending-df order makes prefix shingles
+    the RAREST of each set, so the candidate equi-join fans out on
+    low-df keys only (a boilerplate shingle shared by every document
+    sits in every suffix and generates nothing — the inverse of the
+    naive join's worst key). The length filter prunes at candidate
+    time; the verify reuses the streamed intersection-count shape of
+    ``ngram_jaccard_pairs`` (shingle ROWS joined, never shingle arrays
+    copied onto candidate rows). Shuffle keys are the 60-bit
+    ``hash60`` of the shingle, not the k-word string (the
+    dup_span_stats convention — ~10× narrower rows, collisions
+    mirrored exactly in the oracle).
+    """
+    if not 1 <= t_pct <= 100:
+        raise ValueError(f"t_pct must be in [1, 100], got {t_pct}")
+    lowered = docs.select(F.col(id_col),
+                          F.lower(F.col(text_col)).alias(text_col))
+    tok = shingle_rows(lowered, id_col, text_col, k).select(
+        F.col(id_col).alias("gid"), hash60(F.col("shingle")).alias("tk")
+    ).distinct().localCheckpoint(eager=False)
+    dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
+    # Prefix rows: rank tokens within each doc by the global
+    # (df asc, token asc) order; keep rank ≤ L − ceil(t·L) + 1.
+    ranked = (
+        tok.join(dfreq, "tk")
+        .join(sizes, "gid")
+        .withColumn("_rn", F.row_number().over(
+            W.partitionBy("gid").orderBy("_df", "tk")))
+    )
+    ceil_tl = F.floor((F.lit(t_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
+    pfx = ranked.filter(F.col("_rn") <= F.col("_n") - ceil_tl + 1).select(
+        "gid", "tk", "_n"
+    )
+    a, b = pfx.alias("a"), pfx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tk") == F.col("b.tk"))
+            & (F.col("a.gid") < F.col("b.gid"))
+            & (F.least(F.col("a._n"), F.col("b._n")) * 100
+               >= F.lit(t_pct) * F.greatest(F.col("a._n"), F.col("b._n"))),
+        )
+        .select(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
+        .distinct()
+    )
+    sa = tok.select(F.col("gid").alias("id_a"), "tk")
+    sb = tok.select(F.col("gid").alias("id_b"), "tk")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "tk"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    na = sizes.select(F.col("gid").alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("gid").alias("id_b"), F.col("_n").alias("_nb"))
+    union = F.col("_na") + F.col("_nb") - F.col("_i")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("_i") * 100 >= F.lit(t_pct) * union)
+        .select(
+            "id_a", "id_b",
+            F.floor(F.col("_i") * F.lit(1_000_000) / union)
+            .cast("long").alias("jac_micro"),
+        )
+    )

@@ -3823,3 +3823,89 @@ def q139_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, [("nb", "k_nb"), ("len", "k_len"), ("div", "k_div")],
         k_const=60, top_k=100,
     )
+
+
+@query(
+    "q140_ppjoin_exact",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(tk) - 1),
+               i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM toks WHERE len(tk) >= 3
+    ),
+    hrows AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(u.sg), 1, 15) AS BIGINT) AS h
+      FROM sh, unnest(sh.s) AS u(sg)
+    ),
+    sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      FROM hrows GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(floor(i * 1000000.0 / (na.n + nb.n - i)) AS BIGINT)
+             AS jac_micro
+    FROM inter
+    JOIN sz na ON na.doc_id = id_a
+    JOIN sz nb ON nb.doc_id = id_b
+    WHERE i * 100 >= 50 * (na.n + nb.n - i)
+    """,
+    primary=False,
+)
+def q140_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-shingle Jaccard similarity self-join at threshold 0.5
+    via prefix filtering (operators/dedup.py:ppjoin_pairs, M111) — the
+    provably-complete counterpart to q41's LSH and q43's df-blocked
+    join. The oracle is the UNFILTERED all-pairs shingle join: the
+    prefix-filter theorem says both must produce identical pairs, so a
+    pruning bug on either side of the prefix boundary shows up as a
+    row-count mismatch. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return D.ppjoin_pairs(_docs(spark, sf_dir), t_pct=50, k=3)
+
+
+@query(
+    "q141_token_heavy_hitters",
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS item
+      FROM documents
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+    SELECT item, CAST(count(*) AS BIGINT) AS n
+    FROM tok, t
+    GROUP BY item, t.total
+    HAVING count(*) * 31 > t.total
+    """,
+    primary=False,
+)
+def q141_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over word-token occurrences — every token
+    above 1/31 of all occurrences, with its EXACT count, computed by
+    the two-pass Misra-Gries path (operators/sketches.py:
+    exact_heavy_hitters, M112, k=30) instead of a full-vocabulary
+    groupBy. The oracle IS the full-vocabulary groupBy
+    (HAVING n·31 > total), so the sketch path must reproduce the
+    naive plan's answer exactly. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    from ..operators import sketches as SK
+
+    items = _docs(spark, sf_dir).select(
+        F.explode(D.tokens(F.lower(F.col("text")))).alias("item")
+    )
+    return SK.exact_heavy_hitters(items, "item", k=30)

@@ -63,6 +63,10 @@ SKIP = {"q37_activation_rules"}
 # true-condition NLJ.
 EXTRA_SCALAR_BROADCAST = {
     "q67_bm25_topk",
+    # heavy hitters: the stream-length aggregate (1 row) broadcasts
+    # onto the ≤ partitions·k candidate-count table for the final
+    # n·(k+1) > N filter.
+    "q141_token_heavy_hitters",
     "q72_unigram_logprob",
     # tf·idf: the corpus-size aggregate (1 row) broadcasts onto the
     # document-frequency table — same shape as q72's total-count join.
