@@ -3873,8 +3873,7 @@ def q140_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. The oracle is the UNFILTERED all-pairs shingle join: the
     prefix-filter theorem says both must produce identical pairs, so a
     pruning bug on either side of the prefix boundary shows up as a
-    row-count mismatch. Secondary registry; oracle-gated by
-    tests/test_extra_queries.py."""
+    row-count mismatch. Driver window r5 via PRIMARY_ROTATION."""
     return D.ppjoin_pairs(_docs(spark, sf_dir), t_pct=50, k=3)
 
 
@@ -3901,8 +3900,8 @@ def q141_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_heavy_hitters, M112, k=30) instead of a full-vocabulary
     groupBy. The oracle IS the full-vocabulary groupBy
     (HAVING n·31 > total), so the sketch path must reproduce the
-    naive plan's answer exactly. Secondary registry; oracle-gated by
-    tests/test_extra_queries.py."""
+    naive plan's answer exactly. Driver window r5 via
+    PRIMARY_ROTATION."""
     from ..operators import sketches as SK
 
     items = _docs(spark, sf_dir).select(

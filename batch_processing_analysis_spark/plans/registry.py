@@ -51,10 +51,10 @@ EXTRA_ORACLES: dict[str, str] = {}
 #   rounds, latest r3, untouched this round — their re-green can wait
 #   for r6 at 2-rounds-stale, cheaper than a never-checked query
 #   waiting a full round).
-# Union of r1-r4 green rows + this window = all 137 registered names
+# Union of r1-r4 green rows + this window = all 139 registered names
 # (tools/rotation_check.py verifies; the late-r5 additions displaced
-# re-green slots, so q22/q23/q25/q45/q53/q58/q59/q60/q61/q80 ride on
-# their existing green rows this round).
+# re-green slots, so q22/q23/q25/q45/q53/q58/q59/q60/q61/q74/q75/q80
+# ride on their existing green rows this round).
 # Set to None to fall back to the per-call flags.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     # family representatives (driver-green r1-r4)
@@ -118,9 +118,10 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     # single-r3-green re-green slots q60/q80)
     "q138_eval_quotas",
     "q139_rrf_fusion",
-    # stalest greens: green only in r3
-    "q74_semantic_dedup",
-    "q75_dedup_resolution",
+    # final-r5 additions (M111-M112), first driver check (ceded the
+    # r3-green re-green slots q74/q75 — never-checked > stale-green)
+    "q140_ppjoin_exact",
+    "q141_token_heavy_hitters",
     # stalest greens: last green in r3 (q28/q50 changed this round —
     # a fresh driver row doubles as a regression check; q11 is the
     # entry() flagship)

@@ -87,6 +87,8 @@ EXPECTED_SHADOWED = frozenset({
     "q61_event_blacklist",
     # ceded latest-r5 for M109-M110 (q138-q139); r3 green rows kept.
     "q60_winnowing_pairs", "q80_funnel_steps",
+    # ceded final-r5 for M111-M112 (q140-q141); r3 green rows kept.
+    "q74_semantic_dedup", "q75_dedup_resolution",
 })
 
 
