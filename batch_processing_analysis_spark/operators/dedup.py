@@ -847,3 +847,121 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
             .cast("long").alias("jac_micro"),
         )
     )
+
+
+def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", d: int = 10,
+                 q: int = 4) -> DataFrame:
+    """EXACT edit-distance similarity self-join via q-gram prefix
+    filtering (M114; Gravano et al. VLDB 2001 q-gram count bound,
+    prefix form from Xiao-Wang-Lin Ed-Join, VLDB 2008 — both public).
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b`` for every pair
+    with ``levenshtein(text_a, text_b) ≤ d`` — the fuzzy-dedup
+    primitive none of the token-set joins provide (a pair can share
+    every shingle yet differ by d edits, and vice versa). Same
+    exactness architecture as :func:`ppjoin_pairs`: a PROVEN candidate
+    superset from an equi-join, then a built-in (JVM codegen) verify.
+
+    Filter theorem: one edit operation changes at most ``q`` of a
+    string's q-grams, so edit distance ≤ d changes at most ``q·d`` —
+    if two docs' distinct-gram sets are disjoint on their first
+    ``q·d + 1`` grams in ONE global total order (ascending document
+    frequency, then gram — rarest first), the sets differ by more
+    than ``q·d`` grams and the pair is beyond ``d``. Grams are hashed
+    with ``xxhash64``, not the oracle-portable md5 ``hash60``: the
+    hash never reaches the output (the verify reads raw text) and a
+    collision only MERGES grams — candidates can grow, never shrink —
+    so the cheap non-portable hash is safe here and much faster than
+    md5 on the gram build, the operator's dominant stage. The length
+    filter ``|len_a − len_b| ≤ d`` prunes before
+    text is joined; the verify uses Spark's three-arg
+    ``levenshtein(a, b, d)`` (banded DP, −1 past the threshold), so
+    per-candidate work is O(d·len), not O(len²).
+
+    Degenerate strings: a doc shorter than ``q`` chars has NO q-grams
+    and can never enter the prefix join, so every doc with
+    ``len ≤ q − 1 + d`` (the only lengths such a doc can pair with)
+    goes through a length-banded equi-join pass WITHIN that tiny
+    bucket (band width d+1: within-d pairs always land in the same or
+    adjacent bands). Real corpora length-filter far above q+d chars,
+    so the bucket is empty-to-trivial; it exists for total
+    correctness, and a skewed tiny bucket is a data-quality smell the
+    quality gate (M71) surfaces first.
+
+    Scale (100 TB): gram df is one partial-aggregable count; the
+    per-doc (df, gram) ordering windows on the doc key; the candidate
+    join fans out on the RAREST ``q·d + 1`` grams of each doc only —
+    boilerplate grams never generate candidates. Candidate rows carry
+    ids + lengths only; full text joins on after candidate dedup.
+    """
+    if d < 0:
+        raise ValueError(f"d must be non-negative, got {d}")
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    t = (docs.select(F.col(id_col), F.col(text_col))
+         .withColumn("_len", F.length(text_col))
+         .localCheckpoint(eager=False))
+    grams = (
+        t.filter(F.col("_len") >= q)
+        .select(F.col(id_col).alias("gid"), F.col("_len"),
+                F.explode(char_windows(F.col(text_col), q)).alias("_g"))
+        .select("gid", "_len", F.xxhash64(F.col("_g")).alias("tk"))
+    )
+    # No early per-doc distinct: bag df (a window over tk) is still
+    # ONE fixed global order, and dense_rank makes the prefix cutoff
+    # count DISTINCT grams despite duplicate rows — the duplicates die
+    # in the candidate-pair distinct, and skipping the up-front
+    # 3×-larger distinct shuffle is the operator's biggest win.
+    # Staged because the prefix table feeds BOTH sides of the
+    # candidate self-join.
+    pfx = (
+        grams
+        .withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("tk")))
+        .withColumn("_rn", F.dense_rank().over(
+            W.partitionBy("gid").orderBy("_df", "tk")))
+        .filter(F.col("_rn") <= q * d + 1)
+        .select("gid", "_len", "tk")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a, b = pfx.alias("a"), pfx.alias("b")
+    cand_long = (
+        a.join(
+            b,
+            (F.col("a.tk") == F.col("b.tk"))
+            & (F.col("a.gid") < F.col("b.gid"))
+            & (F.abs(F.col("a._len") - F.col("b._len")) <= d),
+        )
+        .select(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
+    )
+    # Tiny bucket as an EQUI-join (plan-audit: no NLJ anywhere):
+    # band width d+1 makes |len_a − len_b| ≤ d imply adjacent bands,
+    # so the probe side explodes its band ±1 and joins equi on band.
+    tiny = t.filter(F.col("_len") <= q - 1 + d).select(
+        F.col(id_col), F.col("_len"),
+        F.expr(f"_len div {d + 1}").alias("_band"),
+    )
+    probe = tiny.select(
+        F.col(id_col), F.col("_len"),
+        F.explode(F.array(F.col("_band") - 1, F.col("_band"),
+                          F.col("_band") + 1)).alias("_band"),
+    )
+    pa, pb = probe.alias("pa"), tiny.alias("pb")
+    cand_tiny = pa.join(
+        pb,
+        (F.col("pa._band") == F.col("pb._band"))
+        & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+        & (F.abs(F.col("pa._len") - F.col("pb._len")) <= d),
+    ).select(F.col(f"pa.{id_col}").alias("id_a"),
+             F.col(f"pb.{id_col}").alias("id_b"))
+    cand = cand_long.unionByName(cand_tiny).distinct()
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"), d)
+    return (
+        cand.join(t.select(F.col(id_col).alias("id_a"),
+                           F.col(text_col).alias("_ta")), "id_a")
+        .join(t.select(F.col(id_col).alias("id_b"),
+                       F.col(text_col).alias("_tb")), "id_b")
+        .select("id_a", "id_b", lev.cast("long").alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )

@@ -175,3 +175,115 @@ def epoch_plan(docs: DataFrame, token_budget: int, alpha: float = 0.3,
         F.least(req, cap).alias("granted_tokens"),
         (req > cap).cast("int").alias("capped"),
     )
+
+
+def unimax_plan(docs: DataFrame, token_budget: int,
+                max_epochs_micro: int = 4_000_000,
+                source_col: str = "source",
+                size_col: str = "n_chars") -> DataFrame:
+    """UniMax budget allocation with water-filling redistribution
+    (M113; Chung et al. 2023, "UniMax: Fairer and More Effective
+    Language Sampling for Large-Scale Multilingual Pretraining",
+    ICLR — the closed-form water-filling equivalent of their
+    budget-scan loop).
+
+    :func:`epoch_plan` (M93) caps over-repeated sources and FLAGS the
+    lost budget; UniMax closes that loop — budget a capped source
+    cannot absorb flows to the still-open ones, so the plan spends the
+    whole budget whenever ``Σ cap_s ≥ B`` and every source stays
+    within its repetition cap. Semantics: allocate each source
+    ``a_s = min(cap_s, λ)`` with the water level ``λ`` chosen so
+    ``Σ a_s = B`` (all-integer largest-remainder variant below), where
+    ``cap_s = ⌊n_s · max_epochs_micro / 10⁶⌋``.
+
+    Closed form, all integer: sort sources ascending by
+    ``(cap, source)``. A source ``j`` (rank ``rn``, running cap sum
+    ``pfx``) is UNDER the water level iff
+    ``cap_j·(S−rn+1) + (pfx−cap_j) ≤ B`` — ascending caps make the
+    capped set a prefix of the order, so with ``K`` capped rows
+    absorbing ``pfx_K`` tokens, the remaining ``R = B − pfx_K`` splits
+    over ``m = S − K`` open sources as ``base = R div m`` each, the
+    first ``R mod m`` of them (in the same order) taking one extra
+    token. No float can flip an allocation, and ``Σ alloc = B``
+    exactly when feasible: for every open source
+    ``cap_j > (B − pfx_{j−1})/(S−j+1) ≥ R/m``, hence
+    ``cap_j ≥ base + 1`` — the extra token never breaches a cap.
+
+    Output per source: ``n_size`` (available mass), ``cap_tokens``,
+    ``alloc_tokens``, ``capped`` (1 = allocation pinned at the
+    repetition cap), ``epochs_micro`` (``⌊alloc·10⁶/n_size⌋``, NULL
+    for an empty source), and ``short_tokens`` (the same
+    ``max(0, B − Σcap)`` on every row — nonzero means the budget is
+    infeasible even at the cap and the run must shrink).
+
+    Scale: one partial-aggregated groupBy builds the |sources|-row
+    caps table; both windows (the ascending-cap prefix and the global
+    totals) run over that aggregate — the plan-audit bounded-global-
+    window shape (tests/test_plan_audit.py GLOBAL_WINDOW_BOUNDED), not
+    a row-scale sort. Overflow bound: ``cap·S + B < 2⁶³`` — caps to
+    ~4·10¹⁵ tokens across ~1000 sources.
+    """
+    if token_budget < 0:
+        raise ValueError("token_budget must be non-negative")
+    if max_epochs_micro <= 0:
+        raise ValueError("max_epochs_micro must be positive")
+    b = F.lit(int(token_budget))
+    agg = docs.groupBy(source_col).agg(
+        F.coalesce(F.sum(size_col), F.lit(0)).cast("long").alias("n_size")
+    )
+    word = W.orderBy("cap_tokens", source_col)
+    wall = W.partitionBy().rowsBetween(W.unboundedPreceding,
+                                       W.unboundedFollowing)
+    # integer `div`, not floor(double): at 100 TB the products exceed
+    # 2^53 and a double-division floor can be off by one.
+    caps = agg.select(
+        source_col, "n_size",
+        F.expr(f"(n_size * {int(max_epochs_micro)}L) div 1000000L")
+        .cast("long").alias("cap_tokens"),
+    )
+    ranked = caps.select(
+        source_col, "n_size", "cap_tokens",
+        F.row_number().over(word).alias("_rn"),
+        F.sum("cap_tokens").over(
+            word.rowsBetween(W.unboundedPreceding, 0)).alias("_pfx"),
+        F.count(F.lit(1)).over(wall).alias("_s"),
+    )
+    under = (F.col("cap_tokens") * (F.col("_s") - F.col("_rn") + 1)
+             + F.col("_pfx") - F.col("cap_tokens")) <= b
+    lev = ranked.select(
+        source_col, "n_size", "cap_tokens", "_rn", "_s",
+        under.cast("long").alias("_cap1"),
+        F.sum(under.cast("long")).over(wall).alias("_k"),
+        F.sum(F.when(under, F.col("cap_tokens")).otherwise(F.lit(0)))
+        .over(wall).alias("_pk"),
+    ).select(
+        source_col, "n_size", "cap_tokens", "_rn", "_cap1",
+        (b - F.col("_pk")).alias("_r"),
+        (F.col("_s") - F.col("_k")).alias("_m"),
+        (F.col("_rn") - F.col("_k")).alias("_urank"),
+    )
+    # when-guards on _m: with every source capped (_m = 0) the open-
+    # source branch is never taken, but ANSI raises on div/mod-by-zero
+    # eagerly enough that the guard must be explicit.
+    base = F.when(F.col("_m") > 0, F.expr("_r div _m")).otherwise(F.lit(0))
+    extra = F.when(
+        F.col("_m") > 0,
+        (F.col("_urank") <= F.col("_r") % F.col("_m")).cast("long"),
+    ).otherwise(F.lit(0))
+    alloc = F.when(F.col("_cap1") == 1, F.col("cap_tokens")).otherwise(
+        base + extra)
+    return lev.select(
+        source_col, "n_size", "cap_tokens",
+        alloc.alias("alloc_tokens"),
+        F.col("_cap1").alias("capped"),
+        F.greatest(
+            F.lit(0),
+            F.when(F.col("_m") == 0, F.col("_r")).otherwise(F.lit(0)),
+        ).cast("long").alias("short_tokens"),
+    ).select(
+        source_col, "n_size", "cap_tokens", "alloc_tokens", "capped",
+        F.when(F.col("n_size") > 0,
+               F.expr("(alloc_tokens * 1000000L) div n_size"))
+        .cast("long").alias("epochs_micro"),
+        "short_tokens",
+    )

@@ -630,3 +630,71 @@ def rrf_fuse(df: DataFrame, signals: list[tuple[str, str]],
     )
     return out.orderBy(F.col("rrf_score").desc(), F.col(id_col)) \
               .limit(top_k)
+
+
+def ngram_contamination(docs: DataFrame, fractions: dict[str, float],
+                        seed: str, eval_label: str = "eval",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        source_col: str = "source",
+                        k: int = 8) -> DataFrame:
+    """Eval-set n-gram contamination audit (M114): for every NON-eval
+    document, does it share ANY ``k``-token shingle with ANY eval
+    document? The published decontamination procedure (GPT-3 App. C,
+    Brown et al. 2020 — 13-gram collision; PaLM and Llama use the same
+    shape) — and deliberately NOT :func:`split_leakage_audit` (M101),
+    which only surfaces near-duplicate PAIRS: a single eval sentence
+    quoted inside a long training document has near-zero Jaccard, so
+    the pair audit misses it, while one shared shingle flags it here.
+
+    Per source (of the non-eval side): ``n_train`` (all non-eval docs,
+    including those too short to shingle), ``n_contaminated`` (docs
+    with ≥1 shared shingle), ``contaminated_micro``
+    (``⌊n_contaminated·10⁶/n_train⌋``), ``max_hits`` (the largest
+    number of distinct shared shingles in a single doc — the "is it a
+    full copy or one quote" severity signal).
+
+    Split assignment is :func:`assign_splits` on the RAW doc id (no
+    group key — the audit must measure what the split actually did,
+    not what a grouped split intended). Shingles are case-folded,
+    hashed to 60 bits ([[operators/dedup.py]] ``hash60`` — collisions
+    mirrored exactly in the oracle twin).
+
+    Scale: the eval shingle set is ``distinct`` over the eval slice
+    only (one hash-agg); the hit join is an equi-join of train shingle
+    ROWS against that distinct set, so its output is bounded by the
+    train shingle-row count even on a pathological boilerplate shingle
+    (the eval side is distinct — fan-out ≤ 1 per train row). No
+    all-pairs stage, no array materialization; the final rollup is
+    |sources|-sized.
+    """
+    from .dedup import shingle_rows
+
+    lab = assign_splits(
+        docs.select(id_col, source_col), fractions, seed,
+        id_col=id_col, group_col=None,
+    ).select(id_col, source_col, (F.col("split") == eval_label)
+             .alias("_is_eval"))
+    sh = shingle_rows(
+        docs.select(F.col(id_col), F.lower(F.col(text_col))
+                    .alias(text_col)),
+        id_col, text_col, k,
+    ).select(F.col(id_col), hash60(F.col("shingle")).alias("_tk"))
+    ev = (sh.join(lab.filter("_is_eval").select(id_col), id_col)
+          .select("_tk").distinct())
+    hits = (
+        sh.join(lab.filter(~F.col("_is_eval")).select(id_col), id_col)
+        .join(ev, "_tk")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nh"))
+    )
+    train = lab.filter(~F.col("_is_eval")).join(hits, id_col, "left")
+    n_tr = F.count(F.lit(1))
+    n_ct = F.sum((F.col("_nh").isNotNull()).cast("long"))
+    return train.groupBy(source_col).agg(
+        n_tr.alias("n_train"),
+        n_ct.alias("n_contaminated"),
+        F.floor(n_ct * F.lit(1_000_000) / n_tr).cast("long")
+        .alias("contaminated_micro"),
+        F.max(F.coalesce(F.col("_nh"), F.lit(0))).cast("long")
+        .alias("max_hits"),
+    )

@@ -3908,3 +3908,95 @@ def q141_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(D.tokens(F.lower(F.col("text")))).alias("item")
     )
     return SK.exact_heavy_hitters(items, "item", k=30)
+
+
+@query(
+    "q142_unimax_plan",
+    r"""
+    WITH agg AS (
+      SELECT source, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_size
+      FROM documents GROUP BY source
+    ),
+    caps AS (
+      SELECT source, n_size,
+             CAST((n_size * 2000000) // 1000000 AS BIGINT) AS cap_tokens
+      FROM agg
+    ),
+    rk AS (
+      SELECT source, n_size, cap_tokens,
+             CAST(row_number() OVER wrd AS BIGINT) AS rn,
+             CAST(sum(cap_tokens) OVER
+                  (wrd ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx,
+             CAST(count(*) OVER () AS BIGINT) AS s
+      FROM caps WINDOW wrd AS (ORDER BY cap_tokens, source)
+    ),
+    lv AS (
+      SELECT *, CASE WHEN cap_tokens * (s - rn + 1) + pfx - cap_tokens
+                          <= 280000 THEN 1 ELSE 0 END AS cap1
+      FROM rk
+    ),
+    ag AS (
+      SELECT *,
+             CAST(sum(cap1) OVER () AS BIGINT) AS k,
+             CAST(sum(CASE WHEN cap1 = 1 THEN cap_tokens ELSE 0 END)
+                  OVER () AS BIGINT) AS pk
+      FROM lv
+    ),
+    fin AS (
+      SELECT source, n_size, cap_tokens, cap1,
+             280000 - pk AS r, s - k AS m, rn - k AS urank
+      FROM ag
+    ),
+    al AS (
+      SELECT source, n_size, cap_tokens, cap1, r, m,
+             CAST(CASE WHEN cap1 = 1 THEN cap_tokens
+                  ELSE r // greatest(m, 1)
+                       + CASE WHEN urank <= r % greatest(m, 1)
+                              THEN 1 ELSE 0 END
+                  END AS BIGINT) AS alloc_tokens
+      FROM fin
+    )
+    SELECT source, n_size, cap_tokens, alloc_tokens,
+           CAST(cap1 AS BIGINT) AS capped,
+           CASE WHEN n_size > 0
+                THEN CAST((alloc_tokens * 1000000) // n_size AS BIGINT)
+           END AS epochs_micro,
+           CAST(greatest(0, CASE WHEN m = 0 THEN r ELSE 0 END)
+                AS BIGINT) AS short_tokens
+    FROM al
+    """,
+    primary=False,
+)
+def q142_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax water-filling budget allocation (operators/mixing.py:
+    unimax_plan, M113): a 280k-token budget over the per-source char
+    mass at a 2-epoch repetition cap. The constants put several small
+    sources AT their cap and leave the rest splitting the remainder,
+    so both branches of the closed form are exercised (at sf0.001 the
+    whole corpus caps below the budget, exercising the infeasible
+    branch — covered by tests). Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    return MX.unimax_plan(_docs(spark, sf_dir), token_budget=280_000,
+                          max_epochs_micro=2_000_000)
+
+
+@query(
+    "q143_edjoin_exact",
+    r"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 10
+    WHERE levenshtein(a.text, b.text) <= 10
+    """,
+    primary=False,
+)
+def q143_edjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance self-join at d=10 via q-gram prefix
+    filtering (operators/dedup.py:edjoin_pairs, M114) — the
+    fuzzy-dedup counterpart to q140's set-Jaccard PPJoin. The oracle
+    is the UNFILTERED all-pairs levenshtein join, so a pruning bug on
+    either filter (prefix or length) surfaces as a missing pair.
+    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
+    return D.edjoin_pairs(_docs(spark, sf_dir), d=10, q=4)

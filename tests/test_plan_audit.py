@@ -135,6 +135,9 @@ GLOBAL_WINDOW_BOUNDED = {
     # quotas: the remainder-rank window runs over the |strata|-row
     # counts aggregate (Hamilton apportionment).
     "q138_eval_quotas",
+    # UniMax: the ascending-cap prefix and global-total windows run
+    # over the |sources|-row caps aggregate (water-filling).
+    "q142_unimax_plan",
     # RRF: one ≤ n_bands-row prefix window per fused signal
     # (banded_global_rank × 3).
     "q139_rrf_fusion",
