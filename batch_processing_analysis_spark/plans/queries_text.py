@@ -4000,3 +4000,41 @@ def q143_edjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     either filter (prefix or length) surfaces as a missing pair.
     Secondary registry; oracle-gated by tests/test_extra_queries.py."""
     return D.edjoin_pairs(_docs(spark, sf_dir), d=10, q=4)
+
+
+@query(
+    "q144_embedding_gram",
+    r"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+      SELECT vec_id, CAST(u.p.i AS INTEGER) AS i,
+             CAST(floor(u.p.x * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM e, unnest(list_transform(range(0, len(v)),
+                     k -> struct_pack(i := k, x := v[k+1]))) AS u(p)
+    )
+    SELECT a.i AS i, b.i AS j, CAST(sum(a.vq * b.vq) AS BIGINT) AS s
+    FROM q a JOIN q b USING (vec_id)
+    WHERE a.i <= b.i
+    GROUP BY a.i, b.i
+    UNION ALL
+    SELECT i, CAST(-1 AS INTEGER) AS j, CAST(sum(vq) AS BIGINT) AS s
+    FROM q GROUP BY i
+    UNION ALL
+    SELECT CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+           CAST(count(*) AS BIGINT)
+    FROM e WHERE v IS NOT NULL
+    """,
+    primary=False,
+)
+def q144_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact second-moment (Gram) accumulation over the
+    embedding column (operators/linalg.py:gram_accumulate, M115 pass
+    1): the d(d+1)/2 upper-triangle sums of quantized component
+    products, plus the d column sums and the count — the one
+    distributed pass PCA whitening needs. The int64 reduction is
+    partitioning-independent, so the Arrow-batched matmul path must
+    match the oracle's per-component join bit-for-bit. Secondary
+    registry; oracle-gated by tests/test_extra_queries.py."""
+    from ..operators import linalg as LA
+
+    return LA.gram_accumulate(_embs(spark, sf_dir))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.dedup import content_norm
 
@@ -138,3 +139,106 @@ def stream_validate(docs: DataFrame, rules) -> DataFrame:
     from ..operators.validation import validate
 
     return validate(docs, rules)
+
+
+def stream_weighted_reservoir(docs: DataFrame, k: int, seed: str,
+                              group_col: str = "source",
+                              id_col: str = "doc_id",
+                              weight_col: str = "weight") -> DataFrame:
+    """Streaming weighted reservoir sample (M116): maintain, per
+    group, the running A-Res sample of everything seen so far —
+    k rows drawn without replacement with probability ∝ weight, over
+    an unbounded stream, in O(k) state per group.
+
+    Exactly the batch rule of [[operators/sampling.py]]
+    ``weighted_sample`` (Efraimidis & Spiliopoulos 2006): key =
+    ln(u)/w with u the md5-derived 60-bit hash of ``seed ‖ id`` mapped
+    to (0,1]; the k LARGEST keys win (id ascending tiebreak). Because
+    the key is a pure per-row function — no randomness drawn at
+    arrival time — the reservoir after any prefix of the stream equals
+    the batch sample of that prefix EXACTLY, which is the test oracle
+    (streamed == batch on replay, the streaming family's standard
+    gate) and what makes restarts idempotent: replaying rows the state
+    already absorbed changes nothing (merge is an idempotent,
+    commutative top-k).
+
+    Rows with NULL/NaN/non-positive weight are excluded (the batch
+    operator's rule). Output mode ``update``: each micro-batch emits
+    the group's CURRENT reservoir (rank-stamped); the sink keeps the
+    latest row per (group, rank). State is a fixed-size triple of
+    lists — watermark-free (NoTimeout): a reservoir never expires.
+
+    Scale: state is k·(key, id, weight) per group — independent of
+    stream length; the shuffle is the groupBy(group) exchange Spark
+    already needs for stateful processing.
+    """
+    import hashlib
+    import math
+    from typing import Iterator
+
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    if k <= 0:
+        raise ValueError(f"k ({k}) must be positive")
+
+    out_schema = T.StructType([
+        T.StructField(group_col, T.StringType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField(weight_col, T.DoubleType()),
+        T.StructField("sample_key", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("keys", T.ArrayType(T.DoubleType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("ws", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _key(doc_id: int) -> float:
+        h = int(hashlib.md5(
+            f"{seed}\x1f{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / float((1 << 60) + 1)
+        return math.log(u)
+
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
+           state: GroupState) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        rows: dict[int, tuple[float, float]] = {}
+        if state.exists:
+            keys, ids, ws = state.get
+            rows = {i: (kk, w) for kk, i, w in zip(keys, ids, ws)}
+        for pdf in pdfs:
+            for doc_id, w in zip(pdf[id_col], pdf[weight_col]):
+                w = float(w) if w is not None else float("nan")
+                # NaN/NULL/<=0 excluded, the batch rule (+inf stays:
+                # ln(u)/inf = -0.0 beats every finite key, exactly as
+                # in the batch operator).
+                if not (w > 0):
+                    continue
+                rows[int(doc_id)] = (_key(int(doc_id)) / w, w)
+        # top-k by (key desc, id asc) — the batch operator's order
+        top = sorted(rows.items(),
+                     key=lambda it: (-it[1][0], it[0]))[:k]
+        if top:
+            state.update((
+                [kk for _, (kk, _) in top],
+                [i for i, _ in top],
+                [w for _, (_, w) in top],
+            ))
+            yield pd.DataFrame({
+                group_col: [key[0]] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                id_col: [i for i, _ in top],
+                weight_col: [w for _, (_, w) in top],
+                "sample_key": [round(kk, 9) for _, (kk, _) in top],
+            })
+
+    return (
+        docs.groupBy(F.col(group_col))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
