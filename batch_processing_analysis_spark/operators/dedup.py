@@ -785,13 +785,23 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     the RAREST of each set, so the candidate equi-join fans out on
     low-df keys only (a boilerplate shingle shared by every document
     sits in every suffix and generates nothing — the inverse of the
-    naive join's worst key). The length filter prunes at candidate
-    time; the verify reuses the streamed intersection-count shape of
-    ``ngram_jaccard_pairs`` (shingle ROWS joined, never shingle arrays
-    copied onto candidate rows). Shuffle keys are the 60-bit
+    naive join's worst key). Candidate volume is cut three ways before
+    any verify work: the length filter, PPJoin's positional filter,
+    and the probe/index prefix asymmetry (all in the join condition,
+    pure codegen). The verify is the array kernel (see inline note):
+    candidate-sized shuffles only. Shuffle keys are the 60-bit
     ``hash60`` of the shingle, not the k-word string (the
     dup_span_stats convention — ~10× narrower rows, collisions
     mirrored exactly in the oracle).
+
+    Honest bound: candidate count is Θ(Σ_g df_probe(g)·df_index(g))
+    over prefix occurrences — on vocabulary-bounded text (this
+    testdata: only ~36k distinct shingles at the 10× blow-up) that
+    term grows superlinearly with corpus size, which is inherent to
+    EXACT content-keyed joins; measured curve in SURVEY §6.1b-r5. On
+    Zipf-vocabulary real text the rare-prefix df stays flat. The LSH
+    path (``minhash_lsh_pairs``, q41) is the designated scale path;
+    this operator is the exactness baseline.
     """
     if not 1 <= t_pct <= 100:
         raise ValueError(f"t_pct must be in [1, 100], got {t_pct}")
@@ -810,36 +820,78 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
         .withColumn("_rn", F.row_number().over(
             W.partitionBy("gid").orderBy("_df", "tk")))
     )
+    # Probing prefix: rank ≤ n − ⌈t·n⌉ + 1 (the basic prefix bound).
+    # Indexing prefix (the probe/index asymmetry, Xiao et al. 2008
+    # §3.3 / Vernica et al. SIGMOD 2010): the SMALLER record of a
+    # valid pair must expose the pair's first common shingle within
+    # its first n − ⌈2t/(1+t)·n⌉ + 1 ranks, because its overlap with
+    # ANY partner at least its size is ≥ 2t/(1+t)·n. At t=0.5 the
+    # index prefix is ~n/3 vs the probe's ~n/2 — the join fans out on
+    # probe×index instead of probe², a ~3× candidate cut with zero
+    # recall loss. Ties in size break by doc id (any fixed total order
+    # over (n, gid) names one side "smaller").
     ceil_tl = F.floor((F.lit(t_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
+    ceil_ix = F.floor(
+        (F.lit(2 * t_pct) * F.col("_n") + F.lit(100 + t_pct - 1))
+        / F.lit(100 + t_pct))
     pfx = ranked.filter(F.col("_rn") <= F.col("_n") - ceil_tl + 1).select(
-        "gid", "tk", "_n"
+        "gid", "tk", "_n", "_rn"
     )
-    a, b = pfx.alias("a"), pfx.alias("b")
+    ipfx = ranked.filter(F.col("_rn") <= F.col("_n") - ceil_ix + 1).select(
+        "gid", "tk", "_n", "_rn"
+    )
+    a, b = pfx.alias("a"), ipfx.alias("b")
+    # Positional filter (the second P of PPJoin): a shingle matching at
+    # per-doc ranks (i, j) bounds the overlap by
+    # min(i, j) + min(nA−i, nB−j); a row whose bound fails t PROVES the
+    # pair fails (valid per matched row; pure codegen at the join).
+    ubound = (F.least(F.col("a._rn"), F.col("b._rn"))
+              + F.least(F.col("a._n") - F.col("a._rn"),
+                        F.col("b._n") - F.col("b._rn")))
+    smaller = (
+        (F.col("b._n") < F.col("a._n"))
+        | ((F.col("b._n") == F.col("a._n"))
+           & (F.col("b.gid") < F.col("a.gid")))
+    )
     cand = (
         a.join(
             b,
             (F.col("a.tk") == F.col("b.tk"))
-            & (F.col("a.gid") < F.col("b.gid"))
-            & (F.least(F.col("a._n"), F.col("b._n")) * 100
-               >= F.lit(t_pct) * F.greatest(F.col("a._n"), F.col("b._n"))),
+            & (F.col("a.gid") != F.col("b.gid"))
+            & smaller
+            & (F.col("b._n") * 100 >= F.lit(t_pct) * F.col("a._n"))
+            & (ubound * (100 + t_pct)
+               >= F.lit(t_pct) * (F.col("a._n") + F.col("b._n"))),
         )
-        .select(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
+        .select(F.least(F.col("a.gid"), F.col("b.gid")).alias("id_a"),
+                F.greatest(F.col("a.gid"), F.col("b.gid")).alias("id_b"))
         .distinct()
     )
-    sa = tok.select(F.col("gid").alias("id_a"), "tk")
-    sb = tok.select(F.col("gid").alias("id_b"), "tk")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "tk"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_i"))
+    # Verify kernel (Vernica et al. SIGMOD 2010 §4.2): join each
+    # side's shingle-hash ARRAY onto the candidate pair and intersect
+    # with codegen array_intersect — two candidate-sized shuffles
+    # total. The row-explosion alternative (candidate ⋈ shingle rows ⋈
+    # shingle rows, the ngram_jaccard_pairs shape) is right when
+    # candidates ≈ output, but here a moderate-selectivity prefix join
+    # can carry millions of candidates and the explosion costs
+    # |cand|·L intermediate rows — measured 136 s of a 137 s run at
+    # the 10× blow-up vs ~8 s for the array kernel, same answer.
+    sets_arr = tok.groupBy("gid").agg(
+        F.collect_list("tk").alias("_set"),
+        F.count(F.lit(1)).alias("_n"),
     )
-    na = sizes.select(F.col("gid").alias("id_a"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col("gid").alias("id_b"), F.col("_n").alias("_nb"))
+    va = sets_arr.select(F.col("gid").alias("id_a"),
+                         F.col("_set").alias("_seta"),
+                         F.col("_n").alias("_na"))
+    vb = sets_arr.select(F.col("gid").alias("id_b"),
+                         F.col("_set").alias("_setb"),
+                         F.col("_n").alias("_nb"))
+    inter = F.size(F.array_intersect(F.col("_seta"), F.col("_setb")))
     union = F.col("_na") + F.col("_nb") - F.col("_i")
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_i", inter.cast("long"))
         .filter(F.col("_i") * 100 >= F.lit(t_pct) * union)
         .select(
             "id_a", "id_b",

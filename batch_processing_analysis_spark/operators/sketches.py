@@ -167,3 +167,101 @@ def exact_heavy_hitters(items: DataFrame, item_col: str = "item",
         .filter(F.col("n") * F.lit(k + 1) > F.col("_total"))
         .select(item_col, "n")
     )
+
+
+def bloom_build(items: DataFrame, item_col: str = "item",
+                m_bits: int = 1 << 16, k: int = 5,
+                seed: str = "bloom:0") -> DataFrame:
+    """Relational Bloom filter build (M117; Bloom 1970, "Space/time
+    trade-offs in hash coding with allowable errors"): the membership
+    member of the sketch family (M50 cardinality, M67 frequency).
+
+    The filter is the DISTINCT set-bit table ``(bit)`` — each item
+    sets ``k`` bits, bit_d = hash60(seed ‖ d ‖ item) mod m_bits (the
+    CMS bucket convention, so a DuckDB twin reproduces every position
+    bit-for-bit). ≤ m_bits rows regardless of input cardinality, built
+    by one partial-aggregated distinct — the shuffle carries at most
+    partitions·m_bits rows, never the input's key cardinality. Two
+    filters with the same (m_bits, k, seed) merge by
+    :func:`bloom_merge` (distinct union — exactly the bitwise OR), the
+    property that makes the filter the standard broadcast-sized
+    membership gate for INCREMENTAL dedup at corpus scale: yesterday's
+    corpus compresses to m_bits bits, today's delta probes it without
+    touching yesterday's rows ([[operators/incremental.py]] runs the
+    exact anti-join when both sides ARE available).
+
+    Guarantees (and what the tests pin): NO false negatives ever —
+    every inserted item probes all-k-bits-set by construction; false
+    positives at rate ≈ (set_bits/m)^k (:func:`bloom_fpr_micro`).
+    """
+    if m_bits <= 0 or k <= 0:
+        raise ValueError(f"m_bits ({m_bits}) and k ({k}) must be positive")
+    return (
+        items.select(
+            F.explode(F.array(*[
+                F.pmod(hash60(F.concat(F.lit(seed), F.lit("\x1f"),
+                                       F.lit(str(d)), F.lit("\x1f"),
+                                       F.col(item_col).cast("string"))),
+                       F.lit(m_bits)).alias("bit")
+                for d in range(k)
+            ])).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(items: DataFrame, filt: DataFrame,
+                item_col: str = "item", m_bits: int = 1 << 16,
+                k: int = 5, seed: str = "bloom:0") -> DataFrame:
+    """Probe: item → its k bit positions → count how many are set →
+    ``maybe`` = 1 iff all k hit (possibly present; 0 is a CERTAIN
+    absence). One equi-join of the probe's (item, bit) rows against
+    the ≤ m_bits-row filter — broadcast-sized by construction — and a
+    per-item count; no row of the filter's source corpus is touched.
+    Duplicate probe items collapse (the output is per distinct item).
+    """
+    pos = items.select(F.col(item_col)).distinct().select(
+        F.col(item_col),
+        F.explode(F.array(*[
+            F.pmod(hash60(F.concat(F.lit(seed), F.lit("\x1f"),
+                                   F.lit(str(d)), F.lit("\x1f"),
+                                   F.col(item_col).cast("string"))),
+                   F.lit(m_bits)).alias("bit")
+            for d in range(k)
+        ])).alias("bit"),
+    )
+    hits = (
+        pos.join(filt.select("bit").withColumn("_set", F.lit(1)),
+                 "bit", "left")
+        .groupBy(item_col)
+        .agg(F.count("_set").alias("_hits"))
+    )
+    return hits.select(
+        item_col,
+        (F.col("_hits") == k).cast("int").alias("maybe"),
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR of two same-shaped filters: distinct union of set bits.
+    ``probe(merge(A, B)) == probe on the union corpus`` exactly (same
+    positions, same union of bits) — the mergeability the incremental
+    path relies on."""
+    return a.select("bit").unionByName(b.select("bit")).distinct()
+
+
+def bloom_fpr_micro(filt: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """Observed false-positive-rate estimate, integer micros:
+    ``floor((set_bits/m)^k · 10⁶)`` — the load-dependent actual rate
+    (Bloom 1970 eq. for a given occupancy), not the design-point
+    formula. One count over the ≤ m_bits-row filter; the pow is on a
+    1-row frame."""
+    if m_bits <= 0 or k <= 0:
+        raise ValueError(f"m_bits ({m_bits}) and k ({k}) must be positive")
+    return filt.agg(
+        F.count(F.lit(1)).alias("set_bits"),
+    ).select(
+        "set_bits",
+        F.floor(F.pow(F.col("set_bits").cast("double") / F.lit(m_bits),
+                      F.lit(k)) * F.lit(1_000_000))
+        .cast("long").alias("fpr_micro"),
+    )

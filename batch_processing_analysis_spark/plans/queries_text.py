@@ -4038,3 +4038,67 @@ def q144_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import linalg as LA
 
     return LA.gram_accumulate(_embs(spark, sf_dir))
+
+
+@query(
+    "q145_bloom_membership",
+    r"""
+    WITH base AS (
+      SELECT DISTINCT text FROM documents WHERE source < 'src5'
+    ),
+    delta AS (
+      SELECT DISTINCT source, text FROM documents WHERE source >= 'src5'
+    ),
+    bits AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5('bloom:0' || chr(31)
+                  || CAST(u.d AS VARCHAR) || chr(31) || text), 1, 15)
+                  AS BIGINT) % 65536 AS bit
+      FROM base, unnest(range(0, 5)) AS u(d)
+    ),
+    pos AS (
+      SELECT source, text,
+             CAST('0x' || substr(md5('bloom:0' || chr(31)
+                  || CAST(u.d AS VARCHAR) || chr(31) || text), 1, 15)
+                  AS BIGINT) % 65536 AS bit
+      FROM delta, unnest(range(0, 5)) AS u(d)
+    ),
+    hits AS (
+      SELECT source, text, count(b.bit) AS h
+      FROM pos LEFT JOIN bits b USING (bit)
+      GROUP BY source, text
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_maybe
+    FROM hits GROUP BY source
+    """,
+    primary=False,
+)
+def q145_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate (operators/sketches.py:
+    bloom_build/bloom_probe, M117): compress the src0-src4 half of the
+    corpus into a 2¹⁶-bit filter, probe the src5+ half's distinct
+    (source, text) pairs, and report per source how many probes come
+    back possibly-present — the broadcast-sized incremental-dedup
+    pre-gate. Bit positions are md5-derived, so the oracle rebuilds
+    the identical filter. Secondary registry; oracle-gated by
+    tests/test_extra_queries.py."""
+    from ..operators import sketches as SK
+
+    docs = _docs(spark, sf_dir)
+    m_bits, k, seed = 65536, 5, "bloom:0"
+    base = (docs.filter(F.col("source") < "src5")
+            .select(F.col("text").alias("item")))
+    delta = (docs.filter(F.col("source") >= "src5")
+             .select("source", "text").distinct())
+    filt = SK.bloom_build(base, "item", m_bits=m_bits, k=k, seed=seed)
+    probes = SK.bloom_probe(
+        delta.select(F.col("text").alias("item")).distinct(), filt,
+        "item", m_bits=m_bits, k=k, seed=seed)
+    return (
+        delta.join(probes, delta["text"] == probes["item"])
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_probed"),
+             F.sum("maybe").cast("long").alias("n_maybe"))
+    )

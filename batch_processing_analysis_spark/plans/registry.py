@@ -52,7 +52,7 @@ EXTRA_ORACLES: dict[str, str] = {}
 #   for r6 at 2-rounds-stale, cheaper than a never-checked query
 #   waiting a full round).
 # Union of r1-r4 green rows + this window = every registered name
-# except q142-q144 (the M113-M115 additions landed after the 50 slots
+# except q142-q145 (the M113-M117 additions landed after the 50 slots
 # filled — they head the r6 rotation; tools/rotation_check.py tracks
 # this). The late-r5 additions displaced re-green slots, so
 # q22/q23/q25/q45/q53/q58/q59/q60/q61/q74/q75/q80 ride on their

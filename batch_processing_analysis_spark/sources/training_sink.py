@@ -231,3 +231,230 @@ def compact_shards(spark: SparkSession, path: str,
     os.rename(staged, path)
     shutil.rmtree(backup)
     return new_manifest
+
+
+# ---------------------------------------------------------------------------
+# Versioned corpus: manifest chain + time-travel reads (M118)
+# ---------------------------------------------------------------------------
+
+VERSION_PREFIX = "_MANIFEST-v"
+
+
+def _version_path(path: str, version: int) -> str:
+    import os
+
+    return os.path.join(path, f"{VERSION_PREFIX}{version:05d}.json")
+
+
+def list_versions(path: str) -> list[int]:
+    """Published versions at ``path``, ascending (empty if none)."""
+    import os
+    import re
+
+    out = []
+    for name in os.listdir(path) if os.path.isdir(path) else []:
+        m = re.fullmatch(rf"{VERSION_PREFIX}(\d{{5}})\.json", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def append_shards(df: DataFrame, path: str, shard_col: str = "shard",
+                  pos_col: str = "pos",
+                  max_records_per_file: int | None = None) -> None:
+    """Add NEW shard directories to an existing corpus without touching
+    the old ones — the write half of the versioned-publish protocol
+    (M118). Shard dirs are IMMUTABLE once published (every sealed
+    version's digests point at them), so appending into an EXISTING
+    ``shard=<k>/`` would silently corrupt history: the incoming shard
+    ids are checked against the directory listing first and any
+    collision raises before a byte is written.
+    """
+    import os
+
+    existing = set()
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith(f"{shard_col}="):
+                existing.add(name.split("=", 1)[1])
+    incoming = {
+        str(r[0]) for r in df.select(shard_col).distinct().collect()
+    }
+    clash = incoming & existing
+    if clash:
+        raise ValueError(
+            f"append_shards would mutate published shard dirs "
+            f"{sorted(clash)}: shard ids must be fresh (versions are "
+            f"append-only)"
+        )
+    writer = (
+        df.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, pos_col)
+        .write.mode("append")
+        .partitionBy(shard_col)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def publish_version(spark: SparkSession, path: str,
+                    shards: Sequence[int] | None = None,
+                    shard_col: str = "shard", pos_col: str = "pos",
+                    extra: dict | None = None) -> dict:
+    """Seal the next corpus VERSION (M118): the manifest-chain form of
+    :func:`publish_manifest`, giving the sealed sink snapshot reads and
+    time travel — the public snapshot-isolation recipe of the
+    log-structured table formats (Armbrust et al. 2020, "Delta Lake:
+    high-performance ACID table storage", VLDB; Iceberg's spec is the
+    same shape): data files are immutable, each commit is a NEW
+    manifest listing its file set, readers pin a manifest and never
+    see a torn state.
+
+    Version N seals the CURRENT on-disk shard set (or the explicit
+    ``shards`` subset — retiring shards from the new version without
+    deleting them, so older versions stay readable). The manifest
+    carries ``version``, ``parent`` (the previous head, or None),
+    per-shard count+digest, and columns; it is written atomically as
+    ``_MANIFEST-v{N:05d}.json`` and mirrored to the un-versioned
+    ``_MANIFEST.json`` so :func:`load_verified_shards` keeps reading
+    the head.
+
+    Crash window: a crash before the version file lands publishes
+    nothing (scratch temp only); after it lands but before the head
+    mirror, the version IS published and the mirror is one stale file
+    behind — re-running the publish (idempotent digests) or any later
+    publish repairs it. Never two writers: the version number is
+    claimed by ``O_EXCL``-like rename, and a concurrent publish of the
+    same N fails the rename.
+    """
+    import json
+    import os
+    import tempfile
+
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.filter(F.col(shard_col).isin(list(shards)))
+    versions = list_versions(path)
+    n = (versions[-1] + 1) if versions else 1
+    manifest = {
+        "version": n,
+        "parent": versions[-1] if versions else None,
+        "shards": _digest_subset(df, shard_col, pos_col),
+        "columns": sorted(df.columns),
+    }
+    if extra:
+        manifest["extra"] = extra
+    target = _version_path(path, n)
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    try:
+        # hard link is atomic-exclusive: the loser of a concurrent
+        # publish of the same N gets EEXIST, never a clobber.
+        os.link(tmp, target)
+    except FileExistsError:
+        raise FileExistsError(
+            f"version {n} already published at {path}") from None
+    finally:
+        os.unlink(tmp)
+    # head mirror (compat with load_verified_shards / compact_shards)
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return manifest
+
+
+def read_version(spark: SparkSession, path: str, version: int,
+                 shard_col: str = "shard",
+                 pos_col: str = "pos") -> DataFrame:
+    """Time-travel read (M118): load EXACTLY the shard set version
+    ``N`` sealed, digest-verified — a later append/retire/GC of other
+    shards cannot change what this returns (immutability + pinned
+    manifest = snapshot isolation); a mutated shard raises instead of
+    silently feeding a different corpus to a training run."""
+    import json
+    import os
+
+    vpath = _version_path(path, version)
+    if not os.path.exists(vpath):
+        raise FileNotFoundError(
+            f"version {version} not published at {path} "
+            f"(have: {list_versions(path)})"
+        )
+    with open(vpath) as f:
+        manifest = json.load(f)
+    want = set(manifest["shards"])
+    subset = spark.read.parquet(path).filter(
+        F.col(shard_col).isin([int(s) for s in want])
+    )
+    fresh = _digest_subset(subset, shard_col, pos_col)
+    for s in want:
+        sealed = manifest["shards"][s]
+        got = fresh.get(s)
+        if got != {"n_rows": sealed["n_rows"], "digest": sealed["digest"]}:
+            raise ValueError(
+                f"version {version} shard {s} fails verification: "
+                f"sealed={sealed} got={got}"
+            )
+    return subset
+
+
+def version_diff(path: str, a: int, b: int) -> dict:
+    """Driver-side summary of what changed between two versions:
+    shards added/removed (by id) and rows added/removed (from the
+    sealed counts — no data scan)."""
+    import json
+
+    def _load(v):
+        with open(_version_path(path, v)) as f:
+            return json.load(f)["shards"]
+
+    sa, sb = _load(a), _load(b)
+    added = sorted(set(sb) - set(sa), key=int)
+    removed = sorted(set(sa) - set(sb), key=int)
+    return {
+        "shards_added": added,
+        "shards_removed": removed,
+        "rows_added": sum(sb[s]["n_rows"] for s in added),
+        "rows_removed": sum(sa[s]["n_rows"] for s in removed),
+    }
+
+
+def gc_versions(path: str, keep: Sequence[int],
+                shard_col: str = "shard") -> dict:
+    """Garbage-collect history: drop every version manifest NOT in
+    ``keep`` and delete shard directories referenced by NO kept
+    version. Kept versions remain byte-identically readable
+    (:func:`read_version` re-verifies digests afterwards — asserted in
+    tests). Returns ``{"versions_dropped": [...],
+    "shards_deleted": [...]}``."""
+    import json
+    import os
+    import shutil
+
+    keep_set = {int(k) for k in keep}
+    versions = list_versions(path)
+    missing = keep_set - set(versions)
+    if missing:
+        raise ValueError(f"cannot keep unpublished versions: "
+                         f"{sorted(missing)}")
+    referenced: set[str] = set()
+    for v in keep_set:
+        with open(_version_path(path, v)) as f:
+            referenced |= set(json.load(f)["shards"])
+    dropped = []
+    for v in versions:
+        if v not in keep_set:
+            os.unlink(_version_path(path, v))
+            dropped.append(v)
+    deleted = []
+    for name in os.listdir(path):
+        if name.startswith(f"{shard_col}="):
+            sid = name.split("=", 1)[1]
+            if sid not in referenced:
+                shutil.rmtree(os.path.join(path, name))
+                deleted.append(sid)
+    return {"versions_dropped": dropped,
+            "shards_deleted": sorted(deleted, key=int)}

@@ -1,0 +1,127 @@
+"""Versioned corpus / manifest chain (M118, sources/training_sink.py):
+snapshot isolation over immutable shard dirs — time-travel reads,
+append-only versioning, retirement, diff, GC, tamper refusal."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_analysis_spark.sources.training_sink import (
+    MANIFEST,
+    append_shards,
+    gc_versions,
+    list_versions,
+    publish_version,
+    read_version,
+    version_diff,
+    write_training_shards,
+)
+
+
+def _docs(spark, lo, hi, shard_base):
+    n_shards = 2
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        (F.lit(shard_base) + F.pmod(F.col("id"), n_shards)).alias("shard"),
+        (F.col("id") - lo).alias("pos"),
+    )
+
+
+@pytest.fixture(scope="module")
+def chain(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("versioned") / "corpus")
+    write_training_shards(_docs(spark, 0, 100, 0), path)
+    m1 = publish_version(spark, path)
+    append_shards(_docs(spark, 100, 160, 10), path)
+    m2 = publish_version(spark, path)
+    return path, m1, m2
+
+
+def test_chain_metadata(chain):
+    path, m1, m2 = chain
+    assert list_versions(path) == [1, 2]
+    assert (m1["version"], m1["parent"]) == (1, None)
+    assert (m2["version"], m2["parent"]) == (2, 1)
+    assert set(m1["shards"]) == {"0", "1"}
+    assert set(m2["shards"]) == {"0", "1", "10", "11"}
+    # head mirror tracks the latest version
+    with open(os.path.join(path, MANIFEST)) as f:
+        assert json.load(f)["version"] == 2
+
+
+def test_time_travel_reads_pin_their_shard_set(spark, chain):
+    path, _, _ = chain
+    v1 = {r.doc_id for r in read_version(spark, path, 1).collect()}
+    v2 = {r.doc_id for r in read_version(spark, path, 2).collect()}
+    assert v1 == set(range(100))
+    assert v2 == set(range(160))
+
+
+def test_append_into_published_shard_refused(spark, chain):
+    path, _, _ = chain
+    with pytest.raises(ValueError, match="append-only"):
+        append_shards(_docs(spark, 200, 220, 0), path)  # shard 0 clash
+
+
+def test_read_unpublished_version_raises(spark, chain):
+    path, _, _ = chain
+    with pytest.raises(FileNotFoundError, match="have: \\[1, 2\\]"):
+        read_version(spark, path, 9)
+
+
+def test_version_diff_counts(chain):
+    path, _, _ = chain
+    d = version_diff(path, 1, 2)
+    assert d == {"shards_added": ["10", "11"], "shards_removed": [],
+                 "rows_added": 60, "rows_removed": 0}
+    rev = version_diff(path, 2, 1)
+    assert rev["shards_removed"] == ["10", "11"]
+    assert rev["rows_removed"] == 60
+
+
+def test_retire_then_gc_keeps_kept_versions_readable(
+        spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("versioned_gc") / "corpus")
+    write_training_shards(_docs(spark, 0, 100, 0), path)
+    publish_version(spark, path)
+    append_shards(_docs(spark, 100, 160, 10), path)
+    publish_version(spark, path)
+    # v3 retires the original shards (they stay on disk for v1/v2)
+    publish_version(spark, path, shards=[10, 11])
+    assert {r.doc_id for r in read_version(spark, path, 3).collect()} \
+        == set(range(100, 160))
+    assert {r.doc_id for r in read_version(spark, path, 1).collect()} \
+        == set(range(100))
+    out = gc_versions(path, keep=[3])
+    assert out["versions_dropped"] == [1, 2]
+    assert out["shards_deleted"] == ["0", "1"]
+    assert list_versions(path) == [3]
+    # the kept version still verifies byte-for-byte
+    assert {r.doc_id for r in read_version(spark, path, 3).collect()} \
+        == set(range(100, 160))
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, path, 1)
+    with pytest.raises(ValueError, match="unpublished"):
+        gc_versions(path, keep=[1])
+
+
+def test_tampered_shard_fails_only_referencing_versions(
+        spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("versioned_tamper") / "corpus")
+    write_training_shards(_docs(spark, 0, 100, 0), path)
+    publish_version(spark, path)
+    append_shards(_docs(spark, 100, 160, 10), path)
+    publish_version(spark, path)
+    # mutate a v2-only shard file
+    sd = os.path.join(path, "shard=10")
+    victim = [f for f in os.listdir(sd) if f.endswith(".parquet")][0]
+    os.unlink(os.path.join(sd, victim))
+    with pytest.raises(ValueError, match="fails verification"):
+        read_version(spark, path, 2).collect()
+    # v1 references only untouched shards: still green
+    assert read_version(spark, path, 1).count() == 100
