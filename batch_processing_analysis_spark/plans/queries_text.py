@@ -3998,8 +3998,12 @@ def q143_edjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy-dedup counterpart to q140's set-Jaccard PPJoin. The oracle
     is the UNFILTERED all-pairs levenshtein join, so a pruning bug on
     either filter (prefix or length) surfaces as a missing pair.
+    q=8: longer filter grams trade a longer prefix (q·d+1 rows/doc)
+    for rarer join keys — identical pairs, modestly faster at both
+    scales (min-of-2: 44.1→40.5 s at the 10× blow-up; the q-sweep is
+    in SURVEY §6.1b-r5).
     Secondary registry; oracle-gated by tests/test_extra_queries.py."""
-    return D.edjoin_pairs(_docs(spark, sf_dir), d=10, q=4)
+    return D.edjoin_pairs(_docs(spark, sf_dir), d=10, q=8)
 
 
 @query(
