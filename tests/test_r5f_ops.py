@@ -88,3 +88,47 @@ def test_bloom_rejects_bad_args(spark):
         SK.bloom_build(df, k=0)
     with pytest.raises(ValueError):
         SK.bloom_fpr_micro(df, m_bits=10, k=0)
+
+
+# --------------------------------------------------------------- M119
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from batch_processing_analysis_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+
+    texts = {
+        0: "spam " * 200,                      # highly compressible
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "".join(chr(33 + (i * 37) % 90) for i in range(500)),
+        3: "héllo wörld ünïcode " * 10,        # multibyte
+        4: "",                                 # empty -> NULL ratio
+        5: None,                               # NULL  -> NULL ratio
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for i, t in texts.items():
+        if not t:
+            assert got[i]["ratio_micro"] is None
+            assert got[i]["n_bytes"] == 0
+            continue
+        raw = t.encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        assert got[i]["n_bytes"] == len(raw)
+        assert got[i]["n_compressed"] == len(comp)
+        assert got[i]["ratio_micro"] == len(comp) * 1_000_000 // len(raw)
+    # the repetitive doc must compress far better than the noisy one
+    assert got[0]["ratio_micro"] < got[2]["ratio_micro"] // 5
+
+
+def test_compression_ratio_rejects_bad_level(spark):
+    from batch_processing_analysis_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        compression_ratio(df, level=0)
