@@ -124,3 +124,68 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def stream_interval_join(events: DataFrame, cause_type: str,
+                         effect_type: str, within_seconds: int,
+                         watermark: str = "30 minutes",
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         id_col: str = "event_id",
+                         type_col: str = "event_type") -> DataFrame:
+    """Watermarked stream-stream interval join (M120): per key, pair
+    every ``cause_type`` event with every ``effect_type`` event of the
+    same key arriving within ``within_seconds`` AFTER it — the
+    canonical event-time attribution join (click→conversion,
+    action→error), and the one Structured Streaming join class whose
+    state Spark can PROVE bounded: both sides carry a watermark and
+    the join condition carries the time range, so cause-side state
+    older than ``watermark + within`` and effect-side state older than
+    ``watermark`` are dropped instead of accumulating forever (the
+    stream-stream inner-join state-retention rule of the Structured
+    Streaming programming guide: retention is derived from the
+    watermark plus the event-time range condition).
+
+    Built to run IDENTICALLY on a batch frame (``withWatermark`` is a
+    documented no-op on batch inputs), so the test oracle is this same
+    builder over the replayed table — streamed == batch whenever no
+    row arrives later than the watermark allows, and a deliberately
+    late row is DROPPED on the stream (asserted both ways in
+    tests/test_stream_interval_join.py).
+
+    Returns ``(key, cause_id, effect_id, cause_ts, effect_ts, lag_s)``
+    with ``lag_s`` in whole seconds (integer floor). Output mode
+    append; results emit once both watermarks pass the pair.
+    """
+    if within_seconds <= 0:
+        raise ValueError(f"within_seconds must be positive, "
+                         f"got {within_seconds}")
+    cause = (
+        events.filter(F.col(type_col) == cause_type)
+        .select(F.col(key_col).alias("_k"),
+                F.col(id_col).alias("cause_id"),
+                F.col(ts_col).alias("cause_ts"))
+        .withWatermark("cause_ts", watermark)
+    )
+    effect = (
+        events.filter(F.col(type_col) == effect_type)
+        .select(F.col(key_col).alias("_ke"),
+                F.col(id_col).alias("effect_id"),
+                F.col(ts_col).alias("effect_ts"))
+        .withWatermark("effect_ts", watermark)
+    )
+    joined = cause.join(
+        effect,
+        (F.col("_k") == F.col("_ke"))
+        & (F.col("effect_ts") >= F.col("cause_ts"))
+        & (F.col("effect_ts")
+           <= F.col("cause_ts")
+           + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")),
+        "inner",
+    )
+    return joined.select(
+        F.col("_k").alias(key_col), "cause_id", "effect_id",
+        "cause_ts", "effect_ts",
+        F.floor(F.unix_timestamp("effect_ts")
+                - F.unix_timestamp("cause_ts")).cast("long")
+        .alias("lag_s"),
+    )
