@@ -58,6 +58,11 @@ EXTRA_ORACLES: dict[str, str] = {}
 # q22/q23/q25/q45/q53/q58/q59/q60/q61/q74/q75/q80 ride on their
 # existing green rows this round.
 # Set to None to fall back to the per-call flags.
+# r6 rotation plan (tools/rotation_check.py generates the candidates):
+# rotate IN q142-q145 (M113-M117, never driver-checked) + the oldest
+# re-green backlog (q22/q23/q25/q45/q53/q58/q59/q60/q61/q74/q75/q80,
+# then the r1-only greens); rotate OUT the canaries q111-q117 (their
+# diagnostic value is one round) and the r5 first-checks once green.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     # family representatives (driver-green r1-r4)
     "q01_pricing_summary",
