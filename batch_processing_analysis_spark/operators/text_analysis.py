@@ -1431,3 +1431,60 @@ def compression_ratio(docs: DataFrame, id_col: str = "doc_id",
             })
 
     return docs.select(id_col, text_col).mapInPandas(_kernel, out_schema)
+
+
+def nfc_normalize_docs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization (M121): canonical composition (UAX
+    #15) so that visually-identical strings hash identically — the
+    step every dedup/fingerprint pass above assumes has already
+    happened (a decomposed ``e + U+0301`` and a precomposed ``é``
+    are different shingles, different minhashes, different exact-dup
+    hashes). Spark has no builtin normalizer, so this is the
+    legitimate Arrow-batched Python hop (CPython ``unicodedata``
+    implements the same UAX #15 tables as DuckDB's
+    ``nfc_normalize`` — the oracle twin reproduces every output
+    char-for-char, q146).
+
+    Returns ``(id, text_nfc, changed, n_chars_before, n_chars_after)``
+    — the flags/counts make the pass auditable (how much of the corpus
+    was denormalized, and by how many chars) without a second scan.
+    NULL text passes through as NULL with ``changed`` NULL. No
+    shuffle; one mapInPandas.
+    """
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("text_nfc", T.StringType()),
+        T.StructField("changed", T.IntegerType()),
+        T.StructField("n_chars_before", T.LongType()),
+        T.StructField("n_chars_after", T.LongType()),
+    ])
+
+    def _kernel(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            outs, chg, nb, na = [], [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    outs.append(None)
+                    chg.append(None)
+                    nb.append(None)
+                    na.append(None)
+                    continue
+                n = unicodedata.normalize("NFC", t)
+                outs.append(n)
+                chg.append(int(n != t))
+                nb.append(len(t))
+                na.append(len(n))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "text_nfc": pd.array(outs, dtype="string"),
+                "changed": pd.array(chg, dtype="Int32"),
+                "n_chars_before": pd.array(nb, dtype="Int64"),
+                "n_chars_after": pd.array(na, dtype="Int64"),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(_kernel, out_schema)

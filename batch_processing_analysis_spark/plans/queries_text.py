@@ -4106,3 +4106,40 @@ def q145_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_probed"),
              F.sum("maybe").cast("long").alias("n_maybe"))
     )
+
+
+@query(
+    "q146_nfc_audit",
+    r"""
+    WITH n AS (
+      SELECT doc_id, source, text, nfc_normalize(text) AS t
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN t <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(length(text)) AS BIGINT) AS chars_before,
+           CAST(sum(length(t)) AS BIGINT) AS chars_after
+    FROM n GROUP BY source
+    """,
+    primary=False,
+)
+def q146_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit per source (operators/
+    text_analysis.py:nfc_normalize_docs, M121): how many documents
+    were not canonically composed and the char-count delta — CPython
+    unicodedata vs DuckDB nfc_normalize, both UAX #15, compared
+    char-for-char through the counts. Secondary registry; oracle-gated
+    by tests/test_extra_queries.py."""
+    docs = _docs(spark, sf_dir)
+    out = TA.nfc_normalize_docs(docs)
+    src = docs.select("doc_id", "source")
+    return (
+        out.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("changed").cast("long").alias("n_changed"),
+             F.sum("n_chars_before").cast("long").alias("chars_before"),
+             F.sum("n_chars_after").cast("long").alias("chars_after"))
+    )

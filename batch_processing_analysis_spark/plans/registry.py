@@ -52,14 +52,14 @@ EXTRA_ORACLES: dict[str, str] = {}
 #   for r6 at 2-rounds-stale, cheaper than a never-checked query
 #   waiting a full round).
 # Union of r1-r4 green rows + this window = every registered name
-# except q142-q145 (the M113-M117 additions landed after the 50 slots
-# filled — they head the r6 rotation; tools/rotation_check.py tracks
+# except q142-q146 (the M113-M121 query-bearing additions landed
+# after the 50 slots filled — they head the r6 rotation; tools/rotation_check.py tracks
 # this). The late-r5 additions displaced re-green slots, so
 # q22/q23/q25/q45/q53/q58/q59/q60/q61/q74/q75/q80 ride on their
 # existing green rows this round.
 # Set to None to fall back to the per-call flags.
 # r6 rotation plan (tools/rotation_check.py generates the candidates):
-# rotate IN q142-q145 (M113-M117, never driver-checked) + the oldest
+# rotate IN q142-q146 (M113-M121, never driver-checked) + the oldest
 # re-green backlog (q22/q23/q25/q45/q53/q58/q59/q60/q61/q74/q75/q80,
 # then the r1-only greens); rotate OUT the canaries q111-q117 (their
 # diagnostic value is one round) and the r5 first-checks once green.

@@ -132,3 +132,57 @@ def test_compression_ratio_rejects_bad_level(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         compression_ratio(df, level=0)
+
+
+# --------------------------------------------------------------- M121
+
+def test_nfc_normalize_matches_unicodedata(spark):
+    import unicodedata
+
+    from batch_processing_analysis_spark.operators.text_analysis import (
+        nfc_normalize_docs,
+    )
+
+    texts = {
+        0: "école",              # decomposed -> é (6 -> 5 chars)
+        1: "école",               # already NFC
+        2: "plain ascii text",
+        3: "Å" * 3,         # A + ring -> Å, thrice
+        4: None,
+        5: "",
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in nfc_normalize_docs(df).collect()}
+    for i, t in texts.items():
+        if t is None:
+            assert got[i]["text_nfc"] is None
+            assert got[i]["changed"] is None
+            continue
+        n = unicodedata.normalize("NFC", t)
+        assert got[i]["text_nfc"] == n
+        assert got[i]["changed"] == int(n != t)
+        assert got[i]["n_chars_before"] == len(t)
+        assert got[i]["n_chars_after"] == len(n)
+    assert got[0]["changed"] == 1 and got[0]["n_chars_after"] == 5
+    assert got[1]["changed"] == 0
+    assert got[3]["n_chars_after"] == 3
+
+
+def test_nfc_normalize_agrees_with_duckdb(spark):
+    import duckdb
+
+    from batch_processing_analysis_spark.operators.text_analysis import (
+        nfc_normalize_docs,
+    )
+
+    texts = ["école", "café", "Ångström",
+             "가가", "x"]  # incl. Hangul compose
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["text_nfc"]
+           for r in nfc_normalize_docs(df).collect()}
+    for i, t in enumerate(texts):
+        want = duckdb.sql(
+            "SELECT nfc_normalize(?)", params=[t]).fetchone()[0]
+        assert got[i] == want, t
