@@ -931,15 +931,20 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     ``levenshtein(a, b, d)`` (banded DP, −1 past the threshold), so
     per-candidate work is O(d·len), not O(len²).
 
-    Degenerate strings: a doc shorter than ``q`` chars has NO q-grams
-    and can never enter the prefix join, so every doc with
-    ``len ≤ q − 1 + d`` (the only lengths such a doc can pair with)
-    goes through a length-banded equi-join pass WITHIN that tiny
-    bucket (band width d+1: within-d pairs always land in the same or
-    adjacent bands). Real corpora length-filter far above q+d chars,
-    so the bucket is empty-to-trivial; it exists for total
-    correctness, and a skewed tiny bucket is a data-quality smell the
-    quality gate (M71) surfaces first.
+    Degenerate strings: the survival guarantee needs MORE than ``q·d``
+    grams — ``d`` edits can destroy up to ``q·d`` gram instances, so a
+    string with ``≤ q·d`` grams (``len ≤ q·d + q − 1``) may share NO
+    gram with a valid partner at all (hypothesis-found
+    counter-example: 'aba' vs 'aaa' at q=2, d=1 — distance 1, zero
+    common 2-grams). Every doc at or below that cutoff therefore goes
+    through a length-banded equi-join pass WITHIN the short bucket
+    (band width d+1: within-d pairs always land in the same or
+    adjacent bands). Short×LONG pairs stay covered by the gram join:
+    the long side has > q·d grams, so ≥ 1 of its grams survives into
+    the short side, within both prefixes (the short side's gram set
+    IS its prefix). Real corpora length-filter above the cutoff, so
+    the bucket is small; a skewed short bucket is a data-quality
+    smell the quality gate (M71) surfaces first.
 
     Scale (100 TB): gram df is one partial-aggregable count; the
     per-doc (df, gram) ordering windows on the doc key; the candidate
@@ -987,10 +992,12 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
         )
         .select(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
     )
-    # Tiny bucket as an EQUI-join (plan-audit: no NLJ anywhere):
+    # Short bucket as an EQUI-join (plan-audit: no NLJ anywhere):
     # band width d+1 makes |len_a − len_b| ≤ d imply adjacent bands,
     # so the probe side explodes its band ±1 and joins equi on band.
-    tiny = t.filter(F.col("_len") <= q - 1 + d).select(
+    # Cutoff q·d + q − 1 = "at most q·d grams": below it the prefix
+    # theorem guarantees nothing (see docstring).
+    tiny = t.filter(F.col("_len") <= q * d + q - 1).select(
         F.col(id_col), F.col("_len"),
         F.expr(f"_len div {d + 1}").alias("_band"),
     )

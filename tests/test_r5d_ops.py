@@ -193,7 +193,7 @@ def test_edjoin_threshold_boundary_inclusive(spark):
 
 
 def test_edjoin_tiny_strings_use_banded_bucket(spark):
-    # All below q-1+d chars with q=4, d=5 -> bucket cutoff 8.
+    # All at/below the q·d+q−1 short-bucket cutoff (q=4, d=5 -> 23).
     items = [(0, "ab"), (1, "abc"), (2, "abcde"), (3, "zzzzzzzz"),
              (4, ""), (5, "a" * 8)]
     for d in (2, 5):
@@ -202,9 +202,9 @@ def test_edjoin_tiny_strings_use_banded_bucket(spark):
 
 
 def test_edjoin_tiny_long_cross_pairs(spark):
-    # A tiny string (no q-grams) close to a just-above-bucket string
-    # must still be found iff within d: len 13 vs len 14, d=10, q=4
-    # (bucket cutoff q-1+d = 13).
+    # Short strings near the band edges must still pair iff within d
+    # (q=4, d=10 -> short-bucket cutoff q·d+q−1 = 49; len 13/14/1 all
+    # route through the banded bucket).
     t13 = "hello world x"
     t14 = "hello world xy"
     items = [(0, t13), (1, t14), (2, "a")]
@@ -253,3 +253,16 @@ def test_edjoin_rejects_bad_args(spark):
         DD.edjoin_pairs(df, d=-1)
     with pytest.raises(ValueError):
         DD.edjoin_pairs(df, q=1)
+
+
+def test_edjoin_short_strings_sharing_no_grams(spark):
+    """Regression (hypothesis-found): 'aba'/'aaa' are at distance 1
+    but share ZERO 2-grams — with ≤ q·d grams nothing survives d
+    edits, so these pairs must route through the short bucket, not
+    the prefix join (the original cutoff q−1+d missed them)."""
+    items = [(0, ""), (1, "aba"), (2, "aaa"), (3, "")]
+    assert _run_edjoin(spark, items, 1, q=2) == \
+        _brute_ed_pairs(items, 1) == {(0, 3): 0, (1, 2): 1}
+    # same shape one size up: distance-2 pair with disjoint 3-gram sets
+    items = [(0, "abcabc"), (1, "abxabz")]
+    assert _run_edjoin(spark, items, 2, q=3) == _brute_ed_pairs(items, 2)
