@@ -39,6 +39,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+class CandidateVolumeExceeded(RuntimeError):
+    """Raised by the exact joins' ``max_candidates`` guard: the
+    prefix-join candidate upper bound exceeds the caller's budget.
+    The bound is computed from prefix document frequencies BEFORE the
+    pair join runs, so a vocabulary-degenerate corpus fails in one
+    cheap aggregate instead of grinding through an O(n²)-ish candidate
+    stage (VERDICT r5 task 2)."""
+
+
+def _check_candidate_budget(bound: int, max_candidates: int,
+                            op: str, scale_paths: str) -> None:
+    import logging
+
+    logging.getLogger(__name__).info(
+        "%s: prefix-join candidate upper bound = %d (budget %d)",
+        op, bound, max_candidates,
+    )
+    if bound > max_candidates:
+        raise CandidateVolumeExceeded(
+            f"{op}: prefix-join candidate upper bound {bound} exceeds "
+            f"max_candidates={max_candidates}. The corpus is too "
+            f"vocabulary-degenerate for an EXACT content-keyed join at "
+            f"this scale — use the designated scale paths instead: "
+            f"{scale_paths}."
+        )
+
+
 def hash60(col: Column) -> Column:
     """Deterministic 60-bit integer hash (first 15 hex digits of md5).
 
@@ -744,7 +771,8 @@ def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
 
 def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", t_pct: int = 50,
-                 k: int = 3) -> DataFrame:
+                 k: int = 3,
+                 max_candidates: int | None = None) -> DataFrame:
     """EXACT shingle-set Jaccard similarity self-join via prefix
     filtering (M111; Chaudhuri-Ganti-Kaushik SSJoin 2006, Xiao et al.
     PPJoin 2008 — the public prefix-filter principle — over Broder
@@ -802,6 +830,14 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     Zipf-vocabulary real text the rare-prefix df stays flat. The LSH
     path (``minhash_lsh_pairs``, q41) is the designated scale path;
     this operator is the exactness baseline.
+
+    ``max_candidates`` governs that bound at RUN TIME (VERDICT r5 task
+    2): when set, the candidate upper bound Σ_g df_probe(g)·df_index(g)
+    is measured from the prefix tables (one cheap aggregate over
+    prefix-row counts — the pair join has not run yet) and logged; if
+    it exceeds the budget, :class:`CandidateVolumeExceeded` is raised
+    naming the scale paths, instead of silently buying an O(n²)-ish
+    candidate stage. ``None`` (default) keeps the plan fully lazy.
     """
     if not 1 <= t_pct <= 100:
         raise ValueError(f"t_pct must be in [1, 100], got {t_pct}")
@@ -840,6 +876,19 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     ipfx = ranked.filter(F.col("_rn") <= F.col("_n") - ceil_ix + 1).select(
         "gid", "tk", "_n", "_rn"
     )
+    if max_candidates is not None:
+        ca = pfx.groupBy("tk").agg(F.count(F.lit(1)).alias("_ca"))
+        cb = ipfx.groupBy("tk").agg(F.count(F.lit(1)).alias("_cb"))
+        bound = (
+            ca.join(cb, "tk")
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_b"))
+            .collect()[0]["_b"]
+        ) or 0
+        _check_candidate_budget(
+            int(bound), max_candidates, "ppjoin_pairs",
+            "minhash_lsh_pairs (q41, probabilistic recall) or "
+            "ngram_jaccard_pairs (q43, df-blocked)",
+        )
     a, b = pfx.alias("a"), ipfx.alias("b")
     # Positional filter (the second P of PPJoin): a shingle matching at
     # per-doc ranks (i, j) bounds the overlap by
@@ -903,7 +952,8 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", d: int = 10,
-                 q: int = 4) -> DataFrame:
+                 q: int = 4,
+                 max_candidates: int | None = None) -> DataFrame:
     """EXACT edit-distance similarity self-join via q-gram prefix
     filtering (M114; Gravano et al. VLDB 2001 q-gram count bound,
     prefix form from Xiao-Wang-Lin Ed-Join, VLDB 2008 — both public).
@@ -951,6 +1001,18 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     join fans out on the RAREST ``q·d + 1`` grams of each doc only —
     boilerplate grams never generate candidates. Candidate rows carry
     ids + lengths only; full text joins on after candidate dedup.
+
+    The honest bound is Θ(Σ_g df_pfx(g)²) over prefix occurrences —
+    superlinear on vocabulary-bounded corpora (measured 13.5× at 10×
+    data on the word-salad testdata, SURVEY §6.1b-r5).
+    ``max_candidates`` governs it at RUN TIME (VERDICT r5 task 2):
+    when set, the gram-join bound Σ_g C(df_pfx(g), 2) plus the short
+    bucket's banded bound is measured from the prefix/bucket counts
+    (cheap aggregates — the pair join has not run yet) and logged; if
+    the total exceeds the budget, :class:`CandidateVolumeExceeded` is
+    raised naming the scale paths (q41 LSH / q43 df-blocked n-gram
+    Jaccard) instead of silently grinding. ``None`` (default) keeps
+    the plan fully lazy.
     """
     if d < 0:
         raise ValueError(f"d must be non-negative, got {d}")
@@ -982,6 +1044,33 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if max_candidates is not None:
+        cnt = pfx.groupBy("tk").agg(F.count(F.lit(1)).alias("_c"))
+        bound_long = (
+            cnt.agg(F.sum(F.col("_c") * (F.col("_c") - F.lit(1)))
+                    .alias("_b"))
+            .collect()[0]["_b"] or 0
+        ) // 2
+        tiny_cnt = (
+            t.filter(F.col("_len") <= q * d + q - 1)
+            .groupBy(F.expr(f"_len div {d + 1}").alias("_band"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        probe_cnt = tiny_cnt.select(
+            F.explode(F.array(F.col("_band") - 1, F.col("_band"),
+                              F.col("_band") + 1)).alias("_band"),
+            F.col("_c").alias("_cp"),
+        )
+        bound_tiny = (
+            probe_cnt.join(tiny_cnt, "_band")
+            .agg(F.sum(F.col("_cp") * F.col("_c")).alias("_b"))
+            .collect()[0]["_b"] or 0
+        )
+        _check_candidate_budget(
+            int(bound_long + bound_tiny), max_candidates, "edjoin_pairs",
+            "minhash_lsh_pairs (q41, probabilistic recall) or "
+            "ngram_jaccard_pairs (q43, df-blocked)",
+        )
     a, b = pfx.alias("a"), pfx.alias("b")
     cand_long = (
         a.join(

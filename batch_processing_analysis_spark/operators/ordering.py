@@ -534,7 +534,12 @@ def stratified_quotas(df: DataFrame, k: int, group_col: str = "lang",
     the corpus, reproducible in any engine, no sampling pass.
 
     Requires ``k ≤ N`` (guaranteeing quota_g ≤ n_g, so every stratum
-    can fill its quota). Returns per-stratum
+    can fill its quota) — ENFORCED: ``k < 0`` raises ``ValueError``
+    eagerly, and ``k > N`` fails the job at evaluation time via an
+    ``assert_true`` guard folded into the quota expression (checked
+    against the already-computed total aggregate, no extra scan;
+    ADVICE r5 — previously quotas silently exceeded stratum sizes).
+    Returns per-stratum
     ``(group, n_docs, quota, n_selected, sel_id_sum)`` where
     ``sel_id_sum`` checksums the selected id set.
 
@@ -546,12 +551,27 @@ def stratified_quotas(df: DataFrame, k: int, group_col: str = "lang",
     """
     from .dedup import hash60
 
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     total = counts.agg(F.sum("n_docs").alias("_N"))
+    # k ≤ N guard: assert_true yields NULL when the condition holds
+    # (coalesce → 0, exactness preserved) and aborts the job when it
+    # doesn't. Folding it into _base keeps it in the plan — a detached
+    # check column would be pruned by Catalyst and never evaluated.
+    _k_guard = F.coalesce(
+        F.assert_true(
+            F.col("_N") >= F.lit(k),
+            F.concat(F.lit(f"stratified_quotas: k={k} exceeds total "
+                           f"row count N="),
+                     F.col("_N").cast("string")),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     qc = counts.crossJoin(F.broadcast(total)).select(
         group_col, "n_docs",
-        F.floor(F.col("n_docs") * F.lit(k) / F.col("_N"))
-        .cast("long").alias("_base"),
+        (F.floor(F.col("n_docs") * F.lit(k) / F.col("_N"))
+         .cast("long") + _k_guard).alias("_base"),
         (F.col("n_docs") * F.lit(k)
          - F.floor(F.col("n_docs") * F.lit(k) / F.col("_N"))
            .cast("long") * F.col("_N")).alias("_rem"),

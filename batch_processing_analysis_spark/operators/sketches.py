@@ -135,6 +135,16 @@ def exact_heavy_hitters(items: DataFrame, item_col: str = "item",
     exactly and the final filter depends only on true counts — any
     candidate superset yields the identical output (the DuckDB twin is
     a plain ``HAVING count(*)·(k+1) > total``).
+
+    NULL items are first-class (ADVICE r5): pass 1 counts them
+    (``value_counts(dropna=False)``, the NaN/None key normalized to a
+    single ``None`` counter — since Python 3.10 two distinct float-NaN
+    objects hash as distinct dict keys, so un-normalized NaN keys
+    would fragment the counter across batches) and pass 2's semi join
+    is null-safe, so a NULL that truly exceeds N/(k+1) comes back as a
+    NULL-keyed output row, matching the plain groupBy/HAVING twin.
+    ``item_col`` must be an atomic type (the NaN normalization uses a
+    scalar ``pd.isna``).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -147,20 +157,24 @@ def exact_heavy_hitters(items: DataFrame, item_col: str = "item",
     def mg_partition(batches):
         counters: dict = {}
         for pdf in batches:
-            for val, c in pdf[item_col].value_counts().items():
-                counters[val] = counters.get(val, 0) + int(c)
+            counts = pdf[item_col].value_counts(dropna=False)
+            for val, c in counts.items():
+                key = None if pd.isna(val) else val
+                counters[key] = counters.get(key, 0) + int(c)
             if len(counters) > k:
                 cut = sorted(counters.values(), reverse=True)[k]
                 counters = {v: c - cut
                             for v, c in counters.items() if c > cut}
-        yield pd.DataFrame({item_col: list(counters.keys())})
+        yield pd.DataFrame({item_col: list(counters.keys())},
+                           dtype=object)
 
     cand = src.mapInPandas(
         mg_partition, schema=StructType([field])
     ).distinct()
     total = src.agg(F.count(F.lit(1)).alias("_total"))
     return (
-        src.join(F.broadcast(cand), item_col, "left_semi")
+        src.join(F.broadcast(cand),
+                 src[item_col].eqNullSafe(cand[item_col]), "left_semi")
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .crossJoin(F.broadcast(total))

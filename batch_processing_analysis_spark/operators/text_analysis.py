@@ -738,8 +738,15 @@ def js_divergence_matrix(docs: DataFrame, group_col: str = "source",
             F.first("_tca").alias("_tca"), F.first("_tcb").alias("_tcb"),
         )
     )
-    g1 = totals.select(F.col("_g").alias("_ga"))
-    g2 = totals.select(F.col("_g").alias("_gb"))
+    # Pair frame from the DISTINCT group column of `docs`, not from
+    # `totals`: a group whose documents contain zero tokens never
+    # reaches `totals` (no (group, token) rows), but the docstring's
+    # "every unordered pair" contract still owes it rows — it has no
+    # common tokens with anyone, so its pairs take the empty-overlap
+    # ln 2 maximum through the left-join default below (ADVICE r5).
+    groups = docs.select(F.col(group_col).alias("_g")).distinct()
+    g1 = groups.select(F.col("_g").alias("_ga"))
+    g2 = groups.select(F.col("_g").alias("_gb"))
     pairs = g1.crossJoin(g2).filter(F.col("_ga") < F.col("_gb"))
     ln2_half = F.lit(0.34657359027997264)  # ln(2)/2
     tail = ln2_half * (

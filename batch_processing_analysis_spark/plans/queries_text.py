@@ -2879,8 +2879,9 @@ def q124_nb_class_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                                + (1.0 - c.cb_sum * 1.0 / c.t_b))
                             * 1000000000.0 + 0.5) AS BIGINT)
                 ELSE 693147181 END AS BIGINT) AS jsd_nano
-    FROM tot p1
-    JOIN tot p2 ON p1.source < p2.source
+    FROM (SELECT DISTINCT source FROM documents) p1
+    JOIN (SELECT DISTINCT source FROM documents) p2
+      ON p1.source < p2.source
     LEFT JOIN common c ON c.ga = p1.source AND c.gb = p2.source
     """,
     primary=False,
@@ -3873,8 +3874,12 @@ def q140_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. The oracle is the UNFILTERED all-pairs shingle join: the
     prefix-filter theorem says both must produce identical pairs, so a
     pruning bug on either side of the prefix boundary shows up as a
-    row-count mismatch. Driver window r5 via PRIMARY_ROTATION."""
-    return D.ppjoin_pairs(_docs(spark, sf_dir), t_pct=50, k=3)
+    row-count mismatch. Driver window r5 via PRIMARY_ROTATION.
+    The candidate-volume guard runs ON in production (measured bound:
+    10.1k at sf0.01, 659k at sf0.1 — the 1e9 ceiling trips only on a
+    vocabulary-degenerate corpus, VERDICT r5 task 2)."""
+    return D.ppjoin_pairs(_docs(spark, sf_dir), t_pct=50, k=3,
+                          max_candidates=1_000_000_000)
 
 
 @query(
@@ -4001,9 +4006,12 @@ def q143_edjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     q=8: longer filter grams trade a longer prefix (q·d+1 rows/doc)
     for rarer join keys — identical pairs, modestly faster at both
     scales (min-of-2: 44.1→40.5 s at the 10× blow-up; the q-sweep is
-    in SURVEY §6.1b-r5).
-    Secondary registry; oracle-gated by tests/test_extra_queries.py."""
-    return D.edjoin_pairs(_docs(spark, sf_dir), d=10, q=8)
+    in SURVEY §6.1b-r5). The candidate-volume guard runs ON in
+    production (measured bound: 138k at sf0.01, 16.0M at sf0.1 — the
+    5e9 ceiling trips only on a vocabulary-degenerate corpus, VERDICT
+    r5 task 2). Driver window r6 via PRIMARY_ROTATION."""
+    return D.edjoin_pairs(_docs(spark, sf_dir), d=10, q=8,
+                          max_candidates=5_000_000_000)
 
 
 @query(

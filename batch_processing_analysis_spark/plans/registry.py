@@ -33,108 +33,90 @@ ORACLES: dict[str, str] = {}
 EXTRA_QUERIES: dict[str, SparkBuilder] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
-# Round-5 rotation (VERDICT r4 tasks 1-2, 8). 50 slots:
+# Round-6 rotation (VERDICT r5 tasks 1 + 3). 50 slots, chosen from
+# tools/rotation_check.py's staleness report (budget: every query's
+# newest driver-green must be at most 3 rounds old at planning time —
+# 144 queries / 50 slots makes a 3-round refresh period the feasibility
+# floor):
 # - 6 family representatives (kept every round so reference-parity
 #   evidence stays fresh);
-# - the 6 r4 hash-red queries, re-rotated after the HUGEINT-oracle /
-#   scalar-output fixes (commit e809290) so CORRECTNESS_r05 records
-#   the repaired rows;
-# - the 4 round-4 operators never yet driver-checked (q107-q110);
-# - the 7 environment canaries (plans/queries_canary.py) — q116 is the
-#   deliberate HUGEINT probe, expected red iff the r4 divergence
-#   mechanism holds in the driver env;
-# - the 6 mid-r5 additions (q118-q123, M90-M94 + the pow canary),
-#   swapped in late-r5 so they get their first driver check this round
-#   instead of waiting for r6 (all six strict-driver green locally);
-# - the 21 stalest driver-greens (latest green row r2 or r3-only).
-#   The swap ceded q07/q26/q27/q29/q38/q51 (each already green in two
-#   rounds, latest r3, untouched this round — their re-green can wait
-#   for r6 at 2-rounds-stale, cheaper than a never-checked query
-#   waiting a full round).
-# Union of r1-r4 green rows + this window = every registered name
-# except q142-q146 (the M113-M121 query-bearing additions landed
-# after the 50 slots filled — they head the r6 rotation; tools/rotation_check.py tracks
-# this). The late-r5 additions displaced re-green slots, so
-# q22/q23/q25/q45/q53/q58/q59/q60/q61/q74/q75/q80 ride on their
-# existing green rows this round.
+# - the 5 never-driver-checked queries q142-q146 (M113/M114/M115/
+#   M117/M121 — registered after the r5 window froze);
+# - the 10 budget-violating queries (newest green r2: q02/q04/q05/
+#   q14/q15/q16/q22/q23/q25/q45);
+# - 29 re-greens from the r3-stale tail, prioritized single-green
+#   first (q51/q53/q58/q59/q60/q61/q74/q75/q80), then two-green
+#   (q07/q26/q27/q29/q38/q52/q56/q57), then 12 of the 24 three-green
+#   (the other 12 — q31/q32/q33/q35/q36/q40/q42/q43/q46/q47/q48/q49 —
+#   defer to r7, still inside budget). New r6 queries take slots from
+#   this three-green block (never-checked > stale-green).
+# Rotated OUT: the r5 first-checks (q64-q141 additions, all green in
+# CORRECTNESS_r05) and the environment canaries q111-q115/q117 (their
+# diagnostic value is one round). q116_canary_hugeint_probe is RETIRED
+# to the extras registry: its designed red row confirmed the driver's
+# HUGEINT→float64 canonicalization in r5 (DRIVER_ENV.md) — keeping it
+# would burn a window slot on a permanent by-design mismatch.
+# q122_canary_pow stays registered as an extra too (strict-driver
+# keeps exercising both).
 # Set to None to fall back to the per-call flags.
-# r6 rotation plan (tools/rotation_check.py generates the candidates):
-# rotate IN q142-q146 (M113-M121, never driver-checked) + the oldest
-# re-green backlog (q22/q23/q25/q45/q53/q58/q59/q60/q61/q74/q75/q80,
-# then the r1-only greens); rotate OUT the canaries q111-q117 (their
-# diagnostic value is one round) and the r5 first-checks once green.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
-    # family representatives (driver-green r1-r4)
+    # family representatives
     "q01_pricing_summary",
     "q30_enabled_times",
     "q34_waiting_time_report",
     "q37_activation_rules",
     "q41_dedup_minhash_lsh",
     "q44_embedding_neardup",
-    # r4 hash-red, fixed this round (oracle HUGEINT casts / q100 scalar)
-    "q64_diversity_signals",
-    "q70_source_mixing",
-    "q76_bigram_logprob",
-    "q86_json_props_stats",
-    "q100_jl_projection",
-    "q106_dedup_audit_by_source",
-    # round-4 operators, first driver check
-    "q107_weighted_sample",
-    "q108_k_anonymous_rollup",
-    "q109_time_split_embargo",
-    "q110_cross_source_dup_matrix",
-    # environment canaries (queries_canary.py)
-    "q111_canary_float_round",
-    "q112_canary_regex_split",
-    "q113_canary_json_extract",
-    "q114_canary_hex_cast",
-    "q115_canary_nullable_agg",
-    "q116_canary_hugeint_probe",
-    "q117_canary_unicode_lower",
-    # mid-r5 additions (M90-M94 + pow canary), first driver check
-    "q118_embedding_outliers",
-    "q119_source_overlap_sketch",
-    "q120_temperature_mix_weights",
-    "q121_epoch_plan",
-    "q122_canary_pow",
-    "q123_vocab_coverage",
-    # r5 operator additions (M95-M97), first driver check
-    "q124_nb_class_scores",
-    "q125_source_jsd_matrix",
-    "q126_striped_pack_audit",
-    # late-r5 additions (M98-M100), first driver check
-    "q127_dsir_weights",
-    "q128_dup_span_audit",
-    "q129_fertility_by_lang",
-    # late-r5 additions (M101-M105), first driver check (ceded the
-    # five stalest re-green slots q22/q23/q25/q45/q53 — each already
-    # green in a past round; never-checked > stale-green, the same
-    # triage VERDICT r4 task 2 applied)
-    "q130_split_leakage",
-    "q131_backoff_logprob",
-    "q132_pmi_collocations",
-    "q133_lexical_richness",
-    "q134_score_calibration",
-    # latest-r5 additions (M106-M108), first driver check (ceded the
-    # single-r3-green re-green slots q58/q59/q61 — they keep their r3
-    # green row; never-checked > stale-green)
-    "q135_quality_funnel",
-    "q136_packing_efficiency",
-    "q137_dup_cluster_sizes",
-    # latest-r5 additions (M109-M110), first driver check (ceded the
-    # single-r3-green re-green slots q60/q80)
-    "q138_eval_quotas",
-    "q139_rrf_fusion",
-    # final-r5 additions (M111-M112), first driver check (ceded the
-    # r3-green re-green slots q74/q75 — never-checked > stale-green)
-    "q140_ppjoin_exact",
-    "q141_token_heavy_hitters",
-    # stalest greens: last green in r3 (q28/q50 changed this round —
-    # a fresh driver row doubles as a regression check; q11 is the
-    # entry() flagship)
-    "q11_sessionize",
-    "q28_prioritization_pairs",
-    "q50_fingerprint",
+    # never driver-checked (M113-M121 query-bearing additions)
+    "q142_unimax_plan",
+    "q143_edjoin_exact",
+    "q144_embedding_gram",
+    "q145_bloom_membership",
+    "q146_nfc_audit",
+    # staleness-budget violations (newest green r2)
+    "q02_filter_project",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q14_nested_two_level_agg",
+    "q15_histogram",
+    "q16_rollup",
+    "q22_dense_rank",
+    "q23_instant_generation",
+    "q25_conditional_pivot",
+    "q45_ann_cosine_topk",
+    # r3-stale, single driver-green row
+    "q51_multimodal_features",
+    "q53_corpus_filter",
+    "q58_stratified_sample",
+    "q59_token_shard_packing",
+    "q60_winnowing_pairs",
+    "q61_event_blacklist",
+    "q74_semantic_dedup",
+    "q75_dedup_resolution",
+    "q80_funnel_steps",
+    # r3-stale, two driver-green rows
+    "q07_in_case_when",
+    "q26_trace_subset",
+    "q27_calendar_displacement",
+    "q29_range_join_bucketed",
+    "q38_interval_sweep",
+    "q52_dedup_components",
+    "q56_repetition_signals",
+    "q57_pattern_counts",
+    # r3-stale, three driver-green rows (cede these slots first to new
+    # r6 queries; the deferred half of this tier re-greens in r7)
+    "q03_top_revenue_orders",
+    "q06_regional_revenue",
+    "q08_string_ops",
+    "q09_window_topk",
+    "q10_argmin_first_event",
+    "q13_directly_follows",
+    "q17_cte_ratio",
+    "q18_range_join_workload",
+    "q19_theta_self_join",
+    "q20_chunking",
+    "q21_rolling_sequence",
+    "q24_union_rekey",
 })
 
 

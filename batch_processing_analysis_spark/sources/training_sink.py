@@ -196,8 +196,23 @@ def compact_shards(spark: SparkSession, path: str,
     (the staged dir is scratch and can be dropped). A crash anywhere
     before the first rename leaves the original directory untouched.
 
+    Interaction with the M118 version chain (ADVICE r5 — previously
+    the swap silently destroyed it): every ``_MANIFEST-v*.json`` is
+    digest-verified against the staged rewrite (each sealed version's
+    shard digests must be reproduced exactly — they are content/order
+    digests, not file digests, so a content-preserving layout rewrite
+    keeps them valid) and copied into the staged dir BEFORE the swap;
+    any mismatch aborts with the original directory untouched. When
+    versions exist, the head ``_MANIFEST.json`` mirror is restored
+    from the newest version manifest (it may seal a shard SUBSET,
+    which the all-shards manifest the rewrite publishes would
+    clobber). ``append_shards``'s "shard dirs are immutable once
+    published" contract is about content+order — exactly what the
+    per-version digest gate proves compaction preserved.
+
     Returns the (re-published) manifest.
     """
+    import json
     import logging
     import os
     import shutil
@@ -210,9 +225,8 @@ def compact_shards(spark: SparkSession, path: str,
                           max_records_per_file)
     new_manifest = publish_manifest(spark, staged, shard_col, pos_col)
     mpath = os.path.join(path, MANIFEST)
-    if os.path.exists(mpath):
-        import json
-
+    versions = list_versions(path)
+    if os.path.exists(mpath) and not versions:
         with open(mpath) as f:
             old = json.load(f)
         if old["shards"] != new_manifest["shards"]:
@@ -221,11 +235,33 @@ def compact_shards(spark: SparkSession, path: str,
                 "compaction changed shard content/order: "
                 f"old={old['shards']} new={new_manifest['shards']}"
             )
-    else:
+    elif not versions:
         logging.getLogger(__name__).warning(
             "compact_shards: no manifest at %s — digest-equality gate "
             "skipped (directory was never published)", mpath,
         )
+    # Carry the version chain: gate each sealed version against the
+    # staged content, then copy its manifest file across.
+    for v in versions:
+        with open(_version_path(path, v)) as f:
+            sealed = json.load(f)
+        for s, meta in sealed["shards"].items():
+            got = new_manifest["shards"].get(s)
+            if got != {"n_rows": meta["n_rows"],
+                       "digest": meta["digest"]}:
+                shutil.rmtree(staged)
+                raise ValueError(
+                    f"compaction would break sealed version {v}: "
+                    f"shard {s} sealed={meta} staged={got}"
+                )
+        shutil.copy2(_version_path(path, v), _version_path(staged, v))
+    if versions:
+        # Head mirror = newest version's manifest (possibly a shard
+        # subset), not the all-shards manifest the rewrite published.
+        shutil.copyfile(_version_path(staged, versions[-1]),
+                        os.path.join(staged, MANIFEST))
+        with open(_version_path(staged, versions[-1])) as f:
+            new_manifest = json.load(f)
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(staged, path)
@@ -428,8 +464,12 @@ def gc_versions(path: str, keep: Sequence[int],
     ``keep`` and delete shard directories referenced by NO kept
     version. Kept versions remain byte-identically readable
     (:func:`read_version` re-verifies digests afterwards — asserted in
-    tests). Returns ``{"versions_dropped": [...],
-    "shards_deleted": [...]}``."""
+    tests). The head ``_MANIFEST.json`` mirror is rewritten from the
+    newest KEPT version (deleted when none remain), so
+    :func:`load_verified_shards` never errors on GC'd shards or
+    silently serves a retired snapshot as the head (ADVICE r5).
+    Returns ``{"versions_dropped": [...], "shards_deleted": [...]}``.
+    """
     import json
     import os
     import shutil
@@ -456,5 +496,13 @@ def gc_versions(path: str, keep: Sequence[int],
             if sid not in referenced:
                 shutil.rmtree(os.path.join(path, name))
                 deleted.append(sid)
+    # Re-point the head mirror at the newest kept version — the old
+    # mirror may reference just-deleted shards (head dropped) or a
+    # retired snapshot.
+    mpath = os.path.join(path, MANIFEST)
+    if keep_set:
+        shutil.copyfile(_version_path(path, max(keep_set)), mpath)
+    elif os.path.exists(mpath):
+        os.unlink(mpath)
     return {"versions_dropped": dropped,
             "shards_deleted": sorted(deleted, key=int)}

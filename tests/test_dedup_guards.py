@@ -97,3 +97,88 @@ def test_dedup_segments_within_doc_repeat_collapses(spark):
     # Three identical 2-token tiles -> only the first survives.
     assert row["clean_text"] == "p q"
     assert (row["n_seg"], row["n_kept"]) == (3, 1)
+
+
+# ----------------------------- max_candidates guard (VERDICT r5 task 2)
+
+def test_ppjoin_candidate_guard_trips_on_degenerate_corpus(spark):
+    import pytest
+    from batch_processing_analysis_spark.operators.dedup import (
+        CandidateVolumeExceeded,
+        ppjoin_pairs,
+    )
+
+    # 60 identical docs: every prefix shingle has df=60 -> the bound
+    # is ~60^2 per gram, far above a budget of 100. Must raise BEFORE
+    # grinding, and the message must name the scale paths.
+    docs = _boilerplate_docs(spark, 60)
+    with pytest.raises(CandidateVolumeExceeded, match="minhash_lsh_pairs"):
+        ppjoin_pairs(docs, t_pct=50, k=1, max_candidates=100).collect()
+
+
+def test_ppjoin_guard_passthrough_matches_unguarded(spark):
+    from batch_processing_analysis_spark.operators.dedup import ppjoin_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma epsilon"),
+         (3, "zeta eta theta iota"),
+         (4, "zeta eta theta kappa")],
+        "doc_id long, text string",
+    )
+    unguarded = sorted(map(tuple, ppjoin_pairs(
+        docs, t_pct=50, k=1).collect()))
+    guarded = sorted(map(tuple, ppjoin_pairs(
+        docs, t_pct=50, k=1, max_candidates=10_000).collect()))
+    assert guarded == unguarded and len(guarded) == 2
+
+
+def test_edjoin_candidate_guard_trips_on_degenerate_corpus(spark):
+    import pytest
+    from batch_processing_analysis_spark.operators.dedup import (
+        CandidateVolumeExceeded,
+        edjoin_pairs,
+    )
+
+    # 80 near-identical long strings: every prefix gram has df=80.
+    docs = spark.createDataFrame(
+        [(i, "abcdefghijklmnopqrstuvwxyz" * 3) for i in range(80)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(CandidateVolumeExceeded,
+                       match="ngram_jaccard_pairs"):
+        edjoin_pairs(docs, d=2, q=3, max_candidates=50).collect()
+
+
+def test_edjoin_guard_counts_short_bucket_too(spark):
+    import pytest
+    from batch_processing_analysis_spark.operators.dedup import (
+        CandidateVolumeExceeded,
+        edjoin_pairs,
+    )
+
+    # All strings BELOW the q*d+q-1 cutoff: the gram join is empty,
+    # the short bucket carries the whole blow-up -> the guard must
+    # still see it.
+    docs = spark.createDataFrame(
+        [(i, "ab") for i in range(50)], "doc_id long, text string"
+    )
+    with pytest.raises(CandidateVolumeExceeded):
+        edjoin_pairs(docs, d=2, q=3, max_candidates=10).collect()
+
+
+def test_edjoin_guard_passthrough_matches_unguarded(spark):
+    from batch_processing_analysis_spark.operators.dedup import edjoin_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "the quick brown fox jumped"),
+         (3, "completely different content here"),
+         (4, "zzz")],
+        "doc_id long, text string",
+    )
+    unguarded = sorted(map(tuple, edjoin_pairs(docs, d=3, q=2).collect()))
+    guarded = sorted(map(tuple, edjoin_pairs(
+        docs, d=3, q=2, max_candidates=100_000).collect()))
+    assert guarded == unguarded
+    assert (1, 2, 2) in guarded

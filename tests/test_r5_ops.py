@@ -258,3 +258,21 @@ def test_fertility_exact_integer_ratios(spark):
     xx = rows["xx"]
     assert xx["n_words"] == 0 and xx["fertility_micro"] == 0
     assert xx["chars_per_token_micro"] == 0
+
+
+def test_jsd_tokenless_group_still_paired_at_ln2(spark):
+    # A group whose docs contain zero tokens never reaches the
+    # (group, token) counts; it must still appear in every pair, at
+    # the empty-overlap ln2 maximum (ADVICE r5 fix).
+    docs = _docs(spark, [
+        (1, "a b c", "en", "s1"),
+        (2, "a b x", "en", "s2"),
+        (3, "   ", "en", "s3"),  # whitespace only -> zero tokens
+    ])
+    rows = {(r["group_a"], r["group_b"]): r
+            for r in TA.js_divergence_matrix(docs).collect()}
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    for pair in (("s1", "s3"), ("s2", "s3")):
+        assert rows[pair]["n_common_tokens"] == 0
+        assert rows[pair]["jsd_nano"] == 693147181
+    assert 0 < rows[("s1", "s2")]["jsd_nano"] < 693147181

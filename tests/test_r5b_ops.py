@@ -376,3 +376,24 @@ def test_rrf_fuse_rejects_empty_signals(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         ORD.rrf_fuse(df, [])
+
+
+def test_stratified_quotas_k_exceeding_n_fails_loudly(spark):
+    # k > N silently over-apportioned before the ADVICE r5 fix; the
+    # embedded assert_true guard must abort the job instead.
+    import pytest
+    docs = _docs(spark, [(1, "t", "a", "s"), (2, "t", "b", "s")])
+    with pytest.raises(Exception, match="exceeds total row count"):
+        ORD.stratified_quotas(docs, k=3, group_col="lang",
+                              seed="ev").collect()
+    # boundary k == N is legal (every row selected)
+    rows = {r["lang"]: r for r in ORD.stratified_quotas(
+        docs, k=2, group_col="lang", seed="ev").collect()}
+    assert {g: rows[g]["quota"] for g in "ab"} == {"a": 1, "b": 1}
+
+
+def test_stratified_quotas_negative_k_rejected(spark):
+    import pytest
+    docs = _docs(spark, [(1, "t", "a", "s")])
+    with pytest.raises(ValueError, match="k must be >= 0"):
+        ORD.stratified_quotas(docs, k=-1, group_col="lang")

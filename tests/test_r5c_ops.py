@@ -190,3 +190,24 @@ def test_heavy_hitters_empty_and_no_hitters(spark):
     assert SK.exact_heavy_hitters(empty, k=5).count() == 0
     uniform = _items(spark, [f"u{i}" for i in range(40)])
     assert SK.exact_heavy_hitters(uniform, k=5).count() == 0
+
+
+def test_heavy_hitters_null_item_is_counted(spark):
+    # A NULL that truly exceeds N/(k+1) must come back as a NULL-keyed
+    # row, matching the plain groupBy/HAVING twin (ADVICE r5 fix:
+    # value_counts(dropna=False) + null-safe semi join).
+    values = [None] * 30 + ["b"] * 20 + [f"d{i}" for i in range(50)]
+    # N=100, k=3 -> threshold 25: only NULL (30) qualifies.
+    for parts in (1, 4):
+        got = {r.item: r.n
+               for r in SK.exact_heavy_hitters(
+                   _items(spark, values, parts), k=3).collect()}
+        assert got == {None: 30}, f"parts={parts}"
+
+
+def test_heavy_hitters_null_below_threshold_excluded(spark):
+    values = [None] * 10 + ["a"] * 40 + [f"d{i}" for i in range(50)]
+    got = {r.item: r.n
+           for r in SK.exact_heavy_hitters(_items(spark, values),
+                                           k=3).collect()}
+    assert got == {"a": 40}

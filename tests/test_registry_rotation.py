@@ -54,41 +54,24 @@ def test_every_window_query_has_oracle():
     assert not missing, f"window queries without oracle: {missing}"
 
 
-# The r5 snapshot: steady-state primary=True queries whose slot the
-# rotation currently lends to re-greens/canaries. All have driver-
-# green rows in CORRECTNESS_r02-r04, so no evidence is lost. The late-
-# r5 swap ceded q07/q26/q27/q29/q38/q51 (each green in two rounds) to
-# give the mid-r5 additions q118-q123 their first driver check. If this
-# assertion fires on a NEW name, either add the name to
-# PRIMARY_ROTATION (taking a slot from the stalest re-green) or
-# register it primary=False.
+# The r6 snapshot: steady-state primary=True queries whose slot the
+# rotation currently lends to the never-checked q142-q146 and the
+# staleness-budget re-greens. All fifteen have fresh driver-green rows
+# in CORRECTNESS_r05 (q11/q28/q50) or r3 green rows that stay inside
+# the 3-round staleness budget until r7 (the deferred three-green tier
+# — see registry.py). If this assertion fires on a NEW name, either
+# add the name to PRIMARY_ROTATION (taking a slot from the deferred
+# three-green tier) or register it primary=False.
 EXPECTED_SHADOWED = frozenset({
-    "q07_in_case_when", "q26_trace_subset", "q27_calendar_displacement",
-    "q29_range_join_bucketed", "q38_interval_sweep",
-    "q51_multimodal_features",
-    "q03_top_revenue_orders", "q06_regional_revenue", "q08_string_ops",
-    "q09_window_topk", "q10_argmin_first_event", "q13_directly_follows",
-    "q17_cte_ratio", "q18_range_join_workload", "q19_theta_self_join",
-    "q20_chunking", "q21_rolling_sequence", "q24_union_rekey",
+    # r5-green family extras (q11 is the entry() flagship, smoke-run
+    # by the driver every round regardless)
+    "q11_sessionize", "q28_prioritization_pairs", "q50_fingerprint",
+    # deferred half of the r3 three-green tier (re-green in r7)
     "q31_task_batches", "q32_batch_discovery_stats",
     "q33_waiting_time_decomposition", "q35_concurrency_pairs",
     "q36_activation_features", "q40_dedup_exact", "q42_dedup_simhash",
     "q43_dedup_ngram_jaccard", "q46_ann_ivf_topk", "q47_text_quality",
-    "q48_lang_id", "q49_token_count", "q52_dedup_components",
-    "q56_repetition_signals", "q57_pattern_counts",
-    # ceded late-r5 to give M101-M105 (q130-q134) their first driver
-    # check; green in two past rounds (rotation_check). The other four
-    # ceded slots (q22/q23/q25/q45) are registered primary=False, so
-    # they leave the window without entering the shadow set.
-    "q53_corpus_filter",
-    # ceded latest-r5 for M106-M108 (q135-q137); each keeps its r3
-    # driver-green row.
-    "q58_stratified_sample", "q59_token_shard_packing",
-    "q61_event_blacklist",
-    # ceded latest-r5 for M109-M110 (q138-q139); r3 green rows kept.
-    "q60_winnowing_pairs", "q80_funnel_steps",
-    # ceded final-r5 for M111-M112 (q140-q141); r3 green rows kept.
-    "q74_semantic_dedup", "q75_dedup_resolution",
+    "q48_lang_id", "q49_token_count",
 })
 
 

@@ -125,3 +125,72 @@ def test_tampered_shard_fails_only_referencing_versions(
         read_version(spark, path, 2).collect()
     # v1 references only untouched shards: still green
     assert read_version(spark, path, 1).count() == 100
+
+
+def _fresh_chain(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    write_training_shards(_docs(spark, 0, 100, 0), path)
+    publish_version(spark, path)
+    append_shards(_docs(spark, 100, 160, 10), path)
+    publish_version(spark, path)
+    return path
+
+
+def test_compact_preserves_version_chain(spark, tmp_path):
+    # ADVICE r5 fix: compaction used to swap in a dir holding only the
+    # head mirror, destroying every _MANIFEST-v*.json.
+    from batch_processing_analysis_spark.sources.training_sink import (
+        compact_shards,
+    )
+
+    path = _fresh_chain(spark, tmp_path)
+    before_v1 = {r.doc_id for r in read_version(spark, path, 1).collect()}
+    compact_shards(spark, path)
+    assert list_versions(path) == [1, 2]
+    # both sealed versions still digest-verify and return the same sets
+    assert {r.doc_id
+            for r in read_version(spark, path, 1).collect()} == before_v1
+    assert read_version(spark, path, 2).count() == 160
+    # head mirror is the newest version manifest
+    with open(os.path.join(path, MANIFEST)) as f:
+        head = json.load(f)
+    assert head["version"] == 2
+
+
+def test_compact_head_mirror_respects_subset_head(spark, tmp_path):
+    # A head version that sealed a shard SUBSET must survive compaction
+    # as the head mirror (the all-shards rewrite manifest would clobber
+    # the retirement).
+    from batch_processing_analysis_spark.sources.training_sink import (
+        compact_shards,
+        load_verified_shards,
+    )
+
+    path = _fresh_chain(spark, tmp_path)
+    publish_version(spark, path, shards=[10, 11])  # v3 retires 0/1
+    compact_shards(spark, path)
+    with open(os.path.join(path, MANIFEST)) as f:
+        head = json.load(f)
+    assert head["version"] == 3
+    assert set(head["shards"]) == {"10", "11"}
+    assert load_verified_shards(spark, path).count() == 60
+    # the retired shards stay readable through the older versions
+    assert read_version(spark, path, 2).count() == 160
+
+
+def test_gc_rewrites_head_mirror(spark, tmp_path):
+    # ADVICE r5 fix: gc of the head version left a stale mirror that
+    # either errored on deleted shards or served a retired snapshot.
+    from batch_processing_analysis_spark.sources.training_sink import (
+        load_verified_shards,
+    )
+
+    path = _fresh_chain(spark, tmp_path)
+    gc_versions(path, keep=[1])  # drops v2 (the head) and shards 10/11
+    with open(os.path.join(path, MANIFEST)) as f:
+        head = json.load(f)
+    assert head["version"] == 1
+    assert load_verified_shards(spark, path).count() == 100
+    gc_versions(path, keep=[])
+    assert not os.path.exists(os.path.join(path, MANIFEST))
+    assert list_versions(path) == []
