@@ -153,6 +153,142 @@ def increment_pairs_from_bands(delta_bands: DataFrame,
     )
 
 
+def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text", t_pct: int = 50,
+                           k: int = 3,
+                           max_candidates: int | None = None) -> DataFrame:
+    """EXACT incremental PPJoin (M122): every pair with Jaccard ≥
+    ``t_pct/100`` and AT LEAST ONE side in ``delta`` — the exactness
+    analog of :func:`lsh_increment_pairs` (VERDICT r5 stretch 8), so
+    the periodically-refreshed corpus keeps a provably-complete
+    near-dup answer without re-running the base×base join per ingest.
+
+    Same prefix-filter theorem as :func:`dedup.ppjoin_pairs`
+    (SSJoin/PPJoin, public), with two incremental adaptations:
+
+    - **df order over the UNION.** The theorem holds for ANY fixed
+      global token order, but both sides of one run must use the same
+      one; document frequency is recomputed over base ∪ delta each
+      ingest (one partial-aggregable count — at scale the base's
+      (gid, shingle-hash) rows are a persisted bucketed table, so the
+      recount is a scan of narrow stored rows, never a re-shingling
+      of base text).
+    - **symmetric prefixes, probe = delta.** The probe/index
+      asymmetry of the batch operator assigns prefix lengths by pair
+      roles (smaller record indexes); with one side pinned to delta a
+      base-side "smaller" partner would need the short index prefix
+      on the DELTA side, breaking completeness. Both sides therefore
+      use the basic bound ``L − ⌈t·L⌉ + 1`` — modestly more
+      candidates, zero recall loss — and the positional and length
+      filters still apply (they are role-free).
+
+    The base×base stage never exists: the candidate join is
+    delta-prefix ⋈ union-prefix. Identity (pinned by
+    tests/test_incremental.py): output == batch ppjoin_pairs on
+    base ∪ delta minus the pairs internal to base.
+
+    ``max_candidates`` measures Σ_g df_delta-pfx(g)·df_union-pfx(g)
+    before the join and raises :class:`dedup.CandidateVolumeExceeded`
+    over budget, like the batch operator.
+    """
+    from .dedup import (
+        _check_candidate_budget,
+        hash60,
+        shingle_rows,
+    )
+    from pyspark.sql import Window as W
+
+    if not 1 <= t_pct <= 100:
+        raise ValueError(f"t_pct must be in [1, 100], got {t_pct}")
+    tagged = (
+        base.select(F.col(id_col), F.col(text_col),
+                    F.lit(False).alias("_delta"))
+        .unionByName(
+            delta.select(F.col(id_col), F.col(text_col),
+                         F.lit(True).alias("_delta")))
+    )
+    lowered = tagged.select(
+        id_col, F.lower(F.col(text_col)).alias(text_col), "_delta"
+    )
+    tok = (
+        shingle_rows(lowered, id_col, text_col, k)
+        .join(tagged.select(F.col(id_col), "_delta"), id_col)
+        .select(F.col(id_col).alias("gid"),
+                hash60(F.col("shingle")).alias("tk"), "_delta")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"),
+                                   F.first("_delta").alias("_delta"))
+    ranked = (
+        tok.drop("_delta")
+        .join(dfreq, "tk")
+        .join(sizes, "gid")
+        .withColumn("_rn", F.row_number().over(
+            W.partitionBy("gid").orderBy("_df", "tk")))
+    )
+    ceil_tl = F.floor((F.lit(t_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
+    pfx_all = ranked.filter(
+        F.col("_rn") <= F.col("_n") - ceil_tl + 1
+    ).select("gid", "tk", "_n", "_rn", "_delta")
+    pfx_delta = pfx_all.filter(F.col("_delta"))
+    if max_candidates is not None:
+        ca = pfx_delta.groupBy("tk").agg(F.count(F.lit(1)).alias("_ca"))
+        cb = pfx_all.groupBy("tk").agg(F.count(F.lit(1)).alias("_cb"))
+        bound = (
+            ca.join(cb, "tk")
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_b"))
+            .collect()[0]["_b"]
+        ) or 0
+        _check_candidate_budget(
+            int(bound), max_candidates, "ppjoin_increment_pairs",
+            "lsh_increment_pairs (probabilistic recall)",
+        )
+    a, b = pfx_delta.alias("a"), pfx_all.alias("b")
+    ubound = (F.least(F.col("a._rn"), F.col("b._rn"))
+              + F.least(F.col("a._n") - F.col("a._rn"),
+                        F.col("b._n") - F.col("b._rn")))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tk") == F.col("b.tk"))
+            & (F.col("a.gid") != F.col("b.gid"))
+            & (F.col("b._n") * 100 >= F.lit(t_pct) * F.col("a._n"))
+            & (F.col("a._n") * 100 >= F.lit(t_pct) * F.col("b._n"))
+            & (ubound * (100 + t_pct)
+               >= F.lit(t_pct) * (F.col("a._n") + F.col("b._n"))),
+        )
+        .select(F.least(F.col("a.gid"), F.col("b.gid")).alias("id_a"),
+                F.greatest(F.col("a.gid"), F.col("b.gid")).alias("id_b"))
+        .distinct()
+    )
+    sets_arr = tok.groupBy("gid").agg(
+        F.collect_list("tk").alias("_set"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    va = sets_arr.select(F.col("gid").alias("id_a"),
+                         F.col("_set").alias("_seta"),
+                         F.col("_n").alias("_na"))
+    vb = sets_arr.select(F.col("gid").alias("id_b"),
+                         F.col("_set").alias("_setb"),
+                         F.col("_n").alias("_nb"))
+    inter = F.size(F.array_intersect(F.col("_seta"), F.col("_setb")))
+    union = F.col("_na") + F.col("_nb") - F.col("_i")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_i", inter.cast("long"))
+        .filter(F.col("_i") * 100 >= F.lit(t_pct) * union)
+        .select(
+            "id_a", "id_b",
+            F.floor(F.col("_i") * F.lit(1_000_000) / union)
+            .cast("long").alias("jac_micro"),
+        )
+    )
+
+
 __all__ = [
     "content_hash",
     "merge_exact_increment",
@@ -160,6 +296,7 @@ __all__ = [
     "band_rows",
     "increment_pairs_from_bands",
     "lsh_candidate_pairs",
+    "ppjoin_increment_pairs",
 ]
 
 

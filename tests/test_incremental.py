@@ -56,3 +56,51 @@ def test_lsh_increment_identity(spark, sf_dir):
     assert inc == expected
     # And the increment produced real work on this fixture (non-vacuous).
     assert inc, "fixture produced no cross-delta candidates"
+
+
+def test_ppjoin_increment_identity(spark, sf_dir):
+    # M122 (VERDICT r5 stretch 8): exact incremental PPJoin ==
+    # batch ppjoin on base ∪ delta minus base-internal pairs —
+    # including identical jac_micro values.
+    from batch_processing_analysis_spark.operators.dedup import (
+        ppjoin_pairs,
+    )
+    from batch_processing_analysis_spark.operators.incremental import (
+        ppjoin_increment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc = {(r.id_a, r.id_b): r.jac_micro
+           for r in ppjoin_increment_pairs(
+               base, delta, t_pct=50, k=3).collect()}
+    full = {(r.id_a, r.id_b): r.jac_micro
+            for r in ppjoin_pairs(docs, t_pct=50, k=3).collect()}
+    expected = {p: j for p, j in full.items()
+                if p[0] % 2 == 1 or p[1] % 2 == 1}
+
+    assert inc == expected
+    assert inc, "fixture produced no cross-delta pairs"
+
+
+def test_ppjoin_increment_guard_trips(spark):
+    import pytest
+    from batch_processing_analysis_spark.operators.dedup import (
+        CandidateVolumeExceeded,
+    )
+    from batch_processing_analysis_spark.operators.incremental import (
+        ppjoin_increment_pairs,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "common boilerplate words") for i in range(0, 40)],
+        "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(i, "common boilerplate words") for i in range(100, 140)],
+        "doc_id long, text string")
+    with pytest.raises(CandidateVolumeExceeded,
+                       match="lsh_increment_pairs"):
+        ppjoin_increment_pairs(base, delta, t_pct=50, k=1,
+                               max_candidates=100).collect()
