@@ -1113,3 +1113,109 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b", lev.cast("long").alias("dist"))
         .filter(F.col("dist") >= 0)
     )
+
+
+def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", c_pct: int = 80,
+                      k: int = 3,
+                      max_candidates: int | None = None) -> DataFrame:
+    """EXACT shingle-set CONTAINMENT self-join via prefix filtering
+    (M124): every ORDERED pair with |A∩B| ≥ (c_pct/100)·|A| — "A's
+    content is (mostly) inside B" — the asymmetric complement of
+    :func:`ppjoin_pairs`'s symmetric Jaccard. Jaccard misses
+    quote/subset structure by construction (a 50-shingle doc fully
+    contained in a 5000-shingle doc has J ≈ 0.01 but containment 1.0);
+    this is the dedup primitive for quotation detection, doc-inside-doc
+    ingest artifacts, and train/eval superset screens. Containment
+    prefix principle per the same SSJoin/PPJoin line (Chaudhuri et al.
+    2006; Agrawal et al. 2006 error-tolerant set containment — public
+    methods).
+
+    Returns ``(id_a, id_b, cont_micro)`` where ``id_a`` is the
+    CONTAINED side, both directions are evaluated independently, and
+    ``cont_micro = floor(i·1e6/|A|)``; docs with empty shingle sets
+    never pair.
+
+    Exactness: order every shingle set by one global (df asc, shingle)
+    total order. If containment ≥ c but A's first
+    ``p = |A| − ⌈c·|A|⌉ + 1`` shingles were ALL absent from B, the
+    overlap would be ≤ |A| − p < ⌈c·|A|⌉ — contradiction. So A's
+    prefix must hit B SOMEWHERE: the candidate join is A-prefix ⋈
+    B-all-tokens (the asymmetric price of an asymmetric predicate —
+    the index side cannot be prefix-shortened), plus the size filter
+    ``100·|B| ≥ c_pct·|A|`` (overlap ≤ |B|). The verify is the Vernica
+    array-intersect kernel, candidate-sized shuffles only.
+
+    Scale: same bound family as the exact joins —
+    Σ_g df_pfx(g)·df_all(g), superlinear on vocabulary-bounded
+    corpora; ``max_candidates`` measures it before the join and raises
+    :class:`CandidateVolumeExceeded` over budget. The ascending-df
+    order keeps prefixes on the rarest shingles, so the df_all factor
+    bites only on corpora whose RARE shingles are still common — the
+    designated scale paths are the LSH/df-blocked joins (q41/q43).
+    """
+    if not 1 <= c_pct <= 100:
+        raise ValueError(f"c_pct must be in [1, 100], got {c_pct}")
+    lowered = docs.select(F.col(id_col),
+                          F.lower(F.col(text_col)).alias(text_col))
+    tok = shingle_rows(lowered, id_col, text_col, k).select(
+        F.col(id_col).alias("gid"), hash60(F.col("shingle")).alias("tk")
+    ).distinct().localCheckpoint(eager=False)
+    dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = (
+        tok.join(dfreq, "tk")
+        .join(sizes, "gid")
+        .withColumn("_rn", F.row_number().over(
+            W.partitionBy("gid").orderBy("_df", "tk")))
+    )
+    ceil_cl = F.floor((F.lit(c_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
+    pfx = ranked.filter(F.col("_rn") <= F.col("_n") - ceil_cl + 1).select(
+        "gid", "tk", "_n"
+    )
+    alltok = tok.join(sizes, "gid")
+    if max_candidates is not None:
+        ca = pfx.groupBy("tk").agg(F.count(F.lit(1)).alias("_ca"))
+        cb = alltok.groupBy("tk").agg(F.count(F.lit(1)).alias("_cb"))
+        bound = (
+            ca.join(cb, "tk")
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_b"))
+            .collect()[0]["_b"]
+        ) or 0
+        _check_candidate_budget(
+            int(bound), max_candidates, "containment_pairs",
+            "minhash_lsh_pairs (q41, probabilistic recall) or "
+            "ngram_jaccard_pairs (q43, df-blocked)",
+        )
+    a, b = pfx.alias("a"), alltok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tk") == F.col("b.tk"))
+            & (F.col("a.gid") != F.col("b.gid"))
+            & (F.col("b._n") * 100 >= F.lit(c_pct) * F.col("a._n")),
+        )
+        .select(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
+        .distinct()
+    )
+    sets_arr = tok.groupBy("gid").agg(
+        F.collect_list("tk").alias("_set"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    va = sets_arr.select(F.col("gid").alias("id_a"),
+                         F.col("_set").alias("_seta"),
+                         F.col("_n").alias("_na"))
+    vb = sets_arr.select(F.col("gid").alias("id_b"),
+                         F.col("_set").alias("_setb"))
+    inter = F.size(F.array_intersect(F.col("_seta"), F.col("_setb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_i", inter.cast("long"))
+        .filter(F.col("_i") * 100 >= F.lit(c_pct) * F.col("_na"))
+        .select(
+            "id_a", "id_b",
+            F.floor(F.col("_i") * F.lit(1_000_000) / F.col("_na"))
+            .cast("long").alias("cont_micro"),
+        )
+    )

@@ -972,3 +972,81 @@ def embedding_outliers(corpus: DataFrame, k: int = 20,
         .filter(F.col("rank") <= k)
         .select(label_col, id_col, "dist_micro", "z", "rank")
     )
+
+
+def centroid_cosine_matrix(corpus: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           label_col: str = "label") -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding
+    centroids (M125) — "how close do two labels/sources live in
+    embedding space", the embedding-space complement of M96's
+    token-distribution JSD matrix. Near-collinear centroids flag
+    redundant sources to a mixing plan; a centroid drifting away from
+    its historical twin flags distribution shift (the standard
+    centroid reading from the SemDeDup/clustered-dedup line, public).
+
+    Determinism (the M90 convention): components quantize ONCE to
+    integer micros, centroids are exact integer sums with a floor
+    divide, and every dot/norm accumulates integers in
+    ``decimal(38,0)`` — the one float op is the final
+    ``dot/(‖a‖·‖b‖)``, identical in any engine; output quantizes to
+    ``cos_micro = floor(cos·1e6 + 0.5)``. Zero-norm centroids report
+    0.
+
+    Returns one row per unordered label pair:
+    ``(label_a, label_b, n_a, n_b, cos_micro)``.
+
+    Scale: one (label, dim) partial-aggregated shuffle builds the
+    centroid table (|labels|·dim rows); everything after runs on that
+    aggregate-bounded frame (the pair join is |labels|²·dim/2 rows of
+    integer arithmetic). No Python, no windows.
+    """
+    comp = corpus.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_x"),
+    ).select(
+        label_col, "_dim",
+        F.floor(F.col("_x").cast("double") * F.lit(1e6))
+        .cast("long").alias("_xm"),
+    )
+    cent = comp.groupBy(label_col, "_dim").agg(
+        F.sum("_xm").alias("_s"), F.count(F.lit(1)).alias("_n")
+    ).select(
+        label_col, "_dim",
+        F.floor(F.col("_s") / F.col("_n")).cast("long").alias("_cm"),
+        F.col("_n"),
+    )
+    dec = "decimal(38,0)"
+    norms = cent.groupBy(label_col).agg(
+        F.sum(F.col("_cm").cast(dec) * F.col("_cm")).alias("_nrm"),
+        F.first("_n").alias("n_vecs"),
+    )
+    a = cent.select(F.col(label_col).alias("label_a"), "_dim",
+                    F.col("_cm").alias("_ca"))
+    b = cent.select(F.col(label_col).alias("label_b"), "_dim",
+                    F.col("_cm").alias("_cb"))
+    dots = (
+        a.join(b, "_dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("_ca").cast(dec) * F.col("_cb")).alias("_dot"))
+    )
+    na = norms.select(F.col(label_col).alias("label_a"),
+                      F.col("_nrm").alias("_na"),
+                      F.col("n_vecs").alias("n_a"))
+    nb = norms.select(F.col(label_col).alias("label_b"),
+                      F.col("_nrm").alias("_nb"),
+                      F.col("n_vecs").alias("n_b"))
+    cos = (F.col("_dot").cast("double")
+           / (F.sqrt(F.col("_na").cast("double"))
+              * F.sqrt(F.col("_nb").cast("double"))))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+                   F.floor(cos * F.lit(1_000_000) + F.lit(0.5)))
+            .otherwise(F.lit(0)).cast("long").alias("cos_micro"),
+        )
+    )

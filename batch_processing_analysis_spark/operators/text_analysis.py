@@ -1495,3 +1495,110 @@ def nfc_normalize_docs(docs: DataFrame, id_col: str = "doc_id",
             })
 
     return docs.select(id_col, text_col).mapInPandas(_kernel, out_schema)
+
+
+def token_entropy(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document token-distribution entropy and effective
+    vocabulary (M123): H(doc) = Σ_t −p_t·ln p_t over the doc's unigram
+    distribution, and exp(H) — the "perplexity of the doc against
+    itself", a length-independent repetition/diversity signal (a doc
+    that repeats one token has H=0 regardless of length; a doc of n
+    distinct tokens scores ln n). The per-doc complement of M104's
+    per-group lexical richness: feeds the quality gate as a
+    degenerate-content filter the plain type-token ratio misses when
+    repetition is concentrated (Shannon 1948; the effective-vocab
+    reading is standard in the LNRE literature).
+
+    Determinism (the JSD convention): each token's term is quantized
+    ONCE to integer nanos — floor(−p·ln p·1e9 + 0.5) — so the per-doc
+    sum is exact in any order; exp runs on the already-quantized sum
+    (one float op, identical in any engine). Zero-token docs report
+    entropy 0 and effective vocab 1.0 (exp 0), keeping every doc in
+    the output.
+
+    Returns ``(id, n_tokens, vocab_size, entropy_nano,
+    effective_vocab_micro)``.
+
+    Scale: one (doc, token) count shuffle (partial-aggregable), one
+    per-doc rollup, one broadcast-free left join back to the doc
+    spine. No windows, no Python.
+    """
+    tc = (
+        docs.select(F.col(id_col),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("_t"))
+        .groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n = tc.groupBy(id_col).agg(F.sum("_c").alias("n_tokens"),
+                               F.count(F.lit(1)).alias("vocab_size"))
+    p = F.col("_c") / F.col("n_tokens")
+    per_tok = (
+        tc.join(n, id_col)
+        .select(
+            id_col,
+            F.floor(-p * F.log(p) * F.lit(1e9) + F.lit(0.5))
+            .cast("long").alias("_h_nano"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_h_nano").alias("entropy_nano"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select(id_col)
+        .join(n, id_col, "left")
+        .join(per_tok, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", zero).alias("n_tokens"),
+            F.coalesce("vocab_size", zero).alias("vocab_size"),
+            F.coalesce("entropy_nano", zero).alias("entropy_nano"),
+            F.floor(F.exp(F.coalesce("entropy_nano", zero) / F.lit(1e9))
+                    * F.lit(1_000_000) + F.lit(0.5))
+            .cast("long").alias("effective_vocab_micro"),
+        )
+    )
+
+
+def script_mix(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document character-class composition audit (M126): counts
+    of ASCII letters, digits, whitespace, ASCII punctuation/symbols,
+    and non-ASCII characters, plus the non-ASCII fraction in integer
+    micros — the cheap first-pass script/encoding screen a multilingual
+    ingest runs before language ID (mojibake, binary-in-text, and
+    wrong-charset documents light up the non-ASCII and punct channels;
+    Unicode ranges per the UCD, a public standard).
+
+    Counting is pure JVM regexp arithmetic: each class count is
+    ``length(text) − length(regexp_replace(text, class, ''))`` —
+    identical semantics in the DuckDB twin, no Python, no explode.
+    Null texts report all zeros.
+
+    Returns ``(id, n_chars, n_alpha, n_digit, n_space, n_punct,
+    n_nonascii, nonascii_micro)``.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ln = F.length(t)
+
+    def removed(pattern: str) -> Column:
+        return (ln - F.length(F.regexp_replace(t, pattern, ""))) \
+            .cast("long")
+
+    n_alpha = removed("[A-Za-z]")
+    n_digit = removed("[0-9]")
+    n_space = removed(r"[ \t\n\r]")
+    n_nonascii = removed("[^\\x00-\\x7F]")
+    return docs.select(
+        F.col(id_col),
+        ln.cast("long").alias("n_chars"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        (ln - n_alpha - n_digit - n_space - n_nonascii).cast("long")
+        .alias("n_punct"),
+        n_nonascii.alias("n_nonascii"),
+        F.when(ln > 0,
+               F.floor(n_nonascii * F.lit(1_000_000) / ln))
+        .otherwise(F.lit(0)).cast("long").alias("nonascii_micro"),
+    )

@@ -4151,3 +4151,247 @@ def q146_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_chars_before").cast("long").alias("chars_before"),
              F.sum("n_chars_after").cast("long").alias("chars_after"))
     )
+
+
+@query(
+    "q147_ppjoin_increment",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(tk) - 1),
+               i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM toks WHERE len(tk) >= 3
+    ),
+    hrows AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(u.sg), 1, 15) AS BIGINT) AS h
+      FROM sh, unnest(sh.s) AS u(sg)
+    ),
+    sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      FROM hrows GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(floor(i * 1000000.0 / (na.n + nb.n - i)) AS BIGINT)
+             AS jac_micro
+    FROM inter
+    JOIN sz na ON na.doc_id = id_a
+    JOIN sz nb ON nb.doc_id = id_b
+    WHERE i * 100 >= 50 * (na.n + nb.n - i)
+      AND (id_a % 2 = 1 OR id_b % 2 = 1)
+    """,
+    primary=False,
+)
+def q147_ppjoin_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT incremental PPJoin (operators/incremental.py:
+    ppjoin_increment_pairs, M122 — VERDICT r5 stretch 8): base = even
+    doc_ids, delta = odd; every qualifying pair touching the delta,
+    base x base never built. The oracle is the batch all-pairs shingle
+    join on the UNION filtered to delta-touching pairs — the increment
+    identity as a driver-checked row (the pytest identity test pins it
+    against the batch operator too). Driver window r6 via
+    PRIMARY_ROTATION."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    return INC.ppjoin_increment_pairs(base, delta, t_pct=50, k=3,
+                                      max_candidates=1_000_000_000)
+
+
+@query(
+    "q148_token_entropy",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, t
+    ),
+    n AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size
+      FROM tc GROUP BY doc_id
+    ),
+    h AS (
+      SELECT tc.doc_id,
+             CAST(sum(CAST(floor(
+               -(tc.c * 1.0 / n.n_tokens)
+                 * ln(tc.c * 1.0 / n.n_tokens) * 1000000000.0 + 0.5)
+               AS BIGINT)) AS BIGINT) AS entropy_nano
+      FROM tc JOIN n USING (doc_id) GROUP BY tc.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n.vocab_size, 0) AS BIGINT) AS vocab_size,
+           CAST(COALESCE(h.entropy_nano, 0) AS BIGINT) AS entropy_nano,
+           CAST(floor(exp(COALESCE(h.entropy_nano, 0) / 1000000000.0)
+                      * 1000000.0 + 0.5) AS BIGINT)
+             AS effective_vocab_micro
+    FROM documents d
+    LEFT JOIN n ON n.doc_id = d.doc_id
+    LEFT JOIN h ON h.doc_id = d.doc_id
+    """,
+    primary=False,
+)
+def q148_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy + effective vocabulary
+    (operators/text_analysis.py:token_entropy, M123): per-token terms
+    quantized once to integer nanos (exact any-order sums), exp on the
+    quantized sum only. Driver window r6 via PRIMARY_ROTATION."""
+    return TA.token_entropy(_docs(spark, sf_dir))
+
+
+@query(
+    "q149_containment_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(tk) - 1),
+               i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM toks WHERE len(tk) >= 3
+    ),
+    hrows AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(u.sg), 1, 15) AS BIGINT) AS h
+      FROM sh, unnest(sh.s) AS u(sg)
+    ),
+    sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      FROM hrows GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(floor(i * 1000000.0 / na.n) AS BIGINT) AS cont_micro
+    FROM inter
+    JOIN sz na ON na.doc_id = id_a
+    WHERE i * 100 >= 80 * na.n
+    """,
+    primary=False,
+)
+def q149_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-set containment self-join at c=0.8 (operators/
+    dedup.py:containment_pairs, M124) — ordered pairs where id_a's
+    3-shingle set is >=80% inside id_b's; the quote/subset-detection
+    join Jaccard misses. Oracle = unfiltered all-pairs ORDERED shingle
+    join, so a prefix-pruning bug surfaces as a missing pair. The
+    candidate-volume guard runs ON. Driver window r6 via
+    PRIMARY_ROTATION."""
+    return D.containment_pairs(_docs(spark, sf_dir), c_pct=80, k=3,
+                               max_candidates=1_000_000_000)
+
+
+@query(
+    "q150_centroid_cosine",
+    """
+    WITH dims AS (SELECT CAST(range AS INTEGER) AS dim FROM range(64)),
+    comp AS (
+      SELECT label, d.dim,
+             CAST(floor(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xm
+      FROM embeddings, dims d
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(floor(CAST(sum(xm) AS BIGINT) * 1.0 / count(*))
+                  AS BIGINT) AS cm,
+             count(*) AS n
+      FROM comp GROUP BY label, dim
+    ),
+    norms AS (
+      SELECT label, sum(CAST(cm AS HUGEINT) * cm) AS nrm,
+             CAST(min(n) AS BIGINT) AS n_vecs
+      FROM cent GROUP BY label
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(CAST(a.cm AS HUGEINT) * b.cm) AS dot
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT d.label_a, d.label_b,
+           na.n_vecs AS n_a, nb.n_vecs AS n_b,
+           CAST(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                THEN floor(CAST(d.dot AS DOUBLE)
+                           / (sqrt(CAST(na.nrm AS DOUBLE))
+                              * sqrt(CAST(nb.nrm AS DOUBLE)))
+                           * 1000000.0 + 0.5)
+                ELSE 0 END AS BIGINT) AS cos_micro
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    """,
+    primary=False,
+)
+def q150_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids
+    (operators/similarity.py:centroid_cosine_matrix, M125):
+    integer-micro components, exact decimal(38,0)/HUGEINT dot and norm
+    sums, one final float division. Driver window r6 via
+    PRIMARY_ROTATION."""
+    return S.centroid_cosine_matrix(_embs(spark, sf_dir))
+
+
+@query(
+    "q151_script_mix",
+    r"""
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+                AS BIGINT) AS n_alpha,
+           CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digit,
+           CAST(length(t) - length(regexp_replace(t, '[ \t\n\r]', '', 'g'))
+                AS BIGINT) AS n_space,
+           CAST(length(t)
+                - (length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')))
+                - (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
+                - (length(t) - length(regexp_replace(t, '[ \t\n\r]', '', 'g')))
+                - (length(t) - length(regexp_replace(t, '[^\x00-\x7F]', '', 'g')))
+                AS BIGINT) AS n_punct,
+           CAST(length(t) - length(regexp_replace(t, '[^\x00-\x7F]', '', 'g'))
+                AS BIGINT) AS n_nonascii,
+           CAST(CASE WHEN length(t) > 0
+                THEN floor((length(t)
+                            - length(regexp_replace(t, '[^\x00-\x7F]', '', 'g')))
+                           * 1000000.0 / length(t))
+                ELSE 0 END AS BIGINT) AS nonascii_micro
+    FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+    """,
+    primary=False,
+)
+def q151_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class composition audit (operators/
+    text_analysis.py:script_mix, M126): ASCII letter/digit/space/punct
+    and non-ASCII counts via pure regexp length arithmetic, identical
+    in both dialects (DuckDB needs the 'g' flag; Spark replaces all by
+    default). Driver window r6 via PRIMARY_ROTATION."""
+    return TA.script_mix(_docs(spark, sf_dir))

@@ -105,11 +105,6 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q57_pattern_counts",
     # r3-stale, three driver-green rows (cede these slots first to new
     # r6 queries; the deferred half of this tier re-greens in r7)
-    "q03_top_revenue_orders",
-    "q06_regional_revenue",
-    "q08_string_ops",
-    "q09_window_topk",
-    "q10_argmin_first_event",
     "q13_directly_follows",
     "q17_cte_ratio",
     "q18_range_join_workload",
@@ -117,6 +112,14 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q20_chunking",
     "q21_rolling_sequence",
     "q24_union_rekey",
+    # new r6 operators (M122-M126), first driver check — took the
+    # q03/q06/q08/q09/q10 slots of the three-green tier
+    # (never-checked > stale-green; the ceded five re-green in r7)
+    "q147_ppjoin_increment",
+    "q148_token_entropy",
+    "q149_containment_pairs",
+    "q150_centroid_cosine",
+    "q151_script_mix",
 })
 
 

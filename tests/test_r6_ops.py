@@ -1,0 +1,186 @@
+"""Round-6 operator additions (M122-M126): exact containment join,
+token entropy, script mix, centroid cosine matrix — semantics
+recomputed brute-force in plain Python plus each docstring's contract
+edges. (M122's increment identity lives in tests/test_incremental.py.)
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+from pyspark.sql import functions as F
+
+from batch_processing_analysis_spark.operators import dedup as DD
+from batch_processing_analysis_spark.operators import similarity as SM
+from batch_processing_analysis_spark.operators import text_analysis as TA
+
+
+def _docs(spark, items):
+    return spark.createDataFrame(items, "doc_id long, text string")
+
+
+# --------------------------------------------------------------- M124
+
+def _brute_containment(items, c_pct, k=1):
+    """All ordered pairs with |A∩B| >= c·|A| over word k-shingle sets."""
+    def sset(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)} \
+            if len(w) >= k else set()
+
+    sets = {i: sset(t) for i, t in items}
+    out = {}
+    for (a, sa), (b, sb) in itertools.permutations(sets.items(), 2):
+        if not sa:
+            continue
+        i = len(sa & sb)
+        if i * 100 >= c_pct * len(sa):
+            out[(a, b)] = math.floor(i * 1_000_000 / len(sa))
+    return out
+
+
+def test_containment_finds_quote_jaccard_misses(spark):
+    # doc 1 is fully inside doc 2, but J = 3/10 < 0.5: ppjoin at t=0.5
+    # must miss it, containment at c=0.8 must find it (one direction).
+    items = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "unrelated words entirely different content"),
+    ]
+    docs = _docs(spark, items)
+    jac = {(r.id_a, r.id_b)
+           for r in DD.ppjoin_pairs(docs, t_pct=50, k=1).collect()}
+    assert (1, 2) not in jac
+    cont = {(r.id_a, r.id_b): r.cont_micro
+            for r in DD.containment_pairs(docs, c_pct=80, k=1).collect()}
+    assert cont == {(1, 2): 1_000_000}
+
+
+def test_containment_brute_force_parity(spark):
+    items = [
+        (1, "a b c d e"),
+        (2, "a b c d e f g h"),
+        (3, "a b c"),
+        (4, "x y z"),
+        (5, "x y z a b"),
+        (6, "c d e a b"),          # same set as 1 (order differs)
+        (7, "q r s t u v w"),
+    ]
+    docs = _docs(spark, items)
+    for c in (50, 80, 100):
+        got = {(r.id_a, r.id_b): r.cont_micro
+               for r in DD.containment_pairs(docs, c_pct=c,
+                                             k=1).collect()}
+        assert got == _brute_containment(items, c), f"c={c}"
+
+
+def test_containment_guard_trips(spark):
+    import pytest
+
+    docs = _docs(spark, [(i, "same words here") for i in range(50)])
+    with pytest.raises(DD.CandidateVolumeExceeded,
+                       match="minhash_lsh_pairs"):
+        DD.containment_pairs(docs, c_pct=80, k=1,
+                             max_candidates=10).collect()
+
+
+# --------------------------------------------------------------- M123
+
+def test_token_entropy_hand_cases(spark):
+    docs = _docs(spark, [
+        (1, "a b c d"),      # uniform over 4 -> H = ln 4
+        (2, "a a a a"),      # degenerate -> H = 0
+        (3, "   "),          # empty -> zeros, exp(0) = 1
+        (4, "a a b b"),      # uniform over 2 -> H = ln 2
+    ])
+    rows = {r.doc_id: r for r in TA.token_entropy(docs).collect()}
+    ln4_term = math.floor(0.25 * math.log(4) * 1e9 + 0.5)
+    assert rows[1]["entropy_nano"] == 4 * ln4_term
+    assert rows[1]["vocab_size"] == 4
+    assert rows[2]["entropy_nano"] == 0
+    assert rows[2]["effective_vocab_micro"] == 1_000_000
+    assert rows[3]["n_tokens"] == 0
+    assert rows[3]["effective_vocab_micro"] == 1_000_000
+    ln2_term = math.floor(0.5 * math.log(2) * 1e9 + 0.5)
+    assert rows[4]["entropy_nano"] == 2 * ln2_term
+    # effective vocab of the uniform-4 doc recovers ~4
+    assert abs(rows[1]["effective_vocab_micro"] - 4_000_000) < 10
+
+
+def test_token_entropy_order_and_partition_independent(spark):
+    items = [(i, f"w{i % 7} w{i % 3} w{i % 3} tail") for i in range(40)]
+    exp = {r.doc_id: r.entropy_nano
+           for r in TA.token_entropy(_docs(spark, items)).collect()}
+    got = {r.doc_id: r.entropy_nano
+           for r in TA.token_entropy(
+               _docs(spark, items).repartition(13)).collect()}
+    assert got == exp
+
+
+# --------------------------------------------------------------- M126
+
+def test_script_mix_counts_unicode_classes(spark):
+    docs = _docs(spark, [
+        (1, "abc 12!"),            # 3 alpha, 2 digit, 1 space, 1 punct
+        (2, "привет мир"),         # 10 non-ascii, 1 space
+        (3, None),                 # null -> zeros
+        (4, ""),
+    ])
+    rows = {r.doc_id: r for r in TA.script_mix(docs).collect()}
+    r1 = rows[1]
+    assert (r1["n_alpha"], r1["n_digit"], r1["n_space"],
+            r1["n_punct"], r1["n_nonascii"]) == (3, 2, 1, 1, 0)
+    r2 = rows[2]
+    assert (r2["n_chars"], r2["n_nonascii"], r2["n_space"]) == (10, 9, 1)
+    assert r2["nonascii_micro"] == math.floor(9 * 1_000_000 / 10)
+    for d in (3, 4):
+        assert rows[d]["n_chars"] == 0
+        assert rows[d]["nonascii_micro"] == 0
+
+
+# --------------------------------------------------------------- M125
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_centroid_cosine_identical_and_orthogonal(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0), (2, [1.0, 0.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.0], 1),                    # same direction as 0
+        (4, [0.0, 1.0, 0.0], 2), (5, [0.0, 1.0, 0.0], 2),
+        (6, [-1.0, 0.0, 0.0], 3),                   # opposite of 0
+    ]
+    got = {(r.label_a, r.label_b): r
+           for r in SM.centroid_cosine_matrix(_emb(spark, rows)).collect()}
+    assert set(got) == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+    assert got[(0, 1)]["cos_micro"] == 1_000_000
+    assert got[(0, 2)]["cos_micro"] == 0
+    assert got[(0, 3)]["cos_micro"] == -1_000_000
+    assert (got[(0, 1)]["n_a"], got[(0, 1)]["n_b"]) == (2, 1)
+
+
+def test_centroid_cosine_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(30, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 3))
+            for i in range(30)]
+    got = {(r.label_a, r.label_b): r.cos_micro
+           for r in SM.centroid_cosine_matrix(_emb(spark, rows)).collect()}
+    # replicate the integer-micro quantization exactly
+    cents = {}
+    for lab in range(3):
+        comp = np.floor(vecs[[i for i in range(30) if i % 3 == lab]]
+                        .astype("float64") * 1e6)
+        s = comp.sum(axis=0)
+        cents[lab] = np.floor(s / comp.shape[0])
+    for (a, b), cm in got.items():
+        ca, cb = cents[a], cents[b]
+        cos = float(ca @ cb) / (math.sqrt(float(ca @ ca))
+                                * math.sqrt(float(cb @ cb)))
+        assert cm == math.floor(cos * 1e6 + 0.5), (a, b)

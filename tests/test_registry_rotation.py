@@ -66,7 +66,11 @@ EXPECTED_SHADOWED = frozenset({
     # r5-green family extras (q11 is the entry() flagship, smoke-run
     # by the driver every round regardless)
     "q11_sessionize", "q28_prioritization_pairs", "q50_fingerprint",
-    # deferred half of the r3 three-green tier (re-green in r7)
+    # deferred half of the r3 three-green tier (re-green in r7) —
+    # q03/q06/q08/q09/q10 ceded their slots mid-r6 to the new
+    # M122-M126 queries (q147-q151)
+    "q03_top_revenue_orders", "q06_regional_revenue", "q08_string_ops",
+    "q09_window_topk", "q10_argmin_first_event",
     "q31_task_batches", "q32_batch_discovery_stats",
     "q33_waiting_time_decomposition", "q35_concurrency_pairs",
     "q36_activation_features", "q40_dedup_exact", "q42_dedup_simhash",

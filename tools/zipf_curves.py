@@ -1,0 +1,168 @@
+"""Exact-join scaling curves on a Zipf-vocabulary corpus (VERDICT r5
+stretch 9).
+
+The measured q140/q143 curves in SURVEY §6.1b-r5 run on the driver
+testdata, whose documents are word-salad over a BOUNDED vocabulary
+(~985 distinct 4-grams corpus-wide at the 10× blow-up) — the
+worst case for prefix filtering, since every gram's df grows linearly
+with corpus size and the candidate bound Σ_g df² grows quadratically.
+The operators' docstrings claim real text behaves differently: natural
+corpora follow Zipf's law (token frequency ∝ 1/rank^s) with a
+vocabulary that GROWS with corpus size (Heaps' law), so the rare grams
+that prefix filtering joins on keep df ≈ small constants and candidate
+volume stays near-linear. This tool puts a number on that claim.
+
+Fixture: ``n`` documents of ``words_per_doc`` tokens sampled from a
+Zipf(s) rank distribution over an open-ended integer vocabulary
+(deterministic seed), plus ``dup_rate`` planted near-duplicates (a few
+word substitutions each) so both joins return real pairs. The same
+construction at 10·n gives the 10× point. For each size we record:
+
+- the prefix-join candidate upper bound (the max_candidates guard's
+  metric, measured via the guard itself with a zero budget);
+- min-of-2 wall time for ppjoin_pairs (t=50, k=3) and edjoin_pairs
+  (d=10, q=8), same parameters as q140/q143.
+
+Usage: python tools/zipf_curves.py [--n 5000] [--factor 10] [--out -]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def zipf_word(rng: random.Random, s: float, vmax: int) -> str:
+    """Sample a word rank via inverse-CDF on a truncated Zipf(s).
+
+    Rejection-free approximation: rank = ⌊u^(-1/(s-1))⌋ (the standard
+    power-law inverse transform for s>1), clamped to [1, vmax].
+    """
+    u = rng.random()
+    r = int(u ** (-1.0 / (s - 1.0)))
+    return f"w{min(max(r, 1), vmax)}"
+
+
+def build_corpus(spark, n: int, words_per_doc: int, s: float,
+                 dup_rate: float, seed: int, out: str) -> str:
+    rng = random.Random(seed)
+    vmax = 50 * n  # vocabulary scales with corpus (Heaps-like)
+    rows = []
+    doc_id = 0
+    while doc_id < n:
+        words = [zipf_word(rng, s, vmax) for _ in range(words_per_doc)]
+        rows.append((doc_id, " ".join(words)))
+        doc_id += 1
+        if doc_id < n and rng.random() < dup_rate:
+            # planted near-duplicate: substitute 2 words
+            mutated = list(words)
+            for _ in range(2):
+                mutated[rng.randrange(len(mutated))] = zipf_word(
+                    rng, s, vmax)
+            rows.append((doc_id, " ".join(mutated)))
+            doc_id += 1
+    shutil.rmtree(out, ignore_errors=True)
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .repartition(8).write.parquet(f"{out}/documents.parquet"))
+    return out
+
+
+def measure_bound(fn, docs) -> int:
+    """Run the operator's max_candidates guard with a zero budget and
+    read the measured bound out of the refusal message."""
+    from batch_processing_analysis_spark.operators.dedup import (
+        CandidateVolumeExceeded,
+    )
+
+    try:
+        fn(docs, max_candidates=0).count()
+    except CandidateVolumeExceeded as e:
+        return int(str(e).split("upper bound ")[1].split(" exceeds")[0])
+    return 0
+
+
+def timed(fn, docs) -> float:
+    fn(docs).write.format("noop").mode("overwrite").save()
+    best = 9e9
+    for _ in range(2):
+        t0 = time.time()
+        fn(docs).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=5000)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--words-per-doc", type=int, default=40)
+    # s=1.1 puts ~7% of tokens on the rank-1 word (the English "the");
+    # the inverse transform yields P(rank=r) ∝ r^-s.
+    ap.add_argument("--s", type=float, default=1.1)
+    ap.add_argument("--dup-rate", type=float, default=0.03)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--out", default="-")
+    args = ap.parse_args()
+
+    from batch_processing_analysis_spark.operators import dedup as D
+    from batch_processing_analysis_spark.session import get_spark
+
+    spark = get_spark("zipf_curves")
+
+    def ppjoin(docs, **kw):
+        return D.ppjoin_pairs(docs, t_pct=50, k=3, **kw)
+
+    def edjoin(docs, **kw):
+        return D.edjoin_pairs(docs, d=10, q=8, **kw)
+
+    result = {"n_base": args.n, "factor": args.factor,
+              "zipf_s": args.s, "words_per_doc": args.words_per_doc,
+              "sizes": {}}
+    for label, n in (("base", args.n), ("big", args.n * args.factor)):
+        path = build_corpus(spark, n, args.words_per_doc, args.s,
+                            args.dup_rate, args.seed + (0 if label ==
+                                                        "base" else 1),
+                            f"/tmp/zipf_corpus_{label}_{n}")
+        docs = spark.read.parquet(f"{path}/documents.parquet")
+        n_grams = (docs.selectExpr(
+            "explode(sequence(1, greatest(length(text)-7, 0))) AS p",
+            "text").selectExpr("substring(text, p, 8) AS g")
+            .distinct().count())
+        row = {
+            "n_docs": n,
+            "distinct_8grams": n_grams,
+            "ppjoin_bound": measure_bound(ppjoin, docs),
+            "edjoin_bound": measure_bound(edjoin, docs),
+            "ppjoin_s": timed(ppjoin, docs),
+            "edjoin_s": timed(edjoin, docs),
+            "ppjoin_pairs": ppjoin(docs).count(),
+            "edjoin_pairs": edjoin(docs).count(),
+        }
+        result["sizes"][label] = row
+        print(f"{label}: {row}", file=sys.stderr)
+
+    b, g = result["sizes"]["base"], result["sizes"]["big"]
+    result["ratios"] = {
+        "ppjoin_bound": round(g["ppjoin_bound"] / max(b["ppjoin_bound"], 1), 2),
+        "edjoin_bound": round(g["edjoin_bound"] / max(b["edjoin_bound"], 1), 2),
+        "ppjoin_time": round(g["ppjoin_s"] / max(b["ppjoin_s"], 1e-9), 2),
+        "edjoin_time": round(g["edjoin_s"] / max(b["edjoin_s"], 1e-9), 2),
+    }
+    text = json.dumps(result, indent=2)
+    if args.out == "-":
+        print(text)
+    else:
+        Path(args.out).write_text(text + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
