@@ -127,3 +127,189 @@ def dfg_drift(log_a: DataFrame, log_b: DataFrame,
         .when(F.col("n_b").isNull(), F.lit("vanished"))
         .otherwise(F.lit("common")).alias("status"),
     )
+
+
+def last_touch_attribution(events: DataFrame, touch_type: str = "click",
+                           conv_type: str = "purchase",
+                           window_hours: int = 24,
+                           user_col: str = "user_id",
+                           type_col: str = "event_type",
+                           ts_col: str = "ts",
+                           id_col: str = "event_id",
+                           value_col: str = "value") -> DataFrame:
+    """Last-touch conversion attribution (M127): for every
+    ``conv_type`` event, the most recent PRIOR ``touch_type`` event by
+    the same user within ``window_hours`` — the canonical marketing /
+    funnel-credit query of every event warehouse, and the batch twin
+    of the M120 stream-stream interval join (which answers the same
+    question incrementally).
+
+    "Prior" is lexicographic on ``(ts, event_id)`` — a touch at the
+    conversion's exact timestamp counts iff its id is smaller — so the
+    semantics are total-order deterministic even with timestamp ties;
+    the most recent touch is the ``(ts, id)``-max among qualifying
+    ones. A conversion whose latest prior touch is older than the
+    window attributes to NULL (no fallback: that touch IS the most
+    recent one).
+
+    Returns one row per conversion: ``(event_id, user_id, ts_s [epoch
+    seconds], value_cents, touch_id [nullable], touch_gap_s
+    [nullable])``.
+
+    Scale: ONE hash partition by user carries everything — the
+    running "latest prior touch" is two ``last(..., ignorenulls)``
+    windows over that partitioning (never a conversions×touches
+    self-join, whose per-user blow-up is quadratic in activity); the
+    window guard is a row-local filter afterwards. The SQL twin is
+    the join+argmax formulation — a deliberately different shape, so
+    shape-specific bugs (window frame off-by-one, tie handling) can't
+    cancel out.
+    """
+    w = (
+        W.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) == touch_type
+    touched = events.select(
+        user_col, type_col, ts_col, id_col, value_col,
+        F.last(F.when(is_touch, F.col(id_col)), ignorenulls=True)
+        .over(w).alias("_tid"),
+        F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True)
+        .over(w).alias("_tts"),
+    )
+    in_window = (
+        F.col("_tts")
+        >= F.col(ts_col) - F.expr(f"INTERVAL {window_hours} HOURS")
+    )
+    gap = (F.unix_timestamp(ts_col) - F.unix_timestamp("_tts"))
+    return (
+        touched.filter(F.col(type_col) == conv_type)
+        .select(
+            F.col(id_col),
+            F.col(user_col),
+            F.unix_timestamp(ts_col).alias("ts_s"),
+            F.round(F.col(value_col) * 100).cast("long")
+            .alias("value_cents"),
+            F.when(in_window, F.col("_tid")).cast("long")
+            .alias("touch_id"),
+            F.when(in_window, gap).cast("long").alias("touch_gap_s"),
+        )
+    )
+
+
+def frequent_paths(events: DataFrame, k: int = 25, depth: int = 3,
+                   user_col: str = "user_id",
+                   type_col: str = "event_type",
+                   ts_col: str = "ts",
+                   id_col: str = "event_id") -> DataFrame:
+    """Top-``k`` most frequent ``depth``-step event-type paths (M128):
+    count every window of ``depth`` consecutive events per user
+    (ordered by ``(ts, id)`` — total-order deterministic under ties)
+    and return the most common paths — the k-step generalization of
+    the directly-follows graph (q13 is the depth-2 special case over
+    the process-mining log; this runs on the product event stream).
+
+    Returns ``(step_1 … step_depth, n)`` sorted by ``n`` desc with the
+    full path as tiebreak, limited to ``k``.
+
+    Scale: one hash partition by user carries the ``depth−1`` lead
+    windows (one Exchange, one Window stack); the count shuffle is on
+    the path key whose cardinality is ≤ |event types|^depth — tiny;
+    top-k is a broadcast-sized sort.
+    """
+    if depth < 2:
+        raise ValueError(f"depth must be >= 2, got {depth}")
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    df = events.select(user_col, type_col, ts_col, id_col)
+    step_cols = [F.col(type_col).alias("step_1")]
+    for i in range(1, depth):
+        step_cols.append(
+            F.lead(type_col, i).over(w).alias(f"step_{i + 1}")
+        )
+    paths = df.select(*step_cols).filter(
+        F.col(f"step_{depth}").isNotNull()
+    )
+    names = [f"step_{i}" for i in range(1, depth + 1)]
+    return (
+        paths.groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), *names)
+        .limit(k)
+    )
+
+
+def ks_drift_by_group(df: DataFrame, group_col: str = "source",
+                      value_col: str = "n_chars") -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic of each group's
+    ``value_col`` distribution against the REST of the corpus (M129):
+    KS = max_x |F_g(x) − F_rest(x)|, the classic distribution-drift
+    test (Kolmogorov 1933; Smirnov 1939 — public), computed with NO
+    floats until the final ratio: the supremum over sample points of
+    ``|cum_g·(N−n_g) − cum_rest·n_g|`` is an exact integer maximum
+    (cross-multiplied CDFs), and the max of a distribution-free
+    statistic over the pooled sample points IS the exact KS (the
+    empirical CDFs only change at sample points). The per-group
+    complement of the binned drift monitors (M65/M75): no binning
+    choice, exact answer, scale-free statistic.
+
+    Returns ``(group, n_group, n_rest, ks_num, ks_denom, ks_micro)``
+    with ``ks = ks_num/ks_denom`` and ``ks_micro =
+    floor(ks_num·1e6/ks_denom)``; groups with an empty complement
+    report 0.
+
+    Scale: one (group, value) count shuffle; the evaluation grid is
+    |distinct values| × |groups| rows — aggregate-bounded (value
+    cardinality, not row count); cumulative sums window per group
+    (hash-partitioned); the rollup is |groups| rows.
+    """
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    vals = df.select(value_col).distinct()
+    groups = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    total = df.agg(F.count(F.lit(1)).alias("_N"))
+    grid = (
+        vals.crossJoin(F.broadcast(groups))
+        .join(counts, [group_col, value_col], "left")
+        .select(group_col, value_col, "_ng",
+                F.coalesce("_c", F.lit(0).cast("long")).alias("_c"))
+    )
+    allc = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_ca"))
+    w_g = (W.partitionBy(group_col).orderBy(value_col)
+           .rowsBetween(W.unboundedPreceding, 0))
+    w_a = (W.partitionBy(F.lit(1)).orderBy(value_col)
+           .rowsBetween(W.unboundedPreceding, 0))
+    cum_all = allc.select(
+        value_col, F.sum("_ca").over(w_a).alias("_cum_all")
+    )
+    scored = (
+        grid.withColumn("_cum_g", F.sum("_c").over(w_g))
+        .join(cum_all, value_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            group_col, "_ng", "_N",
+            F.abs(
+                F.col("_cum_g") * (F.col("_N") - F.col("_ng"))
+                - (F.col("_cum_all") - F.col("_cum_g")) * F.col("_ng")
+            ).alias("_num"),
+        )
+    )
+    return (
+        scored.groupBy(group_col)
+        .agg(F.max("_num").alias("ks_num"),
+             F.first("_ng").alias("n_group"),
+             (F.first("_N") - F.first("_ng")).alias("n_rest"))
+        .select(
+            F.col(group_col),
+            F.col("n_group").cast("long"),
+            F.col("n_rest").cast("long"),
+            F.col("ks_num").cast("long"),
+            (F.col("n_group") * F.col("n_rest")).cast("long")
+            .alias("ks_denom"),
+            F.when(F.col("n_group") * F.col("n_rest") > 0,
+                   F.floor(F.col("ks_num") * F.lit(1_000_000)
+                           / (F.col("n_group") * F.col("n_rest"))))
+            .otherwise(F.lit(0)).cast("long").alias("ks_micro"),
+        )
+    )

@@ -1194,3 +1194,80 @@ def q109_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q152_last_touch_attribution",
+    r"""
+    WITH conv AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT c.event_id AS cid, t.event_id AS tid, t.ts AS tts
+      FROM conv c JOIN tch t ON t.user_id = c.user_id
+       AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))
+       AND t.ts >= c.ts - INTERVAL 24 HOURS
+    ),
+    best AS (SELECT cid, max(tts) AS bts FROM j GROUP BY cid),
+    att AS (
+      SELECT j.cid, CAST(max(j.tid) AS BIGINT) AS touch_id
+      FROM j JOIN best ON j.cid = best.cid AND j.tts = best.bts
+      GROUP BY j.cid
+    )
+    SELECT c.event_id, c.user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s,
+           CAST(round(c.value * 100) AS BIGINT) AS value_cents,
+           a.touch_id,
+           CAST(floor(epoch(c.ts)) - floor(epoch(b.bts)) AS BIGINT)
+             AS touch_gap_s
+    FROM conv c
+    LEFT JOIN att a ON a.cid = c.event_id
+    LEFT JOIN best b ON b.cid = c.event_id
+    """,
+)
+def q152_last_touch_attribution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (operators/events_analytics.py:
+    last_touch_attribution, M127): most recent prior click per
+    purchase within 24h, lexicographic (ts, id) order under ties. The
+    Spark plan is ONE user-partitioned window stack; the oracle is the
+    join+argmax formulation — deliberately different shapes so frame
+    off-by-ones can't cancel. Driver window r6 via PRIMARY_ROTATION."""
+    from ..operators.events_analytics import last_touch_attribution
+
+    return last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q153_frequent_paths",
+    r"""
+    WITH seq AS (
+      SELECT event_type AS s1,
+             lead(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+             lead(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+      FROM events
+    )
+    SELECT s1 AS step_1, s2 AS step_2, s3 AS step_3,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE s3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, step_1, step_2, step_3
+    LIMIT 25
+    """,
+)
+def q153_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most frequent 3-step event-type paths (operators/
+    events_analytics.py:frequent_paths, M128) — the k-step
+    generalization of the q13 directly-follows graph, counted with one
+    user-partitioned lead-window stack and a path-key shuffle bounded
+    by |types|^3. Driver window r6 via PRIMARY_ROTATION."""
+    from ..operators.events_analytics import frequent_paths
+
+    return frequent_paths(_t(spark, sf_dir, "events"), k=25, depth=3)

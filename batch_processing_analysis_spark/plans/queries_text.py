@@ -4395,3 +4395,62 @@ def q151_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both dialects (DuckDB needs the 'g' flag; Spark replaces all by
     default). Driver window r6 via PRIMARY_ROTATION."""
     return TA.script_mix(_docs(spark, sf_dir))
+
+
+@query(
+    "q154_ks_drift",
+    r"""
+    WITH counts AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+    grp AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS ng
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    grid AS (
+      SELECT g.source, v.v, g.ng, COALESCE(c.c, 0) AS c
+      FROM vals v CROSS JOIN grp g
+      LEFT JOIN counts c ON c.source = g.source AND c.v = v.v
+    ),
+    cum AS (
+      SELECT source, v, ng,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY v)
+                  AS BIGINT) AS cg
+      FROM grid
+    ),
+    callc AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS ca
+      FROM (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1)
+    ),
+    scored AS (
+      SELECT cum.source, cum.ng, t.n,
+             abs(cum.cg * (t.n - cum.ng)
+                 - (callc.ca - cum.cg) * cum.ng) AS num
+      FROM cum JOIN callc ON callc.v = cum.v, tot t
+    )
+    SELECT source,
+           CAST(ng AS BIGINT) AS n_group,
+           CAST(n - ng AS BIGINT) AS n_rest,
+           CAST(max(num) AS BIGINT) AS ks_num,
+           CAST(ng * (n - ng) AS BIGINT) AS ks_denom,
+           CAST(CASE WHEN ng * (n - ng) > 0
+                THEN floor(max(num) * 1000000.0 / (ng * (n - ng)))
+                ELSE 0 END AS BIGINT) AS ks_micro
+    FROM scored GROUP BY source, ng, n
+    """,
+    primary=False,
+)
+def q154_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample KS statistic of each source's n_chars
+    distribution vs the rest of the corpus (operators/
+    events_analytics.py:ks_drift_by_group, M129): integer
+    cross-multiplied CDFs, the supremum over pooled sample points, one
+    final ratio. Driver window r6 via PRIMARY_ROTATION."""
+    from ..operators.events_analytics import ks_drift_by_group
+
+    return ks_drift_by_group(_docs(spark, sf_dir).select(
+        "source", "n_chars"))

@@ -105,21 +105,21 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q57_pattern_counts",
     # r3-stale, three driver-green rows (cede these slots first to new
     # r6 queries; the deferred half of this tier re-greens in r7)
-    "q13_directly_follows",
-    "q17_cte_ratio",
-    "q18_range_join_workload",
     "q19_theta_self_join",
     "q20_chunking",
     "q21_rolling_sequence",
     "q24_union_rekey",
-    # new r6 operators (M122-M126), first driver check — took the
-    # q03/q06/q08/q09/q10 slots of the three-green tier
-    # (never-checked > stale-green; the ceded five re-green in r7)
+    # new r6 operators (M122-M129), first driver check — took the
+    # q03/q06/q08/q09/q10/q13/q17/q18 slots of the three-green tier
+    # (never-checked > stale-green; the ceded eight re-green in r7)
     "q147_ppjoin_increment",
     "q148_token_entropy",
     "q149_containment_pairs",
     "q150_centroid_cosine",
     "q151_script_mix",
+    "q152_last_touch_attribution",
+    "q153_frequent_paths",
+    "q154_ks_drift",
 })
 
 

@@ -184,3 +184,151 @@ def test_centroid_cosine_matches_numpy(spark):
         cos = float(ca @ cb) / (math.sqrt(float(ca @ ca))
                                 * math.sqrt(float(cb @ cb)))
         assert cm == math.floor(cos * 1e6 + 0.5), (a, b)
+
+
+# --------------------------------------------------------------- M127
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double"
+    )
+
+
+def test_last_touch_attribution_hand_cases(spark):
+    import datetime as dt
+
+    from batch_processing_analysis_spark.operators.events_analytics \
+        import last_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(h=0, m=0, s=0, us=0):
+        return t0 + dt.timedelta(hours=h, minutes=m, seconds=s,
+                                 microseconds=us)
+
+    rows = [
+        # u1: click -> click -> purchase: latest click attributed
+        (1, 1, "click", at(0), 0.0),
+        (2, 1, "click", at(1), 0.0),
+        (3, 1, "purchase", at(2), 10.0),
+        # u2: click 25h before purchase -> outside window, NULL
+        (4, 2, "click", at(0), 0.0),
+        (5, 2, "purchase", at(25), 20.0),
+        # u3: no click at all
+        (6, 3, "purchase", at(1), 5.0),
+        # u4: click at the purchase's EXACT ts, smaller id -> counts
+        (7, 4, "click", at(3), 0.0),
+        (8, 4, "purchase", at(3), 7.5),
+        # u5: click at exact ts, LARGER id -> not prior
+        (10, 5, "purchase", at(4), 1.0),
+        (11, 5, "click", at(4), 0.0),
+    ]
+    got = {r.event_id: r
+           for r in last_touch_attribution(_events(spark, rows)).collect()}
+    assert got[3]["touch_id"] == 2 and got[3]["touch_gap_s"] == 3600
+    assert got[3]["value_cents"] == 1000
+    assert got[5]["touch_id"] is None and got[5]["touch_gap_s"] is None
+    assert got[6]["touch_id"] is None
+    assert got[8]["touch_id"] == 7 and got[8]["touch_gap_s"] == 0
+    assert got[10]["touch_id"] is None
+
+
+def test_last_touch_window_boundary_inclusive(spark):
+    import datetime as dt
+
+    from batch_processing_analysis_spark.operators.events_analytics \
+        import last_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, "click", t0, 0.0),
+        (2, 1, "purchase", t0 + dt.timedelta(hours=24), 1.0),  # == 24h
+        (3, 2, "click", t0, 0.0),
+        (4, 2, "purchase",
+         t0 + dt.timedelta(hours=24, microseconds=1), 1.0),    # > 24h
+    ]
+    got = {r.event_id: r.touch_id
+           for r in last_touch_attribution(_events(spark, rows)).collect()}
+    assert got[2] == 1
+    assert got[4] is None
+
+
+# --------------------------------------------------------------- M128
+
+def test_frequent_paths_hand_counts(spark):
+    import datetime as dt
+
+    from batch_processing_analysis_spark.operators.events_analytics \
+        import frequent_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # u1: A B C A B C -> ABC x2, BCA x1, CAB x1
+    for i, t in enumerate("ABCABC"):
+        rows.append((eid, 1, t, t0 + dt.timedelta(minutes=i), 0.0))
+        eid += 1
+    # u2: A B C -> ABC x1 (no cross-user windows)
+    for i, t in enumerate("ABC"):
+        rows.append((eid, 2, t, t0 + dt.timedelta(minutes=i), 0.0))
+        eid += 1
+    got = {(r.step_1, r.step_2, r.step_3): r.n
+           for r in frequent_paths(_events(spark, rows), k=10,
+                                   depth=3).collect()}
+    assert got == {("A", "B", "C"): 3, ("B", "C", "A"): 1,
+                   ("C", "A", "B"): 1}
+
+
+# --------------------------------------------------------------- M129
+
+def _brute_ks(values_by_group):
+    """Exact KS of each group vs rest, cross-multiplied integers."""
+    import itertools as it
+
+    all_vals = sorted(set(it.chain.from_iterable(
+        values_by_group.values())))
+    N = sum(len(v) for v in values_by_group.values())
+    out = {}
+    for g, vals in values_by_group.items():
+        ng = len(vals)
+        rest = [x for gg, v in values_by_group.items() if gg != g
+                for x in v]
+        num = 0
+        for x in all_vals:
+            cg = sum(1 for v in vals if v <= x)
+            cr = sum(1 for v in rest if v <= x)
+            num = max(num, abs(cg * (N - ng) - cr * ng))
+        out[g] = (ng, N - ng, num)
+    return out
+
+
+def test_ks_drift_brute_force_parity(spark):
+    from batch_processing_analysis_spark.operators.events_analytics \
+        import ks_drift_by_group
+
+    groups = {
+        "a": [1, 2, 3, 4, 5, 5, 6],
+        "b": [4, 5, 6, 7, 8],
+        "c": [1, 1, 2, 9],
+    }
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r.source: (r.n_group, r.n_rest, r.ks_num, r.ks_denom,
+                      r.ks_micro)
+           for r in ks_drift_by_group(df).collect()}
+    exp = _brute_ks(groups)
+    import math
+    for g, (ng, nr, num) in exp.items():
+        assert got[g] == (ng, nr, num, ng * nr,
+                          math.floor(num * 1_000_000 / (ng * nr))), g
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    rows = [(g, v) for g in ("x", "y") for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    from batch_processing_analysis_spark.operators.events_analytics \
+        import ks_drift_by_group
+
+    for r in ks_drift_by_group(df).collect():
+        assert r.ks_num == 0 and r.ks_micro == 0

@@ -67,10 +67,11 @@ EXPECTED_SHADOWED = frozenset({
     # by the driver every round regardless)
     "q11_sessionize", "q28_prioritization_pairs", "q50_fingerprint",
     # deferred half of the r3 three-green tier (re-green in r7) —
-    # q03/q06/q08/q09/q10 ceded their slots mid-r6 to the new
-    # M122-M126 queries (q147-q151)
+    # q03/q06/q08/q09/q10/q13/q17/q18 ceded their slots mid-r6 to the
+    # new M122-M129 queries (q147-q154)
     "q03_top_revenue_orders", "q06_regional_revenue", "q08_string_ops",
-    "q09_window_topk", "q10_argmin_first_event",
+    "q09_window_topk", "q10_argmin_first_event", "q13_directly_follows",
+    "q17_cte_ratio", "q18_range_join_workload",
     "q31_task_batches", "q32_batch_discovery_stats",
     "q33_waiting_time_decomposition", "q35_concurrency_pairs",
     "q36_activation_features", "q40_dedup_exact", "q42_dedup_simhash",
