@@ -321,3 +321,174 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def publish_ppjoin_base(spark, base: DataFrame, table_prefix: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, num_buckets: int = 16,
+                        path_root: str | None = None) -> None:
+    """Persist a base corpus's PPJoin build state as BUCKETED tables
+    (M131) so every later :func:`ppjoin_increment_from_base` ingest
+    joins the (huge) base side WITHOUT an Exchange — the M28 bucketing
+    pattern applied to the exact-join increment. Three tables:
+
+    - ``{prefix}_ranked`` (gid, tk, n, rn) bucketed+sorted by ``tk``:
+      every token row, ranked per doc by the FROZEN base-time
+      (df asc, tk) total order. Storing full ranked rows (not a
+      prefix) keeps the publish threshold-independent — the increment
+      filters ``rn ≤ L − ⌈t·L⌉ + 1`` at read time, which preserves
+      bucketing.
+    - ``{prefix}_df`` (tk, df) bucketed by ``tk``: the frozen document
+      frequencies, joined (left) onto delta tokens so both sides rank
+      in ONE total order; tokens unseen in base take df=0 — rarest,
+      any fixed order satisfies the prefix theorem (see
+      :func:`ppjoin_increment_pairs`; freezing the order is what makes
+      the base state reusable — recomputing union df would change base
+      prefixes every ingest).
+    - ``{prefix}_sets`` (gid, set, n) bucketed by ``gid``: per-doc
+      hash arrays for the Vernica verify.
+
+    The frozen order prunes slightly less than fresh union df when the
+    delta shifts frequencies, but the OUTPUT is identical (exactness
+    never depends on which fixed order is used) — pinned by the
+    identity test against the batch operator. ``path_root`` makes the
+    tables external under that directory.
+    """
+    from pyspark.sql import Window as W
+
+    from ..sources.bucketed import write_bucketed
+    from .dedup import hash60, shingle_rows
+
+    def _path(table: str) -> str | None:
+        return f"{path_root}/{table}" if path_root else None
+
+    lowered = base.select(F.col(id_col),
+                          F.lower(F.col(text_col)).alias(text_col))
+    tok = shingle_rows(lowered, id_col, text_col, k).select(
+        F.col(id_col).alias("gid"), hash60(F.col("shingle")).alias("tk")
+    ).distinct().localCheckpoint(eager=False)
+    dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        tok.join(dfreq.withColumnRenamed("df", "_df"), "tk")
+        .join(sizes, "gid")
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("gid").orderBy("_df", "tk")))
+        .select("gid", "tk", "n", "rn")
+    )
+    write_bucketed(ranked, f"{table_prefix}_ranked", "tk", num_buckets,
+                   path=_path(f"{table_prefix}_ranked"))
+    write_bucketed(dfreq, f"{table_prefix}_df", "tk", num_buckets,
+                   path=_path(f"{table_prefix}_df"))
+    sets = tok.groupBy("gid").agg(
+        F.collect_list("tk").alias("set"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    write_bucketed(sets, f"{table_prefix}_sets", "gid", num_buckets,
+                   path=_path(f"{table_prefix}_sets"))
+
+
+def ppjoin_increment_from_base(spark, delta: DataFrame,
+                               table_prefix: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", t_pct: int = 50,
+                               k: int = 3) -> DataFrame:
+    """Exact incremental PPJoin against a PUBLISHED base (M131): same
+    contract as :func:`ppjoin_increment_pairs` (every qualifying pair
+    with ≥1 delta side, identical output to the batch operator on
+    base ∪ delta minus base-internal pairs) but the base side is never
+    re-shingled, never re-ranked, and never shuffled — its prefix rows
+    arrive pre-bucketed on the join key ``tk``
+    (tests/test_bucketed_ppjoin.py asserts the base scan feeds the
+    candidate join with NO Exchange). Only the delta (small, by
+    definition of an ingest) pays shuffles.
+
+    Ranking uses the base-frozen (df, tk) order for BOTH sides —
+    tokens unseen in base take df=0 (rarest) — so the two prefix
+    definitions agree without touching base state.
+    """
+    from pyspark.sql import Window as W
+
+    from ..sources.bucketed import load_bucketed
+    from .dedup import hash60, shingle_rows
+
+    if not 1 <= t_pct <= 100:
+        raise ValueError(f"t_pct must be in [1, 100], got {t_pct}")
+    ranked_b = load_bucketed(spark, f"{table_prefix}_ranked")
+    df_b = load_bucketed(spark, f"{table_prefix}_df")
+    sets_b = load_bucketed(spark, f"{table_prefix}_sets")
+
+    lowered = delta.select(F.col(id_col),
+                           F.lower(F.col(text_col)).alias(text_col))
+    tok_d = shingle_rows(lowered, id_col, text_col, k).select(
+        F.col(id_col).alias("gid"), hash60(F.col("shingle")).alias("tk")
+    ).distinct().localCheckpoint(eager=False)
+    sizes_d = tok_d.groupBy("gid").agg(F.count(F.lit(1)).alias("n"))
+    ranked_d = (
+        tok_d.join(F.broadcast(df_b), "tk", "left")
+        .withColumn("_df", F.coalesce("df", F.lit(0).cast("long")))
+        .join(sizes_d, "gid")
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("gid").orderBy("_df", "tk")))
+        .select("gid", "tk", "n", "rn")
+    )
+
+    def pfx(frame):
+        ceil_tl = F.floor(
+            (F.lit(t_pct) * F.col("n") + F.lit(99)) / F.lit(100))
+        return frame.filter(F.col("rn") <= F.col("n") - ceil_tl + 1)
+
+    pfx_d = pfx(ranked_d).localCheckpoint(eager=False)
+    a = pfx_d.alias("a")
+    ubound = (F.least(F.col("a.rn"), F.col("b.rn"))
+              + F.least(F.col("a.n") - F.col("a.rn"),
+                        F.col("b.n") - F.col("b.rn")))
+
+    def cand_against(side) -> DataFrame:
+        b = side.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.tk") == F.col("b.tk"))
+                & (F.col("a.gid") != F.col("b.gid"))
+                & (F.col("b.n") * 100 >= F.lit(t_pct) * F.col("a.n"))
+                & (F.col("a.n") * 100 >= F.lit(t_pct) * F.col("b.n"))
+                & (ubound * (100 + t_pct)
+                   >= F.lit(t_pct) * (F.col("a.n") + F.col("b.n"))),
+            )
+            .select(F.least(F.col("a.gid"), F.col("b.gid")).alias("id_a"),
+                    F.greatest(F.col("a.gid"), F.col("b.gid"))
+                    .alias("id_b"))
+        )
+
+    # delta×base keeps base bucketing (pfx is a filter, not a
+    # re-partition); delta×delta is a small self-join.
+    cand = (
+        cand_against(pfx(ranked_b))
+        .unionByName(cand_against(pfx_d))
+        .distinct()
+    )
+    sets_d = tok_d.groupBy("gid").agg(
+        F.collect_list("tk").alias("set"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sets_all = sets_b.unionByName(sets_d)
+    va = sets_all.select(F.col("gid").alias("id_a"),
+                         F.col("set").alias("_seta"),
+                         F.col("n").alias("_na"))
+    vb = sets_all.select(F.col("gid").alias("id_b"),
+                         F.col("set").alias("_setb"),
+                         F.col("n").alias("_nb"))
+    inter = F.size(F.array_intersect(F.col("_seta"), F.col("_setb")))
+    union = F.col("_na") + F.col("_nb") - F.col("_i")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_i", inter.cast("long"))
+        .filter(F.col("_i") * 100 >= F.lit(t_pct) * union)
+        .select(
+            "id_a", "id_b",
+            F.floor(F.col("_i") * F.lit(1_000_000) / union)
+            .cast("long").alias("jac_micro"),
+        )
+    )
