@@ -718,3 +718,107 @@ def ngram_contamination(docs: DataFrame, fractions: dict[str, float],
         F.max(F.coalesce(F.col("_nh"), F.lit(0))).cast("long")
         .alias("max_hits"),
     )
+
+
+def weighted_median_by_group(df: DataFrame, group_col: str = "source",
+                             value_col: str = "n_chars",
+                             weight_col: str | None = None) -> DataFrame:
+    """EXACT weighted median per group (M134): the smallest value v
+    with Σ_{x≤v} w(x) ·2 ≥ W — for the default weight = the value
+    itself, "the doc length below which half the group's CHARACTER
+    MASS lies", the right center for packing/budget decisions where
+    plain median over-weights the swarm of short docs (a classic
+    weighted-quantile definition; integer weights keep every
+    comparison exact — no interpolation, no floats).
+
+    Returns ``(group, n_rows, total_weight, wmedian)``; groups whose
+    total weight is 0 report the smallest value (vacuous cum ≥ 0).
+
+    Scale: duplicates collapse first ((group, value) partial-agg), the
+    cumulative sum windows per group over the collapsed frame
+    (aggregate-bounded: distinct values per group), the answer is one
+    min-aggregate. No global window, no sort of raw rows.
+    """
+    wexpr = (F.col(weight_col) if weight_col is not None
+             else F.col(value_col)).cast("long")
+    per_val = df.select(
+        F.col(group_col), F.col(value_col).alias("_v"),
+        wexpr.alias("_w"),
+    ).groupBy(group_col, "_v").agg(
+        F.sum("_w").alias("_wsum"), F.count(F.lit(1)).alias("_n")
+    )
+    w_cum = (W.partitionBy(group_col).orderBy("_v")
+             .rowsBetween(W.unboundedPreceding, 0))
+    cum = per_val.withColumn("_cum", F.sum("_wsum").over(w_cum))
+    tot = per_val.groupBy(group_col).agg(
+        F.sum("_wsum").alias("total_weight"),
+        F.sum("_n").alias("n_rows"),
+    )
+    return (
+        cum.join(F.broadcast(tot), group_col)
+        .filter(F.col("_cum") * 2 >= F.col("total_weight"))
+        .groupBy(group_col)
+        .agg(F.min("_v").alias("wmedian"),
+             F.first("total_weight").alias("total_weight"),
+             F.first("n_rows").alias("n_rows"))
+        .select(F.col(group_col), F.col("n_rows").cast("long"),
+                F.col("total_weight").cast("long"),
+                F.col("wmedian").cast("long"))
+    )
+
+
+def greedy_coverage_select(docs: DataFrame, k: int,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> list[dict]:
+    """Greedy maximum-coverage document selection (M132): pick ``k``
+    documents one at a time, each maximizing the count of distinct
+    word tokens NOT yet covered by the picks so far (ties → smallest
+    id) — the classic greedy for submodular coverage with the
+    (1 − 1/e) approximation guarantee (Nemhauser, Wolsey & Fisher
+    1978, public), the "small diverse seed set" selection a curriculum
+    or eval-set builder runs.
+
+    Iterative BY NATURE (each pick changes every marginal gain), so
+    this is a driver-coordinated loop like M46 BPE / M68 PageRank:
+    ``k`` rounds, each ONE distributed anti-join + count + a 1-row
+    argmax collect; the covered set lives as a (token-hash) DataFrame,
+    checkpointed per round to cut lineage. Never materializes doc
+    token sets on the driver. Returns a list of
+    ``{rank, doc_id, gain, covered_total}`` dicts (driver-sized: k
+    rows).
+
+    Scale: each round shuffles (doc, token) rows minus the covered
+    semi-join — k·O(corpus tokens) total, k small by construction
+    (this selects a SEED set, not a corpus).
+    """
+    from .dedup import hash60, tokens as _tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("_t"),
+    ).select("_id", hash60(F.col("_t")).alias("_h")).distinct() \
+        .localCheckpoint(eager=True)
+    covered = toks.sparkSession.createDataFrame([], "_h long")
+    picks: list[dict] = []
+    total = 0
+    for rank in range(1, k + 1):
+        gains = (
+            toks.join(covered, "_h", "left_anti")
+            .groupBy("_id").agg(F.count(F.lit(1)).alias("_gain"))
+            .orderBy(F.col("_gain").desc(), "_id")
+            .limit(1)
+            .collect()
+        )
+        if not gains or gains[0]["_gain"] == 0:
+            break
+        row = gains[0]
+        total += int(row["_gain"])
+        picks.append({"rank": rank, "doc_id": row["_id"],
+                      "gain": int(row["_gain"]),
+                      "covered_total": total})
+        covered = covered.unionByName(
+            toks.filter(F.col("_id") == row["_id"]).select("_h")
+        ).distinct().localCheckpoint(eager=True)
+    return picks

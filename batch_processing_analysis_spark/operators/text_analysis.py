@@ -1602,3 +1602,108 @@ def script_mix(docs: DataFrame, id_col: str = "doc_id",
                F.floor(n_nonascii * F.lit(1_000_000) / ln))
         .otherwise(F.lit(0)).cast("long").alias("nonascii_micro"),
     )
+
+
+def novelty_attribution(docs: DataFrame, group_col: str = "source",
+                        n: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Source-order first-occurrence attribution (M133): process
+    sources in a FIXED order (ascending group key) and charge every
+    distinct word ``n``-gram to the first source that contributes it —
+    "how much does each feed add that everything before it didn't",
+    the marginal-value signal that ranks acquisition/retention of data
+    sources (the dedup complement of M84's per-doc novelty: M84 asks
+    "is this doc templated", this asks "is this SOURCE redundant given
+    the others").
+
+    Returns per source: ``(group, n_grams_seen [distinct grams
+    appearing in the source], n_grams_first [grams whose first source
+    in the order is this one], novelty_micro =
+    floor(first·1e6/seen))``; Σ n_grams_first = corpus distinct grams.
+
+    Scale: flat (group, gram-hash) distinct rows → one min-aggregate
+    keyed on gram (partial-aggregable) → one per-group rollup joined
+    with the per-group distinct counts. Processing order is the group
+    key's natural order — deterministic in any engine, no actual
+    sequential pass.
+    """
+    from .decontamination import word_ngrams
+
+    gg = docs.select(
+        F.col(group_col).alias("_g"),
+        F.explode(word_ngrams(F.lower(F.col(text_col)), n)).alias("_t"),
+    ).select("_g", hash60(F.col("_t")).alias("_h")).distinct()
+    seen = gg.groupBy("_g").agg(F.count(F.lit(1)).alias("n_grams_seen"))
+    first = (
+        gg.groupBy("_h").agg(F.min("_g").alias("_g"))
+        .groupBy("_g").agg(F.count(F.lit(1)).alias("n_grams_first"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        seen.join(first, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("n_grams_seen").cast("long"),
+            F.coalesce("n_grams_first", zero).alias("n_grams_first"),
+            F.when(F.col("n_grams_seen") > 0,
+                   F.floor(F.coalesce("n_grams_first", zero)
+                           * F.lit(1_000_000) / F.col("n_grams_seen")))
+            .otherwise(zero).cast("long").alias("novelty_micro"),
+        )
+    )
+
+
+def zipf_slope(docs: DataFrame, group_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Per-group Zipf log-log slope (M135): OLS slope of
+    ln(frequency) on ln(rank) over the group's token frequency table —
+    natural text sits near −1 (Zipf 1949, public); synthetic /
+    degenerate / word-salad feeds drift toward 0 (flat) or below −2
+    (top-heavy). A one-number "vocabulary naturalness" screen next to
+    M104's richness ratios.
+
+    Determinism: x = ln(rank) and y = ln(count) quantize ONCE to
+    integer micros; the OLS moments Σx, Σy, Σxy, Σx² accumulate those
+    integers exactly in ``decimal(38,0)`` (HUGEINT twin), and the
+    slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE float division on exact
+    integers, emitted as ``slope_micro = floor(slope·1e6 + 0.5)``.
+    Rank is (count desc, token asc) dense position via row_number —
+    total-order deterministic. Groups with < 2 distinct tokens report
+    NULL slope (the denominator is 0).
+
+    Scale: one (group, token) count shuffle; the rank window
+    partitions by group; moments are one per-group rollup.
+    """
+    tc = docs.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+    ).groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    ranked = tc.withColumn(
+        "_r", F.row_number().over(
+            W.partitionBy("_g").orderBy(F.col("_c").desc(), "_t")))
+    q = ranked.select(
+        "_g",
+        F.floor(F.log(F.col("_r").cast("double")) * F.lit(1e6)
+                + F.lit(0.5)).cast("long").alias("_x"),
+        F.floor(F.log(F.col("_c").cast("double")) * F.lit(1e6)
+                + F.lit(0.5)).cast("long").alias("_y"),
+    )
+    dec = "decimal(38,0)"
+    mom = q.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_x")).alias("_sxx"),
+    )
+    num = (F.col("_n").cast(dec) * F.col("_sxy")
+           - F.col("_sx") * F.col("_sy")).cast("double")
+    den = (F.col("_n").cast(dec) * F.col("_sxx")
+           - F.col("_sx") * F.col("_sx")).cast("double")
+    return mom.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("vocab_size"),
+        F.when(den > 0,
+               F.floor(num / den * F.lit(1_000_000) + F.lit(0.5)))
+        .cast("long").alias("slope_micro"),
+    )

@@ -4454,3 +4454,140 @@ def q154_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ks_drift_by_group(_docs(spark, sf_dir).select(
         "source", "n_chars"))
+
+
+@query(
+    "q155_novelty_attribution",
+    r"""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substr(md5(u.gm), 1, 15) AS BIGINT) AS h
+      FROM (
+        SELECT source, unnest(list_distinct(
+          CASE WHEN len(tk) >= 8
+               THEN list_transform(range(1, len(tk) - 6),
+                                   i -> array_to_string(tk[i:i+7], ' '))
+               ELSE []::VARCHAR[] END)) AS gm
+        FROM t
+      ) u
+    ),
+    seen AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams_seen
+      FROM g GROUP BY source
+    ),
+    firsts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams_first
+      FROM (SELECT h, min(source) AS source FROM g GROUP BY h)
+      GROUP BY source
+    )
+    SELECT s.source, s.n_grams_seen,
+           CAST(COALESCE(f.n_grams_first, 0) AS BIGINT) AS n_grams_first,
+           CAST(CASE WHEN s.n_grams_seen > 0
+                THEN floor(COALESCE(f.n_grams_first, 0) * 1000000.0
+                           / s.n_grams_seen)
+                ELSE 0 END AS BIGINT) AS novelty_micro
+    FROM seen s LEFT JOIN firsts f USING (source)
+    """,
+    primary=False,
+)
+def q155_novelty_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-order first-occurrence 8-gram attribution (operators/
+    text_analysis.py:novelty_attribution, M133): every distinct gram
+    charged to the first source in ascending key order — the marginal
+    source-value signal. Driver window r6 via PRIMARY_ROTATION."""
+    return TA.novelty_attribution(_docs(spark, sf_dir))
+
+
+@query(
+    "q156_weighted_median",
+    r"""
+    WITH pv AS (
+      SELECT source, n_chars AS v,
+             CAST(sum(n_chars) AS BIGINT) AS wsum,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, v,
+             CAST(sum(wsum) OVER (PARTITION BY source ORDER BY v)
+                  AS BIGINT) AS c
+      FROM pv
+    ),
+    tot AS (
+      SELECT source, CAST(sum(wsum) AS BIGINT) AS w,
+             CAST(sum(n) AS BIGINT) AS n_rows
+      FROM pv GROUP BY source
+    )
+    SELECT t.source, t.n_rows, t.w AS total_weight,
+           CAST(min(c.v) AS BIGINT) AS wmedian
+    FROM cum c JOIN tot t USING (source)
+    WHERE c.c * 2 >= t.w
+    GROUP BY t.source, t.n_rows, t.w
+    """,
+    primary=False,
+)
+def q156_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-mass-weighted median doc length per source
+    (operators/ordering.py:weighted_median_by_group, M134): smallest v
+    with 2·cum-weight ≥ total — integer comparisons only. Driver
+    window r6 via PRIMARY_ROTATION."""
+    return ORD.weighted_median_by_group(_docs(spark, sf_dir))
+
+
+@query(
+    "q157_zipf_slope",
+    r"""
+    WITH tc AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      FROM tc GROUP BY source, t
+    ),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, t) AS r
+      FROM cnt
+    ),
+    q AS (
+      SELECT source,
+             CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS y
+      FROM ranked
+    ),
+    mom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM q GROUP BY source
+    )
+    SELECT source, n AS vocab_size,
+           CAST(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE)
+                           * 1000000.0 + 0.5)
+                ELSE NULL END AS BIGINT) AS slope_micro
+    FROM mom
+    """,
+    primary=False,
+)
+def q157_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf log-log OLS slope (operators/text_analysis.py:
+    zipf_slope, M135): ln-rank/ln-count quantized once to micros,
+    exact decimal(38,0)/HUGEINT moments, one float division. Driver
+    window r6 via PRIMARY_ROTATION."""
+    return TA.zipf_slope(_docs(spark, sf_dir))

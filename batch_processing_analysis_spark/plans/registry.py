@@ -103,15 +103,12 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q52_dedup_components",
     "q56_repetition_signals",
     "q57_pattern_counts",
-    # r3-stale, three driver-green rows (cede these slots first to new
-    # r6 queries; the deferred half of this tier re-greens in r7)
-    "q19_theta_self_join",
-    "q20_chunking",
-    "q21_rolling_sequence",
+    # r3-stale, three driver-green rows (the rest of this tier ceded
+    # to new r6 queries; the deferred tier re-greens in r7)
     "q24_union_rekey",
-    # new r6 operators (M122-M129), first driver check — took the
-    # q03/q06/q08/q09/q10/q13/q17/q18 slots of the three-green tier
-    # (never-checked > stale-green; the ceded eight re-green in r7)
+    # new r6 operators (M122-M135), first driver check — took the
+    # q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/q21 slots of the
+    # three-green tier (never-checked > stale-green; re-green in r7)
     "q147_ppjoin_increment",
     "q148_token_entropy",
     "q149_containment_pairs",
@@ -120,6 +117,9 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q152_last_touch_attribution",
     "q153_frequent_paths",
     "q154_ks_drift",
+    "q155_novelty_attribution",
+    "q156_weighted_median",
+    "q157_zipf_slope",
 })
 
 

@@ -332,3 +332,164 @@ def test_ks_drift_identical_distributions_zero(spark):
 
     for r in ks_drift_by_group(df).collect():
         assert r.ks_num == 0 and r.ks_micro == 0
+
+
+# --------------------------------------------------------------- M133
+
+def _docs4(spark, items):
+    return spark.createDataFrame(
+        items, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_novelty_attribution_first_source_wins(spark):
+    # 8-gram attribution in ascending source order: s1 contributes the
+    # gram first, s2's identical text adds nothing new.
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = {r["source"]: r for r in TA.novelty_attribution(_docs4(spark, [
+        (1, base, "en", "s1"),
+        (2, base, "en", "s2"),
+        (3, base + " w9", "en", "s2"),   # adds exactly one new 8-gram
+    ])).collect()}
+    assert rows["s1"]["n_grams_seen"] == 1
+    assert rows["s1"]["n_grams_first"] == 1
+    assert rows["s1"]["novelty_micro"] == 1_000_000
+    assert rows["s2"]["n_grams_seen"] == 2
+    assert rows["s2"]["n_grams_first"] == 1   # only 'w2..w9'
+    assert rows["s2"]["novelty_micro"] == 500_000
+    total_first = sum(r["n_grams_first"] for r in rows.values())
+    assert total_first == 2  # == corpus distinct grams
+
+
+def test_novelty_attribution_short_docs_zero_seen(spark):
+    rows = {r["source"]: r for r in TA.novelty_attribution(_docs4(spark, [
+        (1, "too short", "en", "s1"),
+    ])).collect()}
+    # fewer than 8 tokens -> no grams -> source absent entirely
+    assert rows == {}
+
+
+# --------------------------------------------------------------- M134
+
+def test_weighted_median_hand_case(spark):
+    from batch_processing_analysis_spark.operators.ordering import (
+        weighted_median_by_group,
+    )
+
+    # lengths 1,1,1,10: char mass = 13, half = 6.5 -> cum at v=1 is 3
+    # (3*2=6 < 13), at v=10 is 13 (26 >= 13) -> wmedian 10. The PLAIN
+    # median would be 1.
+    rows = [("s", 1), ("s", 1), ("s", 1), ("s", 10),
+            ("t", 5), ("t", 5)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r.source: r for r in weighted_median_by_group(df).collect()}
+    assert got["s"]["wmedian"] == 10
+    assert got["s"]["total_weight"] == 13 and got["s"]["n_rows"] == 4
+    assert got["t"]["wmedian"] == 5
+
+
+def test_weighted_median_explicit_weight_and_python_parity(spark):
+    import numpy as np
+
+    from batch_processing_analysis_spark.operators.ordering import (
+        weighted_median_by_group,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [("g", int(v), int(w)) for v, w in zip(
+        rng.randint(1, 50, 60), rng.randint(1, 9, 60))]
+    df = spark.createDataFrame(rows, "source string, v long, w long")
+    got, = weighted_median_by_group(df, value_col="v",
+                                    weight_col="w").collect()
+
+    total = sum(w for _, _, w in rows)
+    cum = 0
+    expect = None
+    for v in sorted({v for _, v, _ in rows}):
+        cum += sum(w for _, vv, w in rows if vv == v)
+        if cum * 2 >= total:
+            expect = v
+            break
+    assert got["wmedian"] == expect
+
+
+# --------------------------------------------------------------- M135
+
+def test_zipf_slope_exact_power_law(spark):
+    # counts c_r = round(1000 / r) for r=1..20 with distinct tokens ->
+    # slope should recover ~ -1 (within quantization noise).
+    rows = []
+    did = 0
+    for r in range(1, 21):
+        c = max(1, round(1000 / r))
+        for _ in range(c):
+            rows.append((did, f"tok{r:02d}", "en", "s"))
+            did += 1
+    docs = _docs4(spark, [(i, t, lang, s) for i, (di, t, lang, s) in
+                          enumerate(rows)])
+    row, = TA.zipf_slope(docs, text_col="text").collect()
+    assert row["vocab_size"] == 20
+    assert -1_100_000 < row["slope_micro"] < -900_000
+
+
+def test_zipf_slope_flat_distribution_is_zero(spark):
+    # all tokens equally frequent -> ln(c) constant -> slope 0
+    docs = _docs4(spark, [
+        (i, " ".join(f"t{j}" for j in range(10)), "en", "s")
+        for i in range(5)
+    ])
+    row, = TA.zipf_slope(docs).collect()
+    assert row["slope_micro"] == 0
+
+
+def test_zipf_slope_single_token_null(spark):
+    docs = _docs4(spark, [(1, "only only only", "en", "s")])
+    row, = TA.zipf_slope(docs).collect()
+    assert row["vocab_size"] == 1 and row["slope_micro"] is None
+
+
+# --------------------------------------------------------------- M132
+
+def test_greedy_coverage_matches_python_greedy(spark):
+    from batch_processing_analysis_spark.operators.ordering import (
+        greedy_coverage_select,
+    )
+
+    items = [
+        (1, "a b c d e"),
+        (2, "a b c"),
+        (3, "f g h"),
+        (4, "e f"),
+        (5, "x"),
+    ]
+    got = greedy_coverage_select(_docs(spark, items), k=4)
+
+    # pure-Python greedy with the same (gain desc, id asc) tiebreak
+    sets = {i: set(t.split()) for i, t in items}
+    covered: set = set()
+    expect = []
+    for rank in range(1, 5):
+        best = max(sets.items(),
+                   key=lambda kv: (len(kv[1] - covered), -kv[0]))
+        gain = len(best[1] - covered)
+        if gain == 0:
+            break
+        covered |= best[1]
+        expect.append({"rank": rank, "doc_id": best[0], "gain": gain,
+                       "covered_total": len(covered)})
+    assert got == expect
+    # first pick must be the widest doc
+    assert got[0]["doc_id"] == 1 and got[0]["gain"] == 5
+
+
+def test_greedy_coverage_stops_when_exhausted(spark):
+    from batch_processing_analysis_spark.operators.ordering import (
+        greedy_coverage_select,
+    )
+
+    items = [(1, "a b"), (2, "a b"), (3, "a")]
+    got = greedy_coverage_select(_docs(spark, items), k=3)
+    # one pick covers everything; duplicates add gain 0 -> stop
+    assert len(got) == 1
+    assert got[0] == {"rank": 1, "doc_id": 1, "gain": 2,
+                      "covered_total": 2}
