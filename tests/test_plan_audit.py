@@ -109,6 +109,10 @@ EXTRA_SCALAR_BROADCAST = {
     # RRF: q124's NB scalars plus one min/max bounds aggregate (1 row)
     # per fused signal (banded_global_rank).
     "q139_rrf_fusion",
+    # KS drift: the evaluation grid is distinct-values × |groups| —
+    # both sides aggregates (the q125 bounded-pair shape) — plus the
+    # 1-row corpus-total broadcast.
+    "q154_ks_drift",
 }
 
 
@@ -141,6 +145,9 @@ GLOBAL_WINDOW_BOUNDED = {
     # RRF: one ≤ n_bands-row prefix window per fused signal
     # (banded_global_rank × 3).
     "q139_rrf_fusion",
+    # KS drift: the pooled-CDF cumulative window runs over the
+    # distinct-value counts aggregate (value cardinality, not rows).
+    "q154_ks_drift",
 }
 
 
