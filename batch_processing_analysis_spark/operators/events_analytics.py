@@ -313,3 +313,114 @@ def ks_drift_by_group(df: DataFrame, group_col: str = "source",
             .otherwise(F.lit(0)).cast("long").alias("ks_micro"),
         )
     )
+
+
+def variant_table(events: DataFrame, k: int = 25,
+                  case_col: str = "user_id",
+                  type_col: str = "event_type",
+                  ts_col: str = "ts",
+                  id_col: str = "event_id",
+                  prefix_len: int | None = None) -> DataFrame:
+    """Top-``k`` case variants (M139): group cases by their ordered
+    activity sequence and count — the first table every
+    process-mining analysis shows ("80% of cases follow 5 paths"),
+    over the product event stream with (ts, id) total order under
+    ties. ``prefix_len`` restricts each case to its FIRST n events
+    (the "how do journeys start" form — on long always-on streams
+    full variants are all unique and the table degenerates).
+
+    Returns ``(variant [comma-joined sequence], n_cases, n_events)``
+    sorted by n_cases desc with the variant string as tiebreak,
+    limited to ``k``.
+
+    Scale: ONE hash partition by case carries the ordering window and
+    the sequence fold (collect_list over the window's sorted frame,
+    then one row per case via max length); the variant-key count
+    shuffle moves one (usually short) string per case. Variant strings
+    are unbounded only if traces are — cap upstream if a case can run
+    to millions of events.
+    """
+    if prefix_len is not None:
+        w_rn = W.partitionBy(case_col).orderBy(ts_col, id_col)
+        events = (
+            events.withColumn("_rn", F.row_number().over(w_rn))
+            .filter(F.col("_rn") <= prefix_len)
+            .drop("_rn")
+        )
+    w = (W.partitionBy(case_col).orderBy(ts_col, id_col)
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    per_case = (
+        events.select(
+            case_col,
+            F.concat_ws(",", F.collect_list(type_col).over(w))
+            .alias("variant"),
+            F.count(F.lit(1)).over(
+                W.partitionBy(case_col)).alias("_n_events"),
+        )
+        .groupBy(case_col)
+        .agg(F.first("variant").alias("variant"),
+             F.first("_n_events").alias("_n_events"))
+    )
+    return (
+        per_case.groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n_cases"),
+             F.sum("_n_events").cast("long").alias("n_events"))
+        .orderBy(F.col("n_cases").desc(), "variant")
+        .limit(k)
+    )
+
+
+def conformance_fitness(events: DataFrame, min_support: int = 10,
+                        case_col: str = "user_id",
+                        type_col: str = "event_type",
+                        ts_col: str = "ts",
+                        id_col: str = "event_id") -> DataFrame:
+    """Directly-follows conformance fitness (M138): mine the DFG model
+    from the log itself (edges with ≥ ``min_support`` occurrences),
+    then score every case by the fraction of its transitions the model
+    contains — the standard frequency-model token-replay
+    approximation of conformance checking (van der Aalst's process
+    mining line; the DFG-fitness form is the public textbook variant).
+    Low-fitness cases are the anomalous paths worth auditing.
+
+    Returns one row per case with ≥1 transition:
+    ``(case, n_transitions, n_conforming, fitness_micro)``.
+
+    Scale: one case-partitioned lead window builds transitions; the
+    model is a (type, type) count aggregate — ≤ |types|² rows,
+    broadcast back; the rollup is per-case. Mining and scoring share
+    the transition frame (one staged localCheckpoint).
+    """
+    w = W.partitionBy(case_col).orderBy(ts_col, id_col)
+    trans = (
+        events.select(
+            case_col,
+            F.col(type_col).alias("_a"),
+            F.lead(type_col, 1).over(w).alias("_b"),
+        )
+        .filter(F.col("_b").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    model = (
+        trans.groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_support)
+        .select("_a", "_b", F.lit(1).alias("_ok"))
+    )
+    return (
+        trans.join(F.broadcast(model), ["_a", "_b"], "left")
+        .groupBy(case_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(F.coalesce("_ok", F.lit(0))).cast("long")
+            .alias("n_conforming"),
+        )
+        .select(
+            F.col(case_col),
+            F.col("n_transitions").cast("long"),
+            "n_conforming",
+            F.floor(F.col("n_conforming") * F.lit(1_000_000)
+                    / F.col("n_transitions")).cast("long")
+            .alias("fitness_micro"),
+        )
+    )

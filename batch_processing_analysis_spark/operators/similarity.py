@@ -1050,3 +1050,137 @@ def centroid_cosine_matrix(corpus: DataFrame, id_col: str = "vec_id",
             .otherwise(F.lit(0)).cast("long").alias("cos_micro"),
         )
     )
+
+
+def mmr_select(corpus: DataFrame, query_vec: list[float], k: int = 10,
+               lambda_pct: int = 70, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list[dict]:
+    """Maximal Marginal Relevance selection (M137; Carbonell &
+    Goldstein 1998, public): pick ``k`` vectors one at a time
+    maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — relevance to
+    the query balanced against redundancy with what's already picked.
+    The retrieval-side complement of M132's coverage greedy: top-k
+    WITHOUT returning k near-copies of the best hit.
+
+    Determinism (the M90/M125 convention): components quantize once to
+    integer micros; rel and sim are cosines of the quantized integer
+    vectors — exact decimal dot/norm sums, one float division each —
+    quantized to ``*_micro`` longs before the argmax, ties → smallest
+    id; ``lambda_pct`` is an integer percent so the MMR objective
+    ``λ·rel − (100−λ)·maxsim`` stays in exact integer micros.
+
+    Iterative BY NATURE (each pick changes every candidate's
+    redundancy term): k driver-coordinated rounds like M132/M46/M68 —
+    each round ONE distributed max-sim update against the single
+    just-picked vector (a broadcast 1-row join, no pairwise stage) and
+    a 1-row argmax collect. State per candidate is one running
+    ``maxsim_micro`` column, checkpointed per round.
+
+    Returns a list of ``{rank, id, rel_micro, maxsim_micro,
+    mmr_micro}`` (driver-sized: k rows).
+    """
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 <= lambda_pct <= 100:
+        raise ValueError(f"lambda_pct must be in [0, 100], got "
+                         f"{lambda_pct}")
+    spark = corpus.sparkSession
+    dim = len(query_vec)
+    qm = [math.floor(float(x) * 1e6) for x in query_vec]
+    qnorm = math.sqrt(sum(float(x) * x for x in qm))
+
+    comp = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_x"),
+    ).select(
+        "_id", "_dim",
+        F.floor(F.col("_x").cast("double") * F.lit(1e6))
+        .cast("long").alias("_xm"),
+    )
+    qdf = spark.createDataFrame(
+        [(d, int(qm[d])) for d in range(dim)], "_dim int, _qm long"
+    )
+    dec = "decimal(38,0)"
+    base = (
+        comp.join(F.broadcast(qdf), "_dim")
+        .groupBy("_id")
+        .agg(F.sum(F.col("_xm").cast(dec) * F.col("_qm")).alias("_dot"),
+             F.sum(F.col("_xm").cast(dec) * F.col("_xm")).alias("_nrm"))
+        .select(
+            "_id",
+            F.when(F.col("_nrm") > 0,
+                   F.floor(F.col("_dot").cast("double")
+                           / (F.sqrt(F.col("_nrm").cast("double"))
+                              * F.lit(qnorm)) * F.lit(1e6)
+                           + F.lit(0.5)))
+            .otherwise(F.lit(0)).cast("long").alias("rel_micro"),
+            F.col("_nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    comp = comp.localCheckpoint(eager=True)
+    # running state: candidate → current max similarity to the picked set
+    state = base.select(
+        "_id", "rel_micro", "_nrm",
+        F.lit(-(10 ** 9)).cast("long").alias("maxsim_micro"),
+    ).localCheckpoint(eager=True)
+    picks: list[dict] = []
+    lam, lam_c = lambda_pct, 100 - lambda_pct
+    for rank in range(1, k + 1):
+        # maxsim of an empty set is 0 by convention
+        eff_maxsim = (F.greatest(F.col("maxsim_micro"), F.lit(0))
+                      if rank == 1 else F.col("maxsim_micro"))
+        mmr = (F.lit(lam) * F.col("rel_micro")
+               - F.lit(lam_c) * eff_maxsim)
+        best = (
+            state.select("_id", "rel_micro", "maxsim_micro",
+                         mmr.alias("_mmr"))
+            .orderBy(F.col("_mmr").desc(), "_id")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        picks.append({
+            "rank": rank, "id": row["_id"],
+            "rel_micro": int(row["rel_micro"]),
+            "maxsim_micro": int(max(row["maxsim_micro"], 0)),
+            "mmr_micro": int(row["_mmr"]),
+        })
+        if rank == k:
+            break
+        picked_comp = comp.filter(F.col("_id") == row["_id"]).select(
+            "_dim", F.col("_xm").alias("_pm"))
+        picked_nrm = [r["_nrm"] for r in
+                      base.filter(F.col("_id") == row["_id"])
+                      .select("_nrm").collect()]
+        pnorm = math.sqrt(float(picked_nrm[0])) if picked_nrm else 0.0
+        sim_new = (
+            comp.join(F.broadcast(picked_comp), "_dim")
+            .groupBy("_id")
+            .agg(F.sum(F.col("_xm").cast(dec) * F.col("_pm"))
+                 .alias("_dot"))
+        )
+        state = (
+            state.filter(F.col("_id") != row["_id"])
+            .join(sim_new, "_id", "left")
+            .select(
+                "_id", "rel_micro", "_nrm",
+                F.greatest(
+                    F.greatest(F.col("maxsim_micro"), F.lit(0)),
+                    F.when(
+                        (F.col("_nrm") > 0) & F.col("_dot").isNotNull()
+                        & (F.lit(pnorm) > 0),
+                        F.floor(F.col("_dot").cast("double")
+                                / (F.sqrt(F.col("_nrm").cast("double"))
+                                   * F.lit(pnorm)) * F.lit(1e6)
+                                + F.lit(0.5)).cast("long"))
+                    .otherwise(F.lit(0).cast("long")),
+                ).alias("maxsim_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return picks

@@ -1271,3 +1271,75 @@ def q153_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.events_analytics import frequent_paths
 
     return frequent_paths(_t(spark, sf_dir, "events"), k=25, depth=3)
+
+
+@query(
+    "q158_conformance_fitness",
+    r"""
+    WITH trans AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    tt AS (SELECT user_id, a, b FROM trans WHERE b IS NOT NULL),
+    model AS (
+      SELECT a, b FROM tt GROUP BY a, b HAVING count(*) >= 10
+    )
+    SELECT t.user_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN m.a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_conforming,
+           CAST(floor(sum(CASE WHEN m.a IS NOT NULL THEN 1 ELSE 0 END)
+                      * 1000000.0 / count(*)) AS BIGINT)
+             AS fitness_micro
+    FROM tt t LEFT JOIN model m ON m.a = t.a AND m.b = t.b
+    GROUP BY t.user_id
+    """,
+)
+def q158_conformance_fitness(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """DFG conformance fitness per case (operators/events_analytics.py:
+    conformance_fitness, M138): mine the min-support directly-follows
+    model from the log, score each case's transition conformance — the
+    frequency-model token-replay approximation. One case-partitioned
+    lead window + a broadcast |types|^2 model join. Driver window r6
+    via PRIMARY_ROTATION."""
+    from ..operators.events_analytics import conformance_fitness
+
+    return conformance_fitness(_t(spark, sf_dir, "events"),
+                               min_support=10)
+
+
+@query(
+    "q159_variant_table",
+    r"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    pref AS (SELECT * FROM ranked WHERE rn <= 5),
+    per_case AS (
+      SELECT user_id,
+             string_agg(event_type, ',' ORDER BY rn) AS variant,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM pref GROUP BY user_id
+    )
+    SELECT variant, CAST(count(*) AS BIGINT) AS n_cases,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM per_case GROUP BY variant
+    ORDER BY n_cases DESC, variant
+    LIMIT 25
+    """,
+)
+def q159_variant_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 journey-prefix variants (operators/events_analytics.py:
+    variant_table, M139): cases grouped by their first-5-event type
+    sequence — the classic process-mining variant table on the event
+    stream. Driver window r6 via PRIMARY_ROTATION."""
+    from ..operators.events_analytics import variant_table
+
+    return variant_table(_t(spark, sf_dir, "events"), k=25,
+                         prefix_len=5)

@@ -4591,3 +4591,64 @@ def q157_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal(38,0)/HUGEINT moments, one float division. Driver
     window r6 via PRIMARY_ROTATION."""
     return TA.zipf_slope(_docs(spark, sf_dir))
+
+
+# Fixed demo vocabulary for the M136 linear scorer: common tokens of
+# the synthetic corpus plus two guaranteed-OOV entries (exercising the
+# weight-0 path). Weights are md5-derived from the token (seeded_weights
+# convention), reproduced in SQL below.
+_LINEAR_VOCAB = [
+    "key", "value", "table", "row", "batch", "spark", "fast", "slow",
+    "merge", "sort", "window", "scan", "agg", "hash", "part", "line",
+    "never-in-corpus-1", "never-in-corpus-2",
+]
+
+
+@query(
+    "q160_linear_scores",
+    r"""
+    WITH vocab AS (
+      SELECT u.t,
+             (CAST('0x' || substr(md5('linear:0' || chr(31) || u.t),
+                                  1, 15) AS BIGINT)
+              % 2000000) - 1000000 AS w
+      FROM unnest(['key', 'value', 'table', 'row', 'batch', 'spark',
+                   'fast', 'slow', 'merge', 'sort', 'window', 'scan',
+                   'agg', 'hash', 'part', 'line', 'never-in-corpus-1',
+                   'never-in-corpus-2']) AS u(t)
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(COALESCE(v.w, 0)) AS BIGINT) AS wsum
+      FROM tok LEFT JOIN vocab v ON v.t = tok.t
+      GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.wsum, 0) + 250000 AS BIGINT) AS logit_micro,
+           CAST(floor(1000000.0
+                      / (1.0 + exp(-(COALESCE(p.wsum, 0) + 250000)
+                                   / 1000000.0)) + 0.5) AS BIGINT)
+             AS score_micro
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    primary=False,
+)
+def q160_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-vocabulary linear text-classifier inference (operators/
+    scoring.py, M136): the relational form of the Arrow-batched scorer
+    (kernel ≡ relational equality-tested in tests/test_r6_ops.py);
+    md5-seeded integer-micro weights the oracle recomputes in SQL,
+    sigmoid on the exact quantized logit. Driver window r6 via
+    PRIMARY_ROTATION."""
+    from ..operators.scoring import linear_scores_relational, seeded_weights
+
+    return linear_scores_relational(
+        _docs(spark, sf_dir), seeded_weights(_LINEAR_VOCAB),
+        bias_micro=250_000)

@@ -101,14 +101,10 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q29_range_join_bucketed",
     "q38_interval_sweep",
     "q52_dedup_components",
-    "q56_repetition_signals",
-    "q57_pattern_counts",
-    # r3-stale, three driver-green rows (the rest of this tier ceded
-    # to new r6 queries; the deferred tier re-greens in r7)
-    "q24_union_rekey",
-    # new r6 operators (M122-M135), first driver check — took the
-    # q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/q21 slots of the
-    # three-green tier (never-checked > stale-green; re-green in r7)
+    # new r6 operators (M122-M140), first driver check — took the
+    # whole three-green tier (q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
+    # q21/q24) plus the two-green q56/q57 (never-checked > stale-green;
+    # all ceded slots re-green in r7, still inside the 3-round budget)
     "q147_ppjoin_increment",
     "q148_token_entropy",
     "q149_containment_pairs",
@@ -120,6 +116,9 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q155_novelty_attribution",
     "q156_weighted_median",
     "q157_zipf_slope",
+    "q158_conformance_fitness",
+    "q159_variant_table",
+    "q160_linear_scores",
 })
 
 

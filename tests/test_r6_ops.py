@@ -493,3 +493,177 @@ def test_greedy_coverage_stops_when_exhausted(spark):
     assert len(got) == 1
     assert got[0] == {"rank": 1, "doc_id": 1, "gain": 2,
                       "covered_total": 2}
+
+
+# --------------------------------------------------------------- M136
+
+def test_linear_scores_kernel_equals_relational(spark):
+    from batch_processing_analysis_spark.operators.scoring import (
+        linear_scores,
+        linear_scores_relational,
+        seeded_weights,
+    )
+
+    docs = _docs(spark, [
+        (1, "good text with the key words"),
+        (2, "bad bad noise"),
+        (3, "the the the"),
+        (4, "   "),            # zero tokens -> logit = bias
+        (5, "unseen vocabulary entirely"),
+    ])
+    w = seeded_weights(["good", "bad", "the", "key", "words", "text"])
+    kern = sorted(map(tuple, linear_scores(docs, w,
+                                           bias_micro=250_000).collect()))
+    rel = sorted(map(tuple, linear_scores_relational(
+        docs, w, bias_micro=250_000).collect()))
+    assert kern == rel
+    rows = {r[0]: r for r in kern}
+    # hand check: doc 3 = 3x weight('the') + bias
+    assert rows[3][2] == 3 * w["the"] + 250_000
+    assert rows[4][1] == 0 and rows[4][2] == 250_000
+    # sigmoid(0.25) in micros
+    import math
+    assert rows[4][3] == math.floor(1e6 / (1 + math.exp(-0.25)) + 0.5)
+
+
+def test_linear_scores_weights_are_engine_portable(spark):
+    # the seeded weight must equal the DuckDB expression
+    # (CAST('0x'||substr(md5(seed||chr(31)||t),1,15) AS BIGINT)
+    #  % 2000000) - 1000000
+    import duckdb
+
+    from batch_processing_analysis_spark.operators.scoring import (
+        seeded_weights,
+    )
+
+    w = seeded_weights(["alpha", "beta", "the"])
+    con = duckdb.connect()
+    for t, expect in w.items():
+        got = con.execute(
+            "SELECT (CAST('0x' || substr(md5('linear:0' || chr(31) "
+            "|| ?), 1, 15) AS BIGINT) % 2000000) - 1000000", [t]
+        ).fetchone()[0]
+        assert got == expect, t
+
+
+# --------------------------------------------------------------- M137
+
+def _py_mmr(vecs, q, k, lam_pct):
+    import math
+
+    import numpy as np
+
+    def quant(v):
+        # corpus vectors live in an array<float> column: the operator
+        # sees float32 values — mirror the narrowing before quantizing
+        return [math.floor(float(np.float32(x)) * 1e6) for x in v]
+
+    def cos_micro(a, b):
+        # exact integer accumulation (the operator sums in
+        # decimal(38,0) and casts ONCE) — float-accumulated dots
+        # diverge by 1 ulp at floor boundaries
+        na = math.sqrt(float(sum(x * x for x in a)))
+        nb = math.sqrt(float(sum(x * x for x in b)))
+        if na == 0 or nb == 0:
+            return 0
+        d = float(sum(x * y for x, y in zip(a, b)))
+        return math.floor(d / (na * nb) * 1e6 + 0.5)
+
+    qm = [math.floor(float(x) * 1e6) for x in q]  # query stays f64
+    vm = {i: quant(v) for i, v in vecs.items()}
+    rel = {i: cos_micro(v, qm) for i, v in vm.items()}
+    maxsim = {i: 0 for i in vm}
+    picked = []
+    out = []
+    for rank in range(1, k + 1):
+        cands = [(lam_pct * rel[i] - (100 - lam_pct) * maxsim[i], -i, i)
+                 for i in vm if i not in picked]
+        if not cands:
+            break
+        mmr, _, best = max(cands)
+        out.append({"rank": rank, "id": best, "rel_micro": rel[best],
+                    "maxsim_micro": maxsim[best], "mmr_micro": mmr})
+        picked.append(best)
+        for i in vm:
+            if i not in picked:
+                maxsim[i] = max(maxsim[i], cos_micro(vm[i], vm[best]))
+    return out
+
+
+def test_mmr_select_matches_python(spark):
+    import numpy as np
+
+    from batch_processing_analysis_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    rng = np.random.RandomState(9)
+    vecs = {i: [float(x) for x in rng.randn(6)] for i in range(15)}
+    q = [float(x) for x in rng.randn(6)]  # query NOT in the corpus
+    # plant near-duplicates so plain top-k would return copies
+    vecs[1] = [x * 1.01 for x in vecs[0]]
+    vecs[2] = [x * 0.99 for x in vecs[0]]
+    emb = _emb(spark, [(i, [float(x) for x in v], 0)
+                       for i, v in vecs.items()])
+    for lam in (50, 70):
+        got = mmr_select(emb, q, k=5, lambda_pct=lam)
+        exp = _py_mmr(vecs, q, 5, lam)
+        assert got == exp, lam
+    # diversification at lam=50 must differ from plain top-5 by rel
+    got50 = mmr_select(emb, q, k=5, lambda_pct=50)
+    rel_top5 = [p["id"] for p in sorted(
+        _py_mmr(vecs, q, 15, 100), key=lambda p: p["rank"])][:5]
+    assert [p["id"] for p in got50] != rel_top5
+
+
+# --------------------------------------------------------------- M139/M140
+
+def test_conformance_fitness_hand_case(spark):
+    import datetime as dt
+
+    from batch_processing_analysis_spark.operators.events_analytics \
+        import conformance_fitness
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 5 conforming cases A->B->C; 1 deviant A->C->B
+    for u in range(5):
+        for i, t in enumerate("ABC"):
+            rows.append((eid, u, t, t0 + dt.timedelta(minutes=i), 0.0))
+            eid += 1
+    for i, t in enumerate("ACB"):
+        rows.append((eid, 99, t, t0 + dt.timedelta(minutes=i), 0.0))
+        eid += 1
+    got = {r.user_id: r for r in conformance_fitness(
+        _events(spark, rows), min_support=3).collect()}
+    # model edges (support >= 3): A->B (5), B->C (5)
+    for u in range(5):
+        assert got[u]["fitness_micro"] == 1_000_000
+        assert got[u]["n_transitions"] == 2
+    assert got[99]["n_conforming"] == 0
+    assert got[99]["fitness_micro"] == 0
+
+
+def test_variant_table_prefix_and_counts(spark):
+    import datetime as dt
+
+    from batch_processing_analysis_spark.operators.events_analytics \
+        import variant_table
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    seqs = {1: "ABCDE", 2: "ABCXY", 3: "ABCDE", 4: "Z"}
+    for u, seq in seqs.items():
+        for i, t in enumerate(seq):
+            rows.append((eid, u, t, t0 + dt.timedelta(minutes=i), 0.0))
+            eid += 1
+    got = {r.variant: (r.n_cases, r.n_events)
+           for r in variant_table(_events(spark, rows), k=10,
+                                  prefix_len=3).collect()}
+    assert got == {"A,B,C": (3, 9), "Z": (1, 1)}
+    # full variants distinguish cases 1/3 from 2
+    full = {r.variant: r.n_cases
+            for r in variant_table(_events(spark, rows), k=10).collect()}
+    assert full == {"A,B,C,D,E": 2, "A,B,C,X,Y": 1, "Z": 1}
