@@ -850,11 +850,16 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
     # Prefix rows: rank tokens within each doc by the global
     # (df asc, token asc) order; keep rank ≤ L − ceil(t·L) + 1.
+    # Staged: BOTH prefix tables (probe + index) and the optional
+    # guard's bound aggregate derive from ranked — without the lazy
+    # checkpoint each consumer re-runs the df join + rank window
+    # (measured 32 s vs 10 s at the sf1 blow-up with the guard on).
     ranked = (
         tok.join(dfreq, "tk")
         .join(sizes, "gid")
         .withColumn("_rn", F.row_number().over(
             W.partitionBy("gid").orderBy("_df", "tk")))
+        .localCheckpoint(eager=False)
     )
     # Probing prefix: rank ≤ n − ⌈t·n⌉ + 1 (the basic prefix bound).
     # Indexing prefix (the probe/index asymmetry, Xiao et al. 2008
@@ -1163,11 +1168,14 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     ).distinct().localCheckpoint(eager=False)
     dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
     sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
+    # Staged like ppjoin_pairs: prefix + guard bound share the rank
+    # window's output instead of re-running it.
     ranked = (
         tok.join(dfreq, "tk")
         .join(sizes, "gid")
         .withColumn("_rn", F.row_number().over(
             W.partitionBy("gid").orderBy("_df", "tk")))
+        .localCheckpoint(eager=False)
     )
     ceil_cl = F.floor((F.lit(c_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
     pfx = ranked.filter(F.col("_rn") <= F.col("_n") - ceil_cl + 1).select(

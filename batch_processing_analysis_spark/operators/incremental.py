@@ -222,12 +222,17 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
     dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
     sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"),
                                    F.first("_delta").alias("_delta"))
+    # Staged: the delta prefix, the union prefix, and the guard's
+    # bound aggregate all derive from ranked (the ppjoin_pairs
+    # pattern — without it each consumer re-runs the df join + rank
+    # window; measured 96 s vs ~45 s at the sf1 blow-up).
     ranked = (
         tok.drop("_delta")
         .join(dfreq, "tk")
         .join(sizes, "gid")
         .withColumn("_rn", F.row_number().over(
             W.partitionBy("gid").orderBy("_df", "tk")))
+        .localCheckpoint(eager=False)
     )
     ceil_tl = F.floor((F.lit(t_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
     pfx_all = ranked.filter(
