@@ -174,14 +174,16 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
       (gid, shingle-hash) rows are a persisted bucketed table, so the
       recount is a scan of narrow stored rows, never a re-shingling
       of base text).
-    - **symmetric prefixes, probe = delta.** The probe/index
-      asymmetry of the batch operator assigns prefix lengths by pair
-      roles (smaller record indexes); with one side pinned to delta a
-      base-side "smaller" partner would need the short index prefix
-      on the DELTA side, breaking completeness. Both sides therefore
-      use the basic bound ``L − ⌈t·L⌉ + 1`` — modestly more
-      candidates, zero recall loss — and the positional and length
-      filters still apply (they are role-free).
+    - **symmetric prefix TABLES, per-pair index condition.** The
+      batch operator's probe/index asymmetry assigns prefix lengths
+      by pair roles (smaller record indexes); with one side pinned to
+      delta the roles vary per pair, so both TABLES carry the basic
+      bound ``L − ⌈t·L⌉ + 1`` and the JOIN CONDITION tightens the
+      matched row to the smaller side's index bound
+      ``L − ⌈2t/(1+t)·L⌉ + 1`` — the same candidate cut as the batch
+      asymmetric tables, zero recall loss (the theorem puts the first
+      common token inside the smaller's index prefix), pure codegen.
+      The positional and length filters also apply (role-free).
 
     The base×base stage never exists: the candidate join is
     delta-prefix ⋈ union-prefix. Identity (pinned by
@@ -255,6 +257,28 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
     ubound = (F.least(F.col("a._rn"), F.col("b._rn"))
               + F.least(F.col("a._n") - F.col("a._rn"),
                         F.col("b._n") - F.col("b._rn")))
+
+    # Per-PAIR index-prefix condition (recovers the probe/index
+    # asymmetry that delta-pinning forbids at the TABLE level): the
+    # theorem puts a qualifying pair's first common token inside the
+    # SMALLER record's index prefix (n − ⌈2t/(1+t)·n⌉ + 1) and the
+    # larger's probe prefix. Both sides carry full probe prefixes; the
+    # join condition tightens the matched row to the smaller side's
+    # index bound — same candidate cut as the batch operator's
+    # asymmetric tables, zero recall loss, pure codegen.
+    def ceil_ix(n):
+        return F.floor((F.lit(2 * t_pct) * n
+                        + F.lit(100 + t_pct - 1)) / F.lit(100 + t_pct))
+
+    ix_a = F.col("a._n") - ceil_ix(F.col("a._n")) + 1
+    ix_b = F.col("b._n") - ceil_ix(F.col("b._n")) + 1
+    b_smaller = (
+        (F.col("b._n") < F.col("a._n"))
+        | ((F.col("b._n") == F.col("a._n"))
+           & (F.col("b.gid") < F.col("a.gid")))
+    )
+    idx_cond = F.when(b_smaller, F.col("b._rn") <= ix_b) \
+        .otherwise(F.col("a._rn") <= ix_a)
     cand = (
         a.join(
             b,
@@ -262,6 +286,7 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
             & (F.col("a.gid") != F.col("b.gid"))
             & (F.col("b._n") * 100 >= F.lit(t_pct) * F.col("a._n"))
             & (F.col("a._n") * 100 >= F.lit(t_pct) * F.col("b._n"))
+            & idx_cond
             & (ubound * (100 + t_pct)
                >= F.lit(t_pct) * (F.col("a._n") + F.col("b._n"))),
         )
@@ -449,6 +474,21 @@ def ppjoin_increment_from_base(spark, delta: DataFrame,
               + F.least(F.col("a.n") - F.col("a.rn"),
                         F.col("b.n") - F.col("b.rn")))
 
+    # per-pair index-prefix condition — see ppjoin_increment_pairs
+    def ceil_ix(n):
+        return F.floor((F.lit(2 * t_pct) * n
+                        + F.lit(100 + t_pct - 1)) / F.lit(100 + t_pct))
+
+    ix_a = F.col("a.n") - ceil_ix(F.col("a.n")) + 1
+    ix_b = F.col("b.n") - ceil_ix(F.col("b.n")) + 1
+    b_smaller = (
+        (F.col("b.n") < F.col("a.n"))
+        | ((F.col("b.n") == F.col("a.n"))
+           & (F.col("b.gid") < F.col("a.gid")))
+    )
+    idx_cond = F.when(b_smaller, F.col("b.rn") <= ix_b) \
+        .otherwise(F.col("a.rn") <= ix_a)
+
     def cand_against(side) -> DataFrame:
         b = side.alias("b")
         return (
@@ -458,6 +498,7 @@ def ppjoin_increment_from_base(spark, delta: DataFrame,
                 & (F.col("a.gid") != F.col("b.gid"))
                 & (F.col("b.n") * 100 >= F.lit(t_pct) * F.col("a.n"))
                 & (F.col("a.n") * 100 >= F.lit(t_pct) * F.col("b.n"))
+                & idx_cond
                 & (ubound * (100 + t_pct)
                    >= F.lit(t_pct) * (F.col("a.n") + F.col("b.n"))),
             )
