@@ -1227,3 +1227,42 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
             .cast("long").alias("cont_micro"),
         )
     )
+
+
+def jaccard_threshold_profile(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text", t_pct: int = 50,
+                              k: int = 3, band_pct: int = 10,
+                              max_candidates: int | None = None
+                              ) -> DataFrame:
+    """Dedup threshold-sensitivity table (M141): run the EXACT PPJoin
+    once at the floor threshold ``t_pct`` and histogram the qualifying
+    pairs into ``band_pct``-wide Jaccard bands — "how many pairs does
+    each candidate threshold add", the table that turns the dedup
+    threshold from a guess into a read-off (a cliff between bands
+    means the choice matters; a flat tail means it doesn't).
+
+    Returns one row per band:
+    ``(band_lo_micro, n_pairs, min_jac_micro, max_jac_micro)`` where
+    band b covers jac ∈ [b·band_pct, (b+1)·band_pct)·10⁴ micros (the
+    top band closes at exactly 1e6).
+
+    Scale: exactly :func:`ppjoin_pairs` (one prefix join at the floor
+    threshold — the histogram is a |bands|-row rollup on its output),
+    including ``max_candidates``.
+    """
+    if not 1 <= band_pct <= 100:
+        raise ValueError(f"band_pct must be in [1, 100], got {band_pct}")
+    pairs = ppjoin_pairs(docs, id_col, text_col, t_pct, k,
+                         max_candidates)
+    band_width = band_pct * 10_000
+    band_lo = (
+        F.least(F.floor(F.col("jac_micro") / F.lit(band_width)),
+                F.lit(100 // band_pct - 1)) * F.lit(band_width)
+    ).cast("long")
+    return (
+        pairs.select(band_lo.alias("band_lo_micro"), "jac_micro")
+        .groupBy("band_lo_micro")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.min("jac_micro").alias("min_jac_micro"),
+             F.max("jac_micro").alias("max_jac_micro"))
+    )

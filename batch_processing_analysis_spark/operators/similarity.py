@@ -1184,3 +1184,64 @@ def mmr_select(corpus: DataFrame, query_vec: list[float], k: int = 10,
             .localCheckpoint(eager=True)
         )
     return picks
+
+
+def embedding_dispersion(corpus: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """Per-group mean pairwise embedding distance WITHOUT a pair stage
+    (M140): the identity Σ_{i,j}‖x_i − x_j‖² = 2n·Σ‖x‖² − 2‖Σx‖²
+    turns the O(n²) "how spread out is this group" question into two
+    exact moments — Σ of per-vector squared norms and the per-dim
+    component sums — so group diversity/collapse monitoring (mode
+    collapse in synthetic data, a feed going monotone) costs one
+    aggregation pass at any scale. Standard algebra (the variance
+    trace identity), no sampling, no pairs.
+
+    Determinism: components quantize once to integer micros; both
+    moments accumulate in ``decimal(38,0)`` (HUGEINT twin); the mean
+    squared pair distance over ORDERED pairs is the exact rational
+    (2n·S₂ − 2·‖S₁‖²)/(n(n−1)), and the output
+    ``rms_pair_dist_micro = floor(√mean + 0.5)`` is one float sqrt on
+    the exact parts. Singleton groups report 0.
+
+    Returns ``(label, n_vecs, rms_pair_dist_micro)``.
+
+    Scale: one (label, dim) partial-agg shuffle + one (label, vector)
+    norm pass; everything downstream is |labels|-row arithmetic.
+    """
+    comp = corpus.select(
+        F.col(id_col), F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_x"),
+    ).select(
+        id_col, label_col, "_dim",
+        F.floor(F.col("_x").cast("double") * F.lit(1e6))
+        .cast("long").alias("_xm"),
+    )
+    dec = "decimal(38,0)"
+    # S2 = Σ over vectors of ‖x‖² (exact)
+    norms = (
+        comp.groupBy(id_col, label_col)
+        .agg(F.sum(F.col("_xm").cast(dec) * F.col("_xm")).alias("_nsq"))
+        .groupBy(label_col)
+        .agg(F.sum("_nsq").alias("_s2"),
+             F.count(F.lit(1)).alias("n_vecs"))
+    )
+    # ‖S1‖² from per-dim component sums (exact)
+    dimsums = (
+        comp.groupBy(label_col, "_dim")
+        .agg(F.sum(F.col("_xm").cast(dec)).alias("_sd"))
+        .groupBy(label_col)
+        .agg(F.sum(F.col("_sd") * F.col("_sd")).alias("_s1sq"))
+    )
+    n = F.col("n_vecs").cast(dec)
+    num = (F.lit(2).cast(dec) * n * F.col("_s2")
+           - F.lit(2).cast(dec) * F.col("_s1sq")).cast("double")
+    den = (F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("double")
+    return norms.join(dimsums, label_col).select(
+        F.col(label_col),
+        F.col("n_vecs").cast("long"),
+        F.when(F.col("n_vecs") > 1,
+               F.floor(F.sqrt(num / den) + F.lit(0.5)))
+        .otherwise(F.lit(0)).cast("long").alias("rms_pair_dist_micro"),
+    )

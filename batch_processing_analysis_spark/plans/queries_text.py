@@ -4652,3 +4652,105 @@ def q160_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_scores_relational(
         _docs(spark, sf_dir), seeded_weights(_LINEAR_VOCAB),
         bias_micro=250_000)
+
+
+@query(
+    "q161_embedding_dispersion",
+    """
+    WITH dims AS (SELECT CAST(range AS INTEGER) AS dim FROM range(64)),
+    comp AS (
+      SELECT vec_id, label, d.dim,
+             CAST(floor(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xm
+      FROM embeddings, dims d
+    ),
+    norms AS (
+      SELECT label, sum(nsq) AS s2, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM (SELECT vec_id, label,
+                   sum(CAST(xm AS HUGEINT) * xm) AS nsq
+            FROM comp GROUP BY vec_id, label)
+      GROUP BY label
+    ),
+    dimsums AS (
+      SELECT label, sum(CAST(sd AS HUGEINT) * sd) AS s1sq
+      FROM (SELECT label, dim, CAST(sum(xm) AS HUGEINT) AS sd
+            FROM comp GROUP BY label, dim)
+      GROUP BY label
+    )
+    SELECT n.label, n.n_vecs,
+           CAST(CASE WHEN n.n_vecs > 1
+                THEN floor(sqrt(CAST(2 * n.n_vecs * n.s2 - 2 * d.s1sq
+                                     AS DOUBLE)
+                                / CAST(n.n_vecs * (n.n_vecs - 1)
+                                       AS DOUBLE)) + 0.5)
+                ELSE 0 END AS BIGINT) AS rms_pair_dist_micro
+    FROM norms n JOIN dimsums d USING (label)
+    """,
+    primary=False,
+)
+def q161_embedding_dispersion(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-label mean pairwise embedding distance WITHOUT a pair stage
+    (operators/similarity.py:embedding_dispersion, M140): the
+    2n·S2 − 2·|S1|² identity on exact decimal moments. Driver window
+    r6 via PRIMARY_ROTATION."""
+    return S.embedding_dispersion(_embs(spark, sf_dir))
+
+
+@query(
+    "q162_jaccard_threshold_profile",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(tk) - 1),
+               i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM toks WHERE len(tk) >= 3
+    ),
+    hrows AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(u.sg), 1, 15) AS BIGINT) AS h
+      FROM sh, unnest(sh.s) AS u(sg)
+    ),
+    sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      FROM hrows GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT CAST(floor(i * 1000000.0 / (na.n + nb.n - i)) AS BIGINT)
+               AS jac_micro
+      FROM inter
+      JOIN sz na ON na.doc_id = id_a
+      JOIN sz nb ON nb.doc_id = id_b
+      WHERE i * 100 >= 50 * (na.n + nb.n - i)
+    )
+    SELECT CAST(least(floor(jac_micro / 100000), 9) * 100000 AS BIGINT)
+             AS band_lo_micro,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(jac_micro) AS BIGINT) AS min_jac_micro,
+           CAST(max(jac_micro) AS BIGINT) AS max_jac_micro
+    FROM pairs GROUP BY 1
+    """,
+    primary=False,
+)
+def q162_jaccard_threshold_profile(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity table (operators/dedup.py:
+    jaccard_threshold_profile, M141): one exact PPJoin at the t=0.5
+    floor, 10%-wide Jaccard bands — oracle = banded all-pairs join.
+    Driver window r6 via PRIMARY_ROTATION."""
+    return D.jaccard_threshold_profile(
+        _docs(spark, sf_dir), t_pct=50, k=3, band_pct=10,
+        max_candidates=1_000_000_000)

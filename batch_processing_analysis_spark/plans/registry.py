@@ -99,8 +99,6 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q26_trace_subset",
     "q27_calendar_displacement",
     "q29_range_join_bucketed",
-    "q38_interval_sweep",
-    "q52_dedup_components",
     # new r6 operators (M122-M140), first driver check — took the
     # whole three-green tier (q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
     # q21/q24) plus the two-green q56/q57 (never-checked > stale-green;
@@ -119,6 +117,8 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q158_conformance_fitness",
     "q159_variant_table",
     "q160_linear_scores",
+    "q161_embedding_dispersion",
+    "q162_jaccard_threshold_profile",
 })
 
 

@@ -667,3 +667,85 @@ def test_variant_table_prefix_and_counts(spark):
     full = {r.variant: r.n_cases
             for r in variant_table(_events(spark, rows), k=10).collect()}
     assert full == {"A,B,C,D,E": 2, "A,B,C,X,Y": 1, "Z": 1}
+
+
+# --------------------------------------------------------------- M140
+
+def test_embedding_dispersion_matches_brute_pairs(spark):
+    import itertools as it
+    import math
+
+    import numpy as np
+
+    from batch_processing_analysis_spark.operators.similarity import (
+        embedding_dispersion,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 5).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 2))
+            for i in range(20)]
+    got = {r.label: r for r in embedding_dispersion(
+        _emb(spark, rows)).collect()}
+    for lab in (0, 1):
+        qv = [[math.floor(float(np.float32(x)) * 1e6) for x in vecs[i]]
+              for i in range(20) if i % 2 == lab]
+        sq = [sum((a - b) ** 2 for a, b in zip(u, v))
+              for u, v in it.combinations(qv, 2)]
+        mean_ordered = sum(sq) * 2 / (len(qv) * (len(qv) - 1))
+        expect = math.floor(math.sqrt(mean_ordered) + 0.5)
+        assert got[lab]["rms_pair_dist_micro"] == expect, lab
+        assert got[lab]["n_vecs"] == len(qv)
+
+
+def test_embedding_dispersion_degenerate_groups(spark):
+    from batch_processing_analysis_spark.operators.similarity import (
+        embedding_dispersion,
+    )
+
+    rows = [
+        (1, [1.0, 2.0], 0),                 # singleton -> 0
+        (2, [3.0, 4.0], 1), (3, [3.0, 4.0], 1),  # identical pair -> 0
+        (4, [0.0, 0.0], 2), (5, [3.0, 4.0], 2),  # dist 5.0 -> 5e6
+    ]
+    got = {r.label: r.rms_pair_dist_micro
+           for r in embedding_dispersion(_emb(spark, rows)).collect()}
+    assert got == {0: 0, 1: 0, 2: 5_000_000}
+
+
+# --------------------------------------------------------------- M141
+
+def test_jaccard_threshold_profile_bands(spark):
+    import itertools as it
+    import math
+
+    from batch_processing_analysis_spark.operators.dedup import (
+        jaccard_threshold_profile,
+    )
+
+    # word-set (k=1) corpus with pairs at several Jaccard levels
+    items = [
+        (1, "a b c d"), (2, "a b c d"),          # J = 1.0
+        (3, "a b c x"),                           # J(1,3) = 3/5 = 0.6
+        (4, "a b y z"),                           # J(1,4) = 2/6 = 0.33
+        (5, "p q r s"), (6, "p q r t"),           # J = 3/5 = 0.6
+    ]
+    got = {r.band_lo_micro: (r.n_pairs, r.min_jac_micro, r.max_jac_micro)
+           for r in jaccard_threshold_profile(
+               _docs(spark, items), t_pct=50, k=1,
+               band_pct=10).collect()}
+    # brute expectation
+    sets = {i: set(t.split()) for i, t in items}
+    pairs = []
+    for (a, sa), (b, sb) in it.combinations(sets.items(), 2):
+        i = len(sa & sb)
+        u = len(sa | sb)
+        if i * 100 >= 50 * u:
+            pairs.append(math.floor(i * 1e6 / u))
+    exp: dict = {}
+    for j in pairs:
+        lo = min(j // 100_000, 9) * 100_000
+        n, mn, mx = exp.get(lo, (0, 10**9, -1))
+        exp[lo] = (n + 1, min(mn, j), max(mx, j))
+    assert got == exp
+    assert set(got) == {600_000, 900_000}  # 0.6-band and the top band

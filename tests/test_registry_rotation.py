@@ -73,6 +73,7 @@ EXPECTED_SHADOWED = frozenset({
     "q09_window_topk", "q10_argmin_first_event", "q13_directly_follows",
     "q17_cte_ratio", "q18_range_join_workload", "q19_theta_self_join",
     "q20_chunking", "q21_rolling_sequence", "q24_union_rekey",
+    "q38_interval_sweep", "q52_dedup_components",
     "q56_repetition_signals", "q57_pattern_counts",
     "q31_task_batches", "q32_batch_discovery_stats",
     "q33_waiting_time_decomposition", "q35_concurrency_pairs",
