@@ -123,6 +123,9 @@ def main() -> None:
     def edjoin(docs, **kw):
         return D.edjoin_pairs(docs, d=10, q=8, **kw)
 
+    def containment(docs, **kw):
+        return D.containment_pairs(docs, c_pct=80, k=3, **kw)
+
     result = {"n_base": args.n, "factor": args.factor,
               "zipf_s": args.s, "words_per_doc": args.words_per_doc,
               "sizes": {}}
@@ -141,10 +144,13 @@ def main() -> None:
             "distinct_8grams": n_grams,
             "ppjoin_bound": measure_bound(ppjoin, docs),
             "edjoin_bound": measure_bound(edjoin, docs),
+            "containment_bound": measure_bound(containment, docs),
             "ppjoin_s": timed(ppjoin, docs),
             "edjoin_s": timed(edjoin, docs),
+            "containment_s": timed(containment, docs),
             "ppjoin_pairs": ppjoin(docs).count(),
             "edjoin_pairs": edjoin(docs).count(),
+            "containment_pairs": containment(docs).count(),
         }
         result["sizes"][label] = row
         print(f"{label}: {row}", file=sys.stderr)
@@ -153,8 +159,12 @@ def main() -> None:
     result["ratios"] = {
         "ppjoin_bound": round(g["ppjoin_bound"] / max(b["ppjoin_bound"], 1), 2),
         "edjoin_bound": round(g["edjoin_bound"] / max(b["edjoin_bound"], 1), 2),
+        "containment_bound": round(
+            g["containment_bound"] / max(b["containment_bound"], 1), 2),
         "ppjoin_time": round(g["ppjoin_s"] / max(b["ppjoin_s"], 1e-9), 2),
         "edjoin_time": round(g["edjoin_s"] / max(b["edjoin_s"], 1e-9), 2),
+        "containment_time": round(
+            g["containment_s"] / max(b["containment_s"], 1e-9), 2),
     }
     text = json.dumps(result, indent=2)
     if args.out == "-":
