@@ -6,9 +6,10 @@ Weinberger et al. 2009; both public), expressed TWICE:
 - :func:`linear_scores` — the inference SHAPE for real model weights:
   one Arrow-batched ``mapInPandas`` kernel, weights broadcast to every
   worker once (a plain Python dict in the closure — at real scale, a
-  ``SparkContext.broadcast`` blob), numpy-vectorized accumulation per
-  batch. This is the plumbing a torch/onnx scorer drops into: swap the
-  kernel body, keep the schema/batching/broadcast contract.
+  ``SparkContext.broadcast`` blob), a per-batch fold over the Arrow
+  batch. This is the plumbing a torch/onnx scorer drops into: swap
+  the kernel body (a real model runs one vectorized forward pass per
+  batch), keep the schema/batching/broadcast contract.
 - :func:`linear_scores_relational` — the same model as pure relational
   algebra (explode tokens → join the weight table → sum), the twin
   that (a) proves the kernel right (equality-tested) and (b) IS the

@@ -44,12 +44,15 @@ EXTRA_ORACLES: dict[str, str] = {}
 #   M117/M121 — registered after the r5 window froze);
 # - the 10 budget-violating queries (newest green r2: q02/q04/q05/
 #   q14/q15/q16/q22/q23/q25/q45);
-# - 29 re-greens from the r3-stale tail, prioritized single-green
-#   first (q51/q53/q58/q59/q60/q61/q74/q75/q80), then two-green
-#   (q07/q26/q27/q29/q38/q52/q56/q57), then 12 of the 24 three-green
-#   (the other 12 — q31/q32/q33/q35/q36/q40/q42/q43/q46/q47/q48/q49 —
-#   defer to r7, still inside budget). New r6 queries take slots from
-#   this three-green block (never-checked > stale-green).
+# - re-greens from the r3-stale tail, prioritized single-green first
+#   (q51/q53/q58/q59/q60/q61/q74/q75/q80), then two-green
+#   (q07/q26/q27/q29). As round 6 added 16 new queries (q147-q162),
+#   the remaining r3-tail slots were ceded to them one batch at a
+#   time (never-checked > stale-green): the whole three-green tier
+#   (q03/q06/q08-q10/q13/q17-q21/q24) plus q38/q52/q56/q57 defer to
+#   r7 — all still inside the 3-round budget, and they ARE the bulk
+#   of rotation_check's "coming due next round" list that seeds the
+#   r7 window.
 # Rotated OUT: the r5 first-checks (q64-q141 additions, all green in
 # CORRECTNESS_r05) and the environment canaries q111-q115/q117 (their
 # diagnostic value is one round). q116_canary_hugeint_probe is RETIRED
