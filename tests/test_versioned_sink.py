@@ -194,3 +194,34 @@ def test_gc_rewrites_head_mirror(spark, tmp_path):
     gc_versions(path, keep=[])
     assert not os.path.exists(os.path.join(path, MANIFEST))
     assert list_versions(path) == []
+
+
+def test_compact_crash_window_recovery(spark, tmp_path):
+    # The documented crash-window procedure (compact_shards docstring):
+    # a crash between the two swap renames leaves `path` absent and the
+    # pre-compact copy at `<path>.__precompact__`; recovery is one
+    # rename back. Simulate the crash state and verify the recovery
+    # restores a byte-readable, digest-valid chain.
+    import shutil
+
+    path = _fresh_chain(spark, tmp_path)
+    before_v2 = {r.doc_id for r in read_version(spark, path, 2).collect()}
+    backup = path.rstrip("/") + ".__precompact__"
+    # crash state: first rename done, second never happened
+    os.rename(path, backup)
+    assert not os.path.exists(path)
+    # recovery
+    os.rename(backup, path)
+    assert list_versions(path) == [1, 2]
+    assert {r.doc_id
+            for r in read_version(spark, path, 2).collect()} == before_v2
+    # and a subsequent compaction completes normally on the recovered dir
+    from batch_processing_analysis_spark.sources.training_sink import (
+        compact_shards,
+    )
+
+    compact_shards(spark, path)
+    assert {r.doc_id
+            for r in read_version(spark, path, 2).collect()} == before_v2
+    assert not os.path.exists(backup)
+    shutil.rmtree(path, ignore_errors=True)
