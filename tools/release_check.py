@@ -8,8 +8,11 @@ release bar, and fails on the first nonzero exit:
                                              (all registered queries vs
                                              DuckDB, driver-emulating
                                              canonicalization)
-3. ``python tools/rotation_check.py``        (window membership +
-                                             staleness budget)
+3. ``python tools/rotation_check.py --close`` (the finished round's
+                                             record is within budget)
+4. ``python tools/rotation_check.py --plan``  (the next round's window
+                                             covers violations +
+                                             never-greens)
 
 Usage:
     python tools/release_check.py [--fast]
@@ -50,7 +53,10 @@ def main() -> None:
         run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
     run("oracle gate", [sys.executable, "tools/verify_queries.py",
                         "--extra", "--strict-driver"])
-    run("rotation/staleness", [sys.executable, "tools/rotation_check.py"])
+    run("rotation (round close)",
+        [sys.executable, "tools/rotation_check.py", "--close"])
+    run("rotation (next window plan)",
+        [sys.executable, "tools/rotation_check.py", "--plan"])
     print("\nrelease_check: ALL GATES GREEN")
 
 
