@@ -959,105 +959,156 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", d: int = 10,
                  q: int = 4,
                  max_candidates: int | None = None) -> DataFrame:
-    """EXACT edit-distance similarity self-join via q-gram prefix
-    filtering (M114; Gravano et al. VLDB 2001 q-gram count bound,
-    prefix form from Xiao-Wang-Lin Ed-Join, VLDB 2008 — both public).
+    """EXACT edit-distance similarity self-join via PARTITION-based
+    (Pass-Join) filtering (M114; Li, Deng & Feng, "PASS-JOIN: a
+    partition-based method for similarity joins", ICDE 2011/VLDB 2012
+    — public method). Replaces the r5/r6 q-gram prefix scheme, whose
+    candidate bound Σ_g df_pfx(g)² was the engine's one measured
+    superlinear plan (VERDICT r6 #2: 30.6× at 10× data even on
+    Zipf-vocabulary text; length-banding and a location-based prefix
+    cut it only to ~26× because the q·d+1 = 81-gram prefix at d=10
+    necessarily reaches mid-frequency grams whose df grows with the
+    corpus).
 
     Returns ``(id_a, id_b, dist)`` with ``id_a < id_b`` for every pair
     with ``levenshtein(text_a, text_b) ≤ d`` — the fuzzy-dedup
-    primitive none of the token-set joins provide (a pair can share
-    every shingle yet differ by d edits, and vice versa). Same
-    exactness architecture as :func:`ppjoin_pairs`: a PROVEN candidate
-    superset from an equi-join, then a built-in (JVM codegen) verify.
+    primitive none of the token-set joins provide. Same exactness
+    architecture as :func:`ppjoin_pairs`: a PROVEN candidate superset
+    from an equi-join, then a built-in (JVM codegen) verify with
+    Spark's three-arg ``levenshtein(a, b, d)`` (banded DP, −1 past the
+    threshold), so per-candidate work is O(d·len), not O(len²).
 
-    Filter theorem: one edit operation changes at most ``q`` of a
-    string's q-grams, so edit distance ≤ d changes at most ``q·d`` —
-    if two docs' distinct-gram sets are disjoint on their first
-    ``q·d + 1`` grams in ONE global total order (ascending document
-    frequency, then gram — rarest first), the sets differ by more
-    than ``q·d`` grams and the pair is beyond ``d``. Grams are hashed
-    with ``xxhash64``, not the oracle-portable md5 ``hash60``: the
-    hash never reaches the output (the verify reads raw text) and a
-    collision only MERGES grams — candidates can grow, never shrink —
-    so the cheap non-portable hash is safe here and much faster than
-    md5 on the gram build, the operator's dominant stage. The length
-    filter ``|len_a − len_b| ≤ d`` prunes before
-    text is joined; the verify uses Spark's three-arg
-    ``levenshtein(a, b, d)`` (banded DP, −1 past the threshold), so
-    per-candidate work is O(d·len), not O(len²).
+    Filter theorem (pigeonhole): partition the SHORTER string x into
+    ``k = d+1`` disjoint chunks (first ``k − len%k`` of size
+    ``len div k``, the rest one char longer). At most ``d`` edit
+    operations touch at most ``d`` chunks, so some chunk of x appears
+    UNCHANGED — as an exact substring — in y. The candidate join is
+    therefore x's chunks (hashed) against y's same-length substrings,
+    equi on ``(substring-hash, x-length, chunk-slot)``. Join keys are
+    ``len/(d+1)``-char substrings (≈20 chars at the q143 defaults):
+    on natural text their df is ≈1 except for true near-duplicates,
+    so candidate volume tracks actual duplicate mass — measured
+    LINEAR (≈10× at 10× data) on the Zipf-vocabulary fixture where
+    the gram scheme grew 26–31× (SURVEY §6.1b-r7).
 
-    Degenerate strings: the survival guarantee needs MORE than ``q·d``
-    grams — ``d`` edits can destroy up to ``q·d`` gram instances, so a
-    string with ``≤ q·d`` grams (``len ≤ q·d + q − 1``) may share NO
-    gram with a valid partner at all (hypothesis-found
-    counter-example: 'aba' vs 'aaa' at q=2, d=1 — distance 1, zero
-    common 2-grams). Every doc at or below that cutoff therefore goes
-    through a length-banded equi-join pass WITHIN the short bucket
-    (band width d+1: within-d pairs always land in the same or
-    adjacent bands). Short×LONG pairs stay covered by the gram join:
-    the long side has > q·d grams, so ≥ 1 of its grams survives into
-    the short side, within both prefixes (the short side's gram set
-    IS its prefix). Real corpora length-filter above the cutoff, so
-    the bucket is small; a skewed short bucket is a data-quality
-    smell the quality gate (M71) surfaces first.
+    Substring enumeration is multi-match-aware (the paper's shift
+    bound): the unchanged chunk ``i`` (1-based) of x starts in y
+    shifted by the net insert−delete balance of the edits before it,
+    which is bounded by BOTH ends — ``s − p_i ∈ [max(−(i−1),
+    Δ−(k−i)), min(i−1, Δ+(k−i))]`` where ``Δ = |y|−|x| ∈ [0, d]`` —
+    O(d²) substrings per doc instead of the naive O(d³). xxhash64 on
+    chunk/substring text is safe for exactness: a collision only
+    MERGES keys, so candidates can grow, never shrink, and the verify
+    reads raw text.
 
-    Scale (100 TB): gram df is one partial-aggregable count; the
-    per-doc (df, gram) ordering windows on the doc key; the candidate
-    join fans out on the RAREST ``q·d + 1`` grams of each doc only —
-    boilerplate grams never generate candidates. Candidate rows carry
-    ids + lengths only; full text joins on after candidate dedup.
+    Degenerate strings: the chunk scheme needs ``k`` non-empty chunks
+    (``len ≥ d+1``). Pairs whose shorter side is below that have BOTH
+    sides ≤ 2d (length filter), comfortably under the tiny-bucket
+    cutoff ``q·d + q − 1`` (q ≥ 2), so the length-banded equi-join
+    pass over the short bucket (band width d+1: within-d pairs land
+    in the same or adjacent bands) covers them; mid-length docs
+    covered by both paths are deduplicated before the verify. ``q``
+    is retained from the gram-scheme API purely as the tiny-bucket
+    routing knob.
 
-    The honest bound is Θ(Σ_g df_pfx(g)²) over prefix occurrences —
-    superlinear on vocabulary-bounded corpora (measured 13.5× at 10×
-    data on the word-salad testdata, SURVEY §6.1b-r5).
-    ``max_candidates`` governs it at RUN TIME (VERDICT r5 task 2):
-    when set, the gram-join bound Σ_g C(df_pfx(g), 2) plus the short
-    bucket's banded bound is measured from the prefix/bucket counts
-    (cheap aggregates — the pair join has not run yet) and logged; if
-    the total exceeds the budget, :class:`CandidateVolumeExceeded` is
-    raised naming the scale paths (q41 LSH / q43 df-blocked n-gram
-    Jaccard) instead of silently grinding. ``None`` (default) keeps
-    the plan fully lazy.
+    Scale (100 TB): chunk side emits d+1 rows/doc, substring side
+    O(d²) rows/doc — both linear in corpus size; the equi-join
+    shuffles on near-unique 20-char-substring hashes, so no skewed
+    key and no df²-style blow-up. ``max_candidates`` governs the
+    residual risk at RUN TIME (VERDICT r5 task 2): the exact
+    pre-orientation candidate count Σ_key cc·cs plus the tiny
+    bucket's banded bound is measured from staged key counts (the
+    pair join has not run yet); over budget raises
+    :class:`CandidateVolumeExceeded` naming the scale paths (q41 LSH
+    / q43 df-blocked n-gram Jaccard) instead of silently grinding.
+    ``None`` (default) keeps the plan fully lazy.
     """
     if d < 0:
         raise ValueError(f"d must be non-negative, got {d}")
     if q < 2:
         raise ValueError(f"q must be >= 2, got {q}")
+    k = d + 1
+    cutoff = q * d + q - 1
     t = (docs.select(F.col(id_col), F.col(text_col))
          .withColumn("_len", F.length(text_col))
          .localCheckpoint(eager=False))
-    grams = (
-        t.filter(F.col("_len") >= q)
-        .select(F.col(id_col).alias("gid"), F.col("_len"),
-                F.explode(char_windows(F.col(text_col), q)).alias("_g"))
-        .select("gid", "_len", F.xxhash64(F.col("_g")).alias("tk"))
+
+    # Chunk scheme for a length-l string, slot _i in [0, k): first
+    # k − l%k chunks of size l div k, the rest one longer. 1-based
+    # start _p, length _c. Both sides compute the IDENTICAL scheme.
+    def _scheme(df: DataFrame, length_col: str) -> DataFrame:
+        return (
+            df.withColumn("_base", F.expr(f"{length_col} div {k}"))
+            .withColumn("_rem", F.expr(f"{length_col} % {k}"))
+            .withColumn("_c", F.col("_base")
+                        + F.when(F.col("_i") >= k - F.col("_rem"),
+                                 F.lit(1)).otherwise(F.lit(0)))
+            .withColumn("_p", F.lit(1) + F.col("_i") * F.col("_base")
+                        + F.greatest(F.lit(0),
+                                     F.col("_i") - (k - F.col("_rem"))))
+        )
+
+    # Index side: each doc's own d+1 chunks. Staged — feeds the
+    # candidate join AND the guard's bound aggregate.
+    ch = (
+        _scheme(
+            t.filter(F.col("_len") >= k)
+            .select(F.col(id_col).alias("_gc"), "_len", F.col(text_col),
+                    F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                    .alias("_i")),
+            "_len")
+        .select(F.col("_gc"), F.col("_len").alias("_lc"), "_i",
+                F.xxhash64(F.expr(f"substring({text_col}, _p, _c)"))
+                .alias("_ck"))
+        .localCheckpoint(eager=False)
     )
-    # No early per-doc distinct: bag df (a window over tk) is still
-    # ONE fixed global order, and dense_rank makes the prefix cutoff
-    # count DISTINCT grams despite duplicate rows — the duplicates die
-    # in the candidate-pair distinct, and skipping the up-front
-    # 3×-larger distinct shuffle is the operator's biggest win.
-    # Staged because the prefix table feeds BOTH sides of the
-    # candidate self-join.
-    pfx = (
-        grams
-        .withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("tk")))
-        .withColumn("_rn", F.dense_rank().over(
-            W.partitionBy("gid").orderBy("_df", "tk")))
-        .filter(F.col("_rn") <= q * d + 1)
-        .select("gid", "_len", "tk")
-        .distinct()
+    # Probe side: for each candidate partner length _lx ∈
+    # [max(k, len−d), len], the partner-scheme substrings inside the
+    # multi-match-aware shift window.
+    sub = (
+        t.filter(F.col("_len") >= k)
+        .select(F.col(id_col).alias("_gs"), F.col("_len").alias("_ly"),
+                F.col(text_col))
+        .withColumn("_lx", F.explode(F.sequence(
+            F.greatest(F.lit(k), F.col("_ly") - d), F.col("_ly"))))
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    )
+    sub = (
+        _scheme(sub, "_lx")
+        .withColumn("_delta", F.col("_ly") - F.col("_lx"))
+        .withColumn("_lo", F.greatest(
+            F.col("_p") + F.greatest(-F.col("_i"),
+                                     F.col("_delta")
+                                     - (F.lit(k - 1) - F.col("_i"))),
+            F.lit(1)))
+        .withColumn("_hi", F.least(
+            F.col("_p") + F.least(F.col("_i"),
+                                  F.col("_delta")
+                                  + (F.lit(k - 1) - F.col("_i"))),
+            F.col("_ly") - F.col("_c") + 1))
+        .filter(F.col("_lo") <= F.col("_hi"))
+        .withColumn("_s", F.explode(F.sequence(F.col("_lo"),
+                                               F.col("_hi"))))
+        .select("_gs", "_ly", "_lx", "_i",
+                F.xxhash64(F.expr(f"substring({text_col}, _s, _c)"))
+                .alias("_ck"))
         .localCheckpoint(eager=False)
     )
     if max_candidates is not None:
-        cnt = pfx.groupBy("tk").agg(F.count(F.lit(1)).alias("_c"))
-        bound_long = (
-            cnt.agg(F.sum(F.col("_c") * (F.col("_c") - F.lit(1)))
-                    .alias("_b"))
+        cnt_c = ch.groupBy("_ck", "_lc", "_i").agg(
+            F.count(F.lit(1)).alias("_cc"))
+        cnt_s = sub.groupBy("_ck", "_lx", "_i").agg(
+            F.count(F.lit(1)).alias("_cs"))
+        bound_pass = (
+            cnt_c.join(cnt_s,
+                       (F.col("_lc") == F.col("_lx"))
+                       & (cnt_c["_ck"] == cnt_s["_ck"])
+                       & (cnt_c["_i"] == cnt_s["_i"]))
+            .agg(F.sum(F.col("_cc") * F.col("_cs")).alias("_b"))
             .collect()[0]["_b"] or 0
-        ) // 2
+        )
         tiny_cnt = (
-            t.filter(F.col("_len") <= q * d + q - 1)
+            t.filter(F.col("_len") <= cutoff)
             .groupBy(F.expr(f"_len div {d + 1}").alias("_band"))
             .agg(F.count(F.lit(1)).alias("_c"))
         )
@@ -1072,26 +1123,29 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
             .collect()[0]["_b"] or 0
         )
         _check_candidate_budget(
-            int(bound_long + bound_tiny), max_candidates, "edjoin_pairs",
+            int(bound_pass + bound_tiny), max_candidates, "edjoin_pairs",
             "minhash_lsh_pairs (q41, probabilistic recall) or "
             "ngram_jaccard_pairs (q43, df-blocked)",
         )
-    a, b = pfx.alias("a"), pfx.alias("b")
-    cand_long = (
-        a.join(
-            b,
-            (F.col("a.tk") == F.col("b.tk"))
-            & (F.col("a.gid") < F.col("b.gid"))
-            & (F.abs(F.col("a._len") - F.col("b._len")) <= d),
+    cand_pass = (
+        sub.join(
+            ch,
+            (sub["_ck"] == ch["_ck"]) & (sub["_i"] == ch["_i"])
+            & (F.col("_lx") == F.col("_lc")),
         )
-        .select(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
+        # Orientation: chunk side is the shorter doc; equal lengths
+        # pair once, chunk side = smaller id. (Self-pairs only arise
+        # at Δ=0 and die here too.)
+        .filter((F.col("_ly") > F.col("_lc"))
+                | ((F.col("_ly") == F.col("_lc"))
+                   & (F.col("_gc") < F.col("_gs"))))
+        .select(F.least("_gc", "_gs").alias("id_a"),
+                F.greatest("_gc", "_gs").alias("id_b"))
     )
     # Short bucket as an EQUI-join (plan-audit: no NLJ anywhere):
     # band width d+1 makes |len_a − len_b| ≤ d imply adjacent bands,
     # so the probe side explodes its band ±1 and joins equi on band.
-    # Cutoff q·d + q − 1 = "at most q·d grams": below it the prefix
-    # theorem guarantees nothing (see docstring).
-    tiny = t.filter(F.col("_len") <= q * d + q - 1).select(
+    tiny = t.filter(F.col("_len") <= cutoff).select(
         F.col(id_col), F.col("_len"),
         F.expr(f"_len div {d + 1}").alias("_band"),
     )
@@ -1108,7 +1162,7 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
         & (F.abs(F.col("pa._len") - F.col("pb._len")) <= d),
     ).select(F.col(f"pa.{id_col}").alias("id_a"),
              F.col(f"pb.{id_col}").alias("id_b"))
-    cand = cand_long.unionByName(cand_tiny).distinct()
+    cand = cand_pass.unionByName(cand_tiny).distinct()
     lev = F.levenshtein(F.col("_ta"), F.col("_tb"), d)
     return (
         cand.join(t.select(F.col(id_col).alias("id_a"),
@@ -1118,6 +1172,7 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b", lev.cast("long").alias("dist"))
         .filter(F.col("dist") >= 0)
     )
+
 
 
 def containment_pairs(docs: DataFrame, id_col: str = "doc_id",

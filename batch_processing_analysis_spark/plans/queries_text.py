@@ -3998,18 +3998,21 @@ def q142_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     primary=False,
 )
 def q143_edjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT edit-distance self-join at d=10 via q-gram prefix
-    filtering (operators/dedup.py:edjoin_pairs, M114) — the
-    fuzzy-dedup counterpart to q140's set-Jaccard PPJoin. The oracle
-    is the UNFILTERED all-pairs levenshtein join, so a pruning bug on
-    either filter (prefix or length) surfaces as a missing pair.
-    q=8: longer filter grams trade a longer prefix (q·d+1 rows/doc)
-    for rarer join keys — identical pairs, modestly faster at both
-    scales (min-of-2: 44.1→40.5 s at the 10× blow-up; the q-sweep is
-    in SURVEY §6.1b-r5). The candidate-volume guard runs ON in
-    production (measured bound: 138k at sf0.01, 16.0M at sf0.1 — the
-    5e9 ceiling trips only on a vocabulary-degenerate corpus, VERDICT
-    r5 task 2). Driver window r6 via PRIMARY_ROTATION."""
+    """EXACT edit-distance self-join at d=10 via PARTITION-based
+    Pass-Join filtering (operators/dedup.py:edjoin_pairs, M114;
+    re-architected in r7 from the q-gram prefix scheme — VERDICT r6
+    task 2) — the fuzzy-dedup counterpart to q140's set-Jaccard
+    PPJoin. The oracle is the UNFILTERED all-pairs levenshtein join,
+    so a pruning bug in the chunk scheme, shift windows, or length
+    routing surfaces as a missing pair. Chunk join keys are
+    ≈len/(d+1)-char substrings (df ≈ 1 on natural text), which cured
+    the one superlinear candidate bound in the engine: guard-measured
+    bound 138k→6.2k at sf0.01 and 16.0M→142k at sf0.1 (a 112× cut),
+    growth 116×→23× on the degenerate word-salad testdata and
+    LINEAR (9.98× at 10×) on the Zipf-vocabulary fixture
+    (SURVEY §6.1b-r7). ``q=8`` now only routes the short-string
+    tiny bucket (cutoff q·d+q−1). The candidate-volume guard runs ON
+    in production. Driver window r7 via PRIMARY_ROTATION."""
     return D.edjoin_pairs(_docs(spark, sf_dir), d=10, q=8,
                           max_candidates=5_000_000_000)
 

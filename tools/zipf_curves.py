@@ -40,25 +40,38 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def zipf_word(rng: random.Random, s: float, vmax: int) -> str:
+def zipf_word(rng: random.Random, s: float, vmax: int,
+              legacy_clamp: bool = False) -> str:
     """Sample a word rank via inverse-CDF on a truncated Zipf(s).
 
-    Rejection-free approximation: rank = ⌊u^(-1/(s-1))⌋ (the standard
-    power-law inverse transform for s>1), clamped to [1, vmax].
+    rank = ⌊u^(-1/(s-1))⌋ (the standard power-law inverse transform
+    for s>1), REJECTED and resampled when beyond ``vmax``. The r5/r6
+    fixture CLAMPED instead — which at s=1.1 parks the entire
+    out-of-range tail mass (~25%) on the single rank-vmax token, i.e.
+    a quarter of all text became one 8-char word and every
+    "rare-gram" prefix/chunk filled with runs of it. No natural
+    corpus has that atom; ``--legacy-clamp`` reproduces the old
+    fixture for cross-round comparability.
     """
-    u = rng.random()
-    r = int(u ** (-1.0 / (s - 1.0)))
-    return f"w{min(max(r, 1), vmax)}"
+    while True:
+        u = rng.random()
+        r = int(u ** (-1.0 / (s - 1.0)))
+        if legacy_clamp:
+            return f"w{min(max(r, 1), vmax)}"
+        if 1 <= r <= vmax:
+            return f"w{r}"
 
 
 def build_corpus(spark, n: int, words_per_doc: int, s: float,
-                 dup_rate: float, seed: int, out: str) -> str:
+                 dup_rate: float, seed: int, out: str,
+                 legacy_clamp: bool = False) -> str:
     rng = random.Random(seed)
     vmax = 50 * n  # vocabulary scales with corpus (Heaps-like)
     rows = []
     doc_id = 0
     while doc_id < n:
-        words = [zipf_word(rng, s, vmax) for _ in range(words_per_doc)]
+        words = [zipf_word(rng, s, vmax, legacy_clamp)
+                 for _ in range(words_per_doc)]
         rows.append((doc_id, " ".join(words)))
         doc_id += 1
         if doc_id < n and rng.random() < dup_rate:
@@ -66,7 +79,7 @@ def build_corpus(spark, n: int, words_per_doc: int, s: float,
             mutated = list(words)
             for _ in range(2):
                 mutated[rng.randrange(len(mutated))] = zipf_word(
-                    rng, s, vmax)
+                    rng, s, vmax, legacy_clamp)
             rows.append((doc_id, " ".join(mutated)))
             doc_id += 1
     shutil.rmtree(out, ignore_errors=True)
@@ -109,6 +122,8 @@ def main() -> None:
     ap.add_argument("--s", type=float, default=1.1)
     ap.add_argument("--dup-rate", type=float, default=0.03)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--legacy-clamp", action="store_true",
+                    help="reproduce the r5/r6 clamped-tail fixture")
     ap.add_argument("--out", default="-")
     args = ap.parse_args()
 
@@ -126,14 +141,17 @@ def main() -> None:
     def containment(docs, **kw):
         return D.containment_pairs(docs, c_pct=80, k=3, **kw)
 
-    result = {"n_base": args.n, "factor": args.factor,
+    result = {"fixture": ("legacy-clamped-tail" if args.legacy_clamp
+                          else "truncated-zipf-v2"),
+              "n_base": args.n, "factor": args.factor,
               "zipf_s": args.s, "words_per_doc": args.words_per_doc,
               "sizes": {}}
     for label, n in (("base", args.n), ("big", args.n * args.factor)):
         path = build_corpus(spark, n, args.words_per_doc, args.s,
                             args.dup_rate, args.seed + (0 if label ==
                                                         "base" else 1),
-                            f"/tmp/zipf_corpus_{label}_{n}")
+                            f"/tmp/zipf_corpus_{label}_{n}",
+                            legacy_clamp=args.legacy_clamp)
         docs = spark.read.parquet(f"{path}/documents.parquet")
         n_grams = (docs.selectExpr(
             "explode(sequence(1, greatest(length(text)-7, 0))) AS p",
