@@ -4757,3 +4757,61 @@ def q162_jaccard_threshold_profile(spark: SparkSession,
     return D.jaccard_threshold_profile(
         _docs(spark, sf_dir), t_pct=50, k=3, band_pct=10,
         max_candidates=1_000_000_000)
+
+
+@query(
+    "q163_containment_increment",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(tk) - 1),
+               i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM toks WHERE len(tk) >= 3
+    ),
+    hrows AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(u.sg), 1, 15) AS BIGINT) AS h
+      FROM sh, unnest(sh.s) AS u(sg)
+    ),
+    sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      FROM hrows GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(floor(i * 1000000.0 / na.n) AS BIGINT) AS cont_micro
+    FROM inter
+    JOIN sz na ON na.doc_id = id_a
+    WHERE i * 100 >= 80 * na.n
+      AND (id_a % 2 = 1 OR id_b % 2 = 1)
+    """,
+    primary=True,
+)
+def q163_containment_increment(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """EXACT incremental containment join (operators/incremental.py:
+    containment_increment_pairs, M142 — VERDICT r6 task 3 family):
+    base = even doc_ids, delta = odd; every ORDERED containment pair
+    (c=0.8, k=3) touching the delta, base x base never built. The
+    oracle is q149's batch all-pairs ordered shingle join on the
+    UNION filtered to delta-touching pairs — the increment identity
+    as a driver-checked row (tests/test_containment_increment.py also
+    pins it against the batch operator and covers the
+    published-bucketed-base variant). First driver window r7."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    return INC.containment_increment_pairs(base, delta, c_pct=80, k=3,
+                                           max_candidates=1_000_000_000)
