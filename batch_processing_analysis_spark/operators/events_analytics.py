@@ -239,8 +239,17 @@ def frequent_paths(events: DataFrame, k: int = 25, depth: int = 3,
     )
 
 
+class GridVolumeExceeded(RuntimeError):
+    """The KS evaluation grid would exceed the caller's budget — raised
+    BEFORE the grid is built (the distinct count is one cheap
+    aggregate), mirroring the exact joins' CandidateVolumeExceeded
+    discipline (VERDICT r6 task 4)."""
+
+
 def ks_drift_by_group(df: DataFrame, group_col: str = "source",
-                      value_col: str = "n_chars") -> DataFrame:
+                      value_col: str = "n_chars",
+                      quantize: int | None = None,
+                      max_distinct: int | None = None) -> DataFrame:
     """EXACT two-sample Kolmogorov-Smirnov statistic of each group's
     ``value_col`` distribution against the REST of the corpus (M129):
     KS = max_x |F_g(x) − F_rest(x)|, the classic distribution-drift
@@ -258,11 +267,50 @@ def ks_drift_by_group(df: DataFrame, group_col: str = "source",
     floor(ks_num·1e6/ks_denom)``; groups with an empty complement
     report 0.
 
+    NULL contract (ADVICE r6): NULL ``value_col`` rows are excluded
+    from BOTH the sample counts and the CDF grid up front — the
+    statistic is the KS of the NON-NULL distributions. (Previously
+    NULLs inflated n_group/N while the null-unsafe grid joins dropped
+    them from the CDFs, so the empirical CDFs never reached 1 and KS
+    was overstated for NULL-bearing groups.) A group that is entirely
+    NULL disappears from the output.
+
     Scale: one (group, value) count shuffle; the evaluation grid is
-    |distinct values| × |groups| rows — aggregate-bounded (value
-    cardinality, not row count); cumulative sums window per group
-    (hash-partitioned); the rollup is |groups| rows.
+    |distinct values| × |groups| rows — aggregate-bounded by VALUE
+    cardinality, not row count, and the single-partition cumulative
+    window over the pooled values is bounded the same way. That bound
+    is honest for integer-ish columns but degrades to ≈|rows| on a
+    continuous metric column, so (VERDICT r6 task 4):
+
+    - ``quantize=w`` maps values to ``floor(value/w)·w`` first — the
+      result is the EXACT KS of the quantized variable (a coarser but
+      still distribution-free statistic), with the grid bounded by
+      range/w;
+    - ``max_distinct=B`` measures |distinct values| (one cheap
+      aggregate, after any quantization) BEFORE the grid is built and
+      raises :class:`GridVolumeExceeded` over budget, naming
+      ``quantize`` as the mitigation.
     """
+    df = df.filter(F.col(value_col).isNotNull())
+    if quantize is not None:
+        if quantize <= 0:
+            raise ValueError(f"quantize must be positive, got {quantize}")
+        df = df.withColumn(
+            value_col,
+            (F.floor(F.col(value_col) / F.lit(quantize))
+             * F.lit(quantize)).cast("long"),
+        )
+    if max_distinct is not None:
+        n_vals = df.select(value_col).distinct().count()
+        if n_vals > max_distinct:
+            raise GridVolumeExceeded(
+                f"ks_drift_by_group: {n_vals} distinct {value_col} values "
+                f"exceed max_distinct={max_distinct}; the evaluation grid "
+                f"and its pooled cumulative window scale with value "
+                f"cardinality. Pass quantize=<width> to bound the grid "
+                f"(exact KS of the quantized variable), or raise the "
+                f"budget."
+            )
     counts = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("_c")
     )

@@ -4815,3 +4815,69 @@ def q163_containment_increment(spark: SparkSession,
     delta = docs.filter(F.col("doc_id") % 2 == 1)
     return INC.containment_increment_pairs(base, delta, c_pct=80, k=3,
                                            max_candidates=1_000_000_000)
+
+
+@query(
+    "q164_ks_drift_quantized",
+    r"""
+    WITH nn AS (
+      SELECT source,
+             CAST(floor(n_chars / 50) * 50 AS BIGINT) AS v
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    counts AS (
+      SELECT source, v, CAST(count(*) AS BIGINT) AS c
+      FROM nn GROUP BY 1, 2
+    ),
+    vals AS (SELECT DISTINCT v FROM nn),
+    grp AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS ng
+      FROM nn GROUP BY source
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nn),
+    grid AS (
+      SELECT g.source, v.v, g.ng, COALESCE(c.c, 0) AS c
+      FROM vals v CROSS JOIN grp g
+      LEFT JOIN counts c ON c.source = g.source AND c.v = v.v
+    ),
+    cum AS (
+      SELECT source, v, ng,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY v)
+                  AS BIGINT) AS cg
+      FROM grid
+    ),
+    callc AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS ca
+      FROM (SELECT v, CAST(count(*) AS BIGINT) AS c FROM nn GROUP BY 1)
+    ),
+    scored AS (
+      SELECT cum.source, cum.ng, t.n,
+             abs(cum.cg * (t.n - cum.ng)
+                 - (callc.ca - cum.cg) * cum.ng) AS num
+      FROM cum JOIN callc ON callc.v = cum.v, tot t
+    )
+    SELECT source,
+           CAST(ng AS BIGINT) AS n_group,
+           CAST(n - ng AS BIGINT) AS n_rest,
+           CAST(max(num) AS BIGINT) AS ks_num,
+           CAST(ng * (n - ng) AS BIGINT) AS ks_denom,
+           CAST(CASE WHEN ng * (n - ng) > 0
+                THEN floor(max(num) * 1000000.0 / (ng * (n - ng)))
+                ELSE 0 END AS BIGINT) AS ks_micro
+    FROM scored GROUP BY source, ng, n
+    """,
+    primary=True,
+)
+def q164_ks_drift_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q154's exact KS drift with the r7 grid governor engaged
+    (operators/events_analytics.py:ks_drift_by_group, VERDICT r6 task
+    4): values quantized to width-50 buckets BEFORE the grid — the
+    exact KS of the quantized variable, with the evaluation grid and
+    its pooled cumulative window bounded by range/50 instead of raw
+    value cardinality — and max_distinct as the loud-failure budget
+    (trip/passthrough pinned by tests/test_ks_guard.py along with the
+    NULL-exclusion contract). First driver window r7."""
+    from ..operators.events_analytics import ks_drift_by_group
+
+    return ks_drift_by_group(_docs(spark, sf_dir).select(
+        "source", "n_chars"), quantize=50, max_distinct=100_000)

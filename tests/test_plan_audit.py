@@ -111,8 +111,11 @@ EXTRA_SCALAR_BROADCAST = {
     "q139_rrf_fusion",
     # KS drift: the evaluation grid is distinct-values × |groups| —
     # both sides aggregates (the q125 bounded-pair shape) — plus the
-    # 1-row corpus-total broadcast.
+    # 1-row corpus-total broadcast. Since r7 the operator carries
+    # quantize/max_distinct governors for continuous value columns
+    # (tests/test_ks_guard.py); q164 runs with both engaged.
     "q154_ks_drift",
+    "q164_ks_drift_quantized",
 }
 
 
@@ -146,8 +149,11 @@ GLOBAL_WINDOW_BOUNDED = {
     # (banded_global_rank × 3).
     "q139_rrf_fusion",
     # KS drift: the pooled-CDF cumulative window runs over the
-    # distinct-value counts aggregate (value cardinality, not rows).
+    # distinct-value counts aggregate — bounded by VALUE cardinality,
+    # not rows, which the r7 quantize/max_distinct governors make a
+    # guaranteed bound instead of a data-shape assumption.
     "q154_ks_drift",
+    "q164_ks_drift_quantized",
 }
 
 
