@@ -166,6 +166,47 @@ HEADLINE += [
 ]
 
 
+def _previous_bench(sf: float | None) -> dict:
+    """Newest same-sf BENCH_*.json in the repo root — the reference
+    for the >2x regression re-measure (VERDICT r6 task 5). Matching on
+    the recorded "sf" field keeps sf0.1 rounds from being compared to
+    sf1-equivalent runs."""
+    import re
+
+    best_round, prev = -1, {}
+    for p in Path(__file__).resolve().parent.glob("BENCH_*r*.json"):
+        m = re.search(r"r(\d+)", p.stem)
+        if not m:
+            continue
+        try:
+            text = p.read_text()
+        except OSError:
+            continue
+        # Full records are one-line JSON (bench output, possibly two
+        # lines: full then compact); the driver's wrapper files carry
+        # only a truncated tail — no usable per-query record — and are
+        # skipped by the "queries" check.
+        candidates = []
+        try:
+            candidates.append(json.loads(text))
+        except json.JSONDecodeError:
+            for line in text.splitlines():
+                try:
+                    candidates.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+        for data in candidates:
+            if not isinstance(data, dict):
+                continue
+            if data.get("sf") != sf or not isinstance(
+                    data.get("queries"), dict) or not data["queries"]:
+                continue
+            rnd = int(m.group(1))
+            if rnd > best_round:
+                best_round, prev = rnd, data
+    return prev
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -214,6 +255,7 @@ def main() -> None:
     # These demonstrate the 100×-scale claims on the facades themselves:
     # no driver materialization, AQE-managed shuffles, one wide pass.
     facades: dict[str, float | None] = {}
+    facade_runners: dict = {}
     try:
         from pyspark.sql import functions as F
 
@@ -249,22 +291,29 @@ def main() -> None:
         # measured at 2-4x run-to-run).
         from batch_processing_analysis_spark.pipeline import release_analysis
 
-        def timed(label, fn):
-            best = None
-            for _ in range(2):  # min-of-2: facade runs show 2-4x
-                t0 = time.time()  # host-noise swings run-to-run
+        def _mk_runner(fn):
+            def run_once() -> float:
+                t0 = time.time()
                 out = fn()
                 out.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
-                # Drop the run's checkpoint blocks so run 2 measures the
-                # pipeline, not run 1's block-manager pressure.
+                # Drop the run's checkpoint blocks so the next run
+                # measures the pipeline, not this run's block-manager
+                # pressure.
                 release_analysis(out)
-                best = dt if best is None else min(best, dt)
-            facades[label] = round(best, 3)
+                return dt
+            return run_once
 
-        timed("analyze_batches_events",
-              lambda: analyze_batches(events_as_event_log(spark, sf_dir)))
-        timed("prepare_corpus_10x_docs", lambda: prepare_corpus(big))
+        # Single-run closures kept for the >2x re-measure stage; the
+        # first measurement is min-of-2 (facade runs show 2-4x
+        # host-noise swings run-to-run).
+        facade_runners["analyze_batches_events"] = _mk_runner(
+            lambda: analyze_batches(events_as_event_log(spark, sf_dir)))
+        facade_runners["prepare_corpus_10x_docs"] = _mk_runner(
+            lambda: prepare_corpus(big))
+        for _label in ("analyze_batches_events", "prepare_corpus_10x_docs"):
+            _run = facade_runners[_label]
+            facades[_label] = round(min(_run(), _run()), 3)
     except Exception as e:
         print(f"bench: facade stage failed: {e}", file=sys.stderr)
 
@@ -321,6 +370,7 @@ def main() -> None:
                 shutil.rmtree(root, ignore_errors=True)
 
         ingest_once()  # warm-up (stream codegen, committer init)
+        facade_runners["incremental_ingest_4_deltas"] = ingest_once
         facades["incremental_ingest_4_deltas"] = round(
             min(ingest_once() for _ in range(2)), 3
         )
@@ -363,6 +413,53 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = None
 
+    # Self-certifying regression check (VERDICT r6 task 5): any row
+    # whose time exceeds 2x its newest same-sf recorded run gets two
+    # more solo runs folded into its min before the JSON is written,
+    # and is stamped in `remeasured`. Surviving >2x rows are therefore
+    # real regressions, not one-shot host-noise spikes.
+    prev = _previous_bench(sf)
+    remeasured: list[str] = []
+    prev_q = prev.get("queries") or {}
+    for name, v in list(timings.items()):
+        pv = prev_q.get(name)
+        fn = qs.get(name)
+        if (v is None or fn is None
+                or not isinstance(pv, (int, float)) or pv <= 0
+                or v <= 2 * pv):
+            continue
+        best = v
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                best = min(best, time.time() - t0)
+        except Exception as e:
+            print(f"bench: re-measure {name} failed: {e}", file=sys.stderr)
+        timings[name] = round(best, 3)
+        remeasured.append(name)
+    prev_f = prev.get("facades") or {}
+    for label, v in list(facades.items()):
+        pv = prev_f.get(label)
+        run = facade_runners.get(label)
+        if (v is None or run is None
+                or not isinstance(pv, (int, float)) or pv <= 0
+                or v <= 2 * pv):
+            continue
+        best = v
+        try:
+            for _ in range(2):
+                best = min(best, run())
+        except Exception as e:
+            print(f"bench: re-measure {label} failed: {e}",
+                  file=sys.stderr)
+        facades[label] = round(best, 3)
+        remeasured.append(label)
+    if remeasured:
+        print(f"bench: re-measured {len(remeasured)} >2x rows: "
+              f"{remeasured}", file=sys.stderr)
+
     ok = [v for v in timings.values() if v is not None]
     out = {
         "metric": "headline_queries_total_runtime",
@@ -370,6 +467,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "facades": facades,
+        "facades_protocol": "min-of-2 solo, >2x rows re-measured",
+        "remeasured": remeasured,
         "sf": sf,
     }
     # Full record first (per-query timings — this line outgrew the
@@ -386,6 +485,7 @@ def main() -> None:
         "n_queries": len(ok),
         "n_failed": sum(1 for v in timings.values() if v is None),
         "facades": facades,
+        "remeasured": remeasured,
     }
     print(json.dumps(compact))
     spark.stop()
