@@ -62,8 +62,22 @@ def linear_scores(docs: DataFrame, weights: dict[str, int],
     rides the task closure (broadcast once per executor). Batch work
     is a dict-lookup fold per document — swap in a real model's
     forward pass here without touching the plan.
+
+    Tokenization contract (ADVICE r6): the kernel splits with
+    ``re.split(r"\\s+", ..., flags=re.ASCII)`` — the exact character
+    class of Java regex ``\\s`` that :func:`dedup.tokens` uses — NOT
+    ``str.split()``, whose Unicode whitespace (NBSP, ideographic
+    space, …) would silently diverge from the relational twin. Tokens
+    containing non-ASCII whitespace therefore stay single tokens in
+    BOTH paths (pinned by tests/test_scoring_parity.py). Case-folding
+    uses Python ``str.lower()`` vs JVM ``lower()`` — identical on the
+    overwhelming Unicode majority; locale-sensitive corner cases
+    (e.g. Turkish dotted I) are out of contract.
     """
     import math
+    import re
+
+    ws = re.compile(r"\s+", flags=re.ASCII)
 
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
@@ -78,7 +92,7 @@ def linear_scores(docs: DataFrame, weights: dict[str, int],
         for pdf in batches:
             ids, nt, lg, sc = [], [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                toks = (t or "").lower().split()
+                toks = [x for x in ws.split((t or "").lower()) if x]
                 logit = bias_micro
                 for tok in toks:
                     logit += weights.get(tok, 0)

@@ -1069,6 +1069,17 @@ def mmr_select(corpus: DataFrame, query_vec: list[float], k: int = 10,
     id; ``lambda_pct`` is an integer percent so the MMR objective
     ``λ·rel − (100−λ)·maxsim`` stays in exact integer micros.
 
+    Objective variant — CLAMPED redundancy (deliberate; ADVICE r6):
+    the running ``maxsim_micro`` is floored at 0 every round
+    (``max(0, max_{s∈S} sim(d, s))``), not just for the empty picked
+    set. Candidates anti-correlated with everything picked score as
+    redundancy 0 — similarity to picks is only ever a PENALTY, never a
+    bonus — where textbook MMR would let a negative max-sim ADD to the
+    score and bias selection toward antipodal vectors. For dedup-aware
+    retrieval the hinge is the behavior we want (an opposite-direction
+    document is not "extra relevant", it is merely non-redundant); the
+    float32-faithful Python replay test pins the clamped objective.
+
     Iterative BY NATURE (each pick changes every candidate's
     redundancy term): k driver-coordinated rounds like M132/M46/M68 —
     each round ONE distributed max-sim update against the single

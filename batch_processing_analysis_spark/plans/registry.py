@@ -33,95 +33,81 @@ ORACLES: dict[str, str] = {}
 EXTRA_QUERIES: dict[str, SparkBuilder] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
-# Round-6 rotation (VERDICT r5 tasks 1 + 3). 50 slots, chosen from
-# tools/rotation_check.py's staleness report (budget: every query's
-# newest driver-green must be at most 3 rounds old at planning time —
-# 144 queries / 50 slots makes a 3-round refresh period the feasibility
-# floor):
-# - 6 family representatives (kept every round so reference-parity
-#   evidence stays fresh);
-# - the 5 never-driver-checked queries q142-q146 (M113/M114/M115/
-#   M117/M121 — registered after the r5 window froze);
-# - the 10 budget-violating queries (newest green r2: q02/q04/q05/
-#   q14/q15/q16/q22/q23/q25/q45);
-# - re-greens from the r3-stale tail, prioritized single-green first
-#   (q51/q53/q58/q59/q60/q61/q74/q75/q80), then two-green
-#   (q07/q26/q27/q29). As round 6 added 16 new queries (q147-q162),
-#   the remaining r3-tail slots were ceded to them one batch at a
-#   time (never-checked > stale-green): the whole three-green tier
-#   (q03/q06/q08-q10/q13/q17-q21/q24) plus q38/q52/q56/q57 defer to
-#   r7 — all still inside the 3-round budget, and they ARE the bulk
-#   of rotation_check's "coming due next round" list that seeds the
-#   r7 window.
-# Rotated OUT: the r5 first-checks (q64-q141 additions, all green in
-# CORRECTNESS_r05) and the environment canaries q111-q115/q117 (their
-# diagnostic value is one round). q116_canary_hugeint_probe is RETIRED
-# to the extras registry: its designed red row confirmed the driver's
-# HUGEINT→float64 canonicalization in r5 (DRIVER_ENV.md) — keeping it
-# would burn a window slot on a permanent by-design mismatch.
-# q122_canary_pow stays registered as an extra too (strict-driver
-# keeps exercising both).
+# Round-7 rotation (VERDICT r6 task 1c). 50 slots, built from
+# tools/rotation_check.py --plan (budget arithmetic lives in THAT
+# module's docstring — the single authoritative statement: registered
+# minus the 8 allowlisted environment canaries, over 50 slots, makes a
+# ~3.1-round refresh floor, hence the 4-round budget):
+# - the 28 r3-tier staleness entries the r6 verdict demanded re-green
+#   (the whole q03-q57 tail whose newest driver green was r3);
+# - q143_edjoin_exact: re-green of the r7-rewritten Pass-Join operator
+#   (fresh official evidence for changed code, green r6 already);
+# - the 2 new r7 queries q163/q164 (never-checked > stale-green);
+# - the 19 numerically-first r4-tier queries (q54-q84); the remaining
+#   19 r4-tier (q85-q105 range) come due at r8 planning and ARE the
+#   r8 window's seed, alongside the r5 tier that follows at r9.
+# Rotated OUT: the r6 first-checks (q142-q162 minus q143, all green in
+# CORRECTNESS_r06) and the multi-green r2/r3-refresh tier (q01-q80
+# family reps included — every one has 2-6 green rows and re-enters on
+# its budget schedule). q116_canary_hugeint_probe stays RETIRED in the
+# extras registry (designed-red HUGEINT probe, DRIVER_ENV.md) and all
+# 8 canaries are budget-allowlisted in rotation_check.py.
 # Set to None to fall back to the per-call flags.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
-    # family representatives
-    "q01_pricing_summary",
-    "q30_enabled_times",
-    "q34_waiting_time_report",
-    "q37_activation_rules",
-    "q41_dedup_minhash_lsh",
-    "q44_embedding_neardup",
-    # never driver-checked (M113-M121 query-bearing additions)
-    "q142_unimax_plan",
+    # r3-tier staleness re-greens (VERDICT r6 task 1c)
+    "q03_top_revenue_orders",
+    "q06_regional_revenue",
+    "q08_string_ops",
+    "q09_window_topk",
+    "q10_argmin_first_event",
+    "q13_directly_follows",
+    "q17_cte_ratio",
+    "q18_range_join_workload",
+    "q19_theta_self_join",
+    "q20_chunking",
+    "q21_rolling_sequence",
+    "q24_union_rekey",
+    "q31_task_batches",
+    "q32_batch_discovery_stats",
+    "q33_waiting_time_decomposition",
+    "q35_concurrency_pairs",
+    "q36_activation_features",
+    "q38_interval_sweep",
+    "q40_dedup_exact",
+    "q42_dedup_simhash",
+    "q43_dedup_ngram_jaccard",
+    "q46_ann_ivf_topk",
+    "q47_text_quality",
+    "q48_lang_id",
+    "q49_token_count",
+    "q52_dedup_components",
+    "q56_repetition_signals",
+    "q57_pattern_counts",
+    # changed-operator re-green (Pass-Join rewrite, r7)
     "q143_edjoin_exact",
-    "q144_embedding_gram",
-    "q145_bloom_membership",
-    "q146_nfc_audit",
-    # staleness-budget violations (newest green r2)
-    "q02_filter_project",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q14_nested_two_level_agg",
-    "q15_histogram",
-    "q16_rollup",
-    "q22_dense_rank",
-    "q23_instant_generation",
-    "q25_conditional_pivot",
-    "q45_ann_cosine_topk",
-    # r3-stale, single driver-green row
-    "q51_multimodal_features",
-    "q53_corpus_filter",
-    "q58_stratified_sample",
-    "q59_token_shard_packing",
-    "q60_winnowing_pairs",
-    "q61_event_blacklist",
-    "q74_semantic_dedup",
-    "q75_dedup_resolution",
-    "q80_funnel_steps",
-    # r3-stale, two driver-green rows
-    "q07_in_case_when",
-    "q26_trace_subset",
-    "q27_calendar_displacement",
-    "q29_range_join_bucketed",
-    # new r6 operators (M122-M140), first driver check — took the
-    # whole three-green tier (q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
-    # q21/q24) plus the two-green q56/q57 (never-checked > stale-green;
-    # all ceded slots re-green in r7, still inside the 3-round budget)
-    "q147_ppjoin_increment",
-    "q148_token_entropy",
-    "q149_containment_pairs",
-    "q150_centroid_cosine",
-    "q151_script_mix",
-    "q152_last_touch_attribution",
-    "q153_frequent_paths",
-    "q154_ks_drift",
-    "q155_novelty_attribution",
-    "q156_weighted_median",
-    "q157_zipf_slope",
-    "q158_conformance_fitness",
-    "q159_variant_table",
-    "q160_linear_scores",
-    "q161_embedding_dispersion",
-    "q162_jaccard_threshold_profile",
+    # new in r7 (never driver-checked)
+    "q163_containment_increment",
+    "q164_ks_drift_quantized",
+    # r4-tier refresh (oldest by query number; rest seed the r8 window)
+    "q54_frame_sample",
+    "q55_payload_resize",
+    "q62_doc_chunking",
+    "q63_decontaminate",
+    "q65_quantized_topk",
+    "q66_asof_join",
+    "q67_bm25_topk",
+    "q68_incremental_merge",
+    "q69_seeded_shuffle",
+    "q71_context_packing",
+    "q72_unigram_logprob",
+    "q73_dedup_segments",
+    "q77_profile_columns",
+    "q78_quality_buckets",
+    "q79_cdc_chunks",
+    "q81_retention_cohorts",
+    "q82_payload_neardup",
+    "q83_interval_overlap_join",
+    "q84_resample_locf",
 })
 
 

@@ -510,6 +510,11 @@ def test_linear_scores_kernel_equals_relational(spark):
         (3, "the the the"),
         (4, "   "),            # zero tokens -> logit = bias
         (5, "unseen vocabulary entirely"),
+        # ADVICE r6: non-ASCII whitespace (NBSP, ideographic space)
+        # is NOT a separator in either path — Java regex \s is ASCII,
+        # and the kernel now splits with re.ASCII to match; the glued
+        # "the key" token is OOV in both.
+        (6, "the\u00a0key words\u3000words GOOD Bad"),
     ])
     w = seeded_weights(["good", "bad", "the", "key", "words", "text"])
     kern = sorted(map(tuple, linear_scores(docs, w,
