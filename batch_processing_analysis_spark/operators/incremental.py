@@ -597,6 +597,28 @@ def ppjoin_increment_from_base(spark, delta: DataFrame,
             W.partitionBy("gid").orderBy("_df", "tk")))
         .select("gid", "tk", "n", "rn")
     )
+    sets_d = tok_d.groupBy("gid").agg(
+        F.collect_list("tk").alias("set"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # delta×base keeps base bucketing (pfx inside the core is a
+    # filter, not a re-partition); delta×delta is a small self-join.
+    return _ppjoin_increment_core(ranked_d, ranked_b,
+                                  sets_b.unionByName(sets_d), t_pct)
+
+
+def _ppjoin_increment_core(ranked_d: DataFrame, ranked_others: DataFrame,
+                           sets_all: DataFrame, t_pct: int) -> DataFrame:
+    """Candidate + verify core shared by
+    :func:`ppjoin_increment_from_base` and the streaming exact ingest
+    (streaming/incremental_ingest.py:exact_neardup_micro_batch).
+
+    ``ranked_d`` / ``ranked_others`` carry ``(gid, tk, n, rn)`` ranked
+    under ONE shared fixed total token order (any fixed order is
+    exact — see :func:`ppjoin_increment_pairs`); ``sets_all`` carries
+    ``(gid, set, n)`` for every doc either side references. Output:
+    every pair with Jaccard ≥ t and ≥1 side in ``ranked_d``.
+    """
 
     def pfx(frame):
         ceil_tl = F.floor(
@@ -642,18 +664,11 @@ def ppjoin_increment_from_base(spark, delta: DataFrame,
                     .alias("id_b"))
         )
 
-    # delta×base keeps base bucketing (pfx is a filter, not a
-    # re-partition); delta×delta is a small self-join.
     cand = (
-        cand_against(pfx(ranked_b))
+        cand_against(pfx(ranked_others))
         .unionByName(cand_against(pfx_d))
         .distinct()
     )
-    sets_d = tok_d.groupBy("gid").agg(
-        F.collect_list("tk").alias("set"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    sets_all = sets_b.unionByName(sets_d)
     va = sets_all.select(F.col("gid").alias("id_a"),
                          F.col("set").alias("_seta"),
                          F.col("n").alias("_na"))

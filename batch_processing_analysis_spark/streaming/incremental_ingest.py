@@ -190,3 +190,133 @@ def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
         spark.read.option("basePath", pairs_path).parquet(pairs_path)
         .select("id_a", "id_b").distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT near-dup ingest (M143): durable ranked-token registry + per-batch
+# exact PPJoin pairs — the exactness analog of the M43 LSH loop
+# (VERDICT r6 stretch 7: M130/M131's two halves wired into foreachBatch).
+# ---------------------------------------------------------------------------
+
+def exact_neardup_micro_batch(batch_df: DataFrame, batch_id: int, *,
+                              ranked_path: str, sets_path: str,
+                              pairs_path: str, id_col: str = "doc_id",
+                              text_col: str = "text", t_pct: int = 50,
+                              k: int = 3,
+                              df_table: str | None = None) -> None:
+    """One micro-batch of the streaming EXACT near-dup gate: shingle
+    the batch, rank its tokens under the ONE frozen total order, join
+    its prefix against the durable ranked registry (plus itself) via
+    the same candidate/verify core as the batch operator, and persist
+    the pairs the batch introduced plus the batch's own ranked/sets
+    rows — each into an ``ingest_batch=<id>`` overwrite partition
+    (retry-idempotent, the :func:`ingest_micro_batch` discipline; the
+    registry read EXCLUDES the current batch's partitions so a
+    half-written retry can't double-count).
+
+    Frozen order: token rank is (df, tk) where df comes from
+    ``df_table`` (a :func:`operators.incremental.publish_ppjoin_base`
+    ``{prefix}_df`` bucketed table) when given, else 0 for every token
+    (rank order = tk alone) — ANY fixed total order is exact, and
+    freezing it is what lets stored ranked rows be reused verbatim
+    across batches and restarts. Accumulated pairs over the whole
+    stream == the one-shot batch :func:`operators.dedup.ppjoin_pairs`
+    on everything ingested (each pair is introduced exactly once, by
+    its later side's batch) — pinned across a restart by
+    tests/test_exact_neardup_ingest.py.
+    """
+    from ..operators.dedup import hash60, shingle_rows
+    from ..operators.incremental import _ppjoin_increment_core
+
+    spark = batch_df.sparkSession
+    lowered = batch_df.select(F.col(id_col),
+                              F.lower(F.col(text_col)).alias(text_col))
+    tok_d = shingle_rows(lowered, id_col, text_col, k).select(
+        F.col(id_col).alias("gid"), hash60(F.col("shingle")).alias("tk")
+    ).distinct().localCheckpoint(eager=True)
+    sizes_d = tok_d.groupBy("gid").agg(F.count(F.lit(1)).alias("n"))
+    if df_table is not None:
+        from ..sources.bucketed import load_bucketed
+
+        df_b = load_bucketed(spark, df_table)
+        with_df = (tok_d.join(F.broadcast(df_b), "tk", "left")
+                   .withColumn("_df", F.coalesce(
+                       "df", F.lit(0).cast("long"))))
+    else:
+        with_df = tok_d.withColumn("_df", F.lit(0).cast("long"))
+    ranked_d = (
+        with_df.join(sizes_d, "gid")
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("gid").orderBy("_df", "tk")))
+        .select("gid", "tk", "n", "rn")
+        .localCheckpoint(eager=True)
+    )
+    sets_d = tok_d.groupBy("gid").agg(
+        F.collect_list("tk").alias("set"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+
+    def _stored(path: str, cols: list[str]) -> DataFrame | None:
+        try:
+            return (
+                spark.read.option("basePath", path).parquet(path)
+                .filter(F.col("ingest_batch") != batch_id)
+                .select(*cols)
+            )
+        except AnalysisException:  # first batch: registry doesn't exist
+            return None
+
+    ranked_others = _stored(ranked_path, ["gid", "tk", "n", "rn"])
+    sets_others = _stored(sets_path, ["gid", "set", "n"])
+    if ranked_others is None:
+        ranked_others = ranked_d.limit(0)
+    sets_all = sets_d if sets_others is None else \
+        sets_d.unionByName(sets_others)
+    pairs = _ppjoin_increment_core(ranked_d, ranked_others, sets_all,
+                                   t_pct)
+    pairs.write.mode("overwrite").parquet(
+        f"{pairs_path}/ingest_batch={batch_id}")
+    ranked_d.write.mode("overwrite").parquet(
+        f"{ranked_path}/ingest_batch={batch_id}")
+    sets_d.write.mode("overwrite").parquet(
+        f"{sets_path}/ingest_batch={batch_id}")
+
+
+def start_exact_neardup_ingest(stream_docs: DataFrame, *,
+                               ranked_path: str, sets_path: str,
+                               pairs_path: str, checkpoint_path: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", t_pct: int = 50,
+                               k: int = 3, df_table: str | None = None,
+                               available_now: bool = True
+                               ) -> StreamingQuery:
+    """Durable streaming EXACT near-dup detection: every arriving
+    document is PPJoin-compared (provably complete, Jaccard ≥ t)
+    against the full ingest history via the persisted ranked-token
+    registry — state on disk, restart-proof, shared semantics with the
+    batch engine."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        exact_neardup_micro_batch(
+            batch_df, batch_id, ranked_path=ranked_path,
+            sets_path=sets_path, pairs_path=pairs_path, id_col=id_col,
+            text_col=text_col, t_pct=t_pct, k=k, df_table=df_table,
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(_fn)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_exact_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """All exact near-dup pairs flagged so far (a pair is introduced
+    exactly once, by its later side's batch; distinct defends against
+    a replayed-batch overlap window)."""
+    return (
+        spark.read.option("basePath", pairs_path).parquet(pairs_path)
+        .select("id_a", "id_b", "jac_micro").distinct()
+    )
