@@ -37,17 +37,121 @@ def test_resize_payload_stride(spark):
 
 
 def test_decode_image_gate_without_codec():
-    # In a codec-less environment the swap-point must fail loudly with
-    # the install hint, not a silent fake decode.
+    # In a codec-less environment: non-PNG payloads fail loudly with
+    # the install hint (never a silent fake decode); a corrupt PNG
+    # fails loudly in the vendored decoder.
     import pytest
 
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
+            M.decode_image(b"\xff\xd8\xff fake jpeg bytes here")
+        with pytest.raises(ValueError, match="corrupt PNG"):
             M.decode_image(b"\x89PNG\r\n\x1a\n not really a png")
     else:
         pytest.skip("PIL present; covered by test_image_features_with_pil")
+
+
+def _pure_png(w, h, color):
+    from batch_processing_analysis_spark.operators.png_codec import (
+        encode_png,
+    )
+
+    return encode_png(h, w, bytes(color) * (w * h))
+
+
+def test_image_features_pure_python_decoder(spark):
+    # The decoded mapInPandas path, UNSKIPPED in any environment
+    # (VERDICT r6 stretch 8): vendored encoder -> vendored decoder,
+    # same assertions as the PIL variant.
+    media = _payloads(
+        spark,
+        [(1, _pure_png(4, 3, (255, 0, 0))), (2, _pure_png(2, 2, (10, 20, 30)))],
+    )
+    rows = {r["doc_id"]: r for r in M.image_features(media).collect()}
+    assert rows[1]["height"] == 3 and rows[1]["width"] == 4
+    assert rows[1]["channels"] == 3
+    assert rows[1]["mean_pixel_milli"] == 85_000
+    assert rows[2]["mean_pixel_milli"] == (10 + 20 + 30) * 1000 // 3
+
+
+def test_png_codec_roundtrip_and_filters():
+    import zlib as _zlib
+
+    from batch_processing_analysis_spark.operators import png_codec as P
+
+    # gradient exercises real pixel variety through the roundtrip
+    w, h = 7, 5
+    rgb = bytes(((x * 37 + y * 11 + c * 3) % 256)
+                for y in range(h) for x in range(w) for c in range(3))
+    hh, ww, back = P.decode_png(P.encode_png(h, w, rgb))
+    assert (hh, ww) == (h, w) and back == rgb
+    # all five filter types decode: hand-build a 2x2 RGB PNG per filter
+    import struct as _struct
+
+    def hand_png(filter_rows):
+        ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        raw = b"".join(filter_rows)
+
+        def chunk(ct, body):
+            return (_struct.pack(">I", len(body)) + ct + body
+                    + _struct.pack(">I", _zlib.crc32(ct + body)))
+
+        return (P.MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    base = bytes([10, 20, 30, 40, 50, 60])
+    none_png = hand_png([b"\x00" + base, b"\x00" + base])
+    _, _, px_none = P.decode_png(none_png)
+    for ft in (1, 2, 3, 4):
+        # encode row 2 with filter ft relative to row 1 (filter 0)
+        row2 = bytearray(6)
+        prev = bytearray(base)
+        for i in range(6):
+            left = base[i - 3] if i >= 3 else 0
+            ul = prev[i - 3] if i >= 3 else 0
+            if ft == 1:
+                row2[i] = (base[i] - left) & 0xFF
+            elif ft == 2:
+                row2[i] = (base[i] - prev[i]) & 0xFF
+            elif ft == 3:
+                row2[i] = (base[i] - ((left + prev[i]) >> 1)) & 0xFF
+            else:
+                row2[i] = (base[i] - P._paeth(left, prev[i], ul)) & 0xFF
+        _, _, px = P.decode_png(
+            hand_png([b"\x00" + base, bytes([ft]) + bytes(row2)]))
+        assert px == px_none, f"filter {ft}"
+    # gray and RGBA color types normalize to RGB like PIL convert("RGB")
+    def png_ct(ct_val, rows):
+        ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, ct_val, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rows)
+
+        def chunk(ct, body):
+            return (_struct.pack(">I", len(body)) + ct + body
+                    + _struct.pack(">I", _zlib.crc32(ct + body)))
+
+        return (P.MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    _, _, g = P.decode_png(png_ct(0, [bytes([7, 8]), bytes([9, 10])]))
+    assert g == bytes([7, 7, 7, 8, 8, 8, 9, 9, 9, 10, 10, 10])
+    _, _, ga = P.decode_png(png_ct(4, [bytes([7, 255, 8, 0]),
+                                       bytes([9, 1, 10, 2])]))
+    assert ga == g  # alpha dropped
+    rgba_rows = [bytes([1, 2, 3, 255, 4, 5, 6, 0]),
+                 bytes([7, 8, 9, 128, 10, 11, 12, 64])]
+    _, _, rgb2 = P.decode_png(png_ct(6, rgba_rows))
+    assert rgb2 == bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    # loud unsupported-feature errors
+    import pytest
+
+    with pytest.raises(ValueError, match="palette"):
+        P.decode_png(png_ct(3, [bytes([0, 0]), bytes([0, 0])]))
+    with pytest.raises(ValueError, match="bad CRC"):
+        bad = bytearray(P.encode_png(1, 1, b"\x01\x02\x03"))
+        bad[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+        P.decode_png(bytes(bad))
 
 
 def test_decode_audio_gate_without_codec():
@@ -56,7 +160,11 @@ def test_decode_audio_gate_without_codec():
     try:
         import soundfile  # noqa: F401
     except ImportError:
+        # non-WAV payload: loud install hint, never a silent fake
         with pytest.raises(NotImplementedError, match="soundfile"):
+            M.decode_audio(b"\xffOGG fake compressed audio")
+        # corrupt RIFF: the stdlib wave fallback fails loudly too
+        with pytest.raises(Exception):
             M.decode_audio(b"RIFF fake wav bytes")
     else:  # pragma: no cover - environment-dependent branch
         import io
@@ -118,3 +226,27 @@ def test_payload_neardup_detects_truncated_copy(spark):
     }
     assert (1, 2) in pairs  # truncation survives byte-gram simhash
     assert all(4 not in p for p in pairs)  # unrelated blob stays out
+
+
+def test_decode_audio_pure_stdlib_wav():
+    # The decoded audio path, UNSKIPPED in any environment: stdlib
+    # wave writer -> decode_audio's stdlib fallback (or soundfile when
+    # present -- both must agree on PCM16).
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    rate, n = 8000, 32
+    pcm = [int(10000 * math.sin(2 * math.pi * 440 * i / rate))
+           for i in range(n)]
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{n}h", *pcm))
+    samples, got_rate = M.decode_audio(buf.getvalue())
+    assert got_rate == rate and len(samples) == n
+    assert abs(float(samples[1]) - pcm[1] / 32768.0) < 1e-6
+    assert max(abs(float(x)) for x in samples) < 1.0
