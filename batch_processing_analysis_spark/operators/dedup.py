@@ -955,6 +955,80 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _passjoin_scheme(df: DataFrame, length_col: str, k: int) -> DataFrame:
+    """Pass-Join chunk scheme for a length-l string, slot ``_i`` in
+    [0, k): first k − l%k chunks of size l div k, the rest one longer;
+    1-based start ``_p``, length ``_c``. Chunk and substring sides MUST
+    compute the identical scheme."""
+    return (
+        df.withColumn("_base", F.expr(f"{length_col} div {k}"))
+        .withColumn("_rem", F.expr(f"{length_col} % {k}"))
+        .withColumn("_c", F.col("_base")
+                    + F.when(F.col("_i") >= k - F.col("_rem"),
+                             F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("_p", F.lit(1) + F.col("_i") * F.col("_base")
+                    + F.greatest(F.lit(0),
+                                 F.col("_i") - (k - F.col("_rem"))))
+    )
+
+
+def passjoin_chunk_rows(t: DataFrame, id_col: str, text_col: str,
+                        d: int) -> DataFrame:
+    """Index side of the Pass-Join candidate join: each doc's own
+    ``d+1`` chunks as ``(_gc, _lc, _i, _ck)``. ``t`` must carry a
+    ``_len`` length column. Shared by :func:`edjoin_pairs` and the
+    incremental variant (operators/incremental.py)."""
+    k = d + 1
+    return (
+        _passjoin_scheme(
+            t.filter(F.col("_len") >= k)
+            .select(F.col(id_col).alias("_gc"), "_len", F.col(text_col),
+                    F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                    .alias("_i")),
+            "_len", k)
+        .select(F.col("_gc"), F.col("_len").alias("_lc"), "_i",
+                F.xxhash64(F.expr(f"substring({text_col}, _p, _c)"))
+                .alias("_ck"))
+    )
+
+
+def passjoin_substring_rows(t: DataFrame, id_col: str, text_col: str,
+                            d: int) -> DataFrame:
+    """Probe side of the Pass-Join candidate join: for each candidate
+    partner length ``_lx ∈ [max(k, len−d), len]``, the partner-scheme
+    substrings inside the multi-match-aware shift window, as
+    ``(_gs, _ly, _lx, _i, _ck)``. ``t`` must carry ``_len``."""
+    k = d + 1
+    sub = (
+        t.filter(F.col("_len") >= k)
+        .select(F.col(id_col).alias("_gs"), F.col("_len").alias("_ly"),
+                F.col(text_col))
+        .withColumn("_lx", F.explode(F.sequence(
+            F.greatest(F.lit(k), F.col("_ly") - d), F.col("_ly"))))
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    )
+    return (
+        _passjoin_scheme(sub, "_lx", k)
+        .withColumn("_delta", F.col("_ly") - F.col("_lx"))
+        .withColumn("_lo", F.greatest(
+            F.col("_p") + F.greatest(-F.col("_i"),
+                                     F.col("_delta")
+                                     - (F.lit(k - 1) - F.col("_i"))),
+            F.lit(1)))
+        .withColumn("_hi", F.least(
+            F.col("_p") + F.least(F.col("_i"),
+                                  F.col("_delta")
+                                  + (F.lit(k - 1) - F.col("_i"))),
+            F.col("_ly") - F.col("_c") + 1))
+        .filter(F.col("_lo") <= F.col("_hi"))
+        .withColumn("_s", F.explode(F.sequence(F.col("_lo"),
+                                               F.col("_hi"))))
+        .select("_gs", "_ly", "_lx", "_i",
+                F.xxhash64(F.expr(f"substring({text_col}, _s, _c)"))
+                .alias("_ck"))
+    )
+
+
 def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", d: int = 10,
                  q: int = 4,
@@ -1033,67 +1107,12 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
          .withColumn("_len", F.length(text_col))
          .localCheckpoint(eager=False))
 
-    # Chunk scheme for a length-l string, slot _i in [0, k): first
-    # k − l%k chunks of size l div k, the rest one longer. 1-based
-    # start _p, length _c. Both sides compute the IDENTICAL scheme.
-    def _scheme(df: DataFrame, length_col: str) -> DataFrame:
-        return (
-            df.withColumn("_base", F.expr(f"{length_col} div {k}"))
-            .withColumn("_rem", F.expr(f"{length_col} % {k}"))
-            .withColumn("_c", F.col("_base")
-                        + F.when(F.col("_i") >= k - F.col("_rem"),
-                                 F.lit(1)).otherwise(F.lit(0)))
-            .withColumn("_p", F.lit(1) + F.col("_i") * F.col("_base")
-                        + F.greatest(F.lit(0),
-                                     F.col("_i") - (k - F.col("_rem"))))
-        )
-
-    # Index side: each doc's own d+1 chunks. Staged — feeds the
-    # candidate join AND the guard's bound aggregate.
-    ch = (
-        _scheme(
-            t.filter(F.col("_len") >= k)
-            .select(F.col(id_col).alias("_gc"), "_len", F.col(text_col),
-                    F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
-                    .alias("_i")),
-            "_len")
-        .select(F.col("_gc"), F.col("_len").alias("_lc"), "_i",
-                F.xxhash64(F.expr(f"substring({text_col}, _p, _c)"))
-                .alias("_ck"))
+    # Staged — each side feeds the candidate join AND the guard's
+    # bound aggregate.
+    ch = passjoin_chunk_rows(t, id_col, text_col, d) \
         .localCheckpoint(eager=False)
-    )
-    # Probe side: for each candidate partner length _lx ∈
-    # [max(k, len−d), len], the partner-scheme substrings inside the
-    # multi-match-aware shift window.
-    sub = (
-        t.filter(F.col("_len") >= k)
-        .select(F.col(id_col).alias("_gs"), F.col("_len").alias("_ly"),
-                F.col(text_col))
-        .withColumn("_lx", F.explode(F.sequence(
-            F.greatest(F.lit(k), F.col("_ly") - d), F.col("_ly"))))
-        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
-    )
-    sub = (
-        _scheme(sub, "_lx")
-        .withColumn("_delta", F.col("_ly") - F.col("_lx"))
-        .withColumn("_lo", F.greatest(
-            F.col("_p") + F.greatest(-F.col("_i"),
-                                     F.col("_delta")
-                                     - (F.lit(k - 1) - F.col("_i"))),
-            F.lit(1)))
-        .withColumn("_hi", F.least(
-            F.col("_p") + F.least(F.col("_i"),
-                                  F.col("_delta")
-                                  + (F.lit(k - 1) - F.col("_i"))),
-            F.col("_ly") - F.col("_c") + 1))
-        .filter(F.col("_lo") <= F.col("_hi"))
-        .withColumn("_s", F.explode(F.sequence(F.col("_lo"),
-                                               F.col("_hi"))))
-        .select("_gs", "_ly", "_lx", "_i",
-                F.xxhash64(F.expr(f"substring({text_col}, _s, _c)"))
-                .alias("_ck"))
+    sub = passjoin_substring_rows(t, id_col, text_col, d) \
         .localCheckpoint(eager=False)
-    )
     if max_candidates is not None:
         cnt_c = ch.groupBy("_ck", "_lc", "_i").agg(
             F.count(F.lit(1)).alias("_cc"))

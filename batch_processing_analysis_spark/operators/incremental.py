@@ -462,6 +462,7 @@ __all__ = [
     "ppjoin_increment_pairs",
     "containment_increment_pairs",
     "containment_increment_from_base",
+    "edjoin_increment_pairs",
 ]
 
 
@@ -796,4 +797,145 @@ def containment_increment_from_base(spark, delta: DataFrame,
             F.floor(F.col("_i") * F.lit(1_000_000) / F.col("_na"))
             .cast("long").alias("cont_micro"),
         )
+    )
+
+
+def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text", d: int = 10,
+                           q: int = 4,
+                           max_candidates: int | None = None
+                           ) -> DataFrame:
+    """EXACT incremental edit-distance join (M145): every pair with
+    ``levenshtein ≤ d`` and AT LEAST ONE side in ``delta`` —
+    completing the incremental trio (Jaccard M122, containment M142,
+    edit distance M145) so every exact content-keyed join the engine
+    offers has a never-rebuild-base×base ingest path. Identity:
+    output == batch :func:`dedup.edjoin_pairs` on base ∪ delta minus
+    its base-internal pairs (tests/test_edjoin_increment.py).
+
+    Pass-Join decomposition (see :func:`dedup.edjoin_pairs` — the
+    chunk side is always the SHORTER string, so delta-touching pairs
+    come from exactly two equi-joins, neither base×base):
+
+    - ``chunks(delta) ⋈ substrings(base ∪ delta)`` — delta doc is the
+      shorter side (its partner may be anywhere);
+    - ``chunks(base) ⋈ substrings(delta)`` — base doc shorter, delta
+      partner.
+
+    The short-string tiny bucket needs only ONE banded join,
+    ``probe(delta) ⋈ tiny(base ∪ delta)``: the ±1 band explode is
+    symmetric, so probing from the delta side alone reaches every
+    within-d partner. ``max_candidates`` measures all three joins'
+    key-count bounds before any runs.
+    """
+    from .dedup import (
+        _check_candidate_budget,
+        passjoin_chunk_rows,
+        passjoin_substring_rows,
+    )
+
+    if d < 0:
+        raise ValueError(f"d must be non-negative, got {d}")
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    cutoff = q * d + q - 1
+    t_b = (base.select(F.col(id_col), F.col(text_col))
+           .withColumn("_len", F.length(text_col))
+           .localCheckpoint(eager=False))
+    t_d = (delta.select(F.col(id_col), F.col(text_col))
+           .withColumn("_len", F.length(text_col))
+           .localCheckpoint(eager=False))
+    ch_d = passjoin_chunk_rows(t_d, id_col, text_col, d) \
+        .localCheckpoint(eager=False)
+    ch_b = passjoin_chunk_rows(t_b, id_col, text_col, d) \
+        .localCheckpoint(eager=False)
+    sub_d = passjoin_substring_rows(t_d, id_col, text_col, d) \
+        .localCheckpoint(eager=False)
+    sub_u = sub_d.unionByName(
+        passjoin_substring_rows(t_b, id_col, text_col, d)
+    ).localCheckpoint(eager=False)
+
+    tiny_u = (
+        t_b.select(F.col(id_col), "_len")
+        .unionByName(t_d.select(F.col(id_col), "_len"))
+        .filter(F.col("_len") <= cutoff)
+        .withColumn("_band", F.expr(f"_len div {d + 1}"))
+    )
+    probe_d = t_d.filter(F.col("_len") <= cutoff).select(
+        F.col(id_col), F.col("_len"),
+        F.explode(F.array(
+            F.expr(f"_len div {d + 1}") - 1,
+            F.expr(f"_len div {d + 1}"),
+            F.expr(f"_len div {d + 1}") + 1)).alias("_band"),
+    )
+    if max_candidates is not None:
+        def _pass_bound(ch, sub) -> int:
+            cc = ch.groupBy("_ck", "_lc", "_i").agg(
+                F.count(F.lit(1)).alias("_cc"))
+            cs = sub.groupBy("_ck", "_lx", "_i").agg(
+                F.count(F.lit(1)).alias("_cs"))
+            return int(
+                cc.join(cs, (F.col("_lc") == F.col("_lx"))
+                        & (cc["_ck"] == cs["_ck"])
+                        & (cc["_i"] == cs["_i"]))
+                .agg(F.sum(F.col("_cc") * F.col("_cs")).alias("_b"))
+                .collect()[0]["_b"] or 0
+            )
+
+        tc = tiny_u.groupBy("_band").agg(F.count(F.lit(1)).alias("_c"))
+        pc = probe_d.groupBy("_band").agg(F.count(F.lit(1)).alias("_cp"))
+        bound_tiny = int(
+            pc.join(tc, "_band")
+            .agg(F.sum(F.col("_cp") * F.col("_c")).alias("_b"))
+            .collect()[0]["_b"] or 0
+        )
+        _check_candidate_budget(
+            _pass_bound(ch_d, sub_u) + _pass_bound(ch_b, sub_d)
+            + bound_tiny,
+            max_candidates, "edjoin_increment_pairs",
+            "lsh_increment_pairs (probabilistic recall)",
+        )
+
+    def _pass_cand(ch, sub) -> DataFrame:
+        return (
+            sub.join(
+                ch,
+                (sub["_ck"] == ch["_ck"]) & (sub["_i"] == ch["_i"])
+                & (F.col("_lx") == F.col("_lc")),
+            )
+            .filter((F.col("_ly") > F.col("_lc"))
+                    | ((F.col("_ly") == F.col("_lc"))
+                       & (F.col("_gc") < F.col("_gs"))))
+            .select(F.least("_gc", "_gs").alias("id_a"),
+                    F.greatest("_gc", "_gs").alias("id_b"))
+        )
+
+    pa, pb = probe_d.alias("pa"), tiny_u.alias("pb")
+    cand_tiny = pa.join(
+        pb,
+        (F.col("pa._band") == F.col("pb._band"))
+        & (F.col(f"pa.{id_col}") != F.col(f"pb.{id_col}"))
+        & (F.abs(F.col("pa._len") - F.col("pb._len")) <= d),
+    ).select(
+        F.least(F.col(f"pa.{id_col}"), F.col(f"pb.{id_col}"))
+        .alias("id_a"),
+        F.greatest(F.col(f"pa.{id_col}"), F.col(f"pb.{id_col}"))
+        .alias("id_b"),
+    )
+    cand = (
+        _pass_cand(ch_d, sub_u)
+        .unionByName(_pass_cand(ch_b, sub_d))
+        .unionByName(cand_tiny)
+        .distinct()
+    )
+    t_u = t_b.unionByName(t_d)
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"), d)
+    return (
+        cand.join(t_u.select(F.col(id_col).alias("id_a"),
+                             F.col(text_col).alias("_ta")), "id_a")
+        .join(t_u.select(F.col(id_col).alias("id_b"),
+                         F.col(text_col).alias("_tb")), "id_b")
+        .select("id_a", "id_b", lev.cast("long").alias("dist"))
+        .filter(F.col("dist") >= 0)
     )

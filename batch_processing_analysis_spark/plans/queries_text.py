@@ -4881,3 +4881,33 @@ def q164_ks_drift_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ks_drift_by_group(_docs(spark, sf_dir).select(
         "source", "n_chars"), quantize=50, max_distinct=100_000)
+
+
+@query(
+    "q165_edjoin_increment",
+    r"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 10
+    WHERE levenshtein(a.text, b.text) <= 10
+      AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+    """,
+    primary=True,
+)
+def q165_edjoin_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT incremental edit-distance join (operators/incremental.py:
+    edjoin_increment_pairs, M145): base = even doc_ids, delta = odd;
+    every within-d=10 pair touching the delta via the Pass-Join
+    decomposition (chunks(delta) vs substrings(union) plus
+    chunks(base) vs substrings(delta)) — base x base never built,
+    completing the incremental trio over the exact joins (Jaccard
+    q147, containment q163, edit distance here). Oracle = q143's
+    unfiltered all-pairs levenshtein restricted to delta-touching
+    pairs. First driver window r7."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    return INC.edjoin_increment_pairs(base, delta, d=10, q=8,
+                                      max_candidates=5_000_000_000)

@@ -42,9 +42,9 @@ EXTRA_ORACLES: dict[str, str] = {}
 #   (the whole q03-q57 tail whose newest driver green was r3);
 # - q143_edjoin_exact: re-green of the r7-rewritten Pass-Join operator
 #   (fresh official evidence for changed code, green r6 already);
-# - the 2 new r7 queries q163/q164 (never-checked > stale-green);
-# - the 19 numerically-first r4-tier queries (q54-q84); the remaining
-#   19 r4-tier (q85-q105 range) come due at r8 planning and ARE the
+# - the 3 new r7 queries q163/q164/q165 (never-checked > stale-green);
+# - the 18 numerically-first r4-tier queries (q54-q83); the remaining
+#   20 r4-tier (q84-q105 range) come due at r8 planning and ARE the
 #   r8 window's seed, alongside the r5 tier that follows at r9.
 # Rotated OUT: the r6 first-checks (q142-q162 minus q143, all green in
 # CORRECTNESS_r06) and the multi-green r2/r3-refresh tier (q01-q80
@@ -88,6 +88,7 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     # new in r7 (never driver-checked)
     "q163_containment_increment",
     "q164_ks_drift_quantized",
+    "q165_edjoin_increment",
     # r4-tier refresh (oldest by query number; rest seed the r8 window)
     "q54_frame_sample",
     "q55_payload_resize",
@@ -107,7 +108,6 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q81_retention_cohorts",
     "q82_payload_neardup",
     "q83_interval_overlap_join",
-    "q84_resample_locf",
 })
 
 
