@@ -1,9 +1,10 @@
 """Round-5 additions, fourth batch: UniMax water-filling budget
-allocation (M113) and the q-gram prefix-filtered exact edit-distance
-join (M114) — semantics recomputed in plain Python (iterative
-water-filling loop, full DP levenshtein), plus each docstring's
-contract edges (remainder distribution, infeasible budget, threshold
-boundary, tiny-string bucket, multibyte text)."""
+allocation (M113) and the exact edit-distance join (M114; q-gram
+prefix-filtered in r5/r6, partition-based Pass-Join since r7 — these
+tests are implementation-blind) — semantics recomputed in plain Python
+(iterative water-filling loop, full DP levenshtein), plus each
+docstring's contract edges (remainder distribution, infeasible budget,
+threshold boundary, tiny-string bucket, multibyte text)."""
 
 from __future__ import annotations
 
