@@ -203,21 +203,21 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
 
     if not 1 <= t_pct <= 100:
         raise ValueError(f"t_pct must be in [1, 100], got {t_pct}")
-    tagged = (
-        base.select(F.col(id_col), F.col(text_col),
-                    F.lit(False).alias("_delta"))
-        .unionByName(
-            delta.select(F.col(id_col), F.col(text_col),
-                         F.lit(True).alias("_delta")))
-    )
-    lowered = tagged.select(
-        id_col, F.lower(F.col(text_col)).alias(text_col), "_delta"
-    )
+    # Per-side shingling with LITERAL delta flags (r7): the r6 form
+    # shingled the tagged union and JOINED the flag back on by id —
+    # a full extra shuffle of the token table that the union of two
+    # flagged shingle scans makes unnecessary.
+    def _tok_side(side: DataFrame, flag: bool) -> DataFrame:
+        lowered = side.select(F.col(id_col),
+                              F.lower(F.col(text_col)).alias(text_col))
+        return shingle_rows(lowered, id_col, text_col, k).select(
+            F.col(id_col).alias("gid"),
+            hash60(F.col("shingle")).alias("tk"),
+            F.lit(flag).alias("_delta"),
+        )
+
     tok = (
-        shingle_rows(lowered, id_col, text_col, k)
-        .join(tagged.select(F.col(id_col), "_delta"), id_col)
-        .select(F.col(id_col).alias("gid"),
-                hash60(F.col("shingle")).alias("tk"), "_delta")
+        _tok_side(base, False).unionByName(_tok_side(delta, True))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -358,21 +358,19 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
 
     if not 1 <= c_pct <= 100:
         raise ValueError(f"c_pct must be in [1, 100], got {c_pct}")
-    tagged = (
-        base.select(F.col(id_col), F.col(text_col),
-                    F.lit(False).alias("_delta"))
-        .unionByName(
-            delta.select(F.col(id_col), F.col(text_col),
-                         F.lit(True).alias("_delta")))
-    )
-    lowered = tagged.select(
-        id_col, F.lower(F.col(text_col)).alias(text_col), "_delta"
-    )
+    # Per-side shingling with literal flags — see
+    # ppjoin_increment_pairs (same r7 shuffle removal).
+    def _tok_side(side: DataFrame, flag: bool) -> DataFrame:
+        lowered = side.select(F.col(id_col),
+                              F.lower(F.col(text_col)).alias(text_col))
+        return shingle_rows(lowered, id_col, text_col, k).select(
+            F.col(id_col).alias("gid"),
+            hash60(F.col("shingle")).alias("tk"),
+            F.lit(flag).alias("_delta"),
+        )
+
     tok = (
-        shingle_rows(lowered, id_col, text_col, k)
-        .join(tagged.select(F.col(id_col), "_delta"), id_col)
-        .select(F.col(id_col).alias("gid"),
-                hash60(F.col("shingle")).alias("tk"), "_delta")
+        _tok_side(base, False).unionByName(_tok_side(delta, True))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -396,18 +394,24 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
     all_union = ranked.select("gid", "tk", "_n", "_delta")
     all_delta = all_union.filter(F.col("_delta"))
     if max_candidates is not None:
-        def _bound(pfx_side: DataFrame, all_side: DataFrame) -> int:
-            ca = pfx_side.groupBy("tk").agg(F.count(F.lit(1)).alias("_ca"))
-            cb = all_side.groupBy("tk").agg(F.count(F.lit(1)).alias("_cb"))
-            return int(
-                ca.join(cb, "tk")
-                .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_b"))
-                .collect()[0]["_b"] or 0
-            )
-
+        # Both joins' bounds in ONE job: per-token prefix counts split
+        # by side vs all-token counts split by side —
+        # Σ (pfx_delta·all_union + pfx_base·all_delta).
+        dflag = F.col("_delta").cast("long")
+        ca = pfx_all.groupBy("tk").agg(
+            F.sum(dflag).alias("_cad"),
+            F.sum(F.lit(1) - dflag).alias("_cab"))
+        cb = all_union.groupBy("tk").agg(
+            F.count(F.lit(1)).alias("_cu"),
+            F.sum(dflag).alias("_cud"))
+        bound = (
+            ca.join(cb, "tk")
+            .agg(F.sum(F.col("_cad") * F.col("_cu")
+                       + F.col("_cab") * F.col("_cud")).alias("_b"))
+            .collect()[0]["_b"] or 0
+        )
         _check_candidate_budget(
-            _bound(pfx_delta, all_union) + _bound(pfx_base, all_delta),
-            max_candidates, "containment_increment_pairs",
+            int(bound), max_candidates, "containment_increment_pairs",
             "lsh_increment_pairs (probabilistic recall)",
         )
 
