@@ -83,3 +83,39 @@ def test_guard_trips_and_passthrough(spark):
     guarded = sorted(map(tuple, edjoin_increment_pairs(
         base, delta, d=2, q=3, max_candidates=10**9).collect()))
     assert unguarded == guarded
+
+
+def test_edjoin_exhaustive_small_space(spark):
+    """EXHAUSTIVE verification of the Pass-Join operator on the full
+    string space over {a,b} up to length 7 (254 strings, every pair
+    brute-checked): at d=1/q=2 the Pass-Join path handles every
+    string longer than the 3-char tiny cutoff, at d=2/q=2 the two
+    paths split at 7 — so chunk scheme, shift windows, tiny bucket,
+    and their union boundary are all covered with no sampling."""
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    items = []
+    for L in range(1, 8):
+        for tpl in itertools.product("ab", repeat=L):
+            items.append((len(items), "".join(tpl)))
+    df = spark.createDataFrame(items, "doc_id long, text string")
+    for d in (1, 2):
+        want = {}
+        for (i, a), (j, b) in itertools.combinations(items, 2):
+            if abs(len(a) - len(b)) <= d:
+                dd = lev(a, b)
+                if dd <= d:
+                    want[(i, j)] = dd
+        got = {(r.id_a, r.id_b): r.dist
+               for r in edjoin_pairs(df, d=d, q=2).collect()}
+        assert got == want, f"d={d}"
