@@ -188,7 +188,12 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
     The base×base stage never exists: the candidate join is
     delta-prefix ⋈ union-prefix. Identity (pinned by
     tests/test_incremental.py): output == batch ppjoin_pairs on
-    base ∪ delta minus the pairs internal to base.
+    base ∪ delta minus the pairs internal to base. Ids must be
+    globally unique across base and delta (the lsh_increment_pairs
+    contract): an id present on BOTH sides would double its token
+    multiset under the side flags and silently shrink its prefix
+    ratios — route re-ingested ids through corpus_diff / the exact
+    registry first.
 
     ``max_candidates`` measures Σ_g df_delta-pfx(g)·df_union-pfx(g)
     before the join and raises :class:`dedup.CandidateVolumeExceeded`
@@ -319,6 +324,49 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
     )
 
 
+def _containment_cand(pfx_side: DataFrame, all_side: DataFrame,
+                      c_pct: int) -> DataFrame:
+    """Containment candidate join (A-prefix ⋈ B-all-tokens + size
+    filter): frames carry ``(gid, tk, n)``. Shared by both incremental
+    variants so the predicate exists once."""
+    a, b = pfx_side.alias("a"), all_side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tk") == F.col("b.tk"))
+            & (F.col("a.gid") != F.col("b.gid"))
+            & (F.col("b.n") * 100 >= F.lit(c_pct) * F.col("a.n")),
+        )
+        .select(F.col("a.gid").alias("id_a"),
+                F.col("b.gid").alias("id_b"))
+    )
+
+
+def _containment_verify(cand: DataFrame, sets_all: DataFrame,
+                        c_pct: int) -> DataFrame:
+    """Vernica array-intersect verify for ORDERED containment pairs:
+    ``sets_all`` carries ``(gid, set, n)``; the ratio denominator is
+    the contained (id_a) side's size. Shared by both incremental
+    variants so the cont_micro formula exists once."""
+    va = sets_all.select(F.col("gid").alias("id_a"),
+                         F.col("set").alias("_seta"),
+                         F.col("n").alias("_na"))
+    vb = sets_all.select(F.col("gid").alias("id_b"),
+                         F.col("set").alias("_setb"))
+    inter = F.size(F.array_intersect(F.col("_seta"), F.col("_setb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_i", inter.cast("long"))
+        .filter(F.col("_i") * 100 >= F.lit(c_pct) * F.col("_na"))
+        .select(
+            "id_a", "id_b",
+            F.floor(F.col("_i") * F.lit(1_000_000) / F.col("_na"))
+            .cast("long").alias("cont_micro"),
+        )
+    )
+
+
 def containment_increment_pairs(base: DataFrame, delta: DataFrame,
                                 id_col: str = "doc_id",
                                 text_col: str = "text", c_pct: int = 80,
@@ -344,6 +392,12 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
     - ``pfx(base) ⋈ all(delta)`` — base docs contained in delta docs
       (the base side is prefix-FILTERED rows only, and the all-tokens
       side is the small delta).
+
+    Ids must be globally unique across base and delta (the
+    lsh_increment_pairs contract): an id present on BOTH sides would
+    double its token multiset under the side flags and silently
+    shrink its containment ratios — route re-ingested ids through
+    corpus_diff / the exact registry first.
 
     ``max_candidates`` measures both joins' Σ df·df bounds before
     either runs, like the batch operator.
@@ -388,10 +442,11 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
     ceil_cl = F.floor((F.lit(c_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
     pfx_all = ranked.filter(
         F.col("_rn") <= F.col("_n") - ceil_cl + 1
-    ).select("gid", "tk", "_n", "_delta")
+    ).select("gid", "tk", F.col("_n").alias("n"), "_delta")
     pfx_delta = pfx_all.filter(F.col("_delta"))
     pfx_base = pfx_all.filter(~F.col("_delta"))
-    all_union = ranked.select("gid", "tk", "_n", "_delta")
+    all_union = ranked.select("gid", "tk", F.col("_n").alias("n"),
+                              "_delta")
     all_delta = all_union.filter(F.col("_delta"))
     if max_candidates is not None:
         # Both joins' bounds in ONE job: per-token prefix counts split
@@ -415,45 +470,16 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
             "lsh_increment_pairs (probabilistic recall)",
         )
 
-    def _cand(pfx_side: DataFrame, all_side: DataFrame) -> DataFrame:
-        a, b = pfx_side.alias("a"), all_side.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.tk") == F.col("b.tk"))
-                & (F.col("a.gid") != F.col("b.gid"))
-                & (F.col("b._n") * 100 >= F.lit(c_pct) * F.col("a._n")),
-            )
-            .select(F.col("a.gid").alias("id_a"),
-                    F.col("b.gid").alias("id_b"))
-        )
-
     cand = (
-        _cand(pfx_delta, all_union)
-        .unionByName(_cand(pfx_base, all_delta))
+        _containment_cand(pfx_delta, all_union, c_pct)
+        .unionByName(_containment_cand(pfx_base, all_delta, c_pct))
         .distinct()
     )
     sets_arr = tok.groupBy("gid").agg(
-        F.collect_list("tk").alias("_set"),
-        F.count(F.lit(1)).alias("_n"),
+        F.collect_list("tk").alias("set"),
+        F.count(F.lit(1)).alias("n"),
     )
-    va = sets_arr.select(F.col("gid").alias("id_a"),
-                         F.col("_set").alias("_seta"),
-                         F.col("_n").alias("_na"))
-    vb = sets_arr.select(F.col("gid").alias("id_b"),
-                         F.col("_set").alias("_setb"))
-    inter = F.size(F.array_intersect(F.col("_seta"), F.col("_setb")))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("_i", inter.cast("long"))
-        .filter(F.col("_i") * 100 >= F.lit(c_pct) * F.col("_na"))
-        .select(
-            "id_a", "id_b",
-            F.floor(F.col("_i") * F.lit(1_000_000) / F.col("_na"))
-            .cast("long").alias("cont_micro"),
-        )
-    )
+    return _containment_verify(cand, sets_arr, c_pct)
 
 
 __all__ = [
@@ -760,48 +786,19 @@ def containment_increment_from_base(spark, delta: DataFrame,
             (F.lit(c_pct) * F.col("n") + F.lit(99)) / F.lit(100))
         return frame.filter(F.col("rn") <= F.col("n") - ceil_cl + 1)
 
-    def cand(pfx_side: DataFrame, all_side: DataFrame) -> DataFrame:
-        a, b = pfx_side.alias("a"), all_side.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.tk") == F.col("b.tk"))
-                & (F.col("a.gid") != F.col("b.gid"))
-                & (F.col("b.n") * 100 >= F.lit(c_pct) * F.col("a.n")),
-            )
-            .select(F.col("a.gid").alias("id_a"),
-                    F.col("b.gid").alias("id_b"))
-        )
-
     pfx_d = pfx(ranked_d)
     cands = (
-        cand(pfx_d, ranked_b)              # delta ⊆ base: base unshuffled
-        .unionByName(cand(pfx_d, ranked_d))       # delta ⊆ delta
-        .unionByName(cand(pfx(ranked_b), ranked_d))  # base ⊆ delta
+        # delta ⊆ base: base unshuffled
+        _containment_cand(pfx_d, ranked_b, c_pct)
+        .unionByName(_containment_cand(pfx_d, ranked_d, c_pct))
+        .unionByName(_containment_cand(pfx(ranked_b), ranked_d, c_pct))
         .distinct()
     )
     sets_d = tok_d.groupBy("gid").agg(
         F.collect_list("tk").alias("set"),
         F.count(F.lit(1)).alias("n"),
     )
-    sets_all = sets_b.unionByName(sets_d)
-    va = sets_all.select(F.col("gid").alias("id_a"),
-                         F.col("set").alias("_seta"),
-                         F.col("n").alias("_na"))
-    vb = sets_all.select(F.col("gid").alias("id_b"),
-                         F.col("set").alias("_setb"))
-    inter = F.size(F.array_intersect(F.col("_seta"), F.col("_setb")))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("_i", inter.cast("long"))
-        .filter(F.col("_i") * 100 >= F.lit(c_pct) * F.col("_na"))
-        .select(
-            "id_a", "id_b",
-            F.floor(F.col("_i") * F.lit(1_000_000) / F.col("_na"))
-            .cast("long").alias("cont_micro"),
-        )
-    )
+    return _containment_verify(cands, sets_b.unionByName(sets_d), c_pct)
 
 
 def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,

@@ -98,11 +98,23 @@ def decode_audio(payload: bytes) -> "object":
 
         import numpy as np
 
-        with wave.open(io.BytesIO(bytes(payload))) as wf:
-            rate = wf.getframerate()
-            nch = wf.getnchannels()
-            width = wf.getsampwidth()
-            frames = wf.readframes(wf.getnframes())
+        try:
+            with wave.open(io.BytesIO(bytes(payload))) as wf:
+                rate = wf.getframerate()
+                nch = wf.getnchannels()
+                width = wf.getsampwidth()
+                frames = wf.readframes(wf.getnframes())
+        except (wave.Error, EOFError) as werr:
+            # RIFF payloads stdlib wave can't parse (IEEE-float WAV,
+            # compressed formats, truncation) are exactly what
+            # soundfile WOULD decode — keep the ladder's contract: a
+            # loud install hint, not an opaque wave.Error from inside
+            # a mapInPandas task.
+            raise NotImplementedError(
+                f"stdlib wave cannot decode this RIFF payload ({werr}); "
+                f"pip install soundfile to enable decode_audio for "
+                f"non-PCM WAV formats"
+            ) from werr
         if width == 2:
             arr = np.frombuffer(frames, dtype="<i2").astype("float32")
             arr /= 32768.0

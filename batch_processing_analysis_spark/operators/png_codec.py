@@ -46,8 +46,10 @@ def _chunks(data: bytes):
         body = data[pos + 8:pos + 8 + length]
         if len(body) != length:
             raise ValueError("corrupt PNG: truncated chunk body")
-        crc = struct.unpack(">I", data[pos + 8 + length:
-                                       pos + 12 + length])[0]
+        crc_bytes = data[pos + 8 + length:pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise ValueError("corrupt PNG: truncated chunk CRC")
+        crc = struct.unpack(">I", crc_bytes)[0]
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"corrupt PNG: bad CRC in {ctype!r}")
         yield ctype, body

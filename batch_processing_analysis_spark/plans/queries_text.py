@@ -4403,16 +4403,20 @@ def q151_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q154_ks_drift",
     r"""
-    WITH counts AS (
-      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
-      FROM documents GROUP BY 1, 2
+    WITH nn AS (
+      SELECT source, n_chars AS v FROM documents
+      WHERE n_chars IS NOT NULL
     ),
-    vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+    counts AS (
+      SELECT source, v, CAST(count(*) AS BIGINT) AS c
+      FROM nn GROUP BY 1, 2
+    ),
+    vals AS (SELECT DISTINCT v FROM nn),
     grp AS (
       SELECT source, CAST(count(*) AS BIGINT) AS ng
-      FROM documents GROUP BY source
+      FROM nn GROUP BY source
     ),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nn),
     grid AS (
       SELECT g.source, v.v, g.ng, COALESCE(c.c, 0) AS c
       FROM vals v CROSS JOIN grp g
@@ -4426,8 +4430,7 @@ def q151_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     callc AS (
       SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS ca
-      FROM (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
-            FROM documents GROUP BY 1)
+      FROM (SELECT v, CAST(count(*) AS BIGINT) AS c FROM nn GROUP BY 1)
     ),
     scored AS (
       SELECT cum.source, cum.ng, t.n,
@@ -4452,7 +4455,10 @@ def q154_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution vs the rest of the corpus (operators/
     events_analytics.py:ks_drift_by_group, M129): integer
     cross-multiplied CDFs, the supremum over pooled sample points, one
-    final ratio. Driver window r6 via PRIMARY_ROTATION."""
+    final ratio. Oracle mirrors the operator's r7 NULL contract
+    (NULL values excluded from counts AND grid — review finding: the
+    testdata has no NULL n_chars, so the mismatch was latent).
+    Driver window r6 via PRIMARY_ROTATION."""
     from ..operators.events_analytics import ks_drift_by_group
 
     return ks_drift_by_group(_docs(spark, sf_dir).select(

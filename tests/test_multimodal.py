@@ -152,6 +152,8 @@ def test_png_codec_roundtrip_and_filters():
         bad = bytearray(P.encode_png(1, 1, b"\x01\x02\x03"))
         bad[-5] ^= 0xFF  # flip a bit inside IEND's CRC
         P.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated chunk CRC"):
+        P.decode_png(bytes(P.encode_png(1, 1, b"\x01\x02\x03"))[:-2])
 
 
 def test_decode_audio_gate_without_codec():
@@ -163,8 +165,10 @@ def test_decode_audio_gate_without_codec():
         # non-WAV payload: loud install hint, never a silent fake
         with pytest.raises(NotImplementedError, match="soundfile"):
             M.decode_audio(b"\xffOGG fake compressed audio")
-        # corrupt RIFF: the stdlib wave fallback fails loudly too
-        with pytest.raises(Exception):
+        # unparseable RIFF (float WAV, compression, truncation):
+        # the ladder still surfaces the install hint, never an
+        # opaque wave.Error from inside a task
+        with pytest.raises(NotImplementedError, match="soundfile"):
             M.decode_audio(b"RIFF fake wav bytes")
     else:  # pragma: no cover - environment-dependent branch
         import io
