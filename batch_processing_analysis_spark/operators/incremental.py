@@ -29,6 +29,35 @@ from pyspark.sql import functions as F
 from .dedup import exact_dedup, lsh_candidate_pairs, minhash_signatures
 
 
+class OverlappingIdsError(ValueError):
+    """An id appears in BOTH base and delta of an exact increment
+    operator. The increments' flag/union construction would double
+    that id's token multiset and silently shrink its similarity
+    ratios — the one misuse path the r7 operators documented but did
+    not police (ADVICE r7). Raised by the opt-in
+    ``check_disjoint_ids`` guard; route re-ingested ids through
+    :func:`corpus_diff` / the exact-hash registry first."""
+
+
+def _check_disjoint_ids(base: DataFrame, delta: DataFrame, id_col: str,
+                        op: str) -> None:
+    """Opt-in loud-failure guard: one LEFT SEMI join on the id column,
+    short-circuited by ``limit(1)`` — cost is a narrow hash join over
+    ids only (no text moves), negligible next to the pair join it
+    protects."""
+    overlap = (
+        delta.select(id_col).join(base.select(id_col), id_col,
+                                  "left_semi").limit(1).collect()
+    )
+    if overlap:
+        raise OverlappingIdsError(
+            f"{op}: id {overlap[0][0]!r} is present in BOTH base and "
+            f"delta — the increment would double its token multiset "
+            f"and shrink its similarity ratios. Deduplicate ids first "
+            f"(corpus_diff / merge_exact_increment)."
+        )
+
+
 def content_hash(text: Column) -> Column:
     """The exact-dedup content key: md5 of whitespace-normalized
     lowercase text (identical to :func:`dedup.exact_dedup`)."""
@@ -157,7 +186,8 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text", t_pct: int = 50,
                            k: int = 3,
-                           max_candidates: int | None = None) -> DataFrame:
+                           max_candidates: int | None = None,
+                           check_disjoint_ids: bool = False) -> DataFrame:
     """EXACT incremental PPJoin (M122): every pair with Jaccard ≥
     ``t_pct/100`` and AT LEAST ONE side in ``delta`` — the exactness
     analog of :func:`lsh_increment_pairs` (VERDICT r5 stretch 8), so
@@ -197,7 +227,9 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
 
     ``max_candidates`` measures Σ_g df_delta-pfx(g)·df_union-pfx(g)
     before the join and raises :class:`dedup.CandidateVolumeExceeded`
-    over budget, like the batch operator.
+    over budget, like the batch operator. ``check_disjoint_ids=True``
+    polices the globally-unique-id contract up front
+    (:class:`OverlappingIdsError`) for one cheap id semi-join.
     """
     from .dedup import (
         _check_candidate_budget,
@@ -208,6 +240,8 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
 
     if not 1 <= t_pct <= 100:
         raise ValueError(f"t_pct must be in [1, 100], got {t_pct}")
+    if check_disjoint_ids:
+        _check_disjoint_ids(base, delta, id_col, "ppjoin_increment_pairs")
     # Per-side shingling with LITERAL delta flags (r7): the r6 form
     # shingled the tagged union and JOINED the flag back on by id —
     # a full extra shuffle of the token table that the union of two
@@ -371,7 +405,8 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
                                 id_col: str = "doc_id",
                                 text_col: str = "text", c_pct: int = 80,
                                 k: int = 3,
-                                max_candidates: int | None = None
+                                max_candidates: int | None = None,
+                                check_disjoint_ids: bool = False
                                 ) -> DataFrame:
     """EXACT incremental containment join (M142): every ORDERED pair
     ``(id_a ⊆-ish id_b)`` with ``|A∩B| ≥ (c_pct/100)·|A|`` and AT
@@ -412,6 +447,9 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
 
     if not 1 <= c_pct <= 100:
         raise ValueError(f"c_pct must be in [1, 100], got {c_pct}")
+    if check_disjoint_ids:
+        _check_disjoint_ids(base, delta, id_col,
+                            "containment_increment_pairs")
     # Per-side shingling with literal flags — see
     # ppjoin_increment_pairs (same r7 shuffle removal).
     def _tok_side(side: DataFrame, flag: bool) -> DataFrame:
@@ -483,6 +521,7 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
 
 
 __all__ = [
+    "OverlappingIdsError",
     "content_hash",
     "merge_exact_increment",
     "lsh_increment_pairs",
@@ -588,7 +627,9 @@ def ppjoin_increment_from_base(spark, delta: DataFrame,
                                table_prefix: str,
                                id_col: str = "doc_id",
                                text_col: str = "text", t_pct: int = 50,
-                               k: int = 3) -> DataFrame:
+                               k: int = 3,
+                               check_disjoint_ids: bool = False
+                               ) -> DataFrame:
     """Exact incremental PPJoin against a PUBLISHED base (M131): same
     contract as :func:`ppjoin_increment_pairs` (every qualifying pair
     with ≥1 delta side, identical output to the batch operator on
@@ -613,6 +654,10 @@ def ppjoin_increment_from_base(spark, delta: DataFrame,
     ranked_b = load_bucketed(spark, f"{table_prefix}_ranked")
     df_b = load_bucketed(spark, f"{table_prefix}_df")
     sets_b = load_bucketed(spark, f"{table_prefix}_sets")
+    if check_disjoint_ids:
+        _check_disjoint_ids(
+            sets_b.select(F.col("gid").alias(id_col)), delta, id_col,
+            "ppjoin_increment_from_base")
 
     lowered = delta.select(F.col(id_col),
                            F.lower(F.col(text_col)).alias(text_col))
@@ -726,7 +771,9 @@ def containment_increment_from_base(spark, delta: DataFrame,
                                     id_col: str = "doc_id",
                                     text_col: str = "text",
                                     c_pct: int = 80,
-                                    k: int = 3) -> DataFrame:
+                                    k: int = 3,
+                                    check_disjoint_ids: bool = False
+                                    ) -> DataFrame:
     """Exact incremental containment join against a PUBLISHED PPJoin
     base (M131 extension — VERDICT r6 task 3): same contract as
     :func:`containment_increment_pairs` (every qualifying ORDERED pair
@@ -763,6 +810,10 @@ def containment_increment_from_base(spark, delta: DataFrame,
     ranked_b = load_bucketed(spark, f"{table_prefix}_ranked")
     df_b = load_bucketed(spark, f"{table_prefix}_df")
     sets_b = load_bucketed(spark, f"{table_prefix}_sets")
+    if check_disjoint_ids:
+        _check_disjoint_ids(
+            sets_b.select(F.col("gid").alias(id_col)), delta, id_col,
+            "containment_increment_from_base")
 
     lowered = delta.select(F.col(id_col),
                            F.lower(F.col(text_col)).alias(text_col))
@@ -805,7 +856,8 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text", d: int = 10,
                            q: int = 4,
-                           max_candidates: int | None = None
+                           max_candidates: int | None = None,
+                           check_disjoint_ids: bool = False
                            ) -> DataFrame:
     """EXACT incremental edit-distance join (M145): every pair with
     ``levenshtein ≤ d`` and AT LEAST ONE side in ``delta`` —
@@ -840,6 +892,8 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
         raise ValueError(f"d must be non-negative, got {d}")
     if q < 2:
         raise ValueError(f"q must be >= 2, got {q}")
+    if check_disjoint_ids:
+        _check_disjoint_ids(base, delta, id_col, "edjoin_increment_pairs")
     cutoff = q * d + q - 1
     t_b = (base.select(F.col(id_col), F.col(text_col))
            .withColumn("_len", F.length(text_col))

@@ -78,10 +78,16 @@ def decode_audio(payload: bytes) -> "object":
 
     Codec ladder like :func:`decode_image`: soundfile when importable
     (every format), else stdlib ``wave`` for RIFF/WAVE PCM payloads
-    (8/16/32-bit integer PCM → float32 in [-1, 1), first channel) —
-    so the decoded audio path also runs UNSKIPPED in a codec-less
-    container. Non-WAV payloads without soundfile raise
-    ``NotImplementedError`` with the install hint.
+    (8/16/32-bit integer PCM → float32 in [-1, 1)) — so the decoded
+    audio path also runs UNSKIPPED in a codec-less container. Non-WAV
+    payloads without soundfile raise ``NotImplementedError`` with the
+    install hint.
+
+    Channel contract (ADVICE r7): BOTH rungs return the FIRST channel
+    as a 1-D array — multichannel payloads decode to the same shape
+    regardless of which codec is installed (soundfile's native 2-D
+    (frames, channels) output is sliced to channel 0 to match the
+    stdlib rung).
     """
     import io
 
@@ -131,6 +137,8 @@ def decode_audio(payload: bytes) -> "object":
         return arr[::nch], rate
 
     samples, rate = soundfile.read(io.BytesIO(payload), dtype="float32")
+    if getattr(samples, "ndim", 1) == 2:  # (frames, channels) → ch 0
+        samples = samples[:, 0]
     return samples, rate
 
 

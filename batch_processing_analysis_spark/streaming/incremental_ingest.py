@@ -203,7 +203,8 @@ def exact_neardup_micro_batch(batch_df: DataFrame, batch_id: int, *,
                               pairs_path: str, id_col: str = "doc_id",
                               text_col: str = "text", t_pct: int = 50,
                               k: int = 3,
-                              df_table: str | None = None) -> None:
+                              df_table: str | None = None,
+                              check_disjoint_ids: bool = True) -> None:
     """One micro-batch of the streaming EXACT near-dup gate: shingle
     the batch, rank its tokens under the ONE frozen total order, join
     its prefix against the durable ranked registry (plus itself) via
@@ -268,6 +269,17 @@ def exact_neardup_micro_batch(batch_df: DataFrame, batch_id: int, *,
 
     ranked_others = _stored(ranked_path, ["gid", "tk", "n", "rn"])
     sets_others = _stored(sets_path, ["gid", "set", "n"])
+    if check_disjoint_ids and ranked_others is not None:
+        # A re-ingested id would double its token multiset across the
+        # registry and the batch and silently shrink its Jaccard
+        # ratios — the misuse path most likely HERE (ADVICE r7), so
+        # the streaming gate polices it by default: one narrow id
+        # semi-join per micro-batch, short-circuited by limit(1).
+        from ..operators.incremental import _check_disjoint_ids
+
+        _check_disjoint_ids(
+            ranked_others.select(F.col("gid").alias(id_col)).distinct(),
+            batch_df, id_col, f"exact_neardup_micro_batch({batch_id})")
     if ranked_others is None:
         ranked_others = ranked_d.limit(0)
     sets_all = sets_d if sets_others is None else \
@@ -288,7 +300,8 @@ def start_exact_neardup_ingest(stream_docs: DataFrame, *,
                                id_col: str = "doc_id",
                                text_col: str = "text", t_pct: int = 50,
                                k: int = 3, df_table: str | None = None,
-                               available_now: bool = True
+                               available_now: bool = True,
+                               check_disjoint_ids: bool = True
                                ) -> StreamingQuery:
     """Durable streaming EXACT near-dup detection: every arriving
     document is PPJoin-compared (provably complete, Jaccard ≥ t)
@@ -301,6 +314,7 @@ def start_exact_neardup_ingest(stream_docs: DataFrame, *,
             batch_df, batch_id, ranked_path=ranked_path,
             sets_path=sets_path, pairs_path=pairs_path, id_col=id_col,
             text_col=text_col, t_pct=t_pct, k=k, df_table=df_table,
+            check_disjoint_ids=check_disjoint_ids,
         )
 
     writer = (

@@ -170,11 +170,18 @@ def _previous_bench(sf: float | None) -> dict:
     """Newest same-sf BENCH_*.json in the repo root — the reference
     for the >2x regression re-measure (VERDICT r6 task 5). Matching on
     the recorded "sf" field keeps sf0.1 rounds from being compared to
-    sf1-equivalent runs."""
+    sf1-equivalent runs.
+
+    Deterministic tie-break (ADVICE r7): files are visited in sorted
+    order and a same-round record only replaces an earlier one when
+    its name sorts FIRST — so with BENCH_local_r07_sf01.json and
+    BENCH_r07.json both present at sf=0.1, the lexicographically
+    smaller canonical name wins regardless of filesystem glob order.
+    """
     import re
 
-    best_round, prev = -1, {}
-    for p in Path(__file__).resolve().parent.glob("BENCH_*r*.json"):
+    best_round, best_name, prev = -1, "", {}
+    for p in sorted(Path(__file__).resolve().parent.glob("BENCH_*r*.json")):
         m = re.search(r"r(\d+)", p.stem)
         if not m:
             continue
@@ -202,8 +209,10 @@ def _previous_bench(sf: float | None) -> dict:
                     data.get("queries"), dict) or not data["queries"]:
                 continue
             rnd = int(m.group(1))
-            if rnd > best_round:
-                best_round, prev = rnd, data
+            if rnd > best_round or (rnd == best_round
+                                    and (not best_name
+                                         or p.name < best_name)):
+                best_round, best_name, prev = rnd, p.name, data
     return prev
 
 

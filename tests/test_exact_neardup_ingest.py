@@ -143,3 +143,32 @@ def test_published_base_df_order_is_honored(spark, tmp_path):
     finally:
         for t in ("exstream_ranked", "exstream_df", "exstream_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_reingested_id_trips_guard(spark, tmp_path):
+    """ADVICE r7: an id already in the durable registry arriving again
+    in a LATER batch fails loudly by default (it would double the
+    token multiset and shrink ratios); a same-batch retry (previous
+    test) never trips because the read excludes the batch's own
+    partition; opting out restores the old documented-contract-only
+    behavior."""
+    from batch_processing_analysis_spark.operators.incremental import (
+        OverlappingIdsError,
+    )
+
+    root = tmp_path / "stream"
+    paths = {
+        "ranked_path": str(root / "ranked"),
+        "sets_path": str(root / "sets"),
+        "pairs_path": str(root / "pairs"),
+    }
+    exact_neardup_micro_batch(
+        _df(spark, WAVE1).drop("ingest_time"), 0, t_pct=50, k=3, **paths)
+    dup_wave = [WAVE1[0], (31, "totally fresh text in wave three", 30)]
+    with pytest.raises(OverlappingIdsError, match="exact_neardup"):
+        exact_neardup_micro_batch(
+            _df(spark, dup_wave).drop("ingest_time"), 1,
+            t_pct=50, k=3, **paths)
+    exact_neardup_micro_batch(
+        _df(spark, dup_wave).drop("ingest_time"), 1,
+        t_pct=50, k=3, check_disjoint_ids=False, **paths)

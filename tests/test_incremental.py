@@ -104,3 +104,33 @@ def test_ppjoin_increment_guard_trips(spark):
                        match="lsh_increment_pairs"):
         ppjoin_increment_pairs(base, delta, t_pct=50, k=1,
                                max_candidates=100).collect()
+
+
+def test_disjoint_ids_guard(spark):
+    """ADVICE r7: the opt-in ``check_disjoint_ids`` guard turns the
+    documented globally-unique-id contract into a loud failure on all
+    three exact increments; default stays off (no behavior change)."""
+    import pytest
+    from batch_processing_analysis_spark.operators.incremental import (
+        OverlappingIdsError,
+        containment_increment_pairs,
+        edjoin_increment_pairs,
+        ppjoin_increment_pairs,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(2, "epsilon zeta eta theta"), (3, "iota kappa lambda mu")],
+        "doc_id long, text string")
+    for op in (ppjoin_increment_pairs, containment_increment_pairs,
+               edjoin_increment_pairs):
+        with pytest.raises(OverlappingIdsError, match="doc_id|2"):
+            op(base, delta, check_disjoint_ids=True).collect()
+        op(base, delta).collect()  # default: documented contract only
+
+    clean_delta = spark.createDataFrame(
+        [(3, "iota kappa lambda mu")], "doc_id long, text string")
+    ppjoin_increment_pairs(base, clean_delta,
+                           check_disjoint_ids=True).collect()
