@@ -532,6 +532,8 @@ __all__ = [
     "containment_increment_pairs",
     "containment_increment_from_base",
     "edjoin_increment_pairs",
+    "publish_edjoin_base",
+    "edjoin_increment_from_base",
 ]
 
 
@@ -985,6 +987,248 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
         .distinct()
     )
     t_u = t_b.unionByName(t_d)
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"), d)
+    return (
+        cand.join(t_u.select(F.col(id_col).alias("id_a"),
+                             F.col(text_col).alias("_ta")), "id_a")
+        .join(t_u.select(F.col(id_col).alias("id_b"),
+                         F.col(text_col).alias("_tb")), "id_b")
+        .select("id_a", "id_b", lev.cast("long").alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# M146: published Pass-Join base + exact edit-distance increment from it
+# (VERDICT r7 task 2 — completes the published-base symmetry of the
+# exact-join trio: Jaccard M131, containment M142, edit distance M146).
+# ---------------------------------------------------------------------------
+
+def _edjoin_key(ck: Column, i: Column, length: Column) -> Column:
+    """Composite Pass-Join candidate key: one 64-bit hash over
+    (substring-hash, chunk-slot, chunk-side length). The batch operator
+    joins equi on the 3-tuple; folding it into ONE column lets the
+    published tables bucket on exactly the join key, which Spark's v1
+    bucketing requires for an exchange-free scan (bucketing is
+    DISABLED by the planner when the equi keys are a superset of the
+    bucket keys — measured on this box, not assumed). A hash collision
+    can only MERGE keys — candidates grow, never shrink — and the
+    banded-levenshtein verify reads raw text, so exactness is
+    unaffected."""
+    return F.xxhash64(ck, i, length)
+
+
+def _edjoin_chunk_keyed(t: DataFrame, id_col: str, text_col: str,
+                        d: int) -> DataFrame:
+    """Chunk rows carrying the composite key: (_gc, _lc, _key)."""
+    from .dedup import passjoin_chunk_rows
+
+    return passjoin_chunk_rows(t, id_col, text_col, d).select(
+        "_gc", "_lc",
+        _edjoin_key(F.col("_ck"), F.col("_i"), F.col("_lc")).alias("_key"),
+    )
+
+
+def _edjoin_sub_keyed(t: DataFrame, id_col: str, text_col: str,
+                      d: int) -> DataFrame:
+    """Substring rows carrying the composite key: (_gs, _ly, _lx, _key).
+    ``_lx`` (the partner length the substring was enumerated for) stays
+    a data column — the orientation filter and the residual exactness
+    check read it after the key join."""
+    from .dedup import passjoin_substring_rows
+
+    return passjoin_substring_rows(t, id_col, text_col, d).select(
+        "_gs", "_ly", "_lx",
+        _edjoin_key(F.col("_ck"), F.col("_i"), F.col("_lx")).alias("_key"),
+    )
+
+
+def _edjoin_pass_cand_keyed(ch: DataFrame, sub: DataFrame) -> DataFrame:
+    """Pass-Join candidate join over composite-keyed rows: equi on
+    ``_key`` ONLY (so a bucketed side scans exchange-free), with the
+    length equality re-checked as a RESIDUAL condition — written as
+    ``_lx − _lc = 0`` so Catalyst cannot lift it back into the equi
+    keys (EqualTo over a mixed-side expression is not extractable) —
+    and the batch operator's orientation filter (chunk side is the
+    shorter doc; equal lengths pair once)."""
+    s, c = sub.alias("s"), ch.alias("c")
+    return (
+        s.join(
+            c,
+            (F.col("s._key") == F.col("c._key"))
+            & ((F.col("s._lx") - F.col("c._lc")) == F.lit(0)),
+        )
+        .filter((F.col("s._ly") > F.col("c._lc"))
+                | ((F.col("s._ly") == F.col("c._lc"))
+                   & (F.col("c._gc") < F.col("s._gs"))))
+        .select(F.least("c._gc", "s._gs").alias("id_a"),
+                F.greatest("c._gc", "s._gs").alias("id_b"))
+    )
+
+
+def publish_edjoin_base(spark, base: DataFrame, table_prefix: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        d: int = 10, q: int = 4, num_buckets: int = 16,
+                        path_root: str | None = None) -> None:
+    """Persist a base corpus's Pass-Join build state as BUCKETED tables
+    (M146) so every later :func:`edjoin_increment_from_base` ingest
+    joins the (huge) base side WITHOUT an Exchange — the M131 publish
+    pattern applied to the edit-distance join. Unlike M131 there is no
+    frozen-order subtlety: the join keys are CONTENT substrings, a pure
+    function of each document's text and ``d``, so the publish is
+    trivially ingest-stable (VERDICT r7 task 2). Four tables:
+
+    - ``{prefix}_chunks`` (_gc, _lc, _key) bucketed by ``_key``: each
+      base doc's own d+1 chunk rows under the composite key.
+    - ``{prefix}_subs`` (_gs, _ly, _lx, _key) bucketed by ``_key``:
+      each base doc's multi-match-aware substring rows. O(d²) rows per
+      doc — the storage-for-shuffle trade the Pass-Join index side
+      always pays; both tables are narrow (ints + one 64-bit key).
+    - ``{prefix}_texts`` (id, text, _len) bucketed by the id: the
+      verify side and the tiny-bucket lengths (the `_len ≤ cutoff`
+      read prunes on the pushed filter).
+    - ``{prefix}_meta`` (d, q): the parameters the chunk/substring
+      schemes were built with. ``edjoin_increment_from_base`` refuses
+      to run against a mismatched publish — the chunk scheme is
+      d-specific, so a silent d change would silently lose pairs.
+    """
+    from ..sources.bucketed import write_bucketed
+
+    if d < 0:
+        raise ValueError(f"d must be non-negative, got {d}")
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+
+    def _path(table: str) -> str | None:
+        return f"{path_root}/{table}" if path_root else None
+
+    t_b = (base.select(F.col(id_col), F.col(text_col))
+           .withColumn("_len", F.length(text_col))
+           .localCheckpoint(eager=False))
+    write_bucketed(_edjoin_chunk_keyed(t_b, id_col, text_col, d),
+                   f"{table_prefix}_chunks", "_key", num_buckets,
+                   path=_path(f"{table_prefix}_chunks"))
+    write_bucketed(_edjoin_sub_keyed(t_b, id_col, text_col, d),
+                   f"{table_prefix}_subs", "_key", num_buckets,
+                   path=_path(f"{table_prefix}_subs"))
+    write_bucketed(t_b, f"{table_prefix}_texts", id_col, num_buckets,
+                   path=_path(f"{table_prefix}_texts"))
+    meta = spark.createDataFrame([(d, q)], "d int, q int")
+    w = meta.write.mode("overwrite").format("parquet")
+    if path_root:
+        w = w.option("path", f"{path_root}/{table_prefix}_meta")
+    w.saveAsTable(f"{table_prefix}_meta")
+
+
+def edjoin_increment_from_base(spark, delta: DataFrame,
+                               table_prefix: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", d: int = 10,
+                               q: int = 4,
+                               check_disjoint_ids: bool = False
+                               ) -> DataFrame:
+    """Exact incremental edit-distance join against a PUBLISHED
+    Pass-Join base (M146): same contract as
+    :func:`edjoin_increment_pairs` (every pair with levenshtein ≤ d
+    and ≥1 delta side, identical to batch :func:`dedup.edjoin_pairs`
+    on base ∪ delta minus base-internal pairs) but the base side is
+    never re-chunked, never re-enumerated, and never shuffled — its
+    chunk and substring rows arrive pre-bucketed on the composite
+    candidate key. Only the delta pays shuffles, so a rolling
+    fuzzy-dedup ingest is linear in |delta| per ingest with zero
+    repeated base work (VERDICT r7 missing #1).
+
+    Three Pass-Join candidate joins (none base×base; the two touching
+    base scan bucket-aligned) plus the tiny-bucket banded join:
+
+    - ``chunks(delta) ⋈ subs(base)``  — delta doc shorter, base partner
+    - ``chunks(delta) ⋈ subs(delta)`` — both in delta
+    - ``chunks(base) ⋈ subs(delta)``  — base doc shorter, delta partner
+    - ``probe(delta) ⋈ tiny(base ∪ delta)`` — short strings (±1 band
+      explode is symmetric, so probing from delta alone is complete)
+    """
+    from ..sources.bucketed import load_bucketed
+
+    if d < 0:
+        raise ValueError(f"d must be non-negative, got {d}")
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    meta = spark.table(f"{table_prefix}_meta").collect()[0]
+    if (meta["d"], meta["q"]) != (d, q):
+        raise ValueError(
+            f"edjoin_increment_from_base: published base "
+            f"'{table_prefix}' was built with d={meta['d']}, "
+            f"q={meta['q']} but the increment was called with d={d}, "
+            f"q={q} — the chunk scheme is parameter-specific; "
+            f"re-publish or match the parameters")
+    ch_b = load_bucketed(spark, f"{table_prefix}_chunks")
+    sub_b = load_bucketed(spark, f"{table_prefix}_subs")
+    t_bt = load_bucketed(spark, f"{table_prefix}_texts")
+    if check_disjoint_ids:
+        _check_disjoint_ids(
+            t_bt.select(F.col(id_col)), delta, id_col,
+            "edjoin_increment_from_base")
+
+    t_d = (delta.select(F.col(id_col), F.col(text_col))
+           .withColumn("_len", F.length(text_col))
+           .localCheckpoint(eager=False))
+    return _edjoin_increment_core(t_d, ch_b, sub_b, t_bt, id_col,
+                                  text_col, d, q)
+
+
+def _edjoin_increment_core(t_d: DataFrame, ch_o: DataFrame,
+                           sub_o: DataFrame, t_o: DataFrame,
+                           id_col: str, text_col: str, d: int,
+                           q: int) -> DataFrame:
+    """Candidate + verify core shared by
+    :func:`edjoin_increment_from_base` and the streaming exact
+    edit-distance gate (streaming/incremental_ingest.py).
+
+    ``t_d`` carries the delta's ``(id, text, _len)``; ``ch_o`` /
+    ``sub_o`` are the OTHER side's composite-keyed chunk/substring
+    rows (published tables or the durable stream registry); ``t_o``
+    its ``(id, text, _len)`` rows. Output: every pair with
+    levenshtein ≤ d and ≥1 side in the delta."""
+    cutoff = q * d + q - 1
+    ch_d = _edjoin_chunk_keyed(t_d, id_col, text_col, d) \
+        .localCheckpoint(eager=False)
+    sub_d = _edjoin_sub_keyed(t_d, id_col, text_col, d) \
+        .localCheckpoint(eager=False)
+
+    tiny_u = (
+        t_o.select(F.col(id_col), "_len")
+        .unionByName(t_d.select(F.col(id_col), "_len"))
+        .filter(F.col("_len") <= cutoff)
+        .withColumn("_band", F.expr(f"_len div {d + 1}"))
+    )
+    probe_d = t_d.filter(F.col("_len") <= cutoff).select(
+        F.col(id_col), F.col("_len"),
+        F.explode(F.array(
+            F.expr(f"_len div {d + 1}") - 1,
+            F.expr(f"_len div {d + 1}"),
+            F.expr(f"_len div {d + 1}") + 1)).alias("_band"),
+    )
+    pa, pb = probe_d.alias("pa"), tiny_u.alias("pb")
+    cand_tiny = pa.join(
+        pb,
+        (F.col("pa._band") == F.col("pb._band"))
+        & (F.col(f"pa.{id_col}") != F.col(f"pb.{id_col}"))
+        & (F.abs(F.col("pa._len") - F.col("pb._len")) <= d),
+    ).select(
+        F.least(F.col(f"pa.{id_col}"), F.col(f"pb.{id_col}"))
+        .alias("id_a"),
+        F.greatest(F.col(f"pa.{id_col}"), F.col(f"pb.{id_col}"))
+        .alias("id_b"),
+    )
+    cand = (
+        _edjoin_pass_cand_keyed(ch_d, sub_o)
+        .unionByName(_edjoin_pass_cand_keyed(ch_d, sub_d))
+        .unionByName(_edjoin_pass_cand_keyed(ch_o, sub_d))
+        .unionByName(cand_tiny)
+        .distinct()
+    )
+    t_u = t_o.select(F.col(id_col), F.col(text_col)).unionByName(
+        t_d.select(F.col(id_col), F.col(text_col)))
     lev = F.levenshtein(F.col("_ta"), F.col("_tb"), d)
     return (
         cand.join(t_u.select(F.col(id_col).alias("id_a"),
