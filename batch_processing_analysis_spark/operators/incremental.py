@@ -1238,3 +1238,36 @@ def _edjoin_increment_core(t_d: DataFrame, ch_o: DataFrame,
         .select("id_a", "id_b", lev.cast("long").alias("dist"))
         .filter(F.col("dist") >= 0)
     )
+
+
+def _containment_increment_core(ranked_d: DataFrame,
+                                ranked_others: DataFrame,
+                                sets_all: DataFrame,
+                                c_pct: int) -> DataFrame:
+    """Candidate + verify core for delta-vs-others EXACT containment
+    over pre-ranked token rows — shared by the streaming containment
+    gate (streaming/incremental_ingest.py) and mirroring
+    :func:`_ppjoin_increment_core`'s contract.
+
+    ``ranked_d`` / ``ranked_others`` carry ``(gid, tk, n, rn)`` under
+    ONE shared fixed total token order; ``sets_all`` carries
+    ``(gid, set, n)`` for every doc either side references. Output:
+    every ORDERED pair with ``|A∩B| ≥ (c_pct/100)·|A|`` and ≥1 side in
+    ``ranked_d``. Only the contained (A) side prefix-shortens; the two
+    candidate joins are pfx(delta) ⋈ all(union) and
+    pfx(others) ⋈ all(delta) — others×others never exists."""
+
+    def pfx(frame: DataFrame) -> DataFrame:
+        ceil_cl = F.floor(
+            (F.lit(c_pct) * F.col("n") + F.lit(99)) / F.lit(100))
+        return frame.filter(F.col("rn") <= F.col("n") - ceil_cl + 1) \
+            .select("gid", "tk", "n")
+
+    all_d = ranked_d.select("gid", "tk", "n")
+    all_u = all_d.unionByName(ranked_others.select("gid", "tk", "n"))
+    cand = (
+        _containment_cand(pfx(ranked_d), all_u, c_pct)
+        .unionByName(_containment_cand(pfx(ranked_others), all_d, c_pct))
+        .distinct()
+    )
+    return _containment_verify(cand, sets_all, c_pct)

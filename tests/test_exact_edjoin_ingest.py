@@ -1,0 +1,126 @@
+"""Durable streaming EXACT edit-distance gate (M148, streaming/
+incremental_ingest.py): accumulated pairs across waves AND a stream
+restart equal the one-shot batch edjoin_pairs (Pass-Join) on
+everything ingested; retries are idempotent; re-ingested ids trip the
+guard."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_analysis_spark.operators.dedup import edjoin_pairs
+from batch_processing_analysis_spark.streaming.incremental_ingest import (
+    edjoin_micro_batch,
+    read_edjoin_pairs,
+    start_edjoin_ingest,
+)
+
+T0 = datetime(2024, 3, 1, 8)
+SCHEMA = "doc_id long, text string, ingest_time timestamp"
+LONG = "the quick brown fox jumps over the lazy dog again " * 2
+
+# Wave 2 arrives after a restart: 21 within d of wave-1 doc 1, tiny
+# strings 5/23 within d across waves, internal pair 23/24, fresh text.
+WAVE1 = [
+    (1, LONG, 0),
+    (2, "pack my box with five dozen liquor jugs today ok then", 1),
+    (5, "abcd", 2),
+    (3, "completely unrelated content lives over here now", 3),
+]
+WAVE2 = [
+    (21, LONG[:-6] + "indeed", 10),
+    (23, "abcde", 11),
+    (24, "abcdf", 12),
+    (25, "nothing like anything else at all frankly speaking", 13),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, T0 + timedelta(minutes=m)) for i, t, m in rows], SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("edj_ingest")
+    src = str(root / "src")
+    paths = {
+        "chunks_path": str(root / "chunks"),
+        "subs_path": str(root / "subs"),
+        "texts_path": str(root / "texts"),
+        "pairs_path": str(root / "pairs"),
+        "checkpoint_path": str(root / "ckpt"),
+    }
+
+    def run_wave(rows):
+        _df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = start_edjoin_ingest(stream, d=6, q=3, **paths)
+        q.awaitTermination()
+
+    run_wave(WAVE1)  # drains and STOPS (availableNow)
+    run_wave(WAVE2)  # brand-new query object: a genuine restart
+    return paths
+
+
+def _batch_pairs(spark, rows, d=6, q=3):
+    docs = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                                 "doc_id long, text string")
+    return {(r.id_a, r.id_b): r.dist
+            for r in edjoin_pairs(docs, d=d, q=q).collect()}
+
+
+def test_streamed_pairs_equal_batch_across_restart(spark, streamed):
+    got = {(r.id_a, r.id_b): r.dist
+           for r in read_edjoin_pairs(spark,
+                                      streamed["pairs_path"]).collect()}
+    want = _batch_pairs(spark, WAVE1 + WAVE2)
+    assert got == want
+    # must exercise cross-restart pairs in BOTH regimes
+    cross = {(a, b) for a, b in want if (a <= 5) != (b <= 5)}
+    assert (1, 21) in cross or (21, 1) in cross, "no long cross pair"
+    assert (5, 23) in cross or (23, 5) in cross, "no tiny cross pair"
+
+
+def test_retry_is_idempotent(spark, streamed):
+    before = sorted(map(tuple, read_edjoin_pairs(
+        spark, streamed["pairs_path"]).collect()))
+    last_id = max(
+        int(str(r.ingest_batch)) for r in
+        spark.read.option("basePath", streamed["pairs_path"])
+        .parquet(streamed["pairs_path"]).select("ingest_batch")
+        .distinct().collect()
+    )
+    edjoin_micro_batch(
+        _df(spark, WAVE2).drop("ingest_time")
+        .withColumn("ingest_time", F.lit(T0)),
+        last_id,
+        chunks_path=streamed["chunks_path"],
+        subs_path=streamed["subs_path"],
+        texts_path=streamed["texts_path"],
+        pairs_path=streamed["pairs_path"],
+        d=6, q=3,
+    )
+    after = sorted(map(tuple, read_edjoin_pairs(
+        spark, streamed["pairs_path"]).collect()))
+    assert after == before
+
+
+def test_reingested_id_trips_guard(spark, streamed, tmp_path):
+    from batch_processing_analysis_spark.operators.incremental import (
+        OverlappingIdsError,
+    )
+
+    with pytest.raises(OverlappingIdsError, match="edjoin_micro"):
+        edjoin_micro_batch(
+            _df(spark, [WAVE1[0]]).drop("ingest_time"), 99,
+            chunks_path=streamed["chunks_path"],
+            subs_path=streamed["subs_path"],
+            texts_path=streamed["texts_path"],
+            pairs_path=str(tmp_path / "pairs99"),
+            d=6, q=3,
+        )
