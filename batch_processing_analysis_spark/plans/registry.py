@@ -33,81 +33,77 @@ ORACLES: dict[str, str] = {}
 EXTRA_QUERIES: dict[str, SparkBuilder] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
-# Round-7 rotation (VERDICT r6 task 1c). 50 slots, built from
+# Round-8 rotation (VERDICT r7 task 1). 50 slots, built from
 # tools/rotation_check.py --plan (budget arithmetic lives in THAT
-# module's docstring — the single authoritative statement: registered
-# minus the 8 allowlisted environment canaries, over 50 slots, makes a
-# ~3.1-round refresh floor, hence the 4-round budget):
-# - the 28 r3-tier staleness entries the r6 verdict demanded re-green
-#   (the whole q03-q57 tail whose newest driver green was r3);
-# - q143_edjoin_exact: re-green of the r7-rewritten Pass-Join operator
-#   (fresh official evidence for changed code, green r6 already);
-# - the 3 new r7 queries q163/q164/q165 (never-checked > stale-green);
-# - the 18 numerically-first r4-tier queries (q54-q83); the remaining
-#   20 r4-tier (q84-q105 range) come due at r8 planning and ARE the
-#   r8 window's seed, alongside the r5 tier that follows at r9.
-# Rotated OUT: the r6 first-checks (q142-q162 minus q143, all green in
-# CORRECTNESS_r06) and the multi-green r2/r3-refresh tier (q01-q80
-# family reps included — every one has 2-6 green rows and re-enters on
-# its budget schedule). q116_canary_hugeint_probe stays RETIRED in the
-# extras registry (designed-red HUGEINT probe, DRIVER_ENV.md) and all
-# 8 canaries are budget-allowlisted in rotation_check.py.
-# Set to None to fall back to the per-call flags.
+# module's docstring: registered minus the 8 allowlisted environment
+# canaries, over 50 slots, makes a ~3.1-round refresh floor, hence the
+# 4-round budget):
+# - the 20 r4-tier queries the r7 --plan listed as coming due
+#   (q84-q105 range, newest green r4 — due at r9 close, so the r8
+#   window is their last on-budget slot);
+# - 30 of the 36 r5-tier queries (newest green r5, due at r10 close)
+#   taken a round early so the r9 window has room for the 49-strong
+#   r6 tier that follows; the 6 deferred (q136-q141) stay within
+#   budget through the r9 window, where rotation_check --plan lists
+#   them as coming due.
+# Rotated OUT: the whole r7 window (every row green in
+# CORRECTNESS_r07, due back r11). q116_canary_hugeint_probe stays
+# RETIRED in the extras registry (designed-red HUGEINT probe,
+# DRIVER_ENV.md) and all 8 canaries are budget-allowlisted in
+# rotation_check.py. Set to None to fall back to the per-call flags.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
-    # r3-tier staleness re-greens (VERDICT r6 task 1c)
-    "q03_top_revenue_orders",
-    "q06_regional_revenue",
-    "q08_string_ops",
-    "q09_window_topk",
-    "q10_argmin_first_event",
-    "q13_directly_follows",
-    "q17_cte_ratio",
-    "q18_range_join_workload",
-    "q19_theta_self_join",
-    "q20_chunking",
-    "q21_rolling_sequence",
-    "q24_union_rekey",
-    "q31_task_batches",
-    "q32_batch_discovery_stats",
-    "q33_waiting_time_decomposition",
-    "q35_concurrency_pairs",
-    "q36_activation_features",
-    "q38_interval_sweep",
-    "q40_dedup_exact",
-    "q42_dedup_simhash",
-    "q43_dedup_ngram_jaccard",
-    "q46_ann_ivf_topk",
-    "q47_text_quality",
-    "q48_lang_id",
-    "q49_token_count",
-    "q52_dedup_components",
-    "q56_repetition_signals",
-    "q57_pattern_counts",
-    # changed-operator re-green (Pass-Join rewrite, r7)
-    "q143_edjoin_exact",
-    # new in r7 (never driver-checked)
-    "q163_containment_increment",
-    "q164_ks_drift_quantized",
-    "q165_edjoin_increment",
-    # r4-tier refresh (oldest by query number; rest seed the r8 window)
-    "q54_frame_sample",
-    "q55_payload_resize",
-    "q62_doc_chunking",
-    "q63_decontaminate",
-    "q65_quantized_topk",
-    "q66_asof_join",
-    "q67_bm25_topk",
-    "q68_incremental_merge",
-    "q69_seeded_shuffle",
-    "q71_context_packing",
-    "q72_unigram_logprob",
-    "q73_dedup_segments",
-    "q77_profile_columns",
-    "q78_quality_buckets",
-    "q79_cdc_chunks",
-    "q81_retention_cohorts",
-    "q82_payload_neardup",
-    "q83_interval_overlap_join",
+    # r4-tier staleness re-greens (the --plan coming-due list)
+    "q84_resample_locf",
+    "q85_rolling_median",
+    "q87_pseudonymized_rollup",
+    "q88_corpus_diff",
+    "q89_sql_surface",
+    "q90_dfg_drift",
+    "q91_profile_drift",
+    "q92_redact_pii",
+    "q93_cms_heavy_hitters",
+    "q94_distinctive_terms",
+    "q95_validation_summary",
+    "q96_train_split",
+    "q97_distribution_drift",
+    "q98_rendezvous_shards",
+    "q99_bucket_rollup",
+    "q101_negative_samples",
+    "q102_dedup_weights",
+    "q103_rolling_mad",
+    "q104_percentile_normalize",
+    "q105_novelty_signals",
+    # r5-tier, taken one round early (30 of 36; q136-q141 deferred)
+    "q11_sessionize",
+    "q28_prioritization_pairs",
+    "q50_fingerprint",
+    "q64_diversity_signals",
+    "q70_source_mixing",
+    "q76_bigram_logprob",
+    "q86_json_props_stats",
+    "q100_jl_projection",
+    "q106_dedup_audit_by_source",
+    "q107_weighted_sample",
+    "q108_k_anonymous_rollup",
+    "q109_time_split_embargo",
+    "q110_cross_source_dup_matrix",
+    "q118_embedding_outliers",
+    "q119_source_overlap_sketch",
+    "q120_temperature_mix_weights",
+    "q121_epoch_plan",
+    "q123_vocab_coverage",
+    "q124_nb_class_scores",
+    "q125_source_jsd_matrix",
+    "q126_striped_pack_audit",
+    "q127_dsir_weights",
+    "q128_dup_span_audit",
+    "q129_fertility_by_lang",
+    "q130_split_leakage",
+    "q131_backoff_logprob",
+    "q132_pmi_collocations",
+    "q133_lexical_richness",
+    "q134_score_calibration",
+    "q135_quality_funnel",
 })
 
 
