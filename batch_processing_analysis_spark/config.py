@@ -96,6 +96,13 @@ class Configuration:
     subsequence_min_support: int = 2
     min_batch_instance_size: int = 2  # discovery.py:128-158
     report_batch_checkpoints: bool = False
+    # Reference-emulation knob (VERDICT r7 task 7): the reference's
+    # R CSV round-trip truncates timestamps to whole seconds before
+    # detection, so its golden outputs reflect second-resolution
+    # adjacency. True floors start/end/enabled to seconds at the head
+    # of discover_batches — use it ONLY to reproduce reference golden
+    # files; native precision (False) is strictly more information.
+    truncate_timestamps_to_seconds: bool = False
 
     # Activation-rule mining (reference config.py:78-81: max_rules=3,
     # min_rule_support=0.1, ready/enabled negative events = 1/1 — the

@@ -133,3 +133,88 @@ def test_enablement_estimator_exact(spark):
         F.unix_micros(F.col(ids.enabled_time)) != F.unix_micros("_ref_en")
     ).count()
     assert n_diff == 0
+
+
+def test_production_truncation_mode(spark):
+    """Truncation-emulation mode (VERDICT r7 task 7, measured
+    writeup): ``truncate_timestamps_to_seconds=True`` floors detection
+    input to seconds, emulating the reference's R CSV round-trip. On
+    Production this is a bit-identical NO-OP — the log's timestamps
+    are minute-resolution — so the pre-r8 attribution of the residual
+    ~0.966 F1 to truncation was WRONG; the measured cause is the R
+    detector's internal short-run filter plus chain tie-breaks (see
+    operators/discovery.py docstring for the full breakdown). This
+    test pins both halves: the mode changes nothing on Production,
+    and the agreement level itself."""
+    cfg_plain = Configuration()
+    cfg_trunc = Configuration(truncate_timestamps_to_seconds=True)
+    ids = cfg_plain.log_ids
+    ref = pd.read_csv(OUTS / "Production_WTs.csv.gz", low_memory=False)
+
+    def batched_keys(cfg):
+        log = _load(spark, LOGS / "Production.csv.gz", ids,
+                    with_enabled=False)
+        en = ref[["case_id", "Activity", "start_time", "end_time",
+                  "enabled_time"]].drop_duplicates(
+            ["case_id", "Activity", "start_time", "end_time"])
+        en_df = spark.createDataFrame(en)
+        for c in ["start_time", "end_time", "enabled_time"]:
+            en_df = en_df.withColumn(c, F.to_timestamp(c))
+        log = log.join(
+            en_df.withColumnRenamed("enabled_time", ids.enabled_time),
+            [ids.case, ids.activity, ids.start_time, ids.end_time],
+            "left")
+        ours = discover_batches(log, cfg).filter(
+            F.col(ids.batch_id).isNotNull()
+        ).select(ids.case, ids.activity, ids.start_time,
+                 ids.batch_id).toPandas()
+        ours["k"] = _row_keys(ours, ids.case, ids.activity,
+                              ids.start_time)
+        rows = set(ours.k)
+        part = {frozenset(g.k) for _, g in ours.groupby(ids.batch_id)}
+        return rows, part
+
+    rows_plain, part_plain = batched_keys(cfg_plain)
+    rows_trunc, part_trunc = batched_keys(cfg_trunc)
+    # (a) truncation is a no-op on this minute-resolution log
+    assert rows_plain == rows_trunc
+    assert part_plain == part_trunc
+    # (b) the measured agreement level (465 of 485 golden instances)
+    refb = ref[ref.batch_instance_id.notna()].copy()
+    refb["k"] = _row_keys(refb, "case_id", "Activity", "start_time")
+    ref_part = {frozenset(g.k)
+                for _, g in refb.groupby("batch_instance_id")}
+    assert len(part_plain & ref_part) >= 460, len(part_plain & ref_part)
+
+
+def test_loan_truncation_breaks_parity(spark):
+    """Diagnosis pin (VERDICT r7 task 7 writeup): the reference's
+    detector ran at FULL precision — its R-exchange CSV is written
+    with date_format='%Y-%m-%d %H:%M:%S.%f' (reference
+    discovery.py:227-229); only the golden files' formatting is
+    second-truncated (R write.csv drops POSIXct fractions). Loan
+    timestamps carry sub-second digits, so detecting on FLOORED input
+    must LOSE golden rows — if this ever starts matching exactly, the
+    precision story has changed and the docstring diagnosis needs
+    re-measuring."""
+    cfg = Configuration(min_batch_instance_size=10,
+                        truncate_timestamps_to_seconds=True)
+    ids = cfg.log_ids
+    log = _load(spark, LOGS / "Loan_Application_batched.csv.gz", ids,
+                with_enabled=True).drop("batch_instance_id")
+    disc = discover_batches(log, cfg)
+    ours = disc.filter(F.col(ids.batch_id).isNotNull()).select(
+        ids.case, ids.activity, ids.start_time, ids.batch_id
+    ).toPandas()
+    ours["k"] = _row_keys(ours, ids.case, ids.activity, ids.start_time)
+
+    ref = pd.read_csv(OUTS / "Loan_Application_WTs.csv.gz",
+                      low_memory=False)
+    refb = ref[ref.batch_instance_id.notna()].copy()
+    refb["k"] = _row_keys(refb, "case_id", "Activity", "start_time")
+    missing = set(refb.k) - set(ours.k)
+    assert missing, (
+        "second-floored detection unexpectedly reproduced the golden "
+        "row set exactly — re-measure the precision diagnosis")
+    # and full-precision detection (test_loan_golden_exact) is exact,
+    # so the divergence is attributable to the flooring alone
