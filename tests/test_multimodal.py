@@ -37,15 +37,17 @@ def test_resize_payload_stride(spark):
 
 
 def test_decode_image_gate_without_codec():
-    # In a codec-less environment: non-PNG payloads fail loudly with
-    # the install hint (never a silent fake decode); a corrupt PNG
-    # fails loudly in the vendored decoder.
+    # In a codec-less environment: non-PNG/JPEG payloads fail loudly
+    # with the install hint (never a silent fake decode); corrupt
+    # PNG/JPEG payloads fail loudly in the vendored decoders.
     import pytest
 
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
+            M.decode_image(b"GIF89a fake gif bytes here")
+        with pytest.raises(ValueError, match="corrupt JPEG|marker"):
             M.decode_image(b"\xff\xd8\xff fake jpeg bytes here")
         with pytest.raises(ValueError, match="corrupt PNG"):
             M.decode_image(b"\x89PNG\r\n\x1a\n not really a png")
