@@ -407,7 +407,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             "centroid_id", F.col(vec_col)
         )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    return _ivf_probe(assigned, centroids, queries, k, nprobe, id_col,
+                      vec_col)
 
+
+def _ivf_probe(assigned: DataFrame, centroids: DataFrame,
+               queries: DataFrame, k: int, nprobe: int, id_col: str,
+               vec_col: str) -> DataFrame:
+    """Probe stage shared by :func:`ivf_topk` (inline assignment) and
+    :func:`ivf_topk_from_index` (published assignment): per query the
+    ``nprobe`` nearest centroids, exact cosine within probed buckets,
+    top-k. ``assigned`` carries (id, vec, centroid_id)."""
     # per query: nprobe nearest centroids
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qc = q.join(F.broadcast(centroids.withColumnRenamed(vec_col, "_centv"))).select(
@@ -438,6 +448,78 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def publish_ivf_index(spark, corpus: DataFrame, table_prefix: str,
+                      stride: int = 50,
+                      centroids: DataFrame | None = None,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      num_buckets: int = 16,
+                      path_root: str | None = None) -> None:
+    """Persist the IVF index state (M150 — VERDICT r7 stretch 8) so
+    repeated top-k probes skip the assignment pass entirely: the
+    N·K nearest-centroid scoring — the dominant cost of
+    :func:`ivf_topk`, paid per CALL there — runs once at publish time,
+    the M131/M146 pattern applied to ANN. Two tables:
+
+    - ``{prefix}_centroids`` (centroid_id, vec): the (broadcast-sized)
+      centroid table, exactly as the inline path would derive it —
+      every ``stride``-th corpus vector, or a caller-supplied table
+      (e.g. :func:`kmeans_centroids`).
+    - ``{prefix}_assigned`` (id, vec, centroid_id) BUCKETED by
+      ``centroid_id``: the full assignment. Probe joins broadcast the
+      tiny probe list, so bucketing is not about the probe Exchange —
+      it pre-clusters each inverted list's rows so bucket-local scans
+      and any centroid-keyed aggregation (bucket-size maintenance,
+      re-balance audits) plan exchange-free.
+
+    Probes against the published index return BIT-IDENTICAL rows to
+    the inline operator with the same centroids (pinned by
+    tests/test_similarity_srp.py) — publishing moves work, never
+    answers.
+    """
+    from ..sources.bucketed import write_bucketed
+
+    corpus = _as_double(corpus, vec_col)
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
+    else:
+        centroids = _as_double(centroids, vec_col).select(
+            "centroid_id", F.col(vec_col)
+        )
+    cent_name = f"{table_prefix}_centroids"
+    w = centroids.write.mode("overwrite").format("parquet")
+    if path_root:
+        w = w.option("path", f"{path_root}/{cent_name}")
+    w.saveAsTable(cent_name)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    write_bucketed(
+        assigned, f"{table_prefix}_assigned", "centroid_id",
+        num_buckets,
+        path=(f"{path_root}/{table_prefix}_assigned" if path_root
+              else None))
+
+
+def ivf_topk_from_index(spark, queries: DataFrame, table_prefix: str,
+                        k: int = 5, nprobe: int = 3,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k against a :func:`publish_ivf_index` index: identical
+    output to :func:`ivf_topk` with the same centroids, but the plan
+    contains NO assignment stage — the corpus side is one scan of the
+    published inverted lists (relative plan assertion in
+    tests/test_similarity_srp.py). This is the repeated-probe shape a
+    serving/eval loop runs: publish once per corpus refresh, probe per
+    query batch."""
+    from ..sources.bucketed import load_bucketed
+
+    centroids = spark.table(f"{table_prefix}_centroids")
+    assigned = load_bucketed(spark, f"{table_prefix}_assigned")
+    return _ivf_probe(assigned, centroids, _as_double(queries, vec_col),
+                      k, nprobe, id_col, vec_col)
 
 
 def hyperplanes(num_bits: int, dim: int, seed: str = "srp") -> list[list[float]]:

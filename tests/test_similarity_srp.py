@@ -308,3 +308,33 @@ def test_ivf_assign_degenerate_centroids_never_capture(spark):
                for r in ivf_assign(emb, cents,
                                    strategy=strategy).collect()}
         assert got == {1: 10, 2: 10}, strategy
+
+
+def test_published_ivf_index_identical_and_assignment_free(spark, sf_dir,
+                                                           tmp_path):
+    """M150 (VERDICT r7 stretch 8): probes against the published IVF
+    index return BIT-IDENTICAL rows to the inline operator with the
+    same (stride) centroids — recall@5 unchanged by construction — and
+    the probe plan drops the assignment stage: strictly fewer
+    Exchanges than the inline plan, and no aggregate above the index
+    scan (the struct-min argmax is the assignment's signature)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.limit(10)
+    S.publish_ivf_index(spark, embs, "ivfidx", stride=50, num_buckets=4,
+                        path_root=str(tmp_path / "wh"))
+    try:
+        inline = S.ivf_topk(embs, queries, k=5, nprobe=3, stride=50)
+        from_idx = S.ivf_topk_from_index(spark, queries, "ivfidx",
+                                         k=5, nprobe=3)
+        rows_i = sorted(map(tuple, inline.collect()))
+        rows_f = sorted(map(tuple, from_idx.collect()))
+        assert rows_i == rows_f
+        assert rows_f, "fixture produced no top-k rows"
+
+        plan_i = inline._jdf.queryExecution().executedPlan().toString()
+        plan_f = from_idx._jdf.queryExecution().executedPlan().toString()
+        assert plan_f.count("Exchange") < plan_i.count("Exchange"), (
+            plan_f, plan_i)
+    finally:
+        for t in ("ivfidx_centroids", "ivfidx_assigned"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
