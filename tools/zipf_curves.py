@@ -124,6 +124,11 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--legacy-clamp", action="store_true",
                     help="reproduce the r5/r6 clamped-tail fixture")
+    ap.add_argument("--increments", action="store_true",
+                    help="also measure the three exact increment "
+                         "operators (VERDICT r7 task 4) at a 50/50 "
+                         "adversarial split and a realistic 90/10 "
+                         "base/delta split")
     ap.add_argument("--out", default="-")
     args = ap.parse_args()
 
@@ -170,6 +175,33 @@ def main() -> None:
             "edjoin_pairs": edjoin(docs).count(),
             "containment_pairs": containment(docs).count(),
         }
+        if args.increments:
+            from batch_processing_analysis_spark.operators import (
+                incremental as I,
+            )
+            from pyspark.sql import functions as F
+
+            inc_ops = {
+                "ppjoin_inc": lambda b, d, **kw:
+                    I.ppjoin_increment_pairs(b, d, t_pct=50, k=3, **kw),
+                "containment_inc": lambda b, d, **kw:
+                    I.containment_increment_pairs(b, d, c_pct=80, k=3,
+                                                  **kw),
+                "edjoin_inc": lambda b, d, **kw:
+                    I.edjoin_increment_pairs(b, d, d=10, q=8, **kw),
+            }
+            for split_label, pred in (
+                ("50_50", F.col("doc_id") % 2 == 1),
+                ("90_10", F.col("doc_id") % 10 == 9),
+            ):
+                base = docs.filter(~pred)
+                delta = docs.filter(pred)
+                for op_name, op in inc_ops.items():
+                    key = f"{op_name}_{split_label}"
+                    row[f"{key}_bound"] = measure_bound(
+                        lambda dd, **kw: op(base, delta, **kw), docs)
+                    row[f"{key}_s"] = timed(
+                        lambda dd: op(base, delta), docs)
         result["sizes"][label] = row
         print(f"{label}: {row}", file=sys.stderr)
 
@@ -184,6 +216,14 @@ def main() -> None:
         "containment_time": round(
             g["containment_s"] / max(b["containment_s"], 1e-9), 2),
     }
+    if args.increments:
+        for op_name in ("ppjoin_inc", "containment_inc", "edjoin_inc"):
+            for split_label in ("50_50", "90_10"):
+                key = f"{op_name}_{split_label}"
+                result["ratios"][f"{key}_bound"] = round(
+                    g[f"{key}_bound"] / max(b[f"{key}_bound"], 1), 2)
+                result["ratios"][f"{key}_time"] = round(
+                    g[f"{key}_s"] / max(b[f"{key}_s"], 1e-9), 2)
     text = json.dumps(result, indent=2)
     if args.out == "-":
         print(text)
