@@ -630,6 +630,7 @@ def ppjoin_increment_from_base(spark, delta: DataFrame,
                                id_col: str = "doc_id",
                                text_col: str = "text", t_pct: int = 50,
                                k: int = 3,
+                               max_candidates: int | None = None,
                                check_disjoint_ids: bool = False
                                ) -> DataFrame:
     """Exact incremental PPJoin against a PUBLISHED base (M131): same
@@ -682,11 +683,13 @@ def ppjoin_increment_from_base(spark, delta: DataFrame,
     # delta×base keeps base bucketing (pfx inside the core is a
     # filter, not a re-partition); delta×delta is a small self-join.
     return _ppjoin_increment_core(ranked_d, ranked_b,
-                                  sets_b.unionByName(sets_d), t_pct)
+                                  sets_b.unionByName(sets_d), t_pct,
+                                  max_candidates)
 
 
 def _ppjoin_increment_core(ranked_d: DataFrame, ranked_others: DataFrame,
-                           sets_all: DataFrame, t_pct: int) -> DataFrame:
+                           sets_all: DataFrame, t_pct: int,
+                           max_candidates: int | None = None) -> DataFrame:
     """Candidate + verify core shared by
     :func:`ppjoin_increment_from_base` and the streaming exact ingest
     (streaming/incremental_ingest.py:exact_neardup_micro_batch).
@@ -696,6 +699,10 @@ def _ppjoin_increment_core(ranked_d: DataFrame, ranked_others: DataFrame,
     exact — see :func:`ppjoin_increment_pairs`); ``sets_all`` carries
     ``(gid, set, n)`` for every doc either side references. Output:
     every pair with Jaccard ≥ t and ≥1 side in ``ranked_d``.
+    ``max_candidates`` measures Σ_tk pfx_delta·pfx_all BEFORE the pair
+    joins (the :func:`ppjoin_increment_pairs` guard, r8 symmetry —
+    the published-base/streaming paths were the only exact joins
+    without it).
     """
 
     def pfx(frame):
@@ -704,6 +711,22 @@ def _ppjoin_increment_core(ranked_d: DataFrame, ranked_others: DataFrame,
         return frame.filter(F.col("rn") <= F.col("n") - ceil_tl + 1)
 
     pfx_d = pfx(ranked_d).localCheckpoint(eager=False)
+    if max_candidates is not None:
+        from .dedup import _check_candidate_budget
+
+        ca = pfx_d.groupBy("tk").agg(F.count(F.lit(1)).alias("_ca"))
+        cb = (pfx_d.select("tk")
+              .unionByName(pfx(ranked_others).select("tk"))
+              .groupBy("tk").agg(F.count(F.lit(1)).alias("_cb")))
+        bound = (
+            ca.join(cb, "tk")
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_b"))
+            .collect()[0]["_b"]
+        ) or 0
+        _check_candidate_budget(
+            int(bound), max_candidates, "_ppjoin_increment_core",
+            "lsh_increment_pairs (probabilistic recall)",
+        )
     a = pfx_d.alias("a")
     ubound = (F.least(F.col("a.rn"), F.col("b.rn"))
               + F.least(F.col("a.n") - F.col("a.rn"),
@@ -774,6 +797,7 @@ def containment_increment_from_base(spark, delta: DataFrame,
                                     text_col: str = "text",
                                     c_pct: int = 80,
                                     k: int = 3,
+                                    max_candidates: int | None = None,
                                     check_disjoint_ids: bool = False
                                     ) -> DataFrame:
     """Exact incremental containment join against a PUBLISHED PPJoin
@@ -840,6 +864,33 @@ def containment_increment_from_base(spark, delta: DataFrame,
         return frame.filter(F.col("rn") <= F.col("n") - ceil_cl + 1)
 
     pfx_d = pfx(ranked_d)
+    if max_candidates is not None:
+        # Σ_tk [pfx_delta·(all_base + all_delta) + pfx_base·all_delta]
+        # — the three joins' bounds in one job, before any runs (r8
+        # guard symmetry with containment_increment_pairs).
+        from .dedup import _check_candidate_budget
+
+        cpd = pfx_d.groupBy("tk").agg(F.count(F.lit(1)).alias("_cpd"))
+        cpb = pfx(ranked_b).groupBy("tk").agg(
+            F.count(F.lit(1)).alias("_cpb"))
+        cad = ranked_d.groupBy("tk").agg(F.count(F.lit(1)).alias("_cad"))
+        cab = ranked_b.groupBy("tk").agg(F.count(F.lit(1)).alias("_cab"))
+        joined = (cad.join(cab, "tk", "full_outer")
+                  .join(cpd, "tk", "full_outer")
+                  .join(cpb, "tk", "full_outer"))
+        z = F.lit(0).cast("long")
+        bound = (
+            joined.agg(F.sum(
+                F.coalesce("_cpd", z)
+                * (F.coalesce("_cab", z) + F.coalesce("_cad", z))
+                + F.coalesce("_cpb", z) * F.coalesce("_cad", z)
+            ).alias("_b")).collect()[0]["_b"] or 0
+        )
+        _check_candidate_budget(
+            int(bound), max_candidates,
+            "containment_increment_from_base",
+            "lsh_increment_pairs (probabilistic recall)",
+        )
     cands = (
         # delta ⊆ base: base unshuffled
         _containment_cand(pfx_d, ranked_b, c_pct)
@@ -1125,6 +1176,7 @@ def edjoin_increment_from_base(spark, delta: DataFrame,
                                id_col: str = "doc_id",
                                text_col: str = "text", d: int = 10,
                                q: int = 4,
+                               max_candidates: int | None = None,
                                check_disjoint_ids: bool = False
                                ) -> DataFrame:
     """Exact incremental edit-distance join against a PUBLISHED
@@ -1173,13 +1225,14 @@ def edjoin_increment_from_base(spark, delta: DataFrame,
            .withColumn("_len", F.length(text_col))
            .localCheckpoint(eager=False))
     return _edjoin_increment_core(t_d, ch_b, sub_b, t_bt, id_col,
-                                  text_col, d, q)
+                                  text_col, d, q, max_candidates)
 
 
 def _edjoin_increment_core(t_d: DataFrame, ch_o: DataFrame,
                            sub_o: DataFrame, t_o: DataFrame,
                            id_col: str, text_col: str, d: int,
-                           q: int) -> DataFrame:
+                           q: int,
+                           max_candidates: int | None = None) -> DataFrame:
     """Candidate + verify core shared by
     :func:`edjoin_increment_from_base` and the streaming exact
     edit-distance gate (streaming/incremental_ingest.py).
@@ -1188,12 +1241,51 @@ def _edjoin_increment_core(t_d: DataFrame, ch_o: DataFrame,
     ``sub_o`` are the OTHER side's composite-keyed chunk/substring
     rows (published tables or the durable stream registry); ``t_o``
     its ``(id, text, _len)`` rows. Output: every pair with
-    levenshtein ≤ d and ≥1 side in the delta."""
+    levenshtein ≤ d and ≥1 side in the delta. ``max_candidates``
+    measures all three pass joins' key-count bounds plus the banded
+    tiny bound before any pair join runs (the
+    :func:`edjoin_increment_pairs` guard, r8 symmetry)."""
     cutoff = q * d + q - 1
     ch_d = _edjoin_chunk_keyed(t_d, id_col, text_col, d) \
         .localCheckpoint(eager=False)
     sub_d = _edjoin_sub_keyed(t_d, id_col, text_col, d) \
         .localCheckpoint(eager=False)
+    if max_candidates is not None:
+        from .dedup import _check_candidate_budget
+
+        def _key_counts(ch, sub) -> int:
+            cc = ch.groupBy("_key", "_lc").agg(
+                F.count(F.lit(1)).alias("_cc"))
+            cs = sub.groupBy("_key", "_lx").agg(
+                F.count(F.lit(1)).alias("_cs"))
+            return int(
+                cc.join(cs, (cc["_key"] == cs["_key"])
+                        & (F.col("_lx") == F.col("_lc")))
+                .agg(F.sum(F.col("_cc") * F.col("_cs")).alias("_b"))
+                .collect()[0]["_b"] or 0
+            )
+
+        tc = (t_o.select("_len").unionByName(t_d.select("_len"))
+              .filter(F.col("_len") <= cutoff)
+              .groupBy(F.expr(f"_len div {d + 1}").alias("_band"))
+              .agg(F.count(F.lit(1)).alias("_c")))
+        pc = (t_d.select("_len").filter(F.col("_len") <= cutoff)
+              .select(F.expr(f"_len div {d + 1}").alias("_b0"))
+              .select(F.explode(F.array(
+                  F.col("_b0") - 1, F.col("_b0"),
+                  F.col("_b0") + 1)).alias("_band"))
+              .groupBy("_band").agg(F.count(F.lit(1)).alias("_cp")))
+        bound_tiny = int(
+            pc.join(tc, "_band")
+            .agg(F.sum(F.col("_cp") * F.col("_c")).alias("_b"))
+            .collect()[0]["_b"] or 0
+        )
+        _check_candidate_budget(
+            _key_counts(ch_d, sub_o) + _key_counts(ch_d, sub_d)
+            + _key_counts(ch_o, sub_d) + bound_tiny,
+            max_candidates, "_edjoin_increment_core",
+            "lsh_increment_pairs (probabilistic recall)",
+        )
 
     tiny_u = (
         t_o.select(F.col(id_col), "_len")
@@ -1243,7 +1335,9 @@ def _edjoin_increment_core(t_d: DataFrame, ch_o: DataFrame,
 def _containment_increment_core(ranked_d: DataFrame,
                                 ranked_others: DataFrame,
                                 sets_all: DataFrame,
-                                c_pct: int) -> DataFrame:
+                                c_pct: int,
+                                max_candidates: int | None = None
+                                ) -> DataFrame:
     """Candidate + verify core for delta-vs-others EXACT containment
     over pre-ranked token rows — shared by the streaming containment
     gate (streaming/incremental_ingest.py) and mirroring
@@ -1265,6 +1359,31 @@ def _containment_increment_core(ranked_d: DataFrame,
 
     all_d = ranked_d.select("gid", "tk", "n")
     all_u = all_d.unionByName(ranked_others.select("gid", "tk", "n"))
+    if max_candidates is not None:
+        # Σ_tk [pfx_delta·all_union + pfx_others·all_delta] before
+        # either join runs (r8 guard symmetry).
+        from .dedup import _check_candidate_budget
+
+        cpd = pfx(ranked_d).groupBy("tk").agg(
+            F.count(F.lit(1)).alias("_cpd"))
+        cpo = pfx(ranked_others).groupBy("tk").agg(
+            F.count(F.lit(1)).alias("_cpo"))
+        cu = all_u.groupBy("tk").agg(F.count(F.lit(1)).alias("_cu"))
+        cad = all_d.groupBy("tk").agg(F.count(F.lit(1)).alias("_cad"))
+        z = F.lit(0).cast("long")
+        bound = (
+            cu.join(cad, "tk", "full_outer")
+            .join(cpd, "tk", "full_outer")
+            .join(cpo, "tk", "full_outer")
+            .agg(F.sum(
+                F.coalesce("_cpd", z) * F.coalesce("_cu", z)
+                + F.coalesce("_cpo", z) * F.coalesce("_cad", z)
+            ).alias("_b")).collect()[0]["_b"] or 0
+        )
+        _check_candidate_budget(
+            int(bound), max_candidates, "_containment_increment_core",
+            "lsh_increment_pairs (probabilistic recall)",
+        )
     cand = (
         _containment_cand(pfx(ranked_d), all_u, c_pct)
         .unionByName(_containment_cand(pfx(ranked_others), all_d, c_pct))

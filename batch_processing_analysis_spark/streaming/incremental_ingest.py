@@ -204,6 +204,7 @@ def exact_neardup_micro_batch(batch_df: DataFrame, batch_id: int, *,
                               text_col: str = "text", t_pct: int = 50,
                               k: int = 3,
                               df_table: str | None = None,
+                              max_candidates: int | None = None,
                               check_disjoint_ids: bool = True) -> None:
     """One micro-batch of the streaming EXACT near-dup gate: shingle
     the batch, rank its tokens under the ONE frozen total order, join
@@ -285,7 +286,7 @@ def exact_neardup_micro_batch(batch_df: DataFrame, batch_id: int, *,
     sets_all = sets_d if sets_others is None else \
         sets_d.unionByName(sets_others)
     pairs = _ppjoin_increment_core(ranked_d, ranked_others, sets_all,
-                                   t_pct)
+                                   t_pct, max_candidates)
     pairs.write.mode("overwrite").parquet(
         f"{pairs_path}/ingest_batch={batch_id}")
     ranked_d.write.mode("overwrite").parquet(
@@ -301,6 +302,7 @@ def start_exact_neardup_ingest(stream_docs: DataFrame, *,
                                text_col: str = "text", t_pct: int = 50,
                                k: int = 3, df_table: str | None = None,
                                available_now: bool = True,
+                               max_candidates: int | None = None,
                                check_disjoint_ids: bool = True
                                ) -> StreamingQuery:
     """Durable streaming EXACT near-dup detection: every arriving
@@ -314,6 +316,7 @@ def start_exact_neardup_ingest(stream_docs: DataFrame, *,
             batch_df, batch_id, ranked_path=ranked_path,
             sets_path=sets_path, pairs_path=pairs_path, id_col=id_col,
             text_col=text_col, t_pct=t_pct, k=k, df_table=df_table,
+            max_candidates=max_candidates,
             check_disjoint_ids=check_disjoint_ids,
         )
 
@@ -347,6 +350,7 @@ def containment_micro_batch(batch_df: DataFrame, batch_id: int, *,
                             pairs_path: str, id_col: str = "doc_id",
                             text_col: str = "text", c_pct: int = 80,
                             k: int = 3, df_table: str | None = None,
+                            max_candidates: int | None = None,
                             check_disjoint_ids: bool = True) -> None:
     """One micro-batch of the streaming EXACT containment gate
     (``|A∩B| ≥ (c_pct/100)·|A|``, ordered pairs): identical registry
@@ -413,7 +417,7 @@ def containment_micro_batch(batch_df: DataFrame, batch_id: int, *,
     sets_all = sets_d if sets_others is None else \
         sets_d.unionByName(sets_others)
     pairs = _containment_increment_core(ranked_d, ranked_others,
-                                        sets_all, c_pct)
+                                        sets_all, c_pct, max_candidates)
     pairs.write.mode("overwrite").parquet(
         f"{pairs_path}/ingest_batch={batch_id}")
     ranked_d.write.mode("overwrite").parquet(
@@ -429,6 +433,7 @@ def start_containment_ingest(stream_docs: DataFrame, *,
                              text_col: str = "text", c_pct: int = 80,
                              k: int = 3, df_table: str | None = None,
                              available_now: bool = True,
+                             max_candidates: int | None = None,
                              check_disjoint_ids: bool = True
                              ) -> StreamingQuery:
     """Durable streaming EXACT containment detection: every arriving
@@ -441,6 +446,7 @@ def start_containment_ingest(stream_docs: DataFrame, *,
             batch_df, batch_id, ranked_path=ranked_path,
             sets_path=sets_path, pairs_path=pairs_path, id_col=id_col,
             text_col=text_col, c_pct=c_pct, k=k, df_table=df_table,
+            max_candidates=max_candidates,
             check_disjoint_ids=check_disjoint_ids,
         )
 
@@ -474,6 +480,7 @@ def edjoin_micro_batch(batch_df: DataFrame, batch_id: int, *,
                        texts_path: str, pairs_path: str,
                        id_col: str = "doc_id", text_col: str = "text",
                        d: int = 10, q: int = 4,
+                       max_candidates: int | None = None,
                        check_disjoint_ids: bool = True) -> None:
     """One micro-batch of the streaming EXACT edit-distance gate
     (levenshtein ≤ d): Pass-Join chunk/substring rows under the
@@ -523,7 +530,7 @@ def edjoin_micro_batch(batch_df: DataFrame, batch_id: int, *,
     if t_o is None:
         t_o, ch_o, sub_o = t_d.limit(0), ch_d.limit(0), sub_d.limit(0)
     pairs = _edjoin_increment_core(t_d, ch_o, sub_o, t_o, id_col,
-                                   text_col, d, q)
+                                   text_col, d, q, max_candidates)
     pairs.write.mode("overwrite").parquet(
         f"{pairs_path}/ingest_batch={batch_id}")
     ch_d.write.mode("overwrite").parquet(
@@ -540,6 +547,7 @@ def start_edjoin_ingest(stream_docs: DataFrame, *, chunks_path: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         d: int = 10, q: int = 4,
                         available_now: bool = True,
+                        max_candidates: int | None = None,
                         check_disjoint_ids: bool = True
                         ) -> StreamingQuery:
     """Durable streaming EXACT edit-distance detection: every arriving
@@ -553,7 +561,8 @@ def start_edjoin_ingest(stream_docs: DataFrame, *, chunks_path: str,
             batch_df, batch_id, chunks_path=chunks_path,
             subs_path=subs_path, texts_path=texts_path,
             pairs_path=pairs_path, id_col=id_col, text_col=text_col,
-            d=d, q=q, check_disjoint_ids=check_disjoint_ids,
+            d=d, q=q, max_candidates=max_candidates,
+            check_disjoint_ids=check_disjoint_ids,
         )
 
     writer = (

@@ -76,3 +76,26 @@ def test_base_prefix_scan_is_exchange_free(spark, published_base):
             == degraded.count("Exchange") - 1, (bucketed, degraded)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_from_base_guard_trips_and_passes(spark, published_base):
+    """r8 guard symmetry: ppjoin_increment_from_base measures the
+    prefix-df bound from the published ranked table + delta before the
+    candidate join."""
+    from batch_processing_analysis_spark.operators.dedup import (
+        CandidateVolumeExceeded,
+    )
+
+    docs, _ = published_base
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    with pytest.raises(CandidateVolumeExceeded):
+        ppjoin_increment_from_base(spark, delta, "ppjb", t_pct=50, k=3,
+                                   max_candidates=1).collect()
+    inc = {(r.id_a, r.id_b): r.jac_micro
+           for r in ppjoin_increment_from_base(
+               spark, delta, "ppjb", t_pct=50, k=3,
+               max_candidates=1_000_000_000).collect()}
+    full = {(r.id_a, r.id_b): r.jac_micro
+            for r in ppjoin_pairs(docs, t_pct=50, k=3).collect()}
+    assert inc == {p: j for p, j in full.items()
+                   if p[0] % 2 == 1 or p[1] % 2 == 1}

@@ -105,3 +105,21 @@ def test_base_side_scan_is_exchange_free(spark, published_base):
             == degraded.count("Exchange") - 1, (bucketed, degraded)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_from_base_guard_trips_and_passes(spark, published_base):
+    """r8 guard symmetry: the published-base variant measures the same
+    Σ df·df bound before any candidate join and trips
+    CandidateVolumeExceeded over budget; a generous budget passes
+    through unchanged."""
+    docs, _ = published_base
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    with pytest.raises(CandidateVolumeExceeded):
+        containment_increment_from_base(
+            spark, delta, "contb", c_pct=80, k=3,
+            max_candidates=1).collect()
+    inc = containment_increment_from_base(
+        spark, delta, "contb", c_pct=80, k=3,
+        max_candidates=1_000_000_000)
+    assert {(r.id_a, r.id_b): r.cont_micro
+            for r in inc.collect()} == _expected(docs, 80, 3)

@@ -238,3 +238,24 @@ def test_from_base_scan_is_exchange_free(spark, published_edjoin_base):
         assert bucketed == degraded - 1, (bucketed, degraded)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_from_base_guard_trips_and_passes(spark, sf_dir,
+                                          published_edjoin_base):
+    """r8 guard symmetry on the published-base edit-distance
+    increment: pass-join key bounds + the banded tiny bound measured
+    before the pair joins."""
+    from batch_processing_analysis_spark.operators.incremental import (
+        edjoin_increment_from_base,
+    )
+
+    docs, _ = published_edjoin_base
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    with pytest.raises(CandidateVolumeExceeded):
+        edjoin_increment_from_base(spark, delta, "edjb", d=10, q=8,
+                                   max_candidates=0).collect()
+    inc = {(r.id_a, r.id_b): r.dist
+           for r in edjoin_increment_from_base(
+               spark, delta, "edjb", d=10, q=8,
+               max_candidates=5_000_000_000).collect()}
+    assert inc == _expected(docs, 10, 8)
