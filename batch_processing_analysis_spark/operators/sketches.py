@@ -1,6 +1,10 @@
-"""Count-min sketch (M67): fixed-memory frequency estimation, the
-frequency member of the sketch family (M50 holds HLL cardinality and
-GK quantiles).
+"""The mergeable-sketch family: count-min (M67, frequency), exact
+heavy hitters (M112), Bloom (M117, membership), HLL register state
+(M151, cardinality), log-bucketed quantile histogram (M152).
+M50's built-in HLL++/GK paths answer the same cardinality/quantile
+questions as M151/M152 but return only numbers — the explicit-state
+members here persist, merge across ingest waves, and carry bit-exact
+DuckDB twins.
 
 Cormode & Muthukrishnan 2005 ("An improved data stream summary: the
 count-min sketch and its applications"): a depth×width counter grid;
@@ -261,6 +265,216 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     positions, same union of bits) — the mergeability the incremental
     path relies on."""
     return a.select("bit").unionByName(b.select("bit")).distinct()
+
+
+def hll_registers(items: DataFrame, item_col: str = "item",
+                  p: int = 8, seed: str = "hll:0",
+                  group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """HyperLogLog register table (M151; Flajolet, Fusy, Gandouet &
+    Meunier 2007, "HyperLogLog: the analysis of a near-optimal
+    cardinality estimation algorithm") — the CARDINALITY member of the
+    sketch family gains mergeable, publishable STATE (M50's built-in
+    ``approx_count_distinct`` answers the same question but returns
+    only a number: its HLL++ registers live inside the aggregation
+    buffer, so they cannot be persisted, merged across ingest waves,
+    or audited).
+
+    Per group: ``(bucket, r)`` rows, bucket = hash60(seed ‖ ␟ ‖ item)
+    mod 2^p, ``r`` = max over items of the rank ρ(w) = one-based
+    position of the leftmost 1-bit of the REMAINING 60−p hash bits
+    (w = hash DIV 2^p; ρ = 61−p for w = 0 — disjoint bit ranges, the
+    classic stochastic-averaging split). ≤ 2^p rows per group
+    REGARDLESS of input cardinality, built by one partial-aggregated
+    max — the shuffle carries at most partitions·2^p rows. The md5
+    ``hash60`` convention (operators/dedup.py:42) means a DuckDB twin
+    reproduces every register bit-for-bit: ρ is pure integer
+    arithmetic via minimal-width ``bin()`` in BOTH dialects
+    (ρ = 61−p−length(bin(w)) for w ≥ 1 — no floats anywhere).
+
+    Why state matters at 100 TB: registers merge by per-bucket MAX
+    (:func:`hll_merge`) — associative, commutative, idempotent — so
+    per-day / per-source / per-wave register tables fold into the
+    union's registers EXACTLY (not approximately: the merged table is
+    identical to the one built on the union corpus, pinned by
+    tests/test_sketch_state.py). Publish yesterday's registers and
+    today's distinct-count costs one pass over today's delta.
+
+    NULL items are excluded (a distinct-count is over values);
+    ``p`` must be in [4, 16] (m = 16 … 65536 registers).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    w_bits = 60 - p
+    h = hash60(F.concat(F.lit(seed), F.lit("\x1f"),
+                        F.col(item_col).cast("string")))
+    base = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .select(*group_cols,
+                F.pmod(F.col("_h"), F.lit(m)).alias("bucket"),
+                F.expr(f"_h DIV {m}").alias("_w"))
+    )
+    rho = F.when(F.col("_w") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(F.col("_w"))))
+    return (
+        base.select(*group_cols, "bucket", rho.cast("int").alias("_rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("r"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame,
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge register tables built with the SAME (p, seed): per-bucket
+    MAX — ``merge(registers(A), registers(B)) == registers(A ∪ B)``
+    EXACTLY (max is associative/commutative/idempotent, so wave order
+    and duplicate re-ingestion cannot change the result)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8,
+                 group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Cardinality estimate from a register table: per group,
+    ``(set_buckets, zeros, denom_fp, est)``.
+
+    The harmonic-mean denominator Σ 2^−M_j is computed as an EXACT
+    integer in fixed point (``denom_fp`` = Σ 2^(F−r) + zeros·2^F,
+    F = 61−p — every term a power of two ≤ 2^53, sum < 2^63 for
+    p ≥ 4, so the value is association-order-independent where a
+    float sum would not be); only the final division is floating
+    point. Small-range correction per the original paper: linear
+    counting m·ln(m/zeros) when the raw estimate ≤ 2.5m and zero
+    registers remain. Relative error ≈ 1.04/√m (σ).
+
+    The estimate is for pytest accuracy brackets; the driver-hashed
+    artifact is the integer register table itself (q166).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    fp = 61 - p
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    gb = registers.groupBy(*group_cols) if group_cols else registers.groupBy()
+    agg = gb.agg(
+        F.count(F.lit(1)).cast("long").alias("set_buckets"),
+        F.sum(F.pow(F.lit(2.0), F.lit(fp) - F.col("r")).cast("long"))
+        .alias("_present_fp"),
+    )
+    zeros = F.lit(m) - F.col("set_buckets")
+    denom_fp = (F.col("_present_fp")
+                + zeros.cast("long") * F.lit(1 << fp).cast("long"))
+    raw = (F.lit(alpha * m * m) * F.lit(float(1 << fp))
+           / denom_fp.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, "set_buckets", zeros.cast("long").alias("zeros"),
+        denom_fp.alias("denom_fp"), est.alias("est"),
+    )
+
+
+def log_histogram(values: DataFrame, value_col: str, s: int = 4,
+                  group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Log-bucketed histogram with integer-exact bucketing (M152) —
+    the QUANTILE member of the sketch family gains mergeable,
+    publishable state (M50's GK ``approxQuantile`` is a driver-side
+    action whose summary cannot be persisted or merged; this is the
+    HdrHistogram organization — Tene, "How NOT to Measure Latency" /
+    github.com/HdrHistogram — with DDSketch's relative-error
+    guarantee, Masson, Rim & Lee VLDB 2019, achieved with NO
+    logarithms: every boundary is integer bit arithmetic, so the
+    DuckDB twin reproduces each bucket bit-for-bit where a
+    float-log bucketer could disagree at boundaries).
+
+    Bucket of a value v ≥ 1: keep the top s+1 significant bits —
+    ``lo = (v DIV 2^k)·2^k`` with k = max(⌊log2 v⌋ − s, 0) and
+    ⌊log2 v⌋ = length(bin(v)) − 1 (minimal-width ``bin()`` in both
+    dialects; the division is by a power of two on a < 2^53 value, so
+    even the double-typed ``floor(v / power(2,k))`` form is exact in
+    IEEE arithmetic). ``lo`` is the bucket's lower bound AND its key:
+    v ∈ [lo, lo + 2^k), so the relative width is ≤ 2^−s — values with
+    ⌊log2 v⌋ ≤ s bucket EXACTLY (k = 0). Values ≤ 0 clamp into the
+    ``lo = 0`` bucket (documented policy, pinned by tests — the
+    intended domain is non-negative counts/durations < 2^53).
+
+    Per group: ``(lo, cnt)`` — at most (53−s)·2^s + 2^s + 1 ≈ 800
+    rows for s = 4 REGARDLESS of input size or range, one
+    partial-aggregated count. Merge = per-bucket SUM
+    (:func:`hist_merge`): wave-fold equals the batch histogram
+    exactly, counts being additive.
+    """
+    if not 0 <= s <= 20:
+        raise ValueError(f"s must be in [0, 20], got {s}")
+    v = F.col(value_col).cast("long")
+    e = F.length(F.bin(v)) - F.lit(1)
+    k = F.greatest(e - F.lit(s), F.lit(0))
+    scale = F.pow(F.lit(2.0), k)
+    lo = F.when(v <= 0, F.lit(0)).otherwise(
+        (F.floor(v / scale) * scale).cast("long"))
+    return (
+        values.select(*group_cols, lo.alias("lo"))
+        .groupBy(*group_cols, "lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame,
+               group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge histograms built with the SAME ``s``: counts add —
+    ``merge(hist(A), hist(B)) == hist(A ⊎ B)`` exactly."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "lo")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_quantiles(hist: DataFrame, pcts: tuple[int, ...] = (50, 90, 99),
+                   group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Percentiles from a log histogram: per group and integer
+    percentile ``pct``, the bucket lower bound ``q_lo`` containing the
+    rank-⌈pct·N/100⌉ value (type-1 / lower quantile), plus ``n``.
+    The true quantile value lies in [q_lo, q_lo·(1+2^−s) + 1) by the
+    bucket-width guarantee.
+
+    Rank arithmetic is pure integer — ⌈pct·N/100⌉ =
+    (pct·N + 99) DIV 100 — and the cumulative window runs over the
+    HISTOGRAM rows (≤ ~800 per group, the aggregate-bounded
+    single-partition-window exemption of the plan audit), never the
+    data. Output: one row per (group, pct).
+    """
+    for pct in pcts:
+        if not 1 <= pct <= 100:
+            raise ValueError(f"pct must be in [1, 100], got {pct}")
+    from pyspark.sql import Window
+
+    win = (Window.partitionBy(*group_cols).orderBy("lo")
+           if group_cols else Window.partitionBy().orderBy("lo"))
+    cum = hist.select(
+        *group_cols, "lo", "cnt",
+        F.sum("cnt").over(win).alias("_cum"),
+        F.sum("cnt").over(
+            win.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)).alias("n"),
+    )
+    pe = cum.select(
+        *group_cols, "lo", "_cum", "n",
+        F.explode(F.array(*[F.lit(pct) for pct in pcts])).alias("pct"),
+    )
+    rank = F.expr("(pct * n + 99) DIV 100")
+    return (
+        pe.filter(F.col("_cum") >= rank)
+        .groupBy(*group_cols, "pct", "n")
+        .agg(F.min("lo").alias("q_lo"))
+        .select(*group_cols, "pct", "q_lo", "n")
+    )
 
 
 def bloom_fpr_micro(filt: DataFrame, m_bits: int, k: int) -> DataFrame:

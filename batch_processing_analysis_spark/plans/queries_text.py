@@ -27,6 +27,7 @@ from ..operators import mixing as MX
 from ..operators import multimodal as M
 from ..operators import ordering as ORD
 from ..operators import search as SR
+from ..operators import sketches as SK
 from ..operators import similarity as S
 from ..operators import text_analysis as TA
 from ..sources.tables import load_table
@@ -4917,3 +4918,103 @@ def q165_edjoin_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 2 == 1)
     return INC.edjoin_increment_pairs(base, delta, d=10, q=8,
                                       max_candidates=5_000_000_000)
+
+
+@query(
+    "q166_hll_census",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    h AS (
+      SELECT source,
+             CAST('0x' || substr(md5('hll:0' || chr(31) || token), 1, 15)
+                  AS BIGINT) AS hv
+      FROM tok
+    ),
+    b AS (SELECT source, hv % 256 AS bucket, hv // 256 AS w FROM h),
+    rho AS (
+      SELECT source, bucket,
+             CASE WHEN w = 0 THEN 53
+                  ELSE 53 - length(bin(w)) END AS rho
+      FROM b
+    )
+    SELECT source, bucket, CAST(max(rho) AS INTEGER) AS r
+    FROM rho GROUP BY source, bucket
+    """,
+    primary=True,
+)
+def q166_hll_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token HLL register table (operators/
+    sketches.py:hll_registers, M151 — Flajolet et al. 2007): the
+    cardinality member of the sketch family as mergeable, publishable
+    STATE. p=8 → ≤256 (bucket, r) rows per source regardless of
+    vocabulary size; bucket = hash60 mod 256 over the low hash bits,
+    r = max leftmost-1-bit rank of the remaining 52 bits — all
+    integer arithmetic over the md5 hash60 convention, so the DuckDB
+    twin rebuilds every register bit-for-bit. The ESTIMATE
+    (hll_estimate: exact fixed-point harmonic denominator + linear
+    counting) is accuracy-bracketed in tests/test_sketch_state.py;
+    the driver-hashed artifact is the register state itself, because
+    the state is what ships between ingest waves. First driver
+    window r8."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("source"),
+        F.explode(D.tokens(F.col("text"))).alias("token"),
+    )
+    return SK.hll_registers(toks, "token", p=8, seed="hll:0",
+                            group_cols=("source",))
+
+
+@query(
+    "q167_log_hist_quantiles",
+    r"""
+    WITH h AS (
+      SELECT source,
+             CASE WHEN n_chars <= 0 THEN 0
+                  ELSE CAST(floor(n_chars / power(2,
+                              greatest(length(bin(n_chars)) - 5, 0)))
+                            * power(2,
+                              greatest(length(bin(n_chars)) - 5, 0))
+                            AS BIGINT)
+             END AS lo,
+             count(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT source, lo, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY lo) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM h
+    ),
+    p AS (SELECT unnest([50, 90, 99]) AS pct),
+    f AS (
+      SELECT source, pct, CAST(n AS BIGINT) AS n, lo
+      FROM c CROSS JOIN p
+      WHERE cum >= (pct * n + 99) // 100
+    )
+    SELECT source, pct, min(lo) AS q_lo, n
+    FROM f GROUP BY source, pct, n
+    """,
+    primary=True,
+)
+def q167_log_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_chars p50/p90/p99 from the log-bucketed histogram
+    (operators/sketches.py:log_histogram + hist_quantiles, M152 —
+    HdrHistogram organization, DDSketch relative-error guarantee):
+    the quantile member of the sketch family as mergeable state.
+    s=4 → every bucket keeps the top 5 significant bits (lower bound
+    ``lo`` = the bucket key, relative width ≤ 1/16), ≤ ~800 rows per
+    source regardless of input size; rank ⌈pct·N/100⌉ is pure integer
+    arithmetic and the cumulative window runs over histogram rows
+    only. No logarithms anywhere — bucketing is length(bin(v)) bit
+    arithmetic, identical in both dialects, where a float-log
+    bucketer could flip boundary values. First driver window r8."""
+    docs = _docs(spark, sf_dir)
+    hist = SK.log_histogram(docs.select("source", "n_chars"),
+                            "n_chars", s=4, group_cols=("source",))
+    return SK.hist_quantiles(hist, (50, 90, 99), group_cols=("source",))

@@ -73,10 +73,14 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q103_rolling_mad",
     "q104_percentile_normalize",
     "q105_novelty_signals",
-    # r5-tier, taken one round early (30 of 36; q136-q141 deferred)
-    "q11_sessionize",
-    "q28_prioritization_pairs",
+    # r5-tier, taken one round early (28 of 36; q136-q141 deferred;
+    # q11/q28 — the two multi-green (r2/r3/r5) slots — ceded mid-r8 to
+    # the new never-green M151/M152 queries, which MUST be in the
+    # window per rotation_check; q11/q28 stay within budget through
+    # the r9 window, where --plan lists them as coming due)
     "q50_fingerprint",
+    "q166_hll_census",
+    "q167_log_hist_quantiles",
     "q64_diversity_signals",
     "q70_source_mixing",
     "q76_bigram_logprob",

@@ -62,6 +62,8 @@ def test_every_window_query_has_oracle():
 # PRIMARY_ROTATION (ceding a slot) or register it primary=False.
 EXPECTED_SHADOWED = frozenset({
     "q01_pricing_summary",
+    "q11_sessionize",
+    "q28_prioritization_pairs",
     "q03_top_revenue_orders",
     "q06_regional_revenue",
     "q07_in_case_when",

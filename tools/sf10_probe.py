@@ -47,6 +47,19 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=100)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="-")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of the heavy list to "
+                         "re-probe (e.g. after an environment-capacity "
+                         "failure at the default heap)")
+    ap.add_argument("--no-facades", action="store_true")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="override spark.sql.shuffle.partitions for the "
+                         "probe session (pair with SPARK_DRIVER_MEMORY "
+                         "when diagnosing box-capacity OOMs)")
+    ap.add_argument("--merge-into", default=None,
+                    help="existing probe JSON: update only the re-probed "
+                         "rows in it and stamp retry_conf, instead of "
+                         "writing a fresh file")
     args = ap.parse_args()
 
     from scaling_curves import build_blowup
@@ -58,7 +71,10 @@ def main() -> None:
     from batch_processing_analysis_spark.plans import registry as reg
     from batch_processing_analysis_spark.session import get_spark
 
-    spark = get_spark("sf10_probe")
+    heavy = ([n for n in args.only.split(",") if n] if args.only
+             else list(HEAVY))
+    spark = get_spark("sf10_probe",
+                      shuffle_partitions=args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     big = build_blowup(spark, args.sf_dir, args.factor, full=True)
     print(f"blow-up built at {big}", file=sys.stderr)
@@ -75,7 +91,7 @@ def main() -> None:
         fn(spark, big).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    for name in HEAVY:
+    for name in heavy:
         fn = qs[name]
         try:
             best = min(time_once(fn) for _ in range(2))
@@ -92,6 +108,8 @@ def main() -> None:
     # events history; prepare_corpus over the x100 documents; the
     # 4-delta durable ingest of the x100 documents table)
     try:
+        if args.no_facades:
+            raise StopIteration("facades skipped (--no-facades)")
         from pyspark.sql import functions as F
 
         from batch_processing_analysis_spark.pipeline import (
@@ -173,11 +191,28 @@ def main() -> None:
     except Exception as e:
         print(f"facade stage failed: {e}", file=sys.stderr)
 
-    text = json.dumps(result, indent=2)
-    if args.out == "-":
-        print(text)
+    if args.merge_into:
+        merged = json.loads(Path(args.merge_into).read_text())
+        merged["queries"].update(result["queries"])
+        if result["facades"]:
+            merged.setdefault("facades", {}).update(result["facades"])
+        merged.setdefault("retry_conf", {})
+        import os as _os
+        for name in result["queries"]:
+            merged["retry_conf"][name] = {
+                "driver_memory": _os.environ.get("SPARK_DRIVER_MEMORY",
+                                                 "16g"),
+                "shuffle_partitions": args.shuffle_partitions
+                or int(_os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        Path(args.merge_into).write_text(json.dumps(merged, indent=2)
+                                         + "\n")
     else:
-        Path(args.out).write_text(text + "\n")
+        text = json.dumps(result, indent=2)
+        if args.out == "-":
+            print(text)
+        else:
+            Path(args.out).write_text(text + "\n")
     spark.stop()
 
 
