@@ -208,6 +208,34 @@ def test_hist_quantiles_grouped_and_clamp_policy(spark):
     assert b50["q_lo"] == 0 and b50["n"] == 4
 
 
+def test_published_state_roundtrip_then_incremental_merge(spark, tmp_path):
+    """The 'publishable' claim, end to end: yesterday's registers /
+    histogram persist to parquet, today reads them back and folds in
+    a delta wave — result equals the batch sketch over the union."""
+    base = spark.range(0, 4000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("item"),
+        (F.col("id") % 7919 + 1).alias("v"))
+    delta = spark.range(4000, 6000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("item"),
+        (F.col("id") % 7919 + 1).alias("v"))
+
+    hll_path = str(tmp_path / "hll_registers")
+    hll_registers(base, "item", p=P).write.parquet(hll_path)
+    merged = hll_merge(spark.read.parquet(hll_path),
+                       hll_registers(delta, "item", p=P))
+    batch = hll_registers(base.unionByName(delta), "item", p=P)
+    assert ({(r["bucket"], r["r"]) for r in merged.collect()}
+            == {(r["bucket"], r["r"]) for r in batch.collect()})
+
+    hist_path = str(tmp_path / "hist_buckets")
+    log_histogram(base, "v", s=4).write.parquet(hist_path)
+    hmerged = hist_merge(spark.read.parquet(hist_path),
+                         log_histogram(delta, "v", s=4))
+    hbatch = log_histogram(base.unionByName(delta), "v", s=4)
+    assert ({(r["lo"], r["cnt"]) for r in hmerged.collect()}
+            == {(r["lo"], r["cnt"]) for r in hbatch.collect()})
+
+
 def test_hist_rejects_bad_args(spark):
     df = spark.range(1).select(F.col("id").alias("v"))
     with pytest.raises(ValueError, match="s must be in"):
