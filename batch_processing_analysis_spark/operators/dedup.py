@@ -1107,12 +1107,19 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
          .withColumn("_len", F.length(text_col))
          .localCheckpoint(eager=False))
 
-    # Staged — each side feeds the candidate join AND the guard's
-    # bound aggregate.
-    ch = passjoin_chunk_rows(t, id_col, text_col, d) \
-        .localCheckpoint(eager=False)
-    sub = passjoin_substring_rows(t, id_col, text_col, d) \
-        .localCheckpoint(eager=False)
+    # t (small: id, text, len) is the ONLY persisted frame. The
+    # chunk/substring frames are cheap codegen explodes of t, and
+    # after the guard moved onto raw lineage each has exactly one
+    # consumer (the candidate join) — checkpointing them was pure
+    # storage pressure: at the ×100 probe scale the ~10⁹-row substring
+    # checkpoint pinned >50% of unified memory (the storageFraction-
+    # protected half) exactly when the guard's high-cardinality
+    # aggregate needed execution memory, turning a designed guard
+    # TRIP into SparkOutOfMemoryError (SURVEY §6.1d-r8). The guard
+    # now aggregates the raw lineage — fully streaming, nothing
+    # materialized on the refusal path.
+    ch = passjoin_chunk_rows(t, id_col, text_col, d)
+    sub = passjoin_substring_rows(t, id_col, text_col, d)
     if max_candidates is not None:
         cnt_c = ch.groupBy("_ck", "_lc", "_i").agg(
             F.count(F.lit(1)).alias("_cc"))

@@ -954,15 +954,18 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
     t_d = (delta.select(F.col(id_col), F.col(text_col))
            .withColumn("_len", F.length(text_col))
            .localCheckpoint(eager=False))
-    ch_d = passjoin_chunk_rows(t_d, id_col, text_col, d) \
-        .localCheckpoint(eager=False)
-    ch_b = passjoin_chunk_rows(t_b, id_col, text_col, d) \
-        .localCheckpoint(eager=False)
-    sub_d = passjoin_substring_rows(t_d, id_col, text_col, d) \
-        .localCheckpoint(eager=False)
+    # Only t_b/t_d (small: id, text, len) persist; the chunk/substring
+    # frames are cheap explodes with ≤2 consumers each (one guard
+    # aggregate on raw lineage + one candidate join) — checkpointing
+    # the ~|docs|·O(d²)-row substring frames pinned storage memory
+    # against the guard's own aggregate at probe scale (the q165 ×100
+    # OOM; SURVEY §6.1d-r8, same cure as dedup.edjoin_pairs).
+    ch_d = passjoin_chunk_rows(t_d, id_col, text_col, d)
+    ch_b = passjoin_chunk_rows(t_b, id_col, text_col, d)
+    sub_d = passjoin_substring_rows(t_d, id_col, text_col, d)
     sub_u = sub_d.unionByName(
         passjoin_substring_rows(t_b, id_col, text_col, d)
-    ).localCheckpoint(eager=False)
+    )
 
     tiny_u = (
         t_b.select(F.col(id_col), "_len")
