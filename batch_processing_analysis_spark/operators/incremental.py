@@ -1008,13 +1008,16 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
             "lsh_increment_pairs (probabilistic recall)",
         )
 
-    # Guard passed — NOW persist the frames the candidate joins read
-    # twice (ch_d feeds both pass joins; sub_d feeds one directly and
-    # one via the union). Checkpointing after the guard keeps the
-    # refusal path storage-free while the happy path regains the
-    # reuse (the 1.4× q165 drift when the r8 restructure dropped
-    # these outright — measured, BENCH_local_r08_sf01).
-    ch_d = ch_d.localCheckpoint(eager=False)
+    # Guard passed — NOW persist the one frame the candidate joins
+    # read twice: sub_d feeds _pass_cand(ch_b, sub_d) directly and
+    # _pass_cand(ch_d, sub_u) via the union. ch_d/ch_b/sub_u each have
+    # a single consumer below (the guard above read the pre-checkpoint
+    # lineage), so persisting them buys no reuse and re-pins the
+    # storage this restructure exists to free. Checkpointing after the
+    # guard keeps the refusal path storage-free while the happy path
+    # regains the join-side reuse (the 1.4× q165 drift when the r8
+    # restructure dropped these outright — measured,
+    # BENCH_local_r08_sf01).
     sub_d = sub_d.localCheckpoint(eager=False)
     sub_u = sub_d.unionByName(
         passjoin_substring_rows(t_b, id_col, text_col, d))

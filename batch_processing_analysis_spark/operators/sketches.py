@@ -401,8 +401,12 @@ def log_histogram(values: DataFrame, value_col: str, s: int = 4,
     IEEE arithmetic). ``lo`` is the bucket's lower bound AND its key:
     v ∈ [lo, lo + 2^k), so the relative width is ≤ 2^−s — values with
     ⌊log2 v⌋ ≤ s bucket EXACTLY (k = 0). Values ≤ 0 clamp into the
-    ``lo = 0`` bucket (documented policy, pinned by tests — the
-    intended domain is non-negative counts/durations < 2^53).
+    ``lo = 0`` bucket; NULLs are EXCLUDED (mirroring
+    :func:`hll_registers` — a NULL carries no magnitude to bucket,
+    and admitting it would mint a ``lo = NULL`` row that desyncs the
+    cumulative quantile window between engines: Spark orders NULLs
+    first, DuckDB last). Both policies are pinned by tests — the
+    intended domain is non-negative counts/durations < 2^53.
 
     Per group: ``(lo, cnt)`` — at most (53−s)·2^s + 2^s + 1 ≈ 800
     rows for s = 4 REGARDLESS of input size or range, one
@@ -419,7 +423,8 @@ def log_histogram(values: DataFrame, value_col: str, s: int = 4,
     lo = F.when(v <= 0, F.lit(0)).otherwise(
         (F.floor(v / scale) * scale).cast("long"))
     return (
-        values.select(*group_cols, lo.alias("lo"))
+        values.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, lo.alias("lo"))
         .groupBy(*group_cols, "lo")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

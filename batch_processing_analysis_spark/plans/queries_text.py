@@ -4983,7 +4983,7 @@ def q166_hll_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AS BIGINT)
              END AS lo,
              count(*) AS cnt
-      FROM documents GROUP BY 1, 2
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
     ),
     c AS (
       SELECT source, lo, cnt,

@@ -193,12 +193,16 @@ def test_hist_quantiles_bracket_exact_percentiles(spark):
 
 def test_hist_quantiles_grouped_and_clamp_policy(spark):
     rows = ([("a", v) for v in range(1, 101)]
-            + [("b", -3), ("b", 0), ("b", 0), ("b", 7)])
+            + [("b", -3), ("b", 0), ("b", 0), ("b", 7), ("b", None)])
     df = spark.createDataFrame(rows, "g string, v long")
     hist = log_histogram(df, "v", s=4, group_cols=("g",))
-    # ≤0 values clamp into the lo=0 bucket
+    # ≤0 values clamp into the lo=0 bucket; NULLs are excluded
+    # (mirroring hll_registers — no lo=NULL row may exist, it would
+    # desync the Spark-vs-DuckDB cumulative quantile windows)
     zero = [r for r in hist.collect() if r["g"] == "b" and r["lo"] == 0]
     assert zero and zero[0]["cnt"] == 3
+    assert all(r["lo"] is not None for r in hist.collect())
+    assert sum(r["cnt"] for r in hist.collect() if r["g"] == "b") == 4
     out = {(r["g"], r["pct"]): r
            for r in hist_quantiles(hist, (50,), group_cols=("g",)).collect()}
     # group a: values 1..100 exact-bucketed up to 31; p50 bucket holds 50
