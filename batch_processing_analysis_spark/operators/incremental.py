@@ -560,6 +560,53 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     )
 
 
+def ppjoin_prefix_stats(ranked: DataFrame,
+                        extra_group_cols: tuple[str, ...] = ()
+                        ) -> DataFrame:
+    """Threshold-INDEPENDENT per-token guard statistics for a ranked
+    token table ``(gid, tk, n, rn)`` — the publish-time half of the
+    delta-proportional candidate-volume guard (VERDICT r8 task 4).
+
+    A ranked row is in the PPJoin/containment prefix at integer
+    threshold ``t`` iff ``rn ≤ n − ⌈t·n/100⌉ + 1`` iff
+    ``t ≤ ⌊100·(n − rn + 1)/n⌋ =: t_max`` (pure integer algebra:
+    with c = n − rn + 1, ``⌊(t·n+99)/100⌋ ≤ c ⟺ t·n ≤ 100·c``), so
+    counting rows per ``(tk, t_max)`` once lets ANY later threshold
+    recover its exact per-token prefix count with a filter + SUM —
+    no rescan of the ranked table. Output: ``(tk, t_max, cnt)``,
+    ≤ 101 rows per distinct token, typically far fewer. The stats are
+    additive across corpus increments (each ranked row contributes to
+    exactly one cell), so streaming waves fold by per-cell SUM.
+    ``extra_group_cols`` (e.g. ``("ingest_batch",)``) lets a backfill
+    job rebuild a per-wave stats registry from a ranked registry in
+    one pass (:func:`backfill_ppjoin_stats`).
+    """
+    t_max = F.expr("CAST((100 * (n - rn + 1)) DIV n AS INT)")
+    return (
+        ranked.groupBy(*extra_group_cols, "tk", t_max.alias("t_max"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def prefix_counts_at(stats: DataFrame, t_pct: int) -> DataFrame:
+    """Exact per-token PREFIX row counts at threshold ``t_pct`` from a
+    :func:`ppjoin_prefix_stats` table: ``(tk, _cnt)`` — equals
+    ``pfx(ranked).groupBy(tk).count()`` bit-for-bit (the t_max
+    equivalence above), without touching the ranked table."""
+    return (
+        stats.filter(F.col("t_max") >= t_pct)
+        .groupBy("tk").agg(F.sum("cnt").alias("_cnt"))
+    )
+
+
+def token_counts(stats: DataFrame) -> DataFrame:
+    """Exact per-token TOTAL row counts from a
+    :func:`ppjoin_prefix_stats` table: ``(tk, _cnt)`` — equals
+    ``ranked.groupBy(tk).count()`` (= the document frequency, tokens
+    being distinct per doc)."""
+    return stats.groupBy("tk").agg(F.sum("cnt").alias("_cnt"))
+
+
 def publish_ppjoin_base(spark, base: DataFrame, table_prefix: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         k: int = 3, num_buckets: int = 16,
@@ -584,6 +631,14 @@ def publish_ppjoin_base(spark, base: DataFrame, table_prefix: str,
       prefixes every ingest).
     - ``{prefix}_sets`` (gid, set, n) bucketed by ``gid``: per-doc
       hash arrays for the Vernica verify.
+    - ``{prefix}_pstats`` (tk, t_max, cnt) bucketed by ``tk``: the
+      threshold-independent guard statistics
+      (:func:`ppjoin_prefix_stats`) — every later increment's
+      candidate-volume guard aggregates DELTA lineage only and joins
+      these (VERDICT r8 task 4: per-ingest guard cost proportional to
+      |delta|, not |base|). Pre-r9 publishes lack this table; the
+      increments fall back to deriving the counts from
+      ``{prefix}_ranked`` (the r8 shape — same bound, base-scan cost).
 
     The frozen order prunes slightly less than fresh union df when the
     delta shifts frequencies, but the OUTPUT is identical (exactness
@@ -613,10 +668,13 @@ def publish_ppjoin_base(spark, base: DataFrame, table_prefix: str,
             W.partitionBy("gid").orderBy("_df", "tk")))
         .select("gid", "tk", "n", "rn")
     )
+    ranked = ranked.localCheckpoint(eager=False)
     write_bucketed(ranked, f"{table_prefix}_ranked", "tk", num_buckets,
                    path=_path(f"{table_prefix}_ranked"))
     write_bucketed(dfreq, f"{table_prefix}_df", "tk", num_buckets,
                    path=_path(f"{table_prefix}_df"))
+    write_bucketed(ppjoin_prefix_stats(ranked), f"{table_prefix}_pstats",
+                   "tk", num_buckets, path=_path(f"{table_prefix}_pstats"))
     sets = tok.groupBy("gid").agg(
         F.collect_list("tk").alias("set"),
         F.count(F.lit(1)).alias("n"),
@@ -645,7 +703,11 @@ def ppjoin_increment_from_base(spark, delta: DataFrame,
 
     Ranking uses the base-frozen (df, tk) order for BOTH sides —
     tokens unseen in base take df=0 (rarest) — so the two prefix
-    definitions agree without touching base state.
+    definitions agree without touching base state. When the publish
+    carries a ``{prefix}_pstats`` table (r9+), the candidate-volume
+    guard aggregates delta lineage only and joins the published
+    per-token prefix counts — per-ingest guard cost ∝ |delta|; a
+    pre-stats publish falls back to the base-scan guard (same bound).
     """
     from pyspark.sql import Window as W
 
@@ -657,6 +719,11 @@ def ppjoin_increment_from_base(spark, delta: DataFrame,
     ranked_b = load_bucketed(spark, f"{table_prefix}_ranked")
     df_b = load_bucketed(spark, f"{table_prefix}_df")
     sets_b = load_bucketed(spark, f"{table_prefix}_sets")
+    pfx_counts_b = (
+        prefix_counts_at(load_bucketed(spark, f"{table_prefix}_pstats"),
+                         t_pct)
+        if spark.catalog.tableExists(f"{table_prefix}_pstats") else None
+    )
     if check_disjoint_ids:
         _check_disjoint_ids(
             sets_b.select(F.col("gid").alias(id_col)), delta, id_col,
@@ -684,12 +751,15 @@ def ppjoin_increment_from_base(spark, delta: DataFrame,
     # filter, not a re-partition); delta×delta is a small self-join.
     return _ppjoin_increment_core(ranked_d, ranked_b,
                                   sets_b.unionByName(sets_d), t_pct,
-                                  max_candidates)
+                                  max_candidates,
+                                  others_pfx_counts=pfx_counts_b)
 
 
 def _ppjoin_increment_core(ranked_d: DataFrame, ranked_others: DataFrame,
                            sets_all: DataFrame, t_pct: int,
-                           max_candidates: int | None = None) -> DataFrame:
+                           max_candidates: int | None = None,
+                           others_pfx_counts: DataFrame | None = None
+                           ) -> DataFrame:
     """Candidate + verify core shared by
     :func:`ppjoin_increment_from_base` and the streaming exact ingest
     (streaming/incremental_ingest.py:exact_neardup_micro_batch).
@@ -702,7 +772,14 @@ def _ppjoin_increment_core(ranked_d: DataFrame, ranked_others: DataFrame,
     ``max_candidates`` measures Σ_tk pfx_delta·pfx_all BEFORE the pair
     joins (the :func:`ppjoin_increment_pairs` guard, r8 symmetry —
     the published-base/streaming paths were the only exact joins
-    without it).
+    without it). ``others_pfx_counts`` — per-token prefix counts of
+    ``ranked_others`` at this threshold, ``(tk, _cnt)`` from
+    :func:`prefix_counts_at` over published/registry stats — makes the
+    guard DELTA-PROPORTIONAL: only delta lineage is aggregated, the
+    others side contributes a pre-counted join (VERDICT r8 task 4).
+    The bound is bit-identical either way (the t_max equivalence in
+    :func:`ppjoin_prefix_stats`); without stats the guard derives the
+    counts from ``ranked_others`` raw lineage (the r8 shape).
     """
 
     def pfx(frame):
@@ -715,14 +792,27 @@ def _ppjoin_increment_core(ranked_d: DataFrame, ranked_others: DataFrame,
         from .dedup import _check_candidate_budget
 
         ca = pfx_d.groupBy("tk").agg(F.count(F.lit(1)).alias("_ca"))
-        cb = (pfx_d.select("tk")
-              .unionByName(pfx(ranked_others).select("tk"))
-              .groupBy("tk").agg(F.count(F.lit(1)).alias("_cb")))
-        bound = (
-            ca.join(cb, "tk")
-            .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_b"))
-            .collect()[0]["_b"]
-        ) or 0
+        if others_pfx_counts is not None:
+            # Σ_tk ca·(ca + pfx_others) over DELTA tokens only — base
+            # tokens absent from the delta contribute 0 to the bound
+            # (the original inner join on ca's tks drops them too).
+            z = F.lit(0).cast("long")
+            bound = (
+                ca.join(others_pfx_counts, "tk", "left")
+                .agg(F.sum(F.col("_ca")
+                           * (F.col("_ca") + F.coalesce("_cnt", z)))
+                     .alias("_b"))
+                .collect()[0]["_b"]
+            ) or 0
+        else:
+            cb = (pfx_d.select("tk")
+                  .unionByName(pfx(ranked_others).select("tk"))
+                  .groupBy("tk").agg(F.count(F.lit(1)).alias("_cb")))
+            bound = (
+                ca.join(cb, "tk")
+                .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_b"))
+                .collect()[0]["_b"]
+            ) or 0
         _check_candidate_budget(
             int(bound), max_candidates, "_ppjoin_increment_core",
             "lsh_increment_pairs (probabilistic recall)",
@@ -836,6 +926,10 @@ def containment_increment_from_base(spark, delta: DataFrame,
     ranked_b = load_bucketed(spark, f"{table_prefix}_ranked")
     df_b = load_bucketed(spark, f"{table_prefix}_df")
     sets_b = load_bucketed(spark, f"{table_prefix}_sets")
+    stats_b = (
+        load_bucketed(spark, f"{table_prefix}_pstats")
+        if spark.catalog.tableExists(f"{table_prefix}_pstats") else None
+    )
     if check_disjoint_ids:
         _check_disjoint_ids(
             sets_b.select(F.col("gid").alias(id_col)), delta, id_col,
@@ -867,18 +961,32 @@ def containment_increment_from_base(spark, delta: DataFrame,
     if max_candidates is not None:
         # Σ_tk [pfx_delta·(all_base + all_delta) + pfx_base·all_delta]
         # — the three joins' bounds in one job, before any runs (r8
-        # guard symmetry with containment_increment_pairs).
+        # guard symmetry with containment_increment_pairs). Every term
+        # carries a delta factor, so tokens absent from the delta
+        # contribute 0: with a published stats table the aggregate
+        # runs over DELTA lineage only and LEFT-joins the base's
+        # pre-counted prefix/total columns (VERDICT r8 task 4) — the
+        # bound is bit-identical to the base-scan form.
         from .dedup import _check_candidate_budget
 
         cpd = pfx_d.groupBy("tk").agg(F.count(F.lit(1)).alias("_cpd"))
-        cpb = pfx(ranked_b).groupBy("tk").agg(
-            F.count(F.lit(1)).alias("_cpb"))
         cad = ranked_d.groupBy("tk").agg(F.count(F.lit(1)).alias("_cad"))
-        cab = ranked_b.groupBy("tk").agg(F.count(F.lit(1)).alias("_cab"))
-        joined = (cad.join(cab, "tk", "full_outer")
-                  .join(cpd, "tk", "full_outer")
-                  .join(cpb, "tk", "full_outer"))
         z = F.lit(0).cast("long")
+        if stats_b is not None:
+            cpb = prefix_counts_at(stats_b, c_pct) \
+                .withColumnRenamed("_cnt", "_cpb")
+            cab = token_counts(stats_b).withColumnRenamed("_cnt", "_cab")
+            joined = (cad.join(cpd, "tk", "full_outer")
+                      .join(cab, "tk", "left")
+                      .join(cpb, "tk", "left"))
+        else:
+            cpb = pfx(ranked_b).groupBy("tk").agg(
+                F.count(F.lit(1)).alias("_cpb"))
+            cab = ranked_b.groupBy("tk").agg(
+                F.count(F.lit(1)).alias("_cab"))
+            joined = (cad.join(cab, "tk", "full_outer")
+                      .join(cpd, "tk", "full_outer")
+                      .join(cpb, "tk", "full_outer"))
         bound = (
             joined.agg(F.sum(
                 F.coalesce("_cpd", z)
@@ -1134,6 +1242,40 @@ def _edjoin_pass_cand_keyed(ch: DataFrame, sub: DataFrame) -> DataFrame:
     )
 
 
+def edjoin_guard_stats(t: DataFrame, ch: DataFrame, sub: DataFrame,
+                       d: int, q: int,
+                       extra_group_cols: tuple[str, ...] = ()
+                       ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three aggregate tables the edit-distance candidate-volume
+    guard needs from a corpus side, pre-counted (VERDICT r8 task 4 —
+    the (d, q)-pinned analog of :func:`ppjoin_prefix_stats`; no
+    threshold axis because the chunk scheme is parameter-specific and
+    the publish already pins (d, q) in its meta table):
+
+    - chunk-key counts ``(_key, _lc, cnt)``,
+    - substring-key counts ``(_key, _lx, cnt)``,
+    - tiny-bucket band counts ``(_band, cnt)`` over ``_len ≤ cutoff``.
+
+    All three are additive across corpus increments (each chunk/
+    substring/text row contributes to exactly one cell), so streaming
+    waves fold by per-cell SUM and a later guard aggregates DELTA
+    lineage only, joining these.
+    """
+    cutoff = q * d + q - 1
+    chunkstats = ch.groupBy(*extra_group_cols, "_key", "_lc").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    substats = sub.groupBy(*extra_group_cols, "_key", "_lx").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    tinystats = (
+        t.select(*extra_group_cols, "_len")
+        .filter(F.col("_len") <= cutoff)
+        .groupBy(*extra_group_cols,
+                 F.expr(f"_len div {d + 1}").alias("_band"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return chunkstats, substats, tinystats
+
+
 def publish_edjoin_base(spark, base: DataFrame, table_prefix: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         d: int = 10, q: int = 4, num_buckets: int = 16,
@@ -1159,6 +1301,13 @@ def publish_edjoin_base(spark, base: DataFrame, table_prefix: str,
       schemes were built with. ``edjoin_increment_from_base`` refuses
       to run against a mismatched publish — the chunk scheme is
       d-specific, so a silent d change would silently lose pairs.
+    - ``{prefix}_chunkstats`` / ``{prefix}_substats`` (bucketed by
+      ``_key``) / ``{prefix}_tinystats``: the pre-counted guard
+      aggregates (:func:`edjoin_guard_stats`) — every later
+      increment's candidate-volume guard aggregates DELTA lineage
+      only and joins these (VERDICT r8 task 4). Pre-r9 publishes lack
+      them; the increment falls back to the base-scan guard (same
+      bound).
     """
     from ..sources.bucketed import write_bucketed
 
@@ -1173,14 +1322,21 @@ def publish_edjoin_base(spark, base: DataFrame, table_prefix: str,
     t_b = (base.select(F.col(id_col), F.col(text_col))
            .withColumn("_len", F.length(text_col))
            .localCheckpoint(eager=False))
-    write_bucketed(_edjoin_chunk_keyed(t_b, id_col, text_col, d),
-                   f"{table_prefix}_chunks", "_key", num_buckets,
+    ch_b = _edjoin_chunk_keyed(t_b, id_col, text_col, d)
+    sub_b = _edjoin_sub_keyed(t_b, id_col, text_col, d)
+    write_bucketed(ch_b, f"{table_prefix}_chunks", "_key", num_buckets,
                    path=_path(f"{table_prefix}_chunks"))
-    write_bucketed(_edjoin_sub_keyed(t_b, id_col, text_col, d),
-                   f"{table_prefix}_subs", "_key", num_buckets,
+    write_bucketed(sub_b, f"{table_prefix}_subs", "_key", num_buckets,
                    path=_path(f"{table_prefix}_subs"))
     write_bucketed(t_b, f"{table_prefix}_texts", id_col, num_buckets,
                    path=_path(f"{table_prefix}_texts"))
+    cstats, sstats, tstats = edjoin_guard_stats(t_b, ch_b, sub_b, d, q)
+    write_bucketed(cstats, f"{table_prefix}_chunkstats", "_key",
+                   num_buckets, path=_path(f"{table_prefix}_chunkstats"))
+    write_bucketed(sstats, f"{table_prefix}_substats", "_key",
+                   num_buckets, path=_path(f"{table_prefix}_substats"))
+    write_bucketed(tstats, f"{table_prefix}_tinystats", "_band",
+                   num_buckets, path=_path(f"{table_prefix}_tinystats"))
     meta = spark.createDataFrame([(d, q)], "d int, q int")
     w = meta.write.mode("overwrite").format("parquet")
     if path_root:
@@ -1233,6 +1389,13 @@ def edjoin_increment_from_base(spark, delta: DataFrame,
     ch_b = load_bucketed(spark, f"{table_prefix}_chunks")
     sub_b = load_bucketed(spark, f"{table_prefix}_subs")
     t_bt = load_bucketed(spark, f"{table_prefix}_texts")
+    stats_b = (
+        (load_bucketed(spark, f"{table_prefix}_chunkstats"),
+         load_bucketed(spark, f"{table_prefix}_substats"),
+         load_bucketed(spark, f"{table_prefix}_tinystats"))
+        if spark.catalog.tableExists(f"{table_prefix}_chunkstats")
+        else None
+    )
     if check_disjoint_ids:
         _check_disjoint_ids(
             t_bt.select(F.col(id_col)), delta, id_col,
@@ -1242,14 +1405,18 @@ def edjoin_increment_from_base(spark, delta: DataFrame,
            .withColumn("_len", F.length(text_col))
            .localCheckpoint(eager=False))
     return _edjoin_increment_core(t_d, ch_b, sub_b, t_bt, id_col,
-                                  text_col, d, q, max_candidates)
+                                  text_col, d, q, max_candidates,
+                                  others_stats=stats_b)
 
 
 def _edjoin_increment_core(t_d: DataFrame, ch_o: DataFrame,
                            sub_o: DataFrame, t_o: DataFrame,
                            id_col: str, text_col: str, d: int,
                            q: int,
-                           max_candidates: int | None = None) -> DataFrame:
+                           max_candidates: int | None = None,
+                           others_stats: tuple[DataFrame, DataFrame,
+                                               DataFrame] | None = None
+                           ) -> DataFrame:
     """Candidate + verify core shared by
     :func:`edjoin_increment_from_base` and the streaming exact
     edit-distance gate (streaming/incremental_ingest.py).
@@ -1261,7 +1428,15 @@ def _edjoin_increment_core(t_d: DataFrame, ch_o: DataFrame,
     levenshtein ≤ d and ≥1 side in the delta. ``max_candidates``
     measures all three pass joins' key-count bounds plus the banded
     tiny bound before any pair join runs (the
-    :func:`edjoin_increment_pairs` guard, r8 symmetry)."""
+    :func:`edjoin_increment_pairs` guard, r8 symmetry).
+    ``others_stats`` — the other side's pre-counted
+    (chunkstats, substats, tinystats) from :func:`edjoin_guard_stats`
+    (published tables or the folded stream stats registry) — makes
+    the guard DELTA-PROPORTIONAL: only delta lineage is aggregated,
+    the others side contributes pre-counted joins (VERDICT r8
+    task 4). The bound is bit-identical either way; without stats the
+    guard re-derives the counts from the others' chunk/substring/text
+    rows (the r8 shape)."""
     cutoff = q * d + q - 1
     ch_d = _edjoin_chunk_keyed(t_d, id_col, text_col, d) \
         .localCheckpoint(eager=False)
@@ -1270,11 +1445,12 @@ def _edjoin_increment_core(t_d: DataFrame, ch_o: DataFrame,
     if max_candidates is not None:
         from .dedup import _check_candidate_budget
 
-        def _key_counts(ch, sub) -> int:
-            cc = ch.groupBy("_key", "_lc").agg(
-                F.count(F.lit(1)).alias("_cc"))
-            cs = sub.groupBy("_key", "_lx").agg(
-                F.count(F.lit(1)).alias("_cs"))
+        cc_d = ch_d.groupBy("_key", "_lc").agg(
+            F.count(F.lit(1)).alias("_cc"))
+        cs_d = sub_d.groupBy("_key", "_lx").agg(
+            F.count(F.lit(1)).alias("_cs"))
+
+        def _cross(cc, cs) -> int:
             return int(
                 cc.join(cs, (cc["_key"] == cs["_key"])
                         & (F.col("_lx") == F.col("_lc")))
@@ -1282,24 +1458,39 @@ def _edjoin_increment_core(t_d: DataFrame, ch_o: DataFrame,
                 .collect()[0]["_b"] or 0
             )
 
-        tc = (t_o.select("_len").unionByName(t_d.select("_len"))
-              .filter(F.col("_len") <= cutoff)
-              .groupBy(F.expr(f"_len div {d + 1}").alias("_band"))
-              .agg(F.count(F.lit(1)).alias("_c")))
         pc = (t_d.select("_len").filter(F.col("_len") <= cutoff)
               .select(F.expr(f"_len div {d + 1}").alias("_b0"))
               .select(F.explode(F.array(
                   F.col("_b0") - 1, F.col("_b0"),
                   F.col("_b0") + 1)).alias("_band"))
               .groupBy("_band").agg(F.count(F.lit(1)).alias("_cp")))
+        tc_d = (t_d.select("_len").filter(F.col("_len") <= cutoff)
+                .groupBy(F.expr(f"_len div {d + 1}").alias("_band"))
+                .agg(F.count(F.lit(1)).alias("_c")))
+        if others_stats is not None:
+            cstats_o, sstats_o, tstats_o = others_stats
+            cc_o = cstats_o.withColumnRenamed("cnt", "_cc")
+            cs_o = sstats_o.withColumnRenamed("cnt", "_cs")
+            tc = (tc_d.unionByName(
+                tstats_o.withColumnRenamed("cnt", "_c"))
+                .groupBy("_band").agg(F.sum("_c").alias("_c")))
+        else:
+            cc_o = ch_o.groupBy("_key", "_lc").agg(
+                F.count(F.lit(1)).alias("_cc"))
+            cs_o = sub_o.groupBy("_key", "_lx").agg(
+                F.count(F.lit(1)).alias("_cs"))
+            tc = (t_o.select("_len").unionByName(t_d.select("_len"))
+                  .filter(F.col("_len") <= cutoff)
+                  .groupBy(F.expr(f"_len div {d + 1}").alias("_band"))
+                  .agg(F.count(F.lit(1)).alias("_c")))
         bound_tiny = int(
             pc.join(tc, "_band")
             .agg(F.sum(F.col("_cp") * F.col("_c")).alias("_b"))
             .collect()[0]["_b"] or 0
         )
         _check_candidate_budget(
-            _key_counts(ch_d, sub_o) + _key_counts(ch_d, sub_d)
-            + _key_counts(ch_o, sub_d) + bound_tiny,
+            _cross(cc_d, cs_o) + _cross(cc_d, cs_d)
+            + _cross(cc_o, cs_d) + bound_tiny,
             max_candidates, "_edjoin_increment_core",
             "lsh_increment_pairs (probabilistic recall)",
         )
@@ -1353,7 +1544,8 @@ def _containment_increment_core(ranked_d: DataFrame,
                                 ranked_others: DataFrame,
                                 sets_all: DataFrame,
                                 c_pct: int,
-                                max_candidates: int | None = None
+                                max_candidates: int | None = None,
+                                others_stats: DataFrame | None = None
                                 ) -> DataFrame:
     """Candidate + verify core for delta-vs-others EXACT containment
     over pre-ranked token rows — shared by the streaming containment
@@ -1366,7 +1558,12 @@ def _containment_increment_core(ranked_d: DataFrame,
     every ORDERED pair with ``|A∩B| ≥ (c_pct/100)·|A|`` and ≥1 side in
     ``ranked_d``. Only the contained (A) side prefix-shortens; the two
     candidate joins are pfx(delta) ⋈ all(union) and
-    pfx(others) ⋈ all(delta) — others×others never exists."""
+    pfx(others) ⋈ all(delta) — others×others never exists.
+    ``others_stats`` — a :func:`ppjoin_prefix_stats` table over
+    ``ranked_others`` (the durable stream stats registry) — makes the
+    guard DELTA-PROPORTIONAL (VERDICT r8 task 4): the others side
+    contributes pre-counted prefix/total columns instead of two raw
+    rescans; the bound is bit-identical either way."""
 
     def pfx(frame: DataFrame) -> DataFrame:
         ceil_cl = F.floor(
@@ -1378,25 +1575,46 @@ def _containment_increment_core(ranked_d: DataFrame,
     all_u = all_d.unionByName(ranked_others.select("gid", "tk", "n"))
     if max_candidates is not None:
         # Σ_tk [pfx_delta·all_union + pfx_others·all_delta] before
-        # either join runs (r8 guard symmetry).
+        # either join runs (r8 guard symmetry). Every term carries a
+        # delta factor (all_union = all_delta + all_others, and
+        # pfx_delta is the multiplier on the others part), so tokens
+        # absent from the delta contribute 0 — the stats path
+        # aggregates delta lineage only and LEFT-joins the
+        # pre-counted others columns.
         from .dedup import _check_candidate_budget
 
         cpd = pfx(ranked_d).groupBy("tk").agg(
             F.count(F.lit(1)).alias("_cpd"))
-        cpo = pfx(ranked_others).groupBy("tk").agg(
-            F.count(F.lit(1)).alias("_cpo"))
-        cu = all_u.groupBy("tk").agg(F.count(F.lit(1)).alias("_cu"))
         cad = all_d.groupBy("tk").agg(F.count(F.lit(1)).alias("_cad"))
         z = F.lit(0).cast("long")
-        bound = (
-            cu.join(cad, "tk", "full_outer")
-            .join(cpd, "tk", "full_outer")
-            .join(cpo, "tk", "full_outer")
-            .agg(F.sum(
-                F.coalesce("_cpd", z) * F.coalesce("_cu", z)
-                + F.coalesce("_cpo", z) * F.coalesce("_cad", z)
-            ).alias("_b")).collect()[0]["_b"] or 0
-        )
+        if others_stats is not None:
+            cpo = prefix_counts_at(others_stats, c_pct) \
+                .withColumnRenamed("_cnt", "_cpo")
+            cao = token_counts(others_stats) \
+                .withColumnRenamed("_cnt", "_cao")
+            bound = (
+                cad.join(cpd, "tk", "full_outer")
+                .join(cao, "tk", "left")
+                .join(cpo, "tk", "left")
+                .agg(F.sum(
+                    F.coalesce("_cpd", z)
+                    * (F.coalesce("_cad", z) + F.coalesce("_cao", z))
+                    + F.coalesce("_cpo", z) * F.coalesce("_cad", z)
+                ).alias("_b")).collect()[0]["_b"] or 0
+            )
+        else:
+            cpo = pfx(ranked_others).groupBy("tk").agg(
+                F.count(F.lit(1)).alias("_cpo"))
+            cu = all_u.groupBy("tk").agg(F.count(F.lit(1)).alias("_cu"))
+            bound = (
+                cu.join(cad, "tk", "full_outer")
+                .join(cpd, "tk", "full_outer")
+                .join(cpo, "tk", "full_outer")
+                .agg(F.sum(
+                    F.coalesce("_cpd", z) * F.coalesce("_cu", z)
+                    + F.coalesce("_cpo", z) * F.coalesce("_cad", z)
+                ).alias("_b")).collect()[0]["_b"] or 0
+            )
         _check_candidate_budget(
             int(bound), max_candidates, "_containment_increment_core",
             "lsh_increment_pairs (probabilistic recall)",

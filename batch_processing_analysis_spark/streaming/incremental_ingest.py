@@ -205,7 +205,8 @@ def exact_neardup_micro_batch(batch_df: DataFrame, batch_id: int, *,
                               k: int = 3,
                               df_table: str | None = None,
                               max_candidates: int | None = None,
-                              check_disjoint_ids: bool = True) -> None:
+                              check_disjoint_ids: bool = True,
+                              stats_path: str | None = None) -> None:
     """One micro-batch of the streaming EXACT near-dup gate: shingle
     the batch, rank its tokens under the ONE frozen total order, join
     its prefix against the durable ranked registry (plus itself) via
@@ -226,9 +227,21 @@ def exact_neardup_micro_batch(batch_df: DataFrame, batch_id: int, *,
     on everything ingested (each pair is introduced exactly once, by
     its later side's batch) — pinned across a restart by
     tests/test_exact_neardup_ingest.py.
+
+    ``stats_path`` (r9, VERDICT r8 task 4): maintain a per-wave
+    :func:`operators.incremental.ppjoin_prefix_stats` registry in the
+    same ``ingest_batch=<id>`` overwrite discipline; the
+    candidate-volume guard then aggregates THIS batch's lineage only
+    and joins the pre-counted history (stats rows ≈ history vocabulary
+    ≪ history token lineage), instead of rescanning every prior
+    wave's ranked rows per micro-batch. Bound is bit-identical.
     """
     from ..operators.dedup import hash60, shingle_rows
-    from ..operators.incremental import _ppjoin_increment_core
+    from ..operators.incremental import (
+        _ppjoin_increment_core,
+        ppjoin_prefix_stats,
+        prefix_counts_at,
+    )
 
     spark = batch_df.sparkSession
     lowered = batch_df.select(F.col(id_col),
@@ -285,14 +298,29 @@ def exact_neardup_micro_batch(batch_df: DataFrame, batch_id: int, *,
         ranked_others = ranked_d.limit(0)
     sets_all = sets_d if sets_others is None else \
         sets_d.unionByName(sets_others)
+    pfx_counts_o = None
+    if stats_path is not None:
+        _check_stats_coverage(
+            spark, stats_path, ranked_path, batch_id,
+            f"exact_neardup_micro_batch({batch_id})",
+            "backfill_ppjoin_stats")
+        stats_o = _stored(stats_path, ["tk", "t_max", "cnt"])
+        if stats_o is not None:
+            # prefix_counts_at SUMs per tk, so the per-wave partition
+            # rows fold in the same aggregate — no pre-merge needed.
+            pfx_counts_o = prefix_counts_at(stats_o, t_pct)
     pairs = _ppjoin_increment_core(ranked_d, ranked_others, sets_all,
-                                   t_pct, max_candidates)
+                                   t_pct, max_candidates,
+                                   others_pfx_counts=pfx_counts_o)
     pairs.write.mode("overwrite").parquet(
         f"{pairs_path}/ingest_batch={batch_id}")
     ranked_d.write.mode("overwrite").parquet(
         f"{ranked_path}/ingest_batch={batch_id}")
     sets_d.write.mode("overwrite").parquet(
         f"{sets_path}/ingest_batch={batch_id}")
+    if stats_path is not None:
+        ppjoin_prefix_stats(ranked_d).write.mode("overwrite").parquet(
+            f"{stats_path}/ingest_batch={batch_id}")
 
 
 def start_exact_neardup_ingest(stream_docs: DataFrame, *,
@@ -303,13 +331,15 @@ def start_exact_neardup_ingest(stream_docs: DataFrame, *,
                                k: int = 3, df_table: str | None = None,
                                available_now: bool = True,
                                max_candidates: int | None = None,
-                               check_disjoint_ids: bool = True
+                               check_disjoint_ids: bool = True,
+                               stats_path: str | None = None
                                ) -> StreamingQuery:
     """Durable streaming EXACT near-dup detection: every arriving
     document is PPJoin-compared (provably complete, Jaccard ≥ t)
     against the full ingest history via the persisted ranked-token
     registry — state on disk, restart-proof, shared semantics with the
-    batch engine."""
+    batch engine. ``stats_path`` keeps the per-batch candidate-volume
+    guard delta-proportional (see :func:`exact_neardup_micro_batch`)."""
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         exact_neardup_micro_batch(
@@ -318,6 +348,7 @@ def start_exact_neardup_ingest(stream_docs: DataFrame, *,
             text_col=text_col, t_pct=t_pct, k=k, df_table=df_table,
             max_candidates=max_candidates,
             check_disjoint_ids=check_disjoint_ids,
+            stats_path=stats_path,
         )
 
     writer = (
@@ -351,20 +382,27 @@ def containment_micro_batch(batch_df: DataFrame, batch_id: int, *,
                             text_col: str = "text", c_pct: int = 80,
                             k: int = 3, df_table: str | None = None,
                             max_candidates: int | None = None,
-                            check_disjoint_ids: bool = True) -> None:
+                            check_disjoint_ids: bool = True,
+                            stats_path: str | None = None) -> None:
     """One micro-batch of the streaming EXACT containment gate
     (``|A∩B| ≥ (c_pct/100)·|A|``, ordered pairs): identical registry
     format and retry-idempotence discipline as
     :func:`exact_neardup_micro_batch` — the ranked registry stores
     FULL ranked rows, so it is threshold- and predicate-independent
-    and one durable registry could serve both gates. Accumulated
+    and one durable registry could serve both gates (and the optional
+    ``stats_path`` registry is the SAME :func:`ppjoin_prefix_stats`
+    format, serving both guards — see
+    :func:`exact_neardup_micro_batch`). Accumulated
     pairs over the whole stream == the one-shot batch
     :func:`operators.dedup.containment_pairs` on everything ingested
     (each ordered pair is introduced exactly once, by its later
     side's batch; pinned across a restart by
     tests/test_exact_containment_ingest.py)."""
     from ..operators.dedup import hash60, shingle_rows
-    from ..operators.incremental import _containment_increment_core
+    from ..operators.incremental import (
+        _containment_increment_core,
+        ppjoin_prefix_stats,
+    )
 
     spark = batch_df.sparkSession
     lowered = batch_df.select(F.col(id_col),
@@ -416,14 +454,25 @@ def containment_micro_batch(batch_df: DataFrame, batch_id: int, *,
         ranked_others = ranked_d.limit(0)
     sets_all = sets_d if sets_others is None else \
         sets_d.unionByName(sets_others)
+    stats_o = None
+    if stats_path is not None:
+        _check_stats_coverage(
+            spark, stats_path, ranked_path, batch_id,
+            f"containment_micro_batch({batch_id})",
+            "backfill_ppjoin_stats")
+        stats_o = _stored(stats_path, ["tk", "t_max", "cnt"])
     pairs = _containment_increment_core(ranked_d, ranked_others,
-                                        sets_all, c_pct, max_candidates)
+                                        sets_all, c_pct, max_candidates,
+                                        others_stats=stats_o)
     pairs.write.mode("overwrite").parquet(
         f"{pairs_path}/ingest_batch={batch_id}")
     ranked_d.write.mode("overwrite").parquet(
         f"{ranked_path}/ingest_batch={batch_id}")
     sets_d.write.mode("overwrite").parquet(
         f"{sets_path}/ingest_batch={batch_id}")
+    if stats_path is not None:
+        ppjoin_prefix_stats(ranked_d).write.mode("overwrite").parquet(
+            f"{stats_path}/ingest_batch={batch_id}")
 
 
 def start_containment_ingest(stream_docs: DataFrame, *,
@@ -434,12 +483,15 @@ def start_containment_ingest(stream_docs: DataFrame, *,
                              k: int = 3, df_table: str | None = None,
                              available_now: bool = True,
                              max_candidates: int | None = None,
-                             check_disjoint_ids: bool = True
+                             check_disjoint_ids: bool = True,
+                             stats_path: str | None = None
                              ) -> StreamingQuery:
     """Durable streaming EXACT containment detection: every arriving
     document is checked (provably complete, containment ≥ c) both ways
     — contained in history, containing history — via the persisted
-    ranked-token registry; state on disk, restart-proof."""
+    ranked-token registry; state on disk, restart-proof. ``stats_path``
+    keeps the per-batch candidate-volume guard delta-proportional
+    (see :func:`exact_neardup_micro_batch`)."""
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         containment_micro_batch(
@@ -448,6 +500,7 @@ def start_containment_ingest(stream_docs: DataFrame, *,
             text_col=text_col, c_pct=c_pct, k=k, df_table=df_table,
             max_candidates=max_candidates,
             check_disjoint_ids=check_disjoint_ids,
+            stats_path=stats_path,
         )
 
     writer = (
@@ -481,7 +534,8 @@ def edjoin_micro_batch(batch_df: DataFrame, batch_id: int, *,
                        id_col: str = "doc_id", text_col: str = "text",
                        d: int = 10, q: int = 4,
                        max_candidates: int | None = None,
-                       check_disjoint_ids: bool = True) -> None:
+                       check_disjoint_ids: bool = True,
+                       stats_path: str | None = None) -> None:
     """One micro-batch of the streaming EXACT edit-distance gate
     (levenshtein ≤ d): Pass-Join chunk/substring rows under the
     composite candidate key (content substrings — no frozen-order
@@ -493,11 +547,20 @@ def edjoin_micro_batch(batch_df: DataFrame, batch_id: int, *,
     parameter-specific (same contract the published base pins via its
     meta table). Accumulated pairs over the whole stream == one-shot
     batch :func:`operators.dedup.edjoin_pairs` on everything ingested
-    (pinned across a restart by tests/test_exact_edjoin_ingest.py)."""
+    (pinned across a restart by tests/test_exact_edjoin_ingest.py).
+
+    ``stats_path`` (r9, VERDICT r8 task 4): maintain the three
+    :func:`operators.incremental.edjoin_guard_stats` registries under
+    ``{stats_path}/chunks|subs|tiny`` in the same ``ingest_batch=<id>``
+    overwrite discipline; the candidate-volume guard then aggregates
+    THIS batch's lineage only and joins the pre-counted history
+    instead of rescanning every prior wave's chunk/substring rows per
+    micro-batch. Bound is bit-identical."""
     from ..operators.incremental import (
         _edjoin_chunk_keyed,
         _edjoin_increment_core,
         _edjoin_sub_keyed,
+        edjoin_guard_stats,
     )
 
     spark = batch_df.sparkSession
@@ -529,8 +592,23 @@ def edjoin_micro_batch(batch_df: DataFrame, batch_id: int, *,
     sub_o = _stored(subs_path, ["_gs", "_ly", "_lx", "_key"])
     if t_o is None:
         t_o, ch_o, sub_o = t_d.limit(0), ch_d.limit(0), sub_d.limit(0)
+    stats_o = None
+    if stats_path is not None:
+        for sub_reg in ("chunks", "subs", "tiny"):
+            _check_stats_coverage(
+                spark, f"{stats_path}/{sub_reg}", texts_path, batch_id,
+                f"edjoin_micro_batch({batch_id})",
+                "backfill_edjoin_stats")
+        cs = _stored(f"{stats_path}/chunks", ["_key", "_lc", "cnt"])
+        ss = _stored(f"{stats_path}/subs", ["_key", "_lx", "cnt"])
+        ts = _stored(f"{stats_path}/tiny", ["_band", "cnt"])
+        if cs is not None and ss is not None and ts is not None:
+            # The guard's bound SUM distributes over the per-wave
+            # partition rows, so no pre-merge is needed.
+            stats_o = (cs, ss, ts)
     pairs = _edjoin_increment_core(t_d, ch_o, sub_o, t_o, id_col,
-                                   text_col, d, q, max_candidates)
+                                   text_col, d, q, max_candidates,
+                                   others_stats=stats_o)
     pairs.write.mode("overwrite").parquet(
         f"{pairs_path}/ingest_batch={batch_id}")
     ch_d.write.mode("overwrite").parquet(
@@ -539,6 +617,15 @@ def edjoin_micro_batch(batch_df: DataFrame, batch_id: int, *,
         f"{subs_path}/ingest_batch={batch_id}")
     t_d.write.mode("overwrite").parquet(
         f"{texts_path}/ingest_batch={batch_id}")
+    if stats_path is not None:
+        cstats, sstats, tstats = edjoin_guard_stats(t_d, ch_d, sub_d,
+                                                    d, q)
+        cstats.write.mode("overwrite").parquet(
+            f"{stats_path}/chunks/ingest_batch={batch_id}")
+        sstats.write.mode("overwrite").parquet(
+            f"{stats_path}/subs/ingest_batch={batch_id}")
+        tstats.write.mode("overwrite").parquet(
+            f"{stats_path}/tiny/ingest_batch={batch_id}")
 
 
 def start_edjoin_ingest(stream_docs: DataFrame, *, chunks_path: str,
@@ -548,13 +635,16 @@ def start_edjoin_ingest(stream_docs: DataFrame, *, chunks_path: str,
                         d: int = 10, q: int = 4,
                         available_now: bool = True,
                         max_candidates: int | None = None,
-                        check_disjoint_ids: bool = True
+                        check_disjoint_ids: bool = True,
+                        stats_path: str | None = None
                         ) -> StreamingQuery:
     """Durable streaming EXACT edit-distance detection: every arriving
     document is Pass-Join-compared (provably complete, levenshtein ≤ d)
     against the full ingest history via persisted chunk/substring
     registries — state on disk, restart-proof, shared semantics and
-    core with the batch engine."""
+    core with the batch engine. ``stats_path`` keeps the per-batch
+    candidate-volume guard delta-proportional (see
+    :func:`edjoin_micro_batch`)."""
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         edjoin_micro_batch(
@@ -563,6 +653,7 @@ def start_edjoin_ingest(stream_docs: DataFrame, *, chunks_path: str,
             pairs_path=pairs_path, id_col=id_col, text_col=text_col,
             d=d, q=q, max_candidates=max_candidates,
             check_disjoint_ids=check_disjoint_ids,
+            stats_path=stats_path,
         )
 
     writer = (
@@ -580,3 +671,90 @@ def read_edjoin_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
         spark.read.option("basePath", pairs_path).parquet(pairs_path)
         .select("id_a", "id_b", "dist").distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Guard-stats registries: coverage police + backfill (VERDICT r8 task 4)
+# ---------------------------------------------------------------------------
+
+def _registry_batches(spark: SparkSession, path: str,
+                      exclude_batch: int) -> set[int]:
+    """The set of ``ingest_batch`` partition ids present in a registry,
+    from a DIRECTORY listing (Hadoop FileSystem API through the py4j
+    gateway — works for any scheme Spark can write to). A row-based
+    ``SELECT DISTINCT ingest_batch`` would MISS a wave whose partition
+    was written with zero rows (an empty micro-batch; an
+    all-short-docs wave's chunk registry), reporting a coverage
+    mismatch that isn't one."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return set()
+    out: set[int] = set()
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("ingest_batch="):
+            bid = int(name.split("=", 1)[1])
+            if bid != exclude_batch:
+                out.add(bid)
+    return out
+
+
+def _check_stats_coverage(spark: SparkSession, stats_path: str,
+                          lineage_path: str, exclude_batch: int,
+                          op: str, backfill: str) -> None:
+    """A stats registry that covers FEWER waves than its lineage
+    registry (stats enabled mid-stream; partial copy) would silently
+    UNDERCOUNT the guard bound — the one failure mode that turns the
+    delta-proportional guard from an optimization into a correctness
+    hazard, so the gates police it whenever stats are consulted.
+    A superset is harmless surplus only if the extra partitions are
+    empty; anything ≠ is refused loudly."""
+    sb = _registry_batches(spark, stats_path, exclude_batch)
+    lb = _registry_batches(spark, lineage_path, exclude_batch)
+    if sb != lb:
+        raise ValueError(
+            f"{op}: guard-stats registry {stats_path!r} covers waves "
+            f"{sorted(sb)} but the lineage registry covers "
+            f"{sorted(lb)} — a partial stats registry would UNDERCOUNT "
+            f"the candidate bound. Run {backfill} once to rebuild the "
+            f"stats registry from the lineage registry, or disable "
+            f"stats_path."
+        )
+
+
+def backfill_ppjoin_stats(spark: SparkSession, ranked_path: str,
+                          stats_path: str) -> None:
+    """One-shot rebuild of a per-wave :func:`ppjoin_prefix_stats`
+    registry from an existing ranked registry (M143/M147 gates that
+    predate ``stats_path``, or a mid-stream enablement): stats are
+    additive per ranked row, so grouping WITH the wave id reproduces
+    exactly what each wave's micro-batch would have written."""
+    from ..operators.incremental import ppjoin_prefix_stats
+
+    reg = spark.read.option("basePath", ranked_path).parquet(ranked_path)
+    (ppjoin_prefix_stats(reg, ("ingest_batch",))
+     .write.partitionBy("ingest_batch").mode("overwrite")
+     .parquet(stats_path))
+
+
+def backfill_edjoin_stats(spark: SparkSession, chunks_path: str,
+                          subs_path: str, texts_path: str,
+                          stats_path: str, d: int, q: int) -> None:
+    """One-shot rebuild of the three per-wave
+    :func:`edjoin_guard_stats` registries from existing M148
+    chunk/substring/text registries."""
+    from ..operators.incremental import edjoin_guard_stats
+
+    ch = spark.read.option("basePath", chunks_path).parquet(chunks_path)
+    sub = spark.read.option("basePath", subs_path).parquet(subs_path)
+    t = spark.read.option("basePath", texts_path).parquet(texts_path)
+    cstats, sstats, tstats = edjoin_guard_stats(
+        t, ch, sub, d, q, ("ingest_batch",))
+    cstats.write.partitionBy("ingest_batch").mode("overwrite").parquet(
+        f"{stats_path}/chunks")
+    sstats.write.partitionBy("ingest_batch").mode("overwrite").parquet(
+        f"{stats_path}/subs")
+    tstats.write.partitionBy("ingest_batch").mode("overwrite").parquet(
+        f"{stats_path}/tiny")

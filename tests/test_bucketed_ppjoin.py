@@ -28,7 +28,7 @@ def published_base(spark, sf_dir, tmp_path_factory):
     publish_ppjoin_base(spark, base, "ppjb", k=3, num_buckets=8,
                         path_root=str(wh))
     yield docs, str(wh)
-    for t in ("ppjb_ranked", "ppjb_df", "ppjb_sets"):
+    for t in ("ppjb_ranked", "ppjb_df", "ppjb_sets", "ppjb_pstats"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -99,3 +99,35 @@ def test_from_base_guard_trips_and_passes(spark, published_base):
             for r in ppjoin_pairs(docs, t_pct=50, k=3).collect()}
     assert inc == {p: j for p, j in full.items()
                    if p[0] % 2 == 1 or p[1] % 2 == 1}
+
+
+def test_stats_guard_bound_identical_to_base_scan(spark, published_base):
+    """r9 delta-proportional guard (VERDICT r8 task 4): the bound the
+    guard measures from the published ``_pstats`` table is bit-identical
+    to the bound the r8 base-scan form measures from raw ranked lineage
+    — proven by tripping both paths at max_candidates=0 and comparing
+    the integers in the refusal (hiding the stats table forces the
+    fallback)."""
+    import re
+
+    from batch_processing_analysis_spark.operators.dedup import (
+        CandidateVolumeExceeded,
+    )
+
+    docs, _ = published_base
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def _trip_bound():
+        with pytest.raises(CandidateVolumeExceeded) as ei:
+            ppjoin_increment_from_base(spark, delta, "ppjb", t_pct=50,
+                                       k=3, max_candidates=0).collect()
+        return int(re.search(r"upper bound (\d+) exceeds",
+                             str(ei.value)).group(1))
+
+    with_stats = _trip_bound()
+    spark.sql("ALTER TABLE ppjb_pstats RENAME TO ppjb_pstats_hidden")
+    try:
+        without_stats = _trip_bound()
+    finally:
+        spark.sql("ALTER TABLE ppjb_pstats_hidden RENAME TO ppjb_pstats")
+    assert with_stats == without_stats and with_stats > 0

@@ -60,7 +60,7 @@ def published_base(spark, sf_dir, tmp_path_factory):
     publish_ppjoin_base(spark, base, "contb", k=3, num_buckets=8,
                         path_root=str(wh))
     yield docs, str(wh)
-    for t in ("contb_ranked", "contb_df", "contb_sets"):
+    for t in ("contb_ranked", "contb_df", "contb_sets", "contb_pstats"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -123,3 +123,31 @@ def test_from_base_guard_trips_and_passes(spark, published_base):
         max_candidates=1_000_000_000)
     assert {(r.id_a, r.id_b): r.cont_micro
             for r in inc.collect()} == _expected(docs, 80, 3)
+
+
+def test_stats_guard_bound_identical_to_base_scan(spark, published_base):
+    """r9 delta-proportional guard (VERDICT r8 task 4): the
+    three-join containment bound derived from the published
+    ``_pstats`` + delta lineage equals the r8 base-scan bound
+    bit-for-bit (hiding the stats table forces the fallback)."""
+    import re
+
+    docs, _ = published_base
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def _trip_bound():
+        with pytest.raises(CandidateVolumeExceeded) as ei:
+            containment_increment_from_base(
+                spark, delta, "contb", c_pct=80, k=3,
+                max_candidates=0).collect()
+        return int(re.search(r"upper bound (\d+) exceeds",
+                             str(ei.value)).group(1))
+
+    with_stats = _trip_bound()
+    spark.sql("ALTER TABLE contb_pstats RENAME TO contb_pstats_hidden")
+    try:
+        without_stats = _trip_bound()
+    finally:
+        spark.sql(
+            "ALTER TABLE contb_pstats_hidden RENAME TO contb_pstats")
+    assert with_stats == without_stats and with_stats > 0

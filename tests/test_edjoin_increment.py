@@ -138,7 +138,8 @@ def published_edjoin_base(spark, sf_dir, tmp_path_factory):
     publish_edjoin_base(spark, base, "edjb", d=10, q=8, num_buckets=8,
                         path_root=str(wh))
     yield docs, str(wh)
-    for t in ("edjb_chunks", "edjb_subs", "edjb_texts", "edjb_meta"):
+    for t in ("edjb_chunks", "edjb_subs", "edjb_texts", "edjb_meta",
+              "edjb_chunkstats", "edjb_substats", "edjb_tinystats"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -191,7 +192,8 @@ def test_from_base_identity_structured(spark, tmp_path):
         assert inc == want
         assert inc, "structured fixture produced no pairs"
     finally:
-        for t in ("edjs_chunks", "edjs_subs", "edjs_texts", "edjs_meta"):
+        for t in ("edjs_chunks", "edjs_subs", "edjs_texts", "edjs_meta",
+                  "edjs_chunkstats", "edjs_substats", "edjs_tinystats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -259,3 +261,38 @@ def test_from_base_guard_trips_and_passes(spark, sf_dir,
                spark, delta, "edjb", d=10, q=8,
                max_candidates=5_000_000_000).collect()}
     assert inc == _expected(docs, 10, 8)
+
+
+def test_stats_guard_bound_identical_to_base_scan(spark,
+                                                  published_edjoin_base):
+    """r9 delta-proportional guard (VERDICT r8 task 4): the four-part
+    edit-distance bound (three pass joins + tiny band join) derived
+    from the published chunk/sub/tiny stats tables + delta lineage
+    equals the r8 base-scan bound bit-for-bit (hiding the stats
+    tables forces the fallback)."""
+    import re
+
+    from batch_processing_analysis_spark.operators.incremental import (
+        edjoin_increment_from_base,
+    )
+
+    docs, _ = published_edjoin_base
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def _trip_bound():
+        with pytest.raises(CandidateVolumeExceeded) as ei:
+            edjoin_increment_from_base(spark, delta, "edjb", d=10, q=8,
+                                       max_candidates=0).collect()
+        return int(re.search(r"upper bound (\d+) exceeds",
+                             str(ei.value)).group(1))
+
+    with_stats = _trip_bound()
+    # hiding the dispatch table (chunkstats) is enough to force the
+    # base-scan fallback — the loader keys the whole tuple on it
+    spark.sql("ALTER TABLE edjb_chunkstats RENAME TO edjb_cstats_hidden")
+    try:
+        without_stats = _trip_bound()
+    finally:
+        spark.sql(
+            "ALTER TABLE edjb_cstats_hidden RENAME TO edjb_chunkstats")
+    assert with_stats == without_stats and with_stats > 0

@@ -107,3 +107,56 @@ def test_retry_is_idempotent(spark, streamed):
     after = sorted(map(tuple, read_containment_pairs(
         spark, streamed["pairs_path"]).collect()))
     assert after == before
+
+
+def test_stats_registry_delta_proportional_guard(spark, tmp_path):
+    """r9 stats_path (VERDICT r8 task 4): the shared
+    ppjoin_prefix_stats registry yields a containment guard bound
+    bit-identical to the lineage-scan bound; the coverage police
+    refuses a partial stats registry; backfill repairs it. Registries
+    built by direct micro-batch calls (restart/retry semantics are
+    pinned above)."""
+    import re
+    import shutil
+
+    from batch_processing_analysis_spark.operators.dedup import (
+        CandidateVolumeExceeded,
+    )
+    from batch_processing_analysis_spark.streaming.incremental_ingest import (
+        backfill_ppjoin_stats,
+    )
+
+    root = tmp_path
+    paths = {
+        "ranked_path": str(root / "ranked"),
+        "sets_path": str(root / "sets"),
+        "pairs_path": str(root / "pairs"),
+    }
+    stats_path = str(root / "stats")
+    containment_micro_batch(_df(spark, WAVE1), 0, c_pct=80, k=3,
+                            **paths, stats_path=stats_path)
+    containment_micro_batch(_df(spark, WAVE2), 1, c_pct=80, k=3,
+                            **paths, stats_path=stats_path)
+    got = {(r.id_a, r.id_b): r.cont_micro
+           for r in read_containment_pairs(
+               spark, paths["pairs_path"]).collect()}
+    assert got == _batch_pairs(spark, WAVE1 + WAVE2)
+
+    probe = _df(spark, [(90, "the quick brown fox", 20)])
+
+    def _trip(**kw):
+        with pytest.raises(CandidateVolumeExceeded) as ei:
+            containment_micro_batch(probe, 99, c_pct=80, k=3,
+                                    max_candidates=0, **paths, **kw)
+        return int(re.search(r"upper bound (\d+) exceeds",
+                             str(ei.value)).group(1))
+
+    assert _trip(stats_path=stats_path) == _trip() > 0
+
+    shutil.rmtree(root / "stats" / "ingest_batch=1")
+    with pytest.raises(ValueError, match="backfill_ppjoin_stats"):
+        containment_micro_batch(probe, 99, c_pct=80, k=3,
+                                max_candidates=0, **paths,
+                                stats_path=stats_path)
+    backfill_ppjoin_stats(spark, paths["ranked_path"], stats_path)
+    assert _trip(stats_path=stats_path) == _trip() > 0

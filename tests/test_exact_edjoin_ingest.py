@@ -124,3 +124,59 @@ def test_reingested_id_trips_guard(spark, streamed, tmp_path):
             pairs_path=str(tmp_path / "pairs99"),
             d=6, q=3,
         )
+
+
+def test_stats_registry_delta_proportional_guard(spark, tmp_path):
+    """r9 stats_path (VERDICT r8 task 4): the three per-wave
+    chunk/sub/tiny stats registries yield a guard bound bit-identical
+    to the lineage-scan bound, the coverage police refuses a partial
+    stats registry, and backfill_edjoin_stats repairs it. Registries
+    are built by direct micro-batch calls (restart/retry semantics are
+    pinned by the streamed fixture above; this test targets the guard
+    path)."""
+    import re
+    import shutil
+
+    from batch_processing_analysis_spark.operators.dedup import (
+        CandidateVolumeExceeded,
+    )
+    from batch_processing_analysis_spark.streaming.incremental_ingest import (
+        backfill_edjoin_stats,
+    )
+
+    root = tmp_path
+    paths = {
+        "chunks_path": str(root / "chunks"),
+        "subs_path": str(root / "subs"),
+        "texts_path": str(root / "texts"),
+        "pairs_path": str(root / "pairs"),
+    }
+    stats_path = str(root / "stats")
+    edjoin_micro_batch(_df(spark, WAVE1), 0, d=6, q=3, **paths,
+                       stats_path=stats_path)
+    edjoin_micro_batch(_df(spark, WAVE2), 1, d=6, q=3, **paths,
+                       stats_path=stats_path)
+    got = {(r.id_a, r.id_b): r.dist
+           for r in read_edjoin_pairs(spark,
+                                      paths["pairs_path"]).collect()}
+    assert got == _batch_pairs(spark, WAVE1 + WAVE2)
+
+    probe = _df(spark, [(90, LONG[:-4] + "yes!", 20), (91, "abcf", 21)])
+
+    def _trip(**kw):
+        with pytest.raises(CandidateVolumeExceeded) as ei:
+            edjoin_micro_batch(probe, 99, d=6, q=3, max_candidates=0,
+                               **paths, **kw)
+        return int(re.search(r"upper bound (\d+) exceeds",
+                             str(ei.value)).group(1))
+
+    assert _trip(stats_path=stats_path) == _trip() > 0
+
+    shutil.rmtree(root / "stats" / "tiny" / "ingest_batch=0")
+    with pytest.raises(ValueError, match="backfill_edjoin_stats"):
+        edjoin_micro_batch(probe, 99, d=6, q=3, max_candidates=0,
+                           **paths, stats_path=stats_path)
+    backfill_edjoin_stats(spark, paths["chunks_path"],
+                          paths["subs_path"], paths["texts_path"],
+                          stats_path, d=6, q=3)
+    assert _trip(stats_path=stats_path) == _trip() > 0

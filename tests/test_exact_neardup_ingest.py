@@ -172,3 +172,76 @@ def test_reingested_id_trips_guard(spark, tmp_path):
     exact_neardup_micro_batch(
         _df(spark, dup_wave).drop("ingest_time"), 1,
         t_pct=50, k=3, check_disjoint_ids=False, **paths)
+
+
+def test_stats_registry_delta_proportional_guard(spark, tmp_path):
+    """r9 stats_path (VERDICT r8 task 4): with the per-wave prefix-stats
+    registry enabled end-to-end, (a) accumulated pairs across waves
+    still equal batch ppjoin_pairs, (b) the guard bound the stats path
+    measures is bit-identical to the lineage-scan bound, (c) the
+    coverage police refuses a PARTIAL stats registry (the one shape
+    that would undercount the bound), and (d) backfill_ppjoin_stats
+    repairs it."""
+    import re
+    import shutil
+
+    from batch_processing_analysis_spark.operators.dedup import (
+        CandidateVolumeExceeded,
+    )
+    from batch_processing_analysis_spark.streaming.incremental_ingest import (
+        backfill_ppjoin_stats,
+    )
+
+    root = tmp_path
+    src = str(root / "src")
+    paths = {
+        "ranked_path": str(root / "ranked"),
+        "sets_path": str(root / "sets"),
+        "pairs_path": str(root / "pairs"),
+        "checkpoint_path": str(root / "ckpt"),
+    }
+    stats_path = str(root / "stats")
+
+    def run_wave(rows):
+        _df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = start_exact_neardup_ingest(stream, t_pct=50, k=3,
+                                       stats_path=stats_path, **paths)
+        q.awaitTermination()
+
+    run_wave(WAVE1)
+    run_wave(WAVE2)
+    got = {(r.id_a, r.id_b): r.jac_micro
+           for r in read_exact_pairs(spark,
+                                     paths["pairs_path"]).collect()}
+    assert got == _batch_pairs(spark, WAVE1 + WAVE2)
+
+    # (b) bound equality: trip a probe batch at max_candidates=0
+    # through the stats path and the lineage path — the guard raises
+    # before anything is written, so the registries stay untouched.
+    probe = _df(spark, [(90, "the quick brown fox jumps over it", 20)])
+    # exact_neardup_micro_batch takes no checkpoint_path — strip it
+    mb_paths = {k: v for k, v in paths.items() if k != "checkpoint_path"}
+
+    def _trip(**kw):
+        with pytest.raises(CandidateVolumeExceeded) as ei:
+            exact_neardup_micro_batch(probe, 99, t_pct=50, k=3,
+                                      max_candidates=0, **mb_paths, **kw)
+        return int(re.search(r"upper bound (\d+) exceeds",
+                             str(ei.value)).group(1))
+
+    assert _trip(stats_path=stats_path) == _trip() > 0
+
+    # (c) partial stats registry → loud refusal naming the backfill
+    batches = sorted(
+        p.name for p in (root / "stats").iterdir()
+        if p.name.startswith("ingest_batch="))
+    shutil.rmtree(root / "stats" / batches[0])
+    with pytest.raises(ValueError, match="backfill_ppjoin_stats"):
+        exact_neardup_micro_batch(probe, 99, t_pct=50, k=3,
+                                  max_candidates=0, **mb_paths,
+                                  stats_path=stats_path)
+
+    # (d) backfill rebuilds per-wave stats from the ranked registry
+    backfill_ppjoin_stats(spark, paths["ranked_path"], stats_path)
+    assert _trip(stats_path=stats_path) == _trip() > 0
