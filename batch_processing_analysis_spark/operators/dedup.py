@@ -48,6 +48,37 @@ class CandidateVolumeExceeded(RuntimeError):
     stage (VERDICT r5 task 2)."""
 
 
+# Bound-derived candidate-join sizing (VERDICT r8 task 3): the guard
+# measures the EXACT candidate row count before the pair join runs —
+# use it to size the join's shuffle instead of throwing it away. At
+# the ×100 probe the under-ceiling edjoin runs OOMed at the default
+# 32-partition session (≈37 M candidate rows per partition) and needed
+# a hand-tuned 256-partition/64 g retry (BENCH_sf10_r08 `retry_conf`);
+# 2 M rows per partition keeps the per-task working set in the tens of
+# MB at default memory. The cap bounds tiny-task scheduling overhead —
+# 4096 × 2 M ≈ 8e9 candidates, beyond any in-budget guard ceiling.
+GUARD_JOIN_ROWS_PER_PARTITION = 2_000_000
+GUARD_JOIN_MAX_PARTITIONS = 4096
+
+
+def sized_partitions_for_bound(spark, bound: int) -> int | None:
+    """Shuffle-partition count for a candidate join whose guard
+    measured ``bound`` candidate rows: enough partitions that each
+    holds ≤ :data:`GUARD_JOIN_ROWS_PER_PARTITION` of them (rounded up
+    to a power of two so co-partitioned stages stay aligned), or
+    ``None`` when the session default already suffices — the common
+    case, where the operator's plan is left untouched (no extra
+    Exchange, bucketed/broadcast strategies unaffected)."""
+    import math
+
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    need = math.ceil(bound / GUARD_JOIN_ROWS_PER_PARTITION)
+    if need <= session:
+        return None
+    return min(GUARD_JOIN_MAX_PARTITIONS,
+               2 ** math.ceil(math.log2(need)))
+
+
 def _check_candidate_budget(bound: int, max_candidates: int,
                             op: str, scale_paths: str) -> None:
     import logging
@@ -1120,6 +1151,7 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     # materialized on the refusal path.
     ch = passjoin_chunk_rows(t, id_col, text_col, d)
     sub = passjoin_substring_rows(t, id_col, text_col, d)
+    nparts = None
     if max_candidates is not None:
         cnt_c = ch.groupBy("_ck", "_lc", "_i").agg(
             F.count(F.lit(1)).alias("_cc"))
@@ -1153,6 +1185,18 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
             "minhash_lsh_pairs (q41, probabilistic recall) or "
             "ngram_jaccard_pairs (q43, df-blocked)",
         )
+        nparts = sized_partitions_for_bound(
+            docs.sparkSession, int(bound_pass + bound_tiny))
+    if nparts is not None:
+        # Guard passed but the bound outsizes the session layout —
+        # size the candidate join from the measurement (VERDICT r8
+        # task 3; the sf10 completions needed this hand-tuned).
+        # Repartitioning each side on its own equi keys with one
+        # partition count co-partitions the join: no further Exchange,
+        # and each task owns ~GUARD_JOIN_ROWS_PER_PARTITION candidate
+        # rows instead of bound/session_partitions.
+        sub = sub.repartition(nparts, "_ck", "_i", "_lx")
+        ch = ch.repartition(nparts, "_ck", "_i", "_lc")
     cand_pass = (
         sub.join(
             ch,
@@ -1188,11 +1232,25 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
         & (F.abs(F.col("pa._len") - F.col("pb._len")) <= d),
     ).select(F.col(f"pa.{id_col}").alias("id_a"),
              F.col(f"pb.{id_col}").alias("id_b"))
-    cand = cand_pass.unionByName(cand_tiny).distinct()
+    cand = cand_pass.unionByName(cand_tiny)
+    if nparts is not None:
+        # The dedup and verify stages shuffle candidate-sized frames
+        # too; hand-placing the sized exchanges where the planner
+        # would insert session-sized ones keeps every candidate-scale
+        # task at the same bounded row share (the verify joins pay one
+        # possibly-redundant exchange when t is broadcastable — at
+        # bound sizes that trigger sizing, memory safety outranks it).
+        cand = cand.repartition(nparts, "id_a", "id_b").distinct() \
+            .repartition(nparts, "id_a")
+    else:
+        cand = cand.distinct()
     lev = F.levenshtein(F.col("_ta"), F.col("_tb"), d)
+    joined = cand.join(t.select(F.col(id_col).alias("id_a"),
+                                F.col(text_col).alias("_ta")), "id_a")
+    if nparts is not None:
+        joined = joined.repartition(nparts, "id_b")
     return (
-        cand.join(t.select(F.col(id_col).alias("id_a"),
-                           F.col(text_col).alias("_ta")), "id_a")
+        joined
         .join(t.select(F.col(id_col).alias("id_b"),
                        F.col(text_col).alias("_tb")), "id_b")
         .select("id_a", "id_b", lev.cast("long").alias("dist"))

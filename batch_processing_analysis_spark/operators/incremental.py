@@ -1088,6 +1088,7 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
             F.expr(f"_len div {d + 1}"),
             F.expr(f"_len div {d + 1}") + 1)).alias("_band"),
     )
+    nparts = None
     if max_candidates is not None:
         def _pass_bound(ch, sub) -> int:
             cc = ch.groupBy("_ck", "_lc", "_i").agg(
@@ -1109,12 +1110,17 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
             .agg(F.sum(F.col("_cp") * F.col("_c")).alias("_b"))
             .collect()[0]["_b"] or 0
         )
+        bound_total = (_pass_bound(ch_d, sub_u) + _pass_bound(ch_b, sub_d)
+                       + bound_tiny)
         _check_candidate_budget(
-            _pass_bound(ch_d, sub_u) + _pass_bound(ch_b, sub_d)
-            + bound_tiny,
+            bound_total,
             max_candidates, "edjoin_increment_pairs",
             "lsh_increment_pairs (probabilistic recall)",
         )
+        from .dedup import sized_partitions_for_bound
+
+        nparts = sized_partitions_for_bound(base.sparkSession,
+                                            bound_total)
 
     # Guard passed — NOW persist the one frame the candidate joins
     # read twice: sub_d feeds _pass_cand(ch_b, sub_d) directly and
@@ -1129,6 +1135,16 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
     sub_d = sub_d.localCheckpoint(eager=False)
     sub_u = sub_d.unionByName(
         passjoin_substring_rows(t_b, id_col, text_col, d))
+    if nparts is not None:
+        # Size the candidate joins from the measured bound (VERDICT r8
+        # task 3 — see dedup.sized_partitions_for_bound): each side
+        # repartitioned on its own equi keys with one partition count,
+        # so the pass joins stay co-partitioned with ~bounded rows per
+        # task instead of bound/session_partitions.
+        sub_u = sub_u.repartition(nparts, "_ck", "_i", "_lx")
+        sub_d = sub_d.repartition(nparts, "_ck", "_i", "_lx")
+        ch_d = ch_d.repartition(nparts, "_ck", "_i", "_lc")
+        ch_b = ch_b.repartition(nparts, "_ck", "_i", "_lc")
 
     def _pass_cand(ch, sub) -> DataFrame:
         return (
@@ -1160,13 +1176,21 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
         _pass_cand(ch_d, sub_u)
         .unionByName(_pass_cand(ch_b, sub_d))
         .unionByName(cand_tiny)
-        .distinct()
     )
+    if nparts is not None:
+        # Sized dedup + verify exchanges — see dedup.edjoin_pairs.
+        cand = cand.repartition(nparts, "id_a", "id_b").distinct() \
+            .repartition(nparts, "id_a")
+    else:
+        cand = cand.distinct()
     t_u = t_b.unionByName(t_d)
     lev = F.levenshtein(F.col("_ta"), F.col("_tb"), d)
+    joined = cand.join(t_u.select(F.col(id_col).alias("id_a"),
+                                  F.col(text_col).alias("_ta")), "id_a")
+    if nparts is not None:
+        joined = joined.repartition(nparts, "id_b")
     return (
-        cand.join(t_u.select(F.col(id_col).alias("id_a"),
-                             F.col(text_col).alias("_ta")), "id_a")
+        joined
         .join(t_u.select(F.col(id_col).alias("id_b"),
                          F.col(text_col).alias("_tb")), "id_b")
         .select("id_a", "id_b", lev.cast("long").alias("dist"))

@@ -182,3 +182,73 @@ def test_edjoin_guard_passthrough_matches_unguarded(spark):
         docs, d=3, q=2, max_candidates=100_000).collect()))
     assert guarded == unguarded
     assert (1, 2, 2) in guarded
+
+
+def test_sized_partitions_for_bound_arithmetic(spark):
+    from batch_processing_analysis_spark.operators import dedup as D
+
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    target = D.GUARD_JOIN_ROWS_PER_PARTITION
+    # the session layout suffices -> no touch
+    assert D.sized_partitions_for_bound(spark, 0) is None
+    assert D.sized_partitions_for_bound(spark, session * target) is None
+    # just over -> next power of two above need
+    got = D.sized_partitions_for_bound(spark, session * target + 1)
+    assert got is not None and got >= session + 1
+    assert got & (got - 1) == 0  # power of two
+    # capped
+    assert D.sized_partitions_for_bound(
+        spark, 10**15) == D.GUARD_JOIN_MAX_PARTITIONS
+
+
+def test_bound_sized_edjoin_matches_and_resizes_plan(spark, monkeypatch):
+    """VERDICT r8 task 3: when the measured bound outsizes the session
+    layout, the candidate/verify exchanges carry the derived partition
+    count (visible as hashpartitioning(..., nparts) in the executed
+    plan) and the output is bit-identical to the unsized run."""
+    from batch_processing_analysis_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "the quick brown fox jumped"),
+         (3, "completely different content here"),
+         (4, "pack my box with five dozen"),
+         (5, "pack my box with six dozen")],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, D.edjoin_pairs(docs, d=3, q=2).collect()))
+
+    monkeypatch.setattr(D, "GUARD_JOIN_ROWS_PER_PARTITION", 1)
+    sized = D.edjoin_pairs(docs, d=3, q=2, max_candidates=10**9)
+    assert sorted(map(tuple, sized.collect())) == want
+
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    plan = sized._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    parts = {int(m) for m in re.findall(r"hashpartitioning\([^)]*?,\s*(\d+)\)",
+                                        plan)}
+    assert any(p > session and p & (p - 1) == 0 for p in parts), plan
+
+
+def test_bound_sized_edjoin_increment_matches(spark, monkeypatch):
+    from batch_processing_analysis_spark.operators import dedup as D
+    from batch_processing_analysis_spark.operators import incremental as I
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "the quick brown fox jumped"),
+         (3, "completely different content here"),
+         (4, "pack my box with five dozen"),
+         (5, "pack my box with six dozen"),
+         (6, "zz"), (7, "zy")],
+        "doc_id long, text string",
+    )
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    want = sorted(map(tuple, I.edjoin_increment_pairs(
+        base, delta, d=3, q=2).collect()))
+    monkeypatch.setattr(D, "GUARD_JOIN_ROWS_PER_PARTITION", 1)
+    got = sorted(map(tuple, I.edjoin_increment_pairs(
+        base, delta, d=3, q=2, max_candidates=10**9).collect()))
+    assert got == want and want
