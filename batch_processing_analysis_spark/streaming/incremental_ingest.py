@@ -47,11 +47,33 @@ def _read_registry(spark: SparkSession, registry_path: str,
 def ingest_micro_batch(batch_df: DataFrame, batch_id: int, *,
                        corpus_path: str, registry_path: str,
                        id_col: str = "doc_id", text_col: str = "text",
-                       time_col: str = "ingest_time") -> None:
+                       time_col: str = "ingest_time",
+                       hll_path: str | None = None,
+                       hist_path: str | None = None,
+                       census_group_cols: tuple[str, ...] = (),
+                       hll_p: int = 8, hll_seed: str = "hll:0",
+                       hist_s: int = 4) -> None:
     """Process one micro-batch: first-arrival dedup within the batch,
     anti-join the durable registry, append survivors + their hashes
     (each into an ``ingest_batch=<id>`` partition, overwrite = retry-
-    idempotent)."""
+    idempotent).
+
+    ``hll_path`` / ``hist_path`` (r9, VERDICT r8 task 5) additionally
+    maintain the corpus CENSUS as durable sketch state: per wave, the
+    survivors' distinct-token HLL registers (M151, the q166 builder:
+    whitespace tokens of ``text_col``) and the ``length(text)``
+    log-histogram buckets (M152) land in their own ``ingest_batch=<id>``
+    overwrite partitions. Per-wave PARTIALS + fold-at-read
+    (:func:`read_census_registers` / :func:`read_census_histogram`) —
+    not read-modify-write of one global state — because a foreachBatch
+    retry then rewrites its own partition instead of double-folding
+    into shared state: idempotence by the same discipline as the dedup
+    registries, and both folds are exact by the sketches' merge
+    algebra (register MAX is idempotent; disjoint-wave bucket counts
+    are additive). Streamed state across a restart equals the batch
+    ``hll_registers`` / ``log_histogram`` on everything ingested —
+    pinned by tests/test_incremental_ingest.py.
+    """
     spark = batch_df.sparkSession
     hashed = with_content_hash(batch_df, text_col)
     w = W.partitionBy(CONTENT_HASH).orderBy(time_col, id_col)
@@ -64,7 +86,7 @@ def ingest_micro_batch(batch_df: DataFrame, batch_id: int, *,
     kept = canon if registry is None else canon.join(
         registry, CONTENT_HASH, "left_anti"
     )
-    # One pass, two sinks: materialize survivors once.
+    # One pass, N sinks: materialize survivors once.
     kept = kept.localCheckpoint(eager=True)
     kept.write.mode("overwrite").parquet(
         f"{corpus_path}/ingest_batch={batch_id}"
@@ -72,19 +94,46 @@ def ingest_micro_batch(batch_df: DataFrame, batch_id: int, *,
     kept.select(CONTENT_HASH).write.mode("overwrite").parquet(
         f"{registry_path}/ingest_batch={batch_id}"
     )
+    if hll_path is not None:
+        from ..operators.dedup import tokens
+        from ..operators.sketches import hll_registers
+
+        toks = kept.select(
+            *census_group_cols,
+            F.explode(tokens(F.col(text_col))).alias("token"))
+        hll_registers(toks, "token", p=hll_p, seed=hll_seed,
+                      group_cols=census_group_cols) \
+            .write.mode("overwrite").parquet(
+                f"{hll_path}/ingest_batch={batch_id}")
+    if hist_path is not None:
+        from ..operators.sketches import log_histogram
+
+        vals = kept.select(*census_group_cols,
+                           F.length(text_col).alias("_v"))
+        log_histogram(vals, "_v", s=hist_s,
+                      group_cols=census_group_cols) \
+            .write.mode("overwrite").parquet(
+                f"{hist_path}/ingest_batch={batch_id}")
 
 
 def start_incremental_ingest(stream_docs: DataFrame, *, corpus_path: str,
                              registry_path: str, checkpoint_path: str,
                              id_col: str = "doc_id", text_col: str = "text",
                              time_col: str = "ingest_time",
-                             available_now: bool = True) -> StreamingQuery:
+                             available_now: bool = True,
+                             hll_path: str | None = None,
+                             hist_path: str | None = None,
+                             census_group_cols: tuple[str, ...] = (),
+                             hll_p: int = 8, hll_seed: str = "hll:0",
+                             hist_s: int = 4) -> StreamingQuery:
     """Run the ingest loop over a streaming DataFrame of documents.
 
     ``available_now=True`` drains what exists and stops (the test/
     backfill mode); ``False`` runs continuously. Restarting with the
     same checkpoint+registry resumes exactly where it left off — state
-    lives on disk, not in executor memory.
+    lives on disk, not in executor memory. ``hll_path``/``hist_path``
+    maintain the durable census sketch state per wave (see
+    :func:`ingest_micro_batch`).
     """
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -92,6 +141,9 @@ def start_incremental_ingest(stream_docs: DataFrame, *, corpus_path: str,
             batch_df, batch_id, corpus_path=corpus_path,
             registry_path=registry_path, id_col=id_col,
             text_col=text_col, time_col=time_col,
+            hll_path=hll_path, hist_path=hist_path,
+            census_group_cols=census_group_cols,
+            hll_p=hll_p, hll_seed=hll_seed, hist_s=hist_s,
         )
 
     writer = (
@@ -106,6 +158,30 @@ def start_incremental_ingest(stream_docs: DataFrame, *, corpus_path: str,
 def read_ingested(spark: SparkSession, corpus_path: str) -> DataFrame:
     """The deduplicated corpus accumulated so far (all batch partitions)."""
     return spark.read.option("basePath", corpus_path).parquet(corpus_path)
+
+
+def read_census_registers(spark: SparkSession, hll_path: str,
+                          group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The corpus's distinct-token HLL registers folded over every
+    ingest wave: per-bucket MAX is associative/commutative/idempotent,
+    so the fold equals ``hll_registers`` built on everything ingested
+    in one batch — EXACTLY (tests/test_incremental_ingest.py pins the
+    identity incl. a stream restart). Feed to
+    :func:`operators.sketches.hll_estimate` for the cardinality."""
+    reg = spark.read.option("basePath", hll_path).parquet(hll_path)
+    return (reg.groupBy(*group_cols, "bucket")
+            .agg(F.max("r").alias("r")))
+
+
+def read_census_histogram(spark: SparkSession, hist_path: str,
+                          group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The corpus's text-length log-histogram folded over every ingest
+    wave: per-bucket SUM over disjoint survivor sets equals
+    ``log_histogram`` on everything ingested — EXACTLY. Feed to
+    :func:`operators.sketches.hist_quantiles` for percentiles."""
+    hist = spark.read.option("basePath", hist_path).parquet(hist_path)
+    return (hist.groupBy(*group_cols, "lo")
+            .agg(F.sum("cnt").alias("cnt")))
 
 
 # ---------------------------------------------------------------------------

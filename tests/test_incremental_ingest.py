@@ -161,3 +161,71 @@ def test_neardup_stream_equals_batch_lsh(spark, neardup_run):
     # And the near-dup family actually fires across the restart:
     # doc 11 pairs with wave-1 docs it shares shingles with.
     assert any(a in {1, 2} and b == 11 for a, b in streamed)
+
+
+def test_census_state_across_restart_equals_batch(spark, tmp_path):
+    """r9 census wiring (VERDICT r8 task 5): with hll_path/hist_path
+    the ingest loop maintains the M151/M152 sketch state per wave —
+    after two waves and a genuine restart, the folded registers/buckets
+    equal batch hll_registers/log_histogram on everything ingested
+    (the deduped corpus), and a micro-batch retry leaves the state
+    bit-identical."""
+    from batch_processing_analysis_spark.operators.dedup import tokens
+    from batch_processing_analysis_spark.operators.sketches import (
+        hll_registers,
+        log_histogram,
+    )
+    from batch_processing_analysis_spark.streaming.incremental_ingest import (
+        read_census_histogram,
+        read_census_registers,
+    )
+
+    root = tmp_path
+    src = str(root / "src")
+    paths = {
+        "corpus_path": str(root / "corpus"),
+        "registry_path": str(root / "registry"),
+        "checkpoint_path": str(root / "ckpt"),
+    }
+    census = {"hll_path": str(root / "hll"),
+              "hist_path": str(root / "hist")}
+
+    def run_wave(rows):
+        _df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = start_incremental_ingest(stream, **paths, **census)
+        q.awaitTermination()
+
+    run_wave(WAVE1)
+    run_wave(WAVE2)  # new query object: a genuine restart
+
+    corpus = read_ingested(spark, paths["corpus_path"])
+    want_reg = {(r.bucket, r.r) for r in hll_registers(
+        corpus.select(F.explode(tokens(F.col("text"))).alias("token")),
+        "token", p=8).collect()}
+    want_hist = {(r.lo, r.cnt) for r in log_histogram(
+        corpus.select(F.length("text").alias("_v")), "_v",
+        s=4).collect()}
+
+    def got_state():
+        reg = {(r.bucket, r.r) for r in read_census_registers(
+            spark, census["hll_path"]).collect()}
+        hist = {(r.lo, r.cnt) for r in read_census_histogram(
+            spark, census["hist_path"]).collect()}
+        return reg, hist
+
+    reg, hist = got_state()
+    assert reg == want_reg and want_reg
+    assert hist == want_hist and want_hist
+
+    # retry of the last committed batch (same id) must be a no-op
+    last_id = max(
+        int(str(r.ingest_batch)) for r in
+        spark.read.option("basePath", census["hll_path"])
+        .parquet(census["hll_path"]).select("ingest_batch")
+        .distinct().collect())
+    ingest_micro_batch(
+        _df(spark, WAVE2), last_id,
+        corpus_path=paths["corpus_path"],
+        registry_path=paths["registry_path"], **census)
+    assert got_state() == (want_reg, want_hist)
