@@ -5018,3 +5018,65 @@ def q167_log_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = SK.log_histogram(docs.select("source", "n_chars"),
                             "n_chars", s=4, group_cols=("source",))
     return SK.hist_quantiles(hist, (50, 90, 99), group_cols=("source",))
+
+
+@query(
+    "q168_hist_drift",
+    r"""
+    WITH bucketed AS (
+      SELECT source, doc_id,
+             CASE WHEN n_chars <= 0 THEN 0
+                  ELSE CAST(floor(n_chars / power(2,
+                              greatest(length(bin(n_chars)) - 5, 0)))
+                            * power(2,
+                              greatest(length(bin(n_chars)) - 5, 0))
+                            AS BIGINT)
+             END AS lo
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    ho AS (SELECT source, lo, count(*) AS n_old FROM bucketed
+           WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    hn AS (SELECT source, lo, count(*) AS n_new FROM bucketed
+           GROUP BY 1, 2),
+    j AS (
+      SELECT COALESCE(ho.source, hn.source) AS source,
+             COALESCE(ho.lo, hn.lo) AS lo,
+             COALESCE(n_old, 0) AS n_old,
+             COALESCE(n_new, 0) AS n_new
+      FROM ho FULL OUTER JOIN hn
+        ON ho.source = hn.source AND ho.lo = hn.lo
+    )
+    SELECT source, lo, n_old, n_new,
+           CAST(CASE WHEN sum(n_old) OVER (PARTITION BY source) > 0
+                THEN floor(n_old * 1000000.0
+                           / sum(n_old) OVER (PARTITION BY source))
+                ELSE 0 END AS BIGINT) AS p_old_micro,
+           CAST(CASE WHEN sum(n_new) OVER (PARTITION BY source) > 0
+                THEN floor(n_new * 1000000.0
+                           / sum(n_new) OVER (PARTITION BY source))
+                ELSE 0 END AS BIGINT) AS p_new_micro
+    FROM j
+    """,
+    primary=True,
+)
+def q168_hist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_chars distribution drift computed SKETCH-TO-SKETCH
+    (operators/sketches.py:hist_drift, M153 — VERDICT r8 stretch 8):
+    the M75 drift report (per-bucket counts reconciled full-outer,
+    exact integer proportions in millionths) over two M152
+    log-histogram snapshots — old = the even-doc_id half (day 1), new
+    = the full corpus (day 2 = day 1 + delta) — with NO rescan of the
+    old corpus in the state-fed production form
+    (tests/test_sketch_state.py pins state ≡ rescan; the query runs
+    the rescan form, which is the same operator on the same
+    histograms). All-integer output; the log buckets are
+    value-anchored so both engines bin identically by construction.
+    First driver window r9."""
+    docs = _docs(spark, sf_dir)
+    old_hist = SK.log_histogram(
+        docs.filter(F.col("doc_id") % 2 == 0).select("source", "n_chars"),
+        "n_chars", s=4, group_cols=("source",))
+    new_hist = SK.log_histogram(
+        docs.select("source", "n_chars"),
+        "n_chars", s=4, group_cols=("source",))
+    return SK.hist_drift(old_hist, new_hist, group_cols=("source",))
