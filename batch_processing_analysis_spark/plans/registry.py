@@ -33,81 +33,79 @@ ORACLES: dict[str, str] = {}
 EXTRA_QUERIES: dict[str, SparkBuilder] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
-# Round-8 rotation (VERDICT r7 task 1). 50 slots, built from
+# Round-9 rotation (VERDICT r8 task 2). 50 slots, built from
 # tools/rotation_check.py --plan (budget arithmetic lives in THAT
 # module's docstring: registered minus the 8 allowlisted environment
-# canaries, over 50 slots, makes a ~3.1-round refresh floor, hence the
+# canaries, over 50 slots, makes a ~3.2-round refresh floor, hence the
 # 4-round budget):
-# - the 20 r4-tier queries the r7 --plan listed as coming due
-#   (q84-q105 range, newest green r4 — due at r9 close, so the r8
-#   window is their last on-budget slot);
-# - 30 of the 36 r5-tier queries (newest green r5, due at r10 close)
-#   taken a round early so the r9 window has room for the 49-strong
-#   r6 tier that follows; the 6 deferred (q136-q141) stay within
-#   budget through the r9 window, where rotation_check --plan lists
-#   them as coming due.
-# Rotated OUT: the whole r7 window (every row green in
-# CORRECTNESS_r07, due back r11). q116_canary_hugeint_probe stays
+# - the 8 queries the r8 --plan listed as coming due (newest green r5,
+#   due at r9 close): q11, q28, q136-q141;
+# - q168_hist_drift, the round's new never-green M153 query (must be
+#   in the window per rotation_check);
+# - 41 of the 49 r6-tier queries (newest green r6, due at r10 close)
+#   taken a round early so the r10 window has room for the 50-strong
+#   r7 tier that follows; the 8 deferred are the cheap relational
+#   basics (q01/q02/q04/q05/q07/q14/q15/q16 — fast re-greens that fit
+#   any window), due exactly at r10 where --plan will list them.
+# Rotated OUT: the whole r8 window (every row green in
+# CORRECTNESS_r08, due back r12). q116_canary_hugeint_probe stays
 # RETIRED in the extras registry (designed-red HUGEINT probe,
 # DRIVER_ENV.md) and all 8 canaries are budget-allowlisted in
 # rotation_check.py. Set to None to fall back to the per-call flags.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
-    # r4-tier staleness re-greens (the --plan coming-due list)
-    "q84_resample_locf",
-    "q85_rolling_median",
-    "q87_pseudonymized_rollup",
-    "q88_corpus_diff",
-    "q89_sql_surface",
-    "q90_dfg_drift",
-    "q91_profile_drift",
-    "q92_redact_pii",
-    "q93_cms_heavy_hitters",
-    "q94_distinctive_terms",
-    "q95_validation_summary",
-    "q96_train_split",
-    "q97_distribution_drift",
-    "q98_rendezvous_shards",
-    "q99_bucket_rollup",
-    "q101_negative_samples",
-    "q102_dedup_weights",
-    "q103_rolling_mad",
-    "q104_percentile_normalize",
-    "q105_novelty_signals",
-    # r5-tier, taken one round early (28 of 36; q136-q141 deferred;
-    # q11/q28 — the two multi-green (r2/r3/r5) slots — ceded mid-r8 to
-    # the new never-green M151/M152 queries, which MUST be in the
-    # window per rotation_check; q11/q28 stay within budget through
-    # the r9 window, where --plan lists them as coming due)
-    "q50_fingerprint",
-    "q166_hll_census",
-    "q167_log_hist_quantiles",
-    "q64_diversity_signals",
-    "q70_source_mixing",
-    "q76_bigram_logprob",
-    "q86_json_props_stats",
-    "q100_jl_projection",
-    "q106_dedup_audit_by_source",
-    "q107_weighted_sample",
-    "q108_k_anonymous_rollup",
-    "q109_time_split_embargo",
-    "q110_cross_source_dup_matrix",
-    "q118_embedding_outliers",
-    "q119_source_overlap_sketch",
-    "q120_temperature_mix_weights",
-    "q121_epoch_plan",
-    "q123_vocab_coverage",
-    "q124_nb_class_scores",
-    "q125_source_jsd_matrix",
-    "q126_striped_pack_audit",
-    "q127_dsir_weights",
-    "q128_dup_span_audit",
-    "q129_fertility_by_lang",
-    "q130_split_leakage",
-    "q131_backoff_logprob",
-    "q132_pmi_collocations",
-    "q133_lexical_richness",
-    "q134_score_calibration",
-    "q135_quality_funnel",
+    # r5-tier staleness re-greens (the --plan coming-due list)
+    "q11_sessionize",
+    "q28_prioritization_pairs",
+    "q136_packing_efficiency",
+    "q137_dup_cluster_sizes",
+    "q138_eval_quotas",
+    "q139_rrf_fusion",
+    "q140_ppjoin_exact",
+    "q141_token_heavy_hitters",
+    # the round's new never-green query (M153)
+    "q168_hist_drift",
+    # r6-tier, taken one round early (41 of 49)
+    "q142_unimax_plan",
+    "q144_embedding_gram",
+    "q145_bloom_membership",
+    "q146_nfc_audit",
+    "q147_ppjoin_increment",
+    "q148_token_entropy",
+    "q149_containment_pairs",
+    "q150_centroid_cosine",
+    "q151_script_mix",
+    "q152_last_touch_attribution",
+    "q153_frequent_paths",
+    "q154_ks_drift",
+    "q155_novelty_attribution",
+    "q156_weighted_median",
+    "q157_zipf_slope",
+    "q158_conformance_fitness",
+    "q159_variant_table",
+    "q160_linear_scores",
+    "q161_embedding_dispersion",
+    "q162_jaccard_threshold_profile",
+    "q22_dense_rank",
+    "q23_instant_generation",
+    "q25_conditional_pivot",
+    "q26_trace_subset",
+    "q27_calendar_displacement",
+    "q29_range_join_bucketed",
+    "q30_enabled_times",
+    "q34_waiting_time_report",
+    "q37_activation_rules",
+    "q41_dedup_minhash_lsh",
+    "q44_embedding_neardup",
+    "q45_ann_cosine_topk",
+    "q51_multimodal_features",
+    "q53_corpus_filter",
+    "q58_stratified_sample",
+    "q59_token_shard_packing",
+    "q60_winnowing_pairs",
+    "q61_event_blacklist",
+    "q74_semantic_dedup",
+    "q75_dedup_resolution",
+    "q80_funnel_steps",
 })
 
 
