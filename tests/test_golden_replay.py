@@ -218,3 +218,87 @@ def test_loan_truncation_breaks_parity(spark):
         "row set exactly — re-measure the precision diagnosis")
     # and full-precision detection (test_loan_golden_exact) is exact,
     # so the divergence is attributable to the flooring alone
+
+
+def test_production_residual_is_pinned(spark):
+    """FORMAL WONTFIX PIN (VERDICT r8 task 7): the 465/485 Production
+    residual is the bamalog package's internal short-run filter plus
+    chain tie-breaks (measured r8, operators/discovery.py docstring) —
+    the package source is outside the reference checkout, so the
+    residual is pinned EXACTLY rather than emulated blind. This test
+    asserts the full disagreement structure; if detection behavior
+    drifts in ANY direction (even toward better agreement), it fails
+    loudly and the docstring numbers must be re-measured."""
+    cfg = Configuration()
+    ids = cfg.log_ids
+    log = _load(spark, LOGS / "Production.csv.gz", ids,
+                with_enabled=False)
+    ref = pd.read_csv(OUTS / "Production_WTs.csv.gz", low_memory=False)
+    en = ref[["case_id", "Activity", "start_time", "end_time",
+              "enabled_time"]].drop_duplicates(
+        ["case_id", "Activity", "start_time", "end_time"])
+    en_df = spark.createDataFrame(en)
+    for c in ["start_time", "end_time", "enabled_time"]:
+        en_df = en_df.withColumn(c, F.to_timestamp(c))
+    log = log.join(
+        en_df.withColumnRenamed("enabled_time", ids.enabled_time),
+        [ids.case, ids.activity, ids.start_time, ids.end_time], "left")
+    ours = discover_batches(log, cfg).filter(
+        F.col(ids.batch_id).isNotNull()
+    ).select(ids.case, ids.activity, ids.start_time,
+             ids.batch_id).toPandas()
+    ours["k"] = _row_keys(ours, ids.case, ids.activity, ids.start_time)
+    refb = ref[ref.batch_instance_id.notna()].copy()
+    refb["k"] = _row_keys(refb, "case_id", "Activity", "start_time")
+    our_part = {frozenset(g.k) for _, g in ours.groupby(ids.batch_id)}
+    ref_part = {frozenset(g.k)
+                for _, g in refb.groupby("batch_instance_id")}
+
+    # headline agreement
+    assert len(our_part) == 511 and len(ref_part) == 485
+    assert len(our_part & ref_part) == 465
+
+    ours_only = sorted(our_part - ref_part,
+                       key=lambda s: sorted(map(str, s)))
+    ref_only = sorted(ref_part - our_part,
+                      key=lambda s: sorted(map(str, s)))
+    assert len(ours_only) == 46 and len(ref_only) == 20
+    ref_rows = set().union(*ref_part)
+
+    # class 1: disjoint extras — our instances wholly unbatched by R
+    # (the internal short-run filter): exactly 25 of size 2 + 3 of 4
+    disjoint = [o for o in ours_only if not (o & ref_rows)]
+    assert sorted(len(o) for o in disjoint) == [2] * 25 + [4] * 3
+
+    # class 2: the overlap graph between the remaining extras and the
+    # unmatched ref instances — union-find over row intersection
+    nodes = ([("o", i) for i in range(len(ours_only))]
+             + [("r", j) for j in range(len(ref_only))])
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, o in enumerate(ours_only):
+        for j, r in enumerate(ref_only):
+            if o & r:
+                parent[find(("o", i))] = find(("r", j))
+    comps: dict = {}
+    for n in nodes:
+        comps.setdefault(find(n), []).append(n)
+    shapes: dict[str, int] = {}
+    for c in comps.values():
+        no = sum(1 for t, _ in c if t == "o")
+        nr = sum(1 for t, _ in c if t == "r")
+        if nr == 0:  # the disjoint extras counted above
+            continue
+        shapes[f"{no}o-{nr}r"] = shapes.get(f"{no}o-{nr}r", 0) + 1
+    assert shapes == {
+        "1o-1r": 8,   # one-to-one boundary disagreements
+        "2o-1r": 2,   # splits: one ref instance = two of ours
+        "6o-5r": 1,   # one chain tangle on overlapping chains
+        "0o-1r": 5,   # size-2 ref instances we never form
+    }, shapes
