@@ -6,18 +6,23 @@ format, but the container has no PIL, so the decoded image path ran
 only on PNG fixtures (operators/png_codec.py). This module makes the
 JPEG half real without any dependency:
 
-- :func:`decode_jpeg` handles BASELINE sequential DCT (SOF0, plus the
-  huffman extended-sequential SOF1, which decodes identically): 8-bit
-  samples, grayscale or YCbCr with any sampling factors (4:4:4, 4:2:0,
-  4:2:2, ...), multiple DQT/DHT segments, restart markers. Progressive
-  (SOF2), arithmetic coding (SOF9+), hierarchical, and 12-bit
-  precision raise ``ValueError`` NAMING the feature — real corpora
-  route those through PIL where available
+- :func:`decode_jpeg` handles sequential DCT (SOF0 baseline, plus the
+  huffman extended-sequential SOF1, which decodes identically;
+  interleaved or multi-scan non-interleaved) AND — r9, VERDICT r8
+  task 6 — PROGRESSIVE DCT (SOF2: spectral selection, successive
+  approximation with DC/AC refinement scans, cross-block EOB runs,
+  per-scan restart markers; T.81 Annex G): 8-bit samples, grayscale
+  or YCbCr with any sampling factors (4:4:4, 4:2:0, 4:2:2, ...),
+  multiple DQT/DHT segments. Arithmetic coding (SOF9+), lossless,
+  hierarchical, and 12-bit precision raise ``ValueError`` NAMING the
+  feature — real corpora route those through PIL where available
   (operators/multimodal.py:decode_image tries PIL first).
 - :func:`encode_jpeg` writes a spec-valid baseline JFIF file (Annex K
   quantization + huffman tables with IJG quality scaling, 4:4:4 or
   4:2:0, optional restart interval) so tests can round-trip without a
-  codec either.
+  codec either; :func:`encode_jpeg_progressive` writes the same
+  quantized coefficients as a 10-scan SOF2 script, making
+  decode(progressive) == decode(baseline) a bit-exact test oracle.
 
 Decode cost is O(pixels) python for the entropy pass and vectorized
 numpy for the IDCT — fine for the test/CI images it exists for;
@@ -123,7 +128,6 @@ AC_CHROMA_VALS = [
 ]
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive DCT (SOF2)",
     0xC3: "lossless sequential (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -239,20 +243,228 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t > 0 and v < (1 << (t - 1)) else v
 
 
+def _seq_block(reader: _BitReader, coef: np.ndarray, dc_tbl: dict,
+               ac_tbl: dict, preds: list[int], ci: int) -> None:
+    """Sequential (baseline) block decode: DC diff + full AC band
+    (T.81 F.2.2)."""
+    t = reader.decode_symbol(dc_tbl)
+    preds[ci] += _extend(reader.receive(t), t)
+    coef[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:     # ZRL
+                k += 16
+                continue
+            break           # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC run past block end")
+        coef[ZIGZAG[k]] = _extend(reader.receive(s), s)
+        k += 1
+
+
+def _prog_dc_first(reader: _BitReader, coef: np.ndarray, dc_tbl: dict,
+                   preds: list[int], ci: int, al: int) -> None:
+    """Progressive DC, first scan (T.81 G.1.2.1): the usual DC diff
+    over point-transformed values, stored shifted up by Al."""
+    t = reader.decode_symbol(dc_tbl)
+    preds[ci] += _extend(reader.receive(t), t)
+    coef[0] = preds[ci] << al
+
+
+def _prog_dc_refine(reader: _BitReader, coef: np.ndarray,
+                    al: int) -> None:
+    """Progressive DC refinement: one bit per block ORed into bit Al
+    (works on negative two's-complement values identically)."""
+    if reader.read_bit():
+        coef[0] |= 1 << al
+
+
+def _prog_ac_first(reader: _BitReader, coef: np.ndarray, ac_tbl: dict,
+                   ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC, first scan of a band (T.81 G.1.2.2): EOB runs
+    span blocks; returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:     # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC run past band end")
+        coef[ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(reader: _BitReader, coef: np.ndarray, ac_tbl: dict,
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement (T.81 G.1.2.3): correction bits for
+    history-nonzero coefficients, new ±1<<Al coefficients at
+    zero-history positions, EOB runs with corrections through the
+    band tail; returns the remaining EOB run."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(z: int) -> None:
+        if reader.read_bit() and not (coef[z] & p1):
+            coef[z] += p1 if coef[z] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    # Full run INCLUDING this block — the shared tail
+                    # below takes this block's slot (libjpeg
+                    # convention; _prog_ac_first's early-return form
+                    # uses the run-minus-one convention instead).
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                newval = 0       # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "corrupt JPEG: AC refinement size must be 1")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(data: bytes, data_pos: int, comps: list, sel: list,
+                 blocks: list[np.ndarray], huff_dc: dict, huff_ac: dict,
+                 progressive: bool, ss: int, se: int, ah: int, al: int,
+                 restart_interval: int, h: int, w: int) -> int:
+    """Decode one scan's entropy-coded data into ``blocks`` and return
+    the position of the next real marker. Handles the two scan
+    geometries (T.81 A.2): interleaved (MCU = one sampling cluster per
+    component) and non-interleaved (MCU = one block of the single
+    selected component, over the component's OWN ceil(size/8) grid,
+    not the MCU-padded grid). Restart markers reset DC predictors and
+    the EOB run."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    reader = _BitReader(data, data_pos)
+    preds = [0] * len(comps)
+    expected_rst = 0
+    eobrun = 0
+    if progressive and ss > 0 and len(sel) != 1:
+        raise ValueError(
+            "corrupt JPEG: progressive AC scans must be "
+            "non-interleaved (T.81 G.1)")
+
+    def units():
+        if len(sel) > 1:
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                out = []
+                for ci, td, ta in sel:
+                    _, hs, vs, _ = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            out.append((ci, td, ta,
+                                        blocks[ci][my * vs + by,
+                                                   mx * hs + bx]))
+                yield out
+        else:
+            ci, td, ta = sel[0]
+            _, hs, vs, _ = comps[ci]
+            cw = -(-(w * hs) // hmax)      # component pixel dims
+            ch = -(-(h * vs) // vmax)
+            wb, hb = -(-cw // 8), -(-ch // 8)
+            for i in range(wb * hb):
+                by, bx = divmod(i, wb)
+                yield [(ci, td, ta, blocks[ci][by, bx])]
+
+    for i, unit in enumerate(units()):
+        if restart_interval and i and i % restart_interval == 0:
+            m = reader.align_to_marker()
+            if m != expected_rst:
+                raise ValueError(
+                    "corrupt JPEG: restart marker out of sequence")
+            expected_rst = (expected_rst + 1) % 8
+            preds = [0] * len(comps)
+            eobrun = 0
+        for ci, td, ta, coef in unit:
+            if not progressive:
+                _seq_block(reader, coef, huff_dc[td], huff_ac[ta],
+                           preds, ci)
+            elif ss == 0 and ah == 0:
+                _prog_dc_first(reader, coef, huff_dc[td], preds, ci, al)
+            elif ss == 0:
+                _prog_dc_refine(reader, coef, al)
+            elif ah == 0:
+                eobrun = _prog_ac_first(reader, coef, huff_ac[ta],
+                                        ss, se, al, eobrun)
+            else:
+                eobrun = _prog_ac_refine(reader, coef, huff_ac[ta],
+                                         ss, se, al, eobrun)
+    # Skip pad bits / stuffing / stray RSTs up to the next real marker.
+    pos = reader.pos
+    while pos + 1 < len(data):
+        if (data[pos] == 0xFF and data[pos + 1] != 0x00
+                and not 0xD0 <= data[pos + 1] <= 0xD7):
+            break
+        pos += 1
+    return pos
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline JPEG byte string → ``(height, width, flat RGB
-    bytes)`` (row-major, 3 bytes/pixel; grayscale replicates — the
+    """Decode a JPEG byte string → ``(height, width, flat RGB bytes)``
+    (row-major, 3 bytes/pixel; grayscale replicates — the
     ``convert("RGB")`` convention shared with :func:`png_codec.
-    decode_png`). Unsupported T.81 modes fail loudly by name."""
+    decode_png`). Handles baseline/extended sequential huffman (SOF0/
+    SOF1, interleaved or multi-scan non-interleaved) AND progressive
+    (SOF2: spectral selection + successive approximation, DC and AC
+    refinement scans, EOB runs, restart markers — T.81 Annex G).
+    Remaining unsupported T.81 modes (lossless, arithmetic,
+    hierarchical, 12-bit) fail loudly by name."""
     if data[:2] != MAGIC:
         raise ValueError("not a JPEG: bad SOI marker")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None          # (h, w, [(cid, hs, vs, tq)])
+    frame = None          # (h, w, comps=[(cid, hs, vs, tq)])
+    progressive = False
     restart_interval = 0
-    scan = None           # ([(comp_idx, td, ta)], data_pos)
+    blocks: list[np.ndarray] = []
+    saw_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -266,19 +478,27 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         if marker in _SOF_UNSUPPORTED:
             raise ValueError(
                 f"unsupported JPEG mode: {_SOF_UNSUPPORTED[marker]} — "
-                f"baseline sequential huffman only (pip install Pillow "
-                f"to decode every JPEG mode)")
-        if marker in (0xC0, 0xC1):   # SOF0 baseline / SOF1 ext. seq.
+                f"sequential/progressive huffman only (pip install "
+                f"Pillow to decode every JPEG mode)")
+        if marker in (0xC0, 0xC1, 0xC2):   # SOF0/SOF1/SOF2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(
                     f"unsupported JPEG precision {prec}-bit (8-bit "
-                    f"baseline only; pip install Pillow)")
+                    f"only; pip install Pillow)")
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            blocks = [np.zeros((mcus_y * vs, mcus_x * hs, 64),
+                               dtype=np.int32)
+                      for _, hs, vs, _ in comps]
         elif marker == 0xDB:         # DQT (possibly several tables)
             p = 0
             while p < len(body):
@@ -309,74 +529,33 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 p += 17 + n
         elif marker == 0xDD:         # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:         # SOS
+        elif marker == 0xDA:         # SOS — decode this scan in place
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            h, w, comps = frame
             ns = body[0]
             sel = []
             for i in range(ns):
                 cs, tda = body[1 + 2 * i:3 + 2 * i]
-                idx = next(j for j, c in enumerate(frame[2])
+                idx = next(j for j, c in enumerate(comps)
                            if c[0] == cs)
                 sel.append((idx, tda >> 4, tda & 0xF))
-            scan = (sel, pos + 2 + seg_len)
-            break
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(
+                data, pos + 2 + seg_len, comps, sel, blocks,
+                huff_dc, huff_ac, progressive, ss, se, ah, al,
+                restart_interval, h, w)
+            saw_scan = True
+            continue
         pos += 2 + seg_len
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("corrupt JPEG: missing SOF/SOS")
     h, w, comps = frame
-    sel, data_pos = scan
-    if len(sel) != len(comps):
-        raise ValueError(
-            "unsupported JPEG: multi-scan (non-interleaved) baseline "
-            "— single interleaved scan only (pip install Pillow)")
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    # per component: array of (blocks_y, blocks_x) coefficient blocks
-    blocks = []
-    for _, hs, vs, _ in comps:
-        blocks.append(np.zeros((mcus_y * vs, mcus_x * hs, 64),
-                               dtype=np.int32))
-
-    reader = _BitReader(data, data_pos)
-    preds = [0] * len(comps)
-    expected_rst = 0
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            m = reader.align_to_marker()
-            if m != expected_rst:
-                raise ValueError("corrupt JPEG: restart marker out of "
-                                 "sequence")
-            expected_rst = (expected_rst + 1) % 8
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, td, ta in sel:
-            _, hs, vs, _ = comps[ci]
-            dc_tbl, ac_tbl = huff_dc[td], huff_ac[ta]
-            for by in range(vs):
-                for bx in range(hs):
-                    coef = blocks[ci][my * vs + by, mx * hs + bx]
-                    t = reader.decode_symbol(dc_tbl)
-                    preds[ci] += _extend(reader.receive(t), t)
-                    coef[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_symbol(ac_tbl)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:     # ZRL
-                                k += 16
-                                continue
-                            break           # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError(
-                                "corrupt JPEG: AC run past block end")
-                        coef[ZIGZAG[k]] = _extend(reader.receive(s), s)
-                        k += 1
 
     # Dequantize + batched IDCT per component, then upsample/crop.
     planes = []
@@ -494,12 +673,29 @@ def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(height: int, width: int, rgb: bytes, quality: int = 90,
-                subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """Encode flat RGB bytes as a baseline JFIF JPEG (Annex K tables
-    scaled by ``quality``, interleaved single scan, 4:4:4 or 4:2:0,
-    optional DRI restart markers)."""
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_seg(tid: int, q: np.ndarray) -> bytes:
+    return _seg(0xDB, bytes([tid]) + bytes(int(q[z]) for z in ZIGZAG))
+
+
+def _dht_seg(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+def _rgb_to_quantized(height: int, width: int, rgb: bytes, quality: int,
+                      subsampling: str
+                      ) -> tuple[list[np.ndarray], np.ndarray,
+                                 np.ndarray, int, int]:
+    """Shared encoder front half: RGB → YCbCr → (optionally
+    subsampled) planes → zigzag-ordered quantized blocks per
+    component. Returns ``(qz, q_luma, q_chroma, hs, vs)`` — the
+    baseline and progressive encoders differ only in how they
+    entropy-code these identical coefficients (which is what makes
+    decode(progressive) == decode(baseline) bit-exact, the roundtrip
+    oracle in tests/test_jpeg_codec.py)."""
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(
             f"unsupported subsampling {subsampling!r} (4:4:4 or 4:2:0)")
@@ -541,6 +737,17 @@ def encode_jpeg(height: int, width: int, rgb: bytes, quality: int = 90,
         _to_zigzag(_raster_blocks(planes[1], q_c)),
         _to_zigzag(_raster_blocks(planes[2], q_c)),
     ]
+    return qz, q_l, q_c, hs, vs
+
+
+def encode_jpeg(height: int, width: int, rgb: bytes, quality: int = 90,
+                subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """Encode flat RGB bytes as a baseline JFIF JPEG (Annex K tables
+    scaled by ``quality``, interleaved single scan, 4:4:4 or 4:2:0,
+    optional DRI restart markers)."""
+    qz, q_l, q_c, hs, vs = _rgb_to_quantized(height, width, rgb,
+                                             quality, subsampling)
 
     dc_l = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -567,31 +774,19 @@ def encode_jpeg(height: int, width: int, rgb: bytes, quality: int = 90,
         preds[2] = _encode_block(wr, qz[2][my, mx], preds[2], dc_c, ac_c)
     wr.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
-            + body
-
-    def dqt(tid: int, q: np.ndarray) -> bytes:
-        return seg(0xDB, bytes([tid])
-                   + bytes(int(q[z]) for z in ZIGZAG))
-
-    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
-                   + bytes(vals))
-
-    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 3)
-              + bytes([1, (hs << 4) | vs, 0])
-              + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
-               + b"\x00\x00")
-    out = MAGIC + app0 + dqt(0, q_l) + dqt(1, q_c)
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, height, width, 3)
+               + bytes([1, (hs << 4) | vs, 0])
+               + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
+                + b"\x00\x00")
+    out = MAGIC + app0 + _dqt_seg(0, q_l) + _dqt_seg(1, q_c)
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += (dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-            + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
-            + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-            + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += (_dht_seg(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+            + _dht_seg(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+            + _dht_seg(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+            + _dht_seg(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
             + sof + sos + bytes(wr.out) + b"\xff\xd9")
     return out
 
@@ -643,3 +838,243 @@ def encode_jpeg_gray(height: int, width: int, gray: bytes,
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return MAGIC + app0 + dqt + dht + sof + sos + bytes(wr.out) \
         + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G) — exists so the progressive
+# DECODER has a dependency-free fixture generator whose pixel output
+# must equal the baseline pipeline's bit-for-bit (same quantized
+# coefficients, different entropy structuring).
+# ---------------------------------------------------------------------------
+
+# One universal huffman table for every progressive scan: all 256
+# symbols, 254 at length 8 + 2 at length 9 (Kraft 0.996 < 1, canonical
+# per T.81 C.2). The Annex K sequential AC tables lack the EOBn
+# symbols (r<<4 for r >= 1) progressive EOB runs need; a fixture
+# encoder optimizes for coverage, not compression.
+PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0]
+PROG_VALS = list(range(256))
+
+# The scan script: spectral selection AND successive approximation on
+# every component, so a decode exercises DC first/refine, AC
+# first/refine, banded scans, and cross-block EOB runs.
+_PROG_SCANS = [
+    ("dc_first", None, 0, 0, 0, 1),
+    ("ac_first", 0, 1, 5, 0, 2),
+    ("ac_first", 1, 1, 63, 0, 1),
+    ("ac_first", 2, 1, 63, 0, 1),
+    ("ac_first", 0, 6, 63, 0, 2),
+    ("ac_refine", 0, 1, 63, 2, 1),
+    ("dc_refine", None, 0, 0, 1, 0),
+    ("ac_refine", 0, 1, 63, 1, 0),
+    ("ac_refine", 1, 1, 63, 1, 0),
+    ("ac_refine", 2, 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(height: int, width: int, rgb: bytes,
+                            quality: int = 90,
+                            subsampling: str = "4:4:4",
+                            restart_interval: int = 0) -> bytes:
+    """Encode flat RGB bytes as a PROGRESSIVE JFIF JPEG (SOF2): the
+    same quantized coefficients as :func:`encode_jpeg`, entropy-coded
+    as the 10-scan spectral-selection + successive-approximation
+    script above. ``decode_jpeg(encode_jpeg_progressive(img)) ==
+    decode_jpeg(encode_jpeg(img))`` bit-for-bit — the test oracle.
+    ``restart_interval`` (in MCUs of each scan) emits RSTn markers in
+    every scan, pinning the progressive restart paths too."""
+    qz, q_l, q_c, hs, vs = _rgb_to_quantized(height, width, rgb,
+                                             quality, subsampling)
+    tbl = _build_encode_table(PROG_BITS, PROG_VALS)
+    samp = [(hs, vs), (1, 1), (1, 1)]
+    mcus_y, mcus_x = qz[1].shape[0], qz[1].shape[1]
+
+    def comp_blocks(ci: int):
+        """Non-interleaved block order over the component's OWN
+        ceil(size/8) grid (T.81 A.2.2)."""
+        csh, csv = samp[ci]
+        cw = -(-(width * csh) // hs)
+        ch = -(-(height * csv) // vs)
+        wb, hb = -(-cw // 8), -(-ch // 8)
+        for i in range(wb * hb):
+            by, bx = divmod(i, wb)
+            yield qz[ci][by, bx]
+
+    class _ScanWriter:
+        """Bit writer + EOB-run / correction-bit buffering + restart
+        emission shared by the four scan kinds. Two DISTINCT bit
+        buffers (the subtlety of G.1.2.3): ``br`` holds the CURRENT
+        block's pending correction bits, emitted right after the next
+        in-block symbol (the decoder reads them while walking the
+        symbol's zero-history run); ``be`` holds correction bits of
+        blocks that joined the EOB run, emitted right after the EOBn
+        symbol (the decoder reads them in those blocks' tail walks)."""
+
+        def __init__(self) -> None:
+            self.wr = _BitWriter()
+            self.eobrun = 0
+            self.br: list[int] = []
+            self.be: list[int] = []
+            self.rst = 0
+            self.n_units = 0
+
+        def sym(self, s: int) -> None:
+            code, length = tbl[s]
+            self.wr.write(code, length)
+
+        def emit_br(self) -> None:
+            for b in self.br:
+                self.wr.write(b, 1)
+            self.br = []
+
+        def flush_eobrun(self) -> None:
+            if self.eobrun > 0:
+                rr = self.eobrun.bit_length() - 1
+                self.sym(rr << 4)
+                if rr:
+                    self.wr.write(self.eobrun - (1 << rr), rr)
+                self.eobrun = 0
+            for b in self.be:
+                self.wr.write(b, 1)
+            self.be = []
+
+        def unit_boundary(self) -> None:
+            """Call BEFORE each MCU/block: emits RSTn on interval."""
+            if (restart_interval and self.n_units
+                    and self.n_units % restart_interval == 0):
+                self.flush_eobrun()
+                self.wr.flush()
+                self.wr.out += bytes([0xFF, 0xD0 + self.rst])
+                self.rst = (self.rst + 1) % 8
+                self.reset_state()
+            self.n_units += 1
+
+        def reset_state(self) -> None:
+            pass  # per-kind hooks assign over it
+
+        def finish(self) -> bytes:
+            self.flush_eobrun()
+            self.wr.flush()
+            return bytes(self.wr.out)
+
+    def dc_first(al: int) -> bytes:
+        sw = _ScanWriter()
+        preds = [0, 0, 0]
+        sw.reset_state = lambda: preds.__setitem__(
+            slice(None), [0, 0, 0])
+        for mcu in range(mcus_x * mcus_y):
+            sw.unit_boundary()
+            my, mx = divmod(mcu, mcus_x)
+            for ci in range(3):
+                csh, csv = samp[ci]
+                for by in range(csv):
+                    for bx in range(csh):
+                        v = int(qz[ci][my * csv + by,
+                                       mx * csh + bx][0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = abs(diff).bit_length()
+                        sw.sym(t)
+                        if t:
+                            sw.wr.write(
+                                diff if diff >= 0
+                                else diff + (1 << t) - 1, t)
+        return sw.finish()
+
+    def dc_refine(al: int) -> bytes:
+        sw = _ScanWriter()
+        for mcu in range(mcus_x * mcus_y):
+            sw.unit_boundary()
+            my, mx = divmod(mcu, mcus_x)
+            for ci in range(3):
+                csh, csv = samp[ci]
+                for by in range(csv):
+                    for bx in range(csh):
+                        v = int(qz[ci][my * csv + by,
+                                       mx * csh + bx][0])
+                        sw.wr.write((v >> al) & 1, 1)
+        return sw.finish()
+
+    def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        sw = _ScanWriter()
+        for block in comp_blocks(ci):
+            sw.unit_boundary()
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(block[k])
+                t = abs(v) >> al        # AC point transform: toward 0
+                if t == 0:
+                    r += 1
+                    continue
+                sw.flush_eobrun()
+                while r > 15:
+                    sw.sym(0xF0)        # ZRL
+                    r -= 16
+                s = t.bit_length()
+                sw.sym((r << 4) | s)
+                v2 = t if v >= 0 else -t
+                sw.wr.write(v2 if v2 >= 0 else v2 + (1 << s) - 1, s)
+                r = 0
+            if r > 0:
+                sw.eobrun += 1
+                if sw.eobrun == 0x7FFF:
+                    sw.flush_eobrun()
+        return sw.finish()
+
+    def ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        sw = _ScanWriter()
+        for block in comp_blocks(ci):
+            sw.unit_boundary()
+            absv = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+            eob = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            r = 0
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    sw.flush_eobrun()
+                    sw.sym(0xF0)
+                    r -= 16
+                    sw.emit_br()
+                if t > 1:               # history-nonzero: correction
+                    sw.br.append(t & 1)
+                    continue
+                sw.flush_eobrun()       # newly significant
+                sw.sym((r << 4) | 1)
+                sw.wr.write(1 if int(block[ss + i]) >= 0 else 0, 1)
+                sw.emit_br()
+                r = 0
+            if r > 0 or sw.br:
+                sw.eobrun += 1
+                sw.be += sw.br
+                sw.br = []
+                if sw.eobrun == 0x7FFF:
+                    sw.flush_eobrun()
+        return sw.finish()
+
+    out = MAGIC + _seg(0xE0, b"JFIF\x00\x01\x01\x00"
+                       + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    out += _dqt_seg(0, q_l) + _dqt_seg(1, q_c)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _dht_seg(0, 0, PROG_BITS, PROG_VALS)
+    out += _dht_seg(1, 0, PROG_BITS, PROG_VALS)
+    out += _seg(0xC2, struct.pack(">BHHB", 8, height, width, 3)
+                + bytes([1, (hs << 4) | vs, 0])
+                + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    for kind, ci, ss, se, ah, al in _PROG_SCANS:
+        if kind == "dc_first":
+            body, sel = dc_first(al), [1, 0x00, 2, 0x00, 3, 0x00]
+        elif kind == "dc_refine":
+            body, sel = dc_refine(al), [1, 0x00, 2, 0x00, 3, 0x00]
+        elif kind == "ac_first":
+            body, sel = ac_first(ci, ss, se, al), [ci + 1, 0x00]
+        else:
+            body, sel = ac_refine(ci, ss, se, al), [ci + 1, 0x00]
+        out += _seg(0xDA, bytes([len(sel) // 2] + sel
+                                + [ss, se, (ah << 4) | al])) + body
+    return out + b"\xff\xd9"

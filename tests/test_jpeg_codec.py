@@ -83,10 +83,6 @@ def test_unsupported_modes_fail_by_name():
     enc = bytearray(J.encode_jpeg(16, 16, img.tobytes()))
     sof = bytes(enc).find(b"\xff\xc0")
     assert sof > 0
-    prog = bytearray(enc)
-    prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
-        J.decode_jpeg(bytes(prog))
     arith = bytearray(enc)
     arith[sof + 1] = 0xC9
     with pytest.raises(ValueError, match="arithmetic"):
@@ -125,3 +121,82 @@ def test_image_features_jpeg_payloads(spark):
     assert abs(rows[1]["mean_pixel_milli"] - 85_000) <= 2_000
     assert rows[2]["height"] == 10 and rows[2]["width"] == 18
     assert abs(rows[2]["mean_pixel_milli"] - 20_000) <= 2_000
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — VERDICT r8 task 6
+# ---------------------------------------------------------------------------
+
+def test_progressive_decode_equals_baseline_bit_exact():
+    """The decisive oracle: encode_jpeg_progressive writes the SAME
+    quantized coefficients as encode_jpeg through the 10-scan
+    spectral-selection + successive-approximation script, so decoding
+    both must give IDENTICAL pixels — across sizes, subsampling,
+    quality, and per-scan restart markers (which also pin the
+    progressive restart reset of DC predictors and EOB runs)."""
+    rng = np.random.default_rng(11)
+    for h, w in [(8, 8), (16, 16), (41, 53), (64, 48), (100, 30)]:
+        for subs in ("4:4:4", "4:2:0"):
+            for rst in (0, 2):
+                for img in (
+                    rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+                    _gradient(h, w),
+                ):
+                    base = J.decode_jpeg(J.encode_jpeg(
+                        h, w, img.tobytes(), quality=80,
+                        subsampling=subs))
+                    prog = J.decode_jpeg(J.encode_jpeg_progressive(
+                        h, w, img.tobytes(), quality=80,
+                        subsampling=subs, restart_interval=rst))
+                    assert base == prog, (h, w, subs, rst)
+
+
+def test_progressive_solid_color_long_eob_runs():
+    """A solid image zeroes every AC coefficient: all AC scans are one
+    giant cross-block EOB run (the (1<<r)+ext path), and the refine
+    scans are EOB-run-only. Must still equal baseline decode."""
+    for color in [(255, 0, 0), (10, 20, 30), (128, 128, 128)]:
+        img = np.zeros((48, 64, 3), np.uint8)
+        img[:] = color
+        base = J.decode_jpeg(J.encode_jpeg(48, 64, img.tobytes()))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(
+            48, 64, img.tobytes()))
+        assert base == prog
+
+
+def test_progressive_quality_ladder_psnr():
+    img = _gradient(40, 56)
+    prev = 0.0
+    for q in (30, 60, 90):
+        enc = J.encode_jpeg_progressive(40, 56, img.tobytes(), quality=q)
+        _, _, rgb = J.decode_jpeg(enc)
+        psnr = _psnr(np.frombuffer(rgb, np.uint8).reshape(40, 56, 3),
+                     img)
+        assert psnr > prev  # monotone in quality
+        prev = psnr
+    assert prev > 35.0
+
+
+def test_progressive_is_sof2_and_multi_scan():
+    enc = J.encode_jpeg_progressive(16, 16, _gradient(16, 16).tobytes())
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    assert enc.count(b"\xff\xda") == len(J._PROG_SCANS)
+
+
+def test_image_features_progressive_jpeg_payload(spark):
+    """The decoded mapInPandas path on a PROGRESSIVE JPEG payload —
+    the r8 'progressive fails loudly' gate replaced by a real decode
+    in every reproducible environment (VERDICT r8 task 6 done
+    criterion)."""
+    from batch_processing_analysis_spark.operators import multimodal as M
+
+    img = np.zeros((10, 18, 3), np.uint8)
+    img[:] = (10, 20, 30)
+    payload = J.encode_jpeg_progressive(10, 18, img.tobytes(),
+                                        subsampling="4:2:0")
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary")
+    row = M.image_features(media).collect()[0]
+    assert row["height"] == 10 and row["width"] == 18
+    assert row["channels"] == 3
+    assert abs(row["mean_pixel_milli"] - 20_000) <= 2_000
