@@ -86,6 +86,24 @@ def main() -> None:
                     "sf": 0.1 * args.factor, "queries": {},
                     "facades": {}}
 
+    def clear_persisted() -> None:
+        """Blocking-unpersist EVERY lingering block-manager entry.
+        The operators localCheckpoint small staging frames and rely on
+        session teardown to free them; a probe that runs the heavy
+        family back-to-back at ×100 in ONE session accumulates those
+        checkpoints until storage pins the heap — measured r9: after
+        q143's (completed, sized) run the probe session heap-OOMed in
+        q163's guard aggregate and every later row died on lost
+        blocks. Each probe row now starts with an empty block
+        manager — that is the isolation the per-query measurements
+        claim anyway."""
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(True)
+        spark.catalog.clearCache()
+
     def time_once(fn) -> float:
         t0 = time.time()
         fn(spark, big).write.format("noop").mode("overwrite").save()
@@ -102,6 +120,8 @@ def main() -> None:
         except Exception as e:  # record, keep probing
             result["queries"][name] = f"error:{type(e).__name__}"
             print(f"{name}: {e}", file=sys.stderr)
+        finally:
+            clear_persisted()
         print(f"{name}: {result['queries'][name]}", file=sys.stderr)
 
     # facades on the blown-up dir (analyze_batches over the x100
@@ -135,6 +155,8 @@ def main() -> None:
             except Exception as e:
                 result["facades"][label] = f"error:{type(e).__name__}"
                 print(f"{label}: {e}", file=sys.stderr)
+            finally:
+                clear_persisted()
             print(f"{label}: {result['facades'][label]}", file=sys.stderr)
 
         run_facade("analyze_batches_events",
