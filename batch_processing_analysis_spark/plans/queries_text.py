@@ -30,6 +30,7 @@ from ..operators import search as SR
 from ..operators import sketches as SK
 from ..operators import similarity as S
 from ..operators import text_analysis as TA
+from ..functions import web as WEB
 from ..sources.tables import load_table
 from .registry import query
 
@@ -5080,3 +5081,132 @@ def q168_hist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", "n_chars"),
         "n_chars", s=4, group_cols=("source",))
     return SK.hist_drift(old_hist, new_hist, group_cols=("source",))
+
+
+@query(
+    "q169_url_domain_census",
+    r"""
+    WITH u AS (
+      SELECT
+        (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS'
+              WHEN doc_id % 3 = 1 THEN 'http' ELSE 'https' END)
+        || '://'
+        || (CASE WHEN doc_id % 17 = 0 THEN 'user:pw@' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' || source || '.Example.CO.UK'
+                 WHEN doc_id % 5 = 1 THEN source || '.example.com'
+                 WHEN doc_id % 5 = 2 THEN 'cdn.' || source || '.example.com.au'
+                 WHEN doc_id % 5 = 3 THEN '10.0.0.' || CAST(doc_id % 4 AS VARCHAR)
+                 ELSE 'intra-' || source END)
+        || (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+                 WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 0 THEN ''
+                 ELSE '/Docs/' || CAST(doc_id % 10 AS VARCHAR) END)
+        || (CASE WHEN doc_id % 6 = 0 THEN '?utm=1&ID=' || CAST(doc_id % 5 AS VARCHAR)
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 9 = 0 THEN '#Sec-' || CAST(doc_id % 3 AS VARCHAR)
+                 ELSE '' END) AS url
+      FROM documents
+    ),
+    p AS (
+      SELECT url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        regexp_extract(url, '\?([^#]*)', 1) AS q
+      FROM u
+    ),
+    p2 AS (
+      SELECT url, scheme, path, q,
+        regexp_extract(auth, '^([^@]*@)', 1) AS userinfo,
+        lower(regexp_replace(regexp_replace(auth, '^[^@]*@', ''),
+                             ':([0-9]+)$', '')) AS host,
+        (CASE WHEN regexp_extract(auth, ':([0-9]+)$', 1) <> ''
+              THEN CAST(regexp_extract(auth, ':([0-9]+)$', 1) AS INT)
+         END) AS port
+      FROM p
+    ),
+    c AS (
+      SELECT scheme, host, path,
+        scheme || '://' || userinfo || host
+        || (CASE WHEN port IS NOT NULL
+                  AND NOT (scheme = 'http' AND port = 80)
+                  AND NOT (scheme = 'https' AND port = 443)
+                 THEN ':' || CAST(port AS VARCHAR) ELSE '' END)
+        || (CASE WHEN path = '' THEN '/' ELSE path END)
+        || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon,
+        (CASE WHEN regexp_matches(host, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$')
+                OR NOT contains(host, '.') THEN host
+              WHEN regexp_matches(host, '\.(co\.uk|org\.uk|ac\.uk|gov\.uk|co\.jp|ne\.jp|or\.jp|com\.au|net\.au|org\.au|co\.nz|com\.br|com\.cn|com\.mx|co\.in|co\.kr|com\.sg|com\.tr|co\.za)$')
+              THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+              ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+         END) AS domain
+      FROM p2
+    )
+    SELECT domain, count(*) AS n_urls,
+           count(DISTINCT host) AS n_hosts,
+           count(DISTINCT path) AS n_paths,
+           count(DISTINCT canon) AS n_canon,
+           CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_https
+    FROM c GROUP BY domain
+    """,
+    primary=True,
+)
+def q169_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain census over a URL column
+    (functions/web.py, M154): scheme/host/userinfo/port/path/query
+    parsing, RFC 3986 canonicalization (lowercase scheme+host, default
+    ports dropped, empty path -> '/', fragment dropped), and
+    registrable-domain extraction (two-level public-suffix aware,
+    IPv4/dotless passthrough) — the key primitives behind per-domain
+    quotas, blocklists, and URL-level dedup in a web-scale corpus.
+
+    The driver testdata has no URL column, so the query derives a
+    deterministic one from (doc_id, source) — mixed-case schemes and
+    hosts, userinfo, default AND non-default ports, empty paths,
+    queries, fragments, co.uk/com.au suffixes, IPv4 and dotless hosts
+    — and BOTH engines parse the same derived strings with the same
+    regexps (Java regex ∩ RE2 subset, shared verbatim from
+    functions/web.py), so the oracle checks the parsing, not the
+    construction. All-integer output. First driver window r9."""
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.when(d % 3 == 0, "HTTPS").when(d % 3 == 1, "http")
+        .otherwise("https"),
+        F.lit("://"),
+        F.when(d % 17 == 0, "user:pw@").otherwise(""),
+        F.when(d % 5 == 0, F.concat(F.lit("WWW."), F.col("source"),
+                                    F.lit(".Example.CO.UK")))
+        .when(d % 5 == 1, F.concat(F.col("source"), F.lit(".example.com")))
+        .when(d % 5 == 2, F.concat(F.lit("cdn."), F.col("source"),
+                                   F.lit(".example.com.au")))
+        .when(d % 5 == 3, F.concat(F.lit("10.0.0."),
+                                   (d % 4).cast("string")))
+        .otherwise(F.concat(F.lit("intra-"), F.col("source"))),
+        F.when(d % 7 == 0, ":8080").when(d % 2 == 0, ":443").otherwise(""),
+        F.when(d % 4 == 0, "").otherwise(
+            F.concat(F.lit("/Docs/"), (d % 10).cast("string"))),
+        F.when(d % 6 == 0, F.concat(F.lit("?utm=1&ID="),
+                                    (d % 5).cast("string"))).otherwise(""),
+        F.when(d % 9 == 0, F.concat(F.lit("#Sec-"),
+                                    (d % 3).cast("string"))).otherwise(""),
+    )
+    parsed = docs.select(
+        WEB.url_scheme(url).alias("scheme"),
+        WEB.url_host(url).alias("host"),
+        WEB.url_path(url).alias("path"),
+        WEB.url_canonicalize(url).alias("canon"),
+    )
+    return (
+        parsed.withColumn("domain", WEB.registered_domain(F.col("host")))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("path").alias("n_paths"),
+            F.countDistinct("canon").alias("n_canon"),
+            F.sum(F.when(F.col("scheme") == "https", 1).otherwise(0))
+            .alias("n_https"),
+        )
+    )

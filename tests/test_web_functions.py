@@ -1,0 +1,97 @@
+"""URL parsing / canonicalization / registered-domain tests (M154,
+functions/web.py) — edge-case matrix pinned against hand-computed
+expectations; q169's DuckDB oracle twin covers the cross-engine
+regexp parity at corpus scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_processing_analysis_spark.functions import web as WEB
+
+CASES = [
+    # url, scheme, host, port, path, query, canonical
+    ("https://Example.COM/a/B?x=1#frag",
+     "https", "example.com", None, "/a/B", "x=1",
+     "https://example.com/a/B?x=1"),
+    ("HTTP://WWW.Example.com:80/",
+     "http", "www.example.com", 80, "/", "",
+     "http://www.example.com/"),
+    ("http://example.com:8080",
+     "http", "example.com", 8080, "", "",
+     "http://example.com:8080/"),
+    ("https://user:pw@Host.co.uk:443/p?q=2",
+     "https", "host.co.uk", 443, "/p", "q=2",
+     "https://user:pw@host.co.uk/p?q=2"),
+    ("http://example.com:443/x",  # 443 is NOT http's default
+     "http", "example.com", 443, "/x", "",
+     "http://example.com:443/x"),
+    ("ftp://10.0.0.1/file.bin",
+     "ftp", "10.0.0.1", None, "/file.bin", "",
+     "ftp://10.0.0.1/file.bin"),
+    ("https://localhost?a=b#c",
+     "https", "localhost", None, "", "a=b",
+     "https://localhost/?a=b"),
+    ("not a url at all", "", "", None, "", "", None),
+]
+
+
+def _parse_all(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    u = F.col("url")
+    return df.select(
+        "url",
+        WEB.url_scheme(u).alias("scheme"),
+        WEB.url_host(u).alias("host"),
+        WEB.url_port(u).alias("port"),
+        WEB.url_path(u).alias("path"),
+        WEB.url_query(u).alias("query"),
+        WEB.url_canonicalize(u).alias("canon"),
+    ).collect()
+
+
+def test_url_parsing_matrix(spark):
+    rows = {r["url"]: r for r in _parse_all(spark, [c[0] for c in CASES])}
+    for url, scheme, host, port, path, query, canon in CASES:
+        r = rows[url]
+        assert r["scheme"] == scheme, url
+        assert r["host"] == host, url
+        assert r["port"] == port, url
+        assert r["path"] == path, url
+        assert r["query"] == query, url
+        assert r["canon"] == canon, url
+
+
+def test_registered_domain(spark):
+    cases = [
+        ("www.example.com", "example.com"),
+        ("a.b.c.example.co.uk", "example.co.uk"),
+        ("example.com.au", "example.com.au"),
+        ("deep.sub.example.org", "example.org"),
+        ("localhost", "localhost"),
+        ("10.20.30.40", "10.20.30.40"),
+        # "co.fr" is NOT a pinned suffix -> plain last-two rule
+        ("shop.example.co.fr", "co.fr"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {r["host"]: r["dom"] for r in df.select(
+        "host", WEB.registered_domain(F.col("host")).alias("dom")
+    ).collect()}
+    assert got["www.example.com"] == "example.com"
+    assert got["a.b.c.example.co.uk"] == "example.co.uk"
+    assert got["example.com.au"] == "example.com.au"
+    assert got["deep.sub.example.org"] == "example.org"
+    assert got["localhost"] == "localhost"
+    assert got["10.20.30.40"] == "10.20.30.40"
+    assert got["shop.example.co.fr"] == "co.fr"
+
+
+def test_parsing_stays_in_codegen(spark):
+    # no UDF / Python in the plan: BatchScan -> Project only
+    df = spark.createDataFrame([("https://a.example.com/x",)],
+                               "url string")
+    plan = df.select(
+        WEB.url_canonicalize(F.col("url")).alias("c")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
