@@ -1338,3 +1338,296 @@ def embedding_dispersion(corpus: DataFrame, id_col: str = "vec_id",
                F.floor(F.sqrt(num / den) + F.lit(0.5)))
         .otherwise(F.lit(0)).cast("long").alias("rms_pair_dist_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (M156): PQ codebooks, encoding, ADC top-k
+# ---------------------------------------------------------------------------
+# Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+# Search" (IEEE TPAMI 2011). The memory side of the 100 TB ANN story:
+# a d-dim float vector (d·4 bytes) compresses to m subspace code ids
+# (m bytes at ksub ≤ 256) — 32× at d=64, m=8 — and queries score
+# candidates with Asymmetric Distance Computation (ADC): one
+# (query × codebook) lookup table of m·ksub partial dots, then each
+# candidate's similarity is a SUM of m table entries keyed by its
+# codes. Everything here follows the engine's integer-quantization
+# idiom (SRP_Q): vectors quantize through floor(x·2^20 + 0.5) as
+# int64, so every dot/norm/distance is an EXACT integer — bitwise
+# reproducible in any summation order, hash-matchable in DuckDB — and
+# only the final similarity division is float (rounded 6dp).
+#
+# Codebook selection mirrors the IVF convention (q46): deterministic
+# stride subsample (codeword j of every subspace = vector
+# id == j·stride), oracle-checkable in SQL; a trained (k-means)
+# codebook drops in as a DataFrame with the same schema and changes
+# recall, not the plan. ADC scoring is the brute-force-over-codes
+# baseline (every query scores every candidate — the compression is
+# memory/IO, not candidate pruning); compose with the IVF bucket
+# machinery (IVF-PQ) to prune candidates at corpus scale.
+
+
+def quantize_vec(col: Column) -> Column:
+    """array<double> → array<long> via floor(x·SRP_Q + 0.5) — the
+    module's shared exact-integer embedding."""
+    return F.transform(
+        col, lambda x: F.floor(x * F.lit(float(SRP_Q)) + F.lit(0.5))
+        .cast("long"))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _int_nsq(a: Column) -> Column:
+    return F.aggregate(F.transform(a, lambda x: x * x),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _subspace_slices(vec: Column, dim: int, m: int) -> Column:
+    dsub = dim // m
+    return F.array(*[F.slice(vec, s * dsub + 1, dsub) for s in range(m)])
+
+
+def pq_codebooks(corpus: DataFrame, dim: int, m: int = 4, ksub: int = 8,
+                 stride: int = 50, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Deterministic PQ codebooks (subspace, code, cvq array<long>,
+    cnsq long): codeword ``j`` of every subspace is the quantized
+    sub-vector of corpus id ``j·stride`` (the q46 stride convention —
+    assumes the testdata's dense id space; arbitrary-id corpora pass
+    a trained codebook with this schema instead). No window, no join:
+    filter + arithmetic code assignment + one posexplode."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    base = _as_double(corpus, vec_col).filter(
+        (F.col(id_col) % stride == 0) & (F.col(id_col) < ksub * stride))
+    return (
+        base.select(
+            (F.col(id_col) / stride).cast("int").alias("code"),
+            quantize_vec(F.col(vec_col)).alias("_vq"))
+        .select("code",
+                F.posexplode(_subspace_slices(F.col("_vq"), dim, m))
+                .alias("subspace", "cvq"))
+        .select("subspace", "code", "cvq",
+                _int_nsq(F.col("cvq")).alias("cnsq"))
+    )
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame, dim: int,
+              m: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every corpus vector as its per-subspace nearest-codeword
+    ids → (id, codes array<int>). The N·ksub·m assignment runs as a
+    vectorized int64 Arrow kernel (codebooks collected driver-side —
+    m·ksub rows, broadcast in the task closure); integer L2² distances
+    are exact, so ties break on the lowest code id in BOTH engines
+    (np.argmin first-index ≡ ORDER BY dist, code)."""
+    dsub = dim // m
+    rows = codebooks.select("subspace", "code", "cvq").collect()
+    ksub = max(r["code"] for r in rows) + 1
+    C = np.zeros((m, ksub, dsub), dtype=np.int64)
+    for r in rows:
+        C[r["subspace"]][r["code"]] = r["cvq"]
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+    scale = float(SRP_Q)
+
+    def _enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            Xq = np.floor(X * scale + 0.5).astype(np.int64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                Xs = Xq[:, s * dsub:(s + 1) * dsub]
+                diff = Xs[:, None, :] - C[s][None, :, :]
+                codes[:, s] = np.argmin((diff * diff).sum(axis=2), axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes)})
+
+    return (
+        _as_double(corpus, vec_col)
+        .select(id_col, vec_col)
+        .mapInPandas(_enc, out_schema)
+    )
+
+
+def _pq_adc(encoded: DataFrame, codebooks: DataFrame, queries: DataFrame,
+            dim: int, m: int, k: int, id_col: str,
+            vec_col: str) -> DataFrame:
+    """ADC top-k core shared by :func:`pq_adc_topk` (inline encoding)
+    and :func:`pq_topk_from_index` (published codes): LUT = queries ⋈
+    broadcast codebooks (|Q|·m·ksub rows of exact-integer partial
+    dots), candidates = exploded codes ⋈ broadcast LUT on
+    (subspace, code), similarity = Σ partial dots (exact int64 sum —
+    order-free) over ‖q‖·‖x̂‖, top-k per query with id tiebreak."""
+    qd = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col)).alias("_qq"))
+    qsub = (
+        qd.withColumn("_qnsq", _int_nsq(F.col("_qq")))
+        .select("query_id", "_qnsq",
+                F.posexplode(_subspace_slices(F.col("_qq"), dim, m))
+                .alias("subspace", "_qsv"))
+    )
+    lut = qsub.join(F.broadcast(codebooks), "subspace").select(
+        "query_id", "_qnsq", "subspace",
+        F.col("code").cast("int").alias("code"),
+        _int_dot(F.col("_qsv"), F.col("cvq")).alias("_pdot"),
+        "cnsq")
+    enc = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"))
+    cand = enc.join(F.broadcast(lut), ["subspace", "code"])
+    agg = (
+        cand.groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_pdot").alias("_adc"),
+             F.sum("cnsq").alias("_cnsq"),
+             F.max("_qnsq").alias("_qnsq"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(
+            F.col("_adc")
+            / (F.sqrt(F.col("_qnsq")) * F.sqrt(F.col("_cnsq"))), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"),
+                                          F.asc("neighbor_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+                m: int = 4, ksub: int = 8, stride: int = 50, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                codebooks: DataFrame | None = None) -> DataFrame:
+    """PQ/ADC approximate top-k (query_id, neighbor_id, rank, sim) —
+    same output shape as :func:`brute_force_topk`/:func:`ivf_topk`;
+    recall < 1 is the memory dial (m·log2(ksub) bits per vector)."""
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, dim, m, ksub, stride, id_col,
+                                 vec_col)
+    enc = pq_encode(corpus, codebooks, dim, m, id_col, vec_col)
+    return _pq_adc(enc, codebooks, queries, dim, m, k, id_col, vec_col)
+
+
+def publish_pq_index(spark, corpus: DataFrame, table_prefix: str,
+                     dim: int, m: int = 4, ksub: int = 8,
+                     stride: int = 50, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     path_root: str | None = None) -> None:
+    """Persist PQ state (the M150 pattern applied to quantization):
+    ``{prefix}_codebooks`` (subspace, code, cvq, cnsq) and
+    ``{prefix}_codes`` (id, codes) — the N·ksub·m encode pass runs
+    ONCE at publish; probes replay ADC joins over the (32×-smaller)
+    code table with no Python stage and no re-encode. Probes return
+    BIT-IDENTICAL rows to the inline operator (tests/test_pq.py)."""
+    cb = pq_codebooks(corpus, dim, m, ksub, stride, id_col, vec_col)
+    w = cb.write.mode("overwrite").format("parquet")
+    if path_root:
+        w = w.option("path", f"{path_root}/{table_prefix}_codebooks")
+    w.saveAsTable(f"{table_prefix}_codebooks")
+    spark_cb = spark.table(f"{table_prefix}_codebooks")
+    codes = pq_encode(corpus, spark_cb, dim, m, id_col, vec_col)
+    w2 = codes.write.mode("overwrite").format("parquet")
+    if path_root:
+        w2 = w2.option("path", f"{path_root}/{table_prefix}_codes")
+    w2.saveAsTable(f"{table_prefix}_codes")
+
+
+def pq_topk_from_index(spark, queries: DataFrame, table_prefix: str,
+                       dim: int, m: int = 4, k: int = 5,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k against :func:`publish_pq_index` state: identical
+    rows to :func:`pq_adc_topk` with the same codebooks, but the plan
+    is pure scans + joins — no mapInPandas encode stage (asserted in
+    tests/test_pq.py)."""
+    cb = spark.table(f"{table_prefix}_codebooks")
+    codes = spark.table(f"{table_prefix}_codes")
+    return _pq_adc(codes, cb, queries, dim, m, k, id_col, vec_col)
+
+
+def pq_codebooks_kmeans(corpus: DataFrame, dim: int, m: int = 4,
+                        ksub: int = 16, seed: int = 42, iters: int = 25,
+                        sample_limit: int = 100_000,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Trained PQ codebooks: seeded driver-side Lloyd iterations per
+    subspace over a sampled collect (codebook training is a
+    constant-size problem — ``sample_limit`` rows bound driver memory
+    regardless of corpus size; the full-corpus ENCODE stays
+    distributed). Same schema as :func:`pq_codebooks`, so it drops
+    into every PQ entry point; like :func:`kmeans_centroids`, seeded ⇒
+    reproducible on a fixed layout, so it feeds the recall-graded path
+    while the stride variant stays the oracle-checked default."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    X = np.array(
+        [np.asarray(r[vec_col], dtype=np.float64)
+         for r in _as_double(corpus, vec_col)
+         .select(vec_col).limit(sample_limit).collect()])
+    rng = np.random.RandomState(seed)
+    rows = []
+    for s in range(m):
+        data = X[:, s * dsub:(s + 1) * dsub]
+        C = data[rng.choice(len(data), min(ksub, len(data)),
+                            replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((data[:, None, :] - C[None]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(C)):
+                members = data[assign == j]
+                if len(members):  # empty cluster keeps its centroid
+                    C[j] = members.mean(axis=0)
+        Cq = np.floor(C * float(SRP_Q) + 0.5).astype(np.int64)
+        rows += [(s, j, [int(v) for v in Cq[j]],
+                  int((Cq[j] * Cq[j]).sum())) for j in range(len(Cq))]
+    return corpus.sparkSession.createDataFrame(
+        rows, "subspace int, code int, cvq array<long>, cnsq long")
+
+
+def pq_topk_rerank(corpus: DataFrame, queries: DataFrame, dim: int,
+                   m: int = 4, ksub: int = 8, stride: int = 50,
+                   k: int = 5, shortlist: int = 50,
+                   codebooks: DataFrame | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """The production PQ shape: ADC shortlists ``shortlist``
+    candidates per query from the compressed codes (the 32×-smaller
+    scan), then ONLY those |Q|·shortlist pairs are re-scored with
+    exact cosine against full-precision vectors and re-ranked to
+    top-k. Raw 32-bit ADC ranks coarsely on high-entropy embeddings
+    (recall@5 ≈ 0.15 on the test fixture); shortlist+rerank recovers
+    ≈ 0.76 at R=50 (tests/test_pq.py) while the full-precision fetch
+    stays proportional to |Q|·R, never N."""
+    short = pq_adc_topk(corpus, queries, dim, m, ksub, stride,
+                        k=shortlist, id_col=id_col, vec_col=vec_col,
+                        codebooks=codebooks)
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    sims = (
+        short.select("query_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+                .alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"),
+                                          F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -5210,3 +5210,84 @@ def q169_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_https"),
         )
     )
+
+
+# q170 oracle fragments: PQ/ADC with the module's exact-integer
+# quantization (floor(x·2^20 + 0.5) → BIGINT) — dim 64, m=4 subspaces
+# of 16 dims, ksub=8 stride-50 codewords, queries vec_id < 10, k=5.
+_PQ_IDOT = ("list_reduce(list_transform(range(1, 17), "
+            "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+_PQ_D2 = ("list_reduce(list_transform(range(1, 17), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)")
+
+_PQ_SQL = f"""
+    WITH {EMB_SQL},
+    eq AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(floor(x * 1048576.0 + 0.5)
+                                              AS BIGINT)) AS vq
+           FROM e),
+    ss AS (SELECT unnest(range(4)) AS subspace),
+    sub AS (SELECT vec_id, subspace,
+                   vq[subspace * 16 + 1 : subspace * 16 + 16] AS sv
+            FROM eq CROSS JOIN ss),
+    cb AS (SELECT subspace, CAST(vec_id // 50 AS INT) AS code, sv AS cv,
+                  {_PQ_IDOT.format(a='sv', b='sv')} AS cnsq
+           FROM sub WHERE vec_id % 50 = 0 AND vec_id < 400),
+    enc AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT sub.vec_id, sub.subspace, cb.code,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.subspace
+                 ORDER BY {_PQ_D2.format(a='sub.sv', b='cb.cv')} ASC,
+                          cb.code ASC) AS rn
+        FROM sub JOIN cb USING (subspace)
+      ) WHERE rn = 1
+    ),
+    qn AS (SELECT vec_id AS query_id,
+                  list_reduce(list_transform(vq, x -> x * x),
+                              (x, y) -> x + y) AS qnsq
+           FROM eq WHERE vec_id < 10),
+    lut AS (SELECT s.vec_id AS query_id, qn.qnsq, s.subspace, cb.code,
+                   {_PQ_IDOT.format(a='s.sv', b='cb.cv')} AS pdot,
+                   cb.cnsq
+            FROM sub s JOIN qn ON s.vec_id = qn.query_id
+            JOIN cb USING (subspace)),
+    agg AS (
+      SELECT l.query_id, enc.vec_id AS neighbor_id,
+             sum(l.pdot) AS adc, sum(l.cnsq) AS cnsq_t,
+             max(l.qnsq) AS qnsq
+      FROM enc JOIN lut l ON enc.subspace = l.subspace
+                         AND enc.code = l.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             round(adc / (sqrt(qnsq) * sqrt(cnsq_t)), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(adc / (sqrt(qnsq) * sqrt(cnsq_t)), 6) DESC,
+                        neighbor_id) AS rank
+      FROM agg WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+    """
+
+
+@query(
+    "q170_pq_adc_topk",
+    _PQ_SQL,
+    primary=True,
+)
+def q170_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (operators/similarity.py:
+    pq_adc_topk, M156 — Jégou et al. TPAMI 2011): deterministic
+    stride-50 codebooks (8 codewords x 4 subspaces of 16 dims),
+    vectors encoded to 4 code ids (32x memory compression of the
+    float64 form), queries scored through the per-query lookup table
+    with EXACT int64 arithmetic (the SRP_Q quantization idiom), so
+    codes, partial dots, and norms hash-match DuckDB bit-for-bit and
+    only the final similarity is float (rounded 6dp, rank ordered on
+    the ROUNDED value in both engines). First driver window r9."""
+    embs = _embs(spark, sf_dir)
+    return S.pq_adc_topk(embs, embs.filter(F.col("vec_id") < 10),
+                         dim=64, m=4, ksub=8, stride=50, k=5)

@@ -42,12 +42,12 @@ EXTRA_ORACLES: dict[str, str] = {}
 #   due at r9 close): q11, q28, q136-q141;
 # - q168_hist_drift, the round's new never-green M153 query (must be
 #   in the window per rotation_check);
-# - 40 of the 49 r6-tier queries (newest green r6, due at r10 close)
+# - 39 of the 49 r6-tier queries (newest green r6, due at r10 close)
 #   taken a round early so the r10 window has room for the 50-strong
-#   r7 tier that follows; the 9 deferred are the cheap relational
-#   basics (q01/q02/q04/q05/q07/q14/q15/q16, plus q22 ceded mid-round
-#   to the new q169 — fast re-greens that fit any window), due exactly
-#   at r10 where --plan will list them.
+#   r7 tier that follows; the 10 deferred are the cheap relational
+#   basics (q01/q02/q04/q05/q07/q14/q15/q16, plus q22/q23 ceded
+#   mid-round to the new q169/q170 — fast re-greens that fit any
+#   window), due exactly at r10 where --plan will list them.
 # Rotated OUT: the whole r8 window (every row green in
 # CORRECTNESS_r08, due back r12). q116_canary_hugeint_probe stays
 # RETIRED in the extras registry (designed-red HUGEINT probe,
@@ -63,11 +63,13 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q139_rrf_fusion",
     "q140_ppjoin_exact",
     "q141_token_heavy_hitters",
-    # the round's new never-green queries (M153, M154; q169 swapped in
-    # mid-round for q22_dense_rank — a cedable r6-tier slot, deferred
-    # to r10 with the other relational basics)
+    # the round's new never-green queries (M153, M154, M156; q169/q170
+    # swapped in mid-round for q22_dense_rank/q23_instant_generation —
+    # cedable r6-tier slots, deferred to r10 with the other relational
+    # basics)
     "q168_hist_drift",
     "q169_url_domain_census",
+    "q170_pq_adc_topk",
     # r6-tier, taken one round early (41 of 49)
     "q142_unimax_plan",
     "q144_embedding_gram",
@@ -89,7 +91,6 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q160_linear_scores",
     "q161_embedding_dispersion",
     "q162_jaccard_threshold_profile",
-    "q23_instant_generation",
     "q25_conditional_pivot",
     "q26_trace_subset",
     "q27_calendar_displacement",
