@@ -1631,3 +1631,32 @@ def pq_topk_rerank(corpus: DataFrame, queries: DataFrame, dim: int,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def pq_codes_increment(spark, delta: DataFrame, table_prefix: str,
+                       dim: int, m: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> None:
+    """Maintain a :func:`publish_pq_index` incrementally: encode ONLY
+    the delta vectors against the PUBLISHED (frozen) codebooks and
+    append to ``{prefix}_codes`` — work is |delta|·ksub·m, never a
+    corpus re-encode, completing the publish/increment symmetry the
+    exact joins (M131/M142/M146) and sketches (M151/M152) follow.
+
+    Codebooks stay frozen by design: that is how production PQ indexes
+    evolve (re-training codebooks invalidates every stored code, so it
+    is a REPUBLISH, not an increment; codebook drift is observable via
+    the M153-style census over reconstruction error if needed).
+
+    The disjoint-id contract is POLICED (the incremental.py
+    convention): a delta id already present in the published codes
+    would duplicate rows and corrupt every subsequent ADC ranking, so
+    it raises ``OverlappingIdsError`` naming the remediation."""
+    from .incremental import _check_disjoint_ids
+
+    codes_tbl = f"{table_prefix}_codes"
+    existing = spark.table(codes_tbl)
+    _check_disjoint_ids(existing, delta, id_col,
+                        f"pq_codes_increment({table_prefix})")
+    cb = spark.table(f"{table_prefix}_codebooks")
+    pq_encode(delta, cb, dim, m, id_col, vec_col) \
+        .write.mode("append").format("parquet").saveAsTable(codes_tbl)

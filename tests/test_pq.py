@@ -132,3 +132,37 @@ def test_pq_codebook_geometry(spark, sf_dir):
         dim=64, m=4)
     row = enc.first()
     assert len(row["codes"]) == 4
+
+
+def test_pq_codes_increment_matches_full_publish(spark, sf_dir,
+                                                 tmp_path):
+    # publish on the base half, increment the delta half: probes must
+    # equal a probe against a full-corpus encode with the SAME (base-
+    # published) codebooks — codes are per-vector, so append ≡ re-encode
+    from batch_processing_analysis_spark.operators.incremental import (
+        OverlappingIdsError,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    base = embs.filter(F.col("vec_id") % 2 == 0)
+    delta = embs.filter(F.col("vec_id") % 2 == 1)
+    queries = embs.filter(F.col("vec_id") < 10)
+    S.publish_pq_index(spark, base, "pqinc", dim=64, m=4, ksub=8,
+                       stride=50, path_root=str(tmp_path / "wh"))
+    try:
+        S.pq_codes_increment(spark, delta, "pqinc", dim=64, m=4)
+        inc = sorted(map(tuple, S.pq_topk_from_index(
+            spark, queries, "pqinc", dim=64, m=4, k=5).collect()))
+        cb = spark.table("pqinc_codebooks")
+        full_enc = S.pq_encode(embs, cb, dim=64, m=4)
+        full = sorted(map(tuple, S._pq_adc(
+            full_enc, cb, queries, dim=64, m=4, k=5, id_col="vec_id",
+            vec_col="embedding").collect()))
+        assert inc == full
+        assert inc, "fixture produced no top-k rows"
+        # re-ingesting the same ids is the policed misuse path
+        with pytest.raises(OverlappingIdsError, match="pqinc"):
+            S.pq_codes_increment(spark, delta, "pqinc", dim=64, m=4)
+    finally:
+        for t in ("pqinc_codebooks", "pqinc_codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
