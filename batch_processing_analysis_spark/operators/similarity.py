@@ -1467,41 +1467,12 @@ def _pq_adc(encoded: DataFrame, codebooks: DataFrame, queries: DataFrame,
     dots), candidates = exploded codes ⋈ broadcast LUT on
     (subspace, code), similarity = Σ partial dots (exact int64 sum —
     order-free) over ‖q‖·‖x̂‖, top-k per query with id tiebreak."""
-    qd = _as_double(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        quantize_vec(F.col(vec_col)).alias("_qq"))
-    qsub = (
-        qd.withColumn("_qnsq", _int_nsq(F.col("_qq")))
-        .select("query_id", "_qnsq",
-                F.posexplode(_subspace_slices(F.col("_qq"), dim, m))
-                .alias("subspace", "_qsv"))
-    )
-    lut = qsub.join(F.broadcast(codebooks), "subspace").select(
-        "query_id", "_qnsq", "subspace",
-        F.col("code").cast("int").alias("code"),
-        _int_dot(F.col("_qsv"), F.col("cvq")).alias("_pdot"),
-        "cnsq")
+    lut = _pq_lut(queries, codebooks, dim, m, id_col, vec_col)
     enc = encoded.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("codes").alias("subspace", "code"))
     cand = enc.join(F.broadcast(lut), ["subspace", "code"])
-    agg = (
-        cand.groupBy("query_id", "neighbor_id")
-        .agg(F.sum("_pdot").alias("_adc"),
-             F.sum("cnsq").alias("_cnsq"),
-             F.max("_qnsq").alias("_qnsq"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(
-            F.col("_adc")
-            / (F.sqrt(F.col("_qnsq")) * F.sqrt(F.col("_cnsq"))), 6))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"),
-                                          F.asc("neighbor_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _adc_rank(cand, k)
 
 
 def pq_adc_topk(corpus: DataFrame, queries: DataFrame, dim: int,
@@ -1660,3 +1631,108 @@ def pq_codes_increment(spark, delta: DataFrame, table_prefix: str,
     cb = spark.table(f"{table_prefix}_codebooks")
     pq_encode(delta, cb, dim, m, id_col, vec_col) \
         .write.mode("append").format("parquet").saveAsTable(codes_tbl)
+
+
+def _pq_lut(queries: DataFrame, codebooks: DataFrame, dim: int, m: int,
+            id_col: str, vec_col: str) -> DataFrame:
+    """Per-query ADC lookup table (query_id, _qnsq, subspace, code,
+    _pdot, cnsq) — |Q|·m·ksub rows of exact-integer partial dots,
+    shared by :func:`_pq_adc` (full scan) and :func:`ivfpq_topk`
+    (bucket-pruned scan)."""
+    qd = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col)).alias("_qq"))
+    qsub = (
+        qd.withColumn("_qnsq", _int_nsq(F.col("_qq")))
+        .select("query_id", "_qnsq",
+                F.posexplode(_subspace_slices(F.col("_qq"), dim, m))
+                .alias("subspace", "_qsv"))
+    )
+    return qsub.join(F.broadcast(codebooks), "subspace").select(
+        "query_id", "_qnsq", "subspace",
+        F.col("code").cast("int").alias("code"),
+        _int_dot(F.col("_qsv"), F.col("cvq")).alias("_pdot"),
+        "cnsq")
+
+
+def _adc_rank(cand: DataFrame, k: int) -> DataFrame:
+    """Shared ADC aggregation + ranking over candidate rows
+    (query_id, neighbor_id, _pdot, cnsq, _qnsq)."""
+    agg = (
+        cand.groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_pdot").alias("_adc"),
+             F.sum("cnsq").alias("_cnsq"),
+             F.max("_qnsq").alias("_qnsq"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(
+            F.col("_adc")
+            / (F.sqrt(F.col("_qnsq")) * F.sqrt(F.col("_cnsq"))), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"),
+                                          F.asc("neighbor_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+               m: int = 4, ksub: int = 8, stride: int = 50, k: int = 5,
+               nprobe: int = 3, cent_stride: int = 50,
+               codebooks: DataFrame | None = None,
+               centroids: DataFrame | None = None,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ top-k (Jégou et al. TPAMI 2011 §IV, the FAISS IVFADC
+    architecture, here WITHOUT residual encoding — codes quantize the
+    raw vectors, so with ``nprobe`` ≥ the centroid count this is
+    bit-identical to :func:`pq_adc_topk`, pinned in tests/test_pq.py):
+    the coarse quantizer (IVF bucket assignment) prunes each query's
+    candidate set to ``nprobe`` inverted lists, and ONLY those
+    buckets' compressed codes are ADC-scored — candidates per query
+    drop from N to ~N·nprobe/C while the scan stays in the 32×-smaller
+    code domain. This is the compute×memory composition that serves
+    10⁹-vector corpora: IVF alone still reads full-precision vectors,
+    PQ alone still scores all N codes. Compose with exact re-ranking
+    of the shortlist (:func:`pq_topk_rerank`'s refine stage) when
+    serving quality matters."""
+    corpus = _as_double(corpus, vec_col)
+    queries_d = _as_double(queries, vec_col)
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) % cent_stride == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    else:
+        centroids = _as_double(centroids, vec_col).select(
+            "centroid_id", F.col(vec_col))
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, dim, m, ksub, stride, id_col,
+                                 vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col), "centroid_id")
+    enc = pq_encode(corpus, codebooks, dim, m, id_col, vec_col)
+    bucketed_codes = enc.join(assigned, id_col)
+
+    # per query: nprobe nearest centroids (the q46 probe stage)
+    q = queries_d.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("_qv"))
+    qc = q.join(F.broadcast(
+        centroids.withColumnRenamed(vec_col, "_centv"))).select(
+        "query_id", "centroid_id",
+        cosine(F.col("_qv"), F.col("_centv")).alias("_cs"))
+    wq = W.partitionBy("query_id").orderBy(F.desc("_cs"),
+                                           F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    pruned = bucketed_codes.join(F.broadcast(probes), "centroid_id")
+    lut = _pq_lut(queries_d, codebooks, dim, m, id_col, vec_col)
+    cand = (
+        pruned.select("query_id", F.col(id_col).alias("neighbor_id"),
+                      F.posexplode("codes").alias("subspace", "code"))
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+    )
+    return _adc_rank(cand, k)

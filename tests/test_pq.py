@@ -166,3 +166,25 @@ def test_pq_codes_increment_matches_full_publish(spark, sf_dir,
     finally:
         for t in ("pqinc_codebooks", "pqinc_codes"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfpq_full_probe_identity_and_pruning(spark, sf_dir):
+    # (a) IVF-PQ without residuals probing ALL buckets is bit-identical
+    # to the full ADC scan — the composition adds pruning, never
+    # changes scoring; (b) at nprobe=3 of 10 buckets each query scores
+    # a strict subset of the corpus (the N·nprobe/C candidate claim).
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 10)
+    full = sorted(map(tuple, S.ivfpq_topk(
+        embs, queries, dim=64, m=4, ksub=8, stride=50, k=5,
+        nprobe=10).collect()))
+    adc = sorted(map(tuple, S.pq_adc_topk(
+        embs, queries, dim=64, m=4, ksub=8, stride=50, k=5).collect()))
+    assert full == adc and full
+
+    n = embs.count()
+    universe = S.ivfpq_topk(embs, queries, dim=64, m=4, ksub=8,
+                            stride=50, k=10_000, nprobe=3)
+    max_cand = (universe.groupBy("query_id").count()
+                .agg(F.max("count")).first()[0])
+    assert max_cand < n * 0.6, (max_cand, n)
