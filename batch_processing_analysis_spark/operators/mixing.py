@@ -287,3 +287,34 @@ def unimax_plan(docs: DataFrame, token_budget: int,
         .cast("long").alias("epochs_micro"),
         "short_tokens",
     )
+
+
+def domain_quota_topk(docs: DataFrame, domain_col: str, quota: int,
+                      order_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Per-domain document cap (M154 governance — the C4/CommonCrawl
+    practice of bounding any one registrable domain's share of the
+    corpus): keep the top ``quota`` rows per domain by ``order_col``
+    (quality score, recency, …), deterministic via the ``id_col``
+    tiebreak. One hash exchange on the domain column + a bounded
+    per-partition ranking — domains are the natural partition key, and
+    a 100 TB crawl's worst skew (a mega-domain) still ranks inside one
+    partition's sort, never a global one."""
+    w = W.partitionBy(domain_col).orderBy(F.desc(order_col),
+                                          F.asc(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def domain_blocklist_filter(docs: DataFrame, domain_col: str,
+                            blocklist: DataFrame) -> DataFrame:
+    """Drop every row whose registrable domain appears in a blocklist
+    table (first column = domain). Broadcast LEFT ANTI join — the
+    blocklist is dimension-sized, the corpus never shuffles."""
+    dom = blocklist.columns[0]
+    return docs.join(
+        F.broadcast(blocklist.select(F.col(dom).alias(domain_col))
+                    .distinct()),
+        domain_col, "left_anti")

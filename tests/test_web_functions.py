@@ -95,3 +95,33 @@ def test_parsing_stays_in_codegen(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_domain_quota_and_blocklist(spark):
+    from batch_processing_analysis_spark.operators.mixing import (
+        domain_blocklist_filter,
+        domain_quota_topk,
+    )
+
+    rows = [(i, ["a.com", "b.com", "spam.net"][i % 3], float(i))
+            for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, domain string, quality double")
+
+    capped = domain_quota_topk(docs, "domain", quota=3,
+                               order_col="quality")
+    per = {r["domain"]: r["count"] for r in
+           capped.groupBy("domain").count().collect()}
+    assert per == {"a.com": 3, "b.com": 3, "spam.net": 3}
+    # top-by-quality: the highest ids survive (quality == id here)
+    kept = sorted(r["doc_id"] for r in
+                  capped.filter(F.col("domain") == "a.com").collect())
+    assert kept == [21, 24, 27]
+
+    block = spark.createDataFrame([("spam.net",)], "domain string")
+    clean = domain_blocklist_filter(docs, "domain", block)
+    assert clean.filter(F.col("domain") == "spam.net").count() == 0
+    assert clean.count() == 20
+    # the corpus side must not shuffle: broadcast anti join
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
