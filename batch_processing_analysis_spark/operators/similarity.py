@@ -1588,9 +1588,11 @@ def pq_topk_rerank(corpus: DataFrame, queries: DataFrame, dim: int,
     q = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     sims = (
-        short.select("query_id", "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
+        # the |Q|·R pair list broadcasts onto the corpus scan — the
+        # big side never shuffles for the refine stage
+        c.join(F.broadcast(short.select("query_id", "neighbor_id")
+                           .join(F.broadcast(q), "query_id")),
+               "neighbor_id")
         .select("query_id", "neighbor_id",
                 F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
                 .alias("sim"))

@@ -170,6 +170,10 @@ def read_webdataset_shards(
     else:
         paths = [os.path.join(path, f) for f in sorted(os.listdir(path))
                  if f.startswith("shard-") and f.endswith(".tar")]
+    if not paths:
+        raise FileNotFoundError(
+            f"no shard-*.tar files under {path!r} — nothing published "
+            f"here yet (write_webdataset_shards), or wrong directory")
     binary = spark.read.format("binaryFile").load(paths)
 
     def _untar(batches: Iterable) -> Iterable:
