@@ -1391,20 +1391,27 @@ def _subspace_slices(vec: Column, dim: int, m: int) -> Column:
 
 def pq_codebooks(corpus: DataFrame, dim: int, m: int = 4, ksub: int = 8,
                  stride: int = 50, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 offset: int = 0) -> DataFrame:
     """Deterministic PQ codebooks (subspace, code, cvq array<long>,
     cnsq long): codeword ``j`` of every subspace is the quantized
-    sub-vector of corpus id ``j·stride`` (the q46 stride convention —
-    assumes the testdata's dense id space; arbitrary-id corpora pass
-    a trained codebook with this schema instead). No window, no join:
-    filter + arithmetic code assignment + one posexplode."""
+    sub-vector of corpus id ``offset + j·stride`` (the q46 stride
+    convention — assumes the testdata's dense id space; arbitrary-id
+    corpora pass a trained codebook with this schema instead).
+    ``offset`` matters when the input is a RESIDUAL table whose
+    centroid rows are zero by construction (ivfpq_residual_topk):
+    sampling offset-shifted ids keeps the codebook off the degenerate
+    all-zero codewords. No window, no join: filter + arithmetic code
+    assignment + one posexplode."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     base = _as_double(corpus, vec_col).filter(
-        (F.col(id_col) % stride == 0) & (F.col(id_col) < ksub * stride))
+        (F.col(id_col) >= offset)
+        & ((F.col(id_col) - offset) % stride == 0)
+        & (F.col(id_col) - offset < ksub * stride))
     return (
         base.select(
-            (F.col(id_col) / stride).cast("int").alias("code"),
+            ((F.col(id_col) - offset) / stride).cast("int").alias("code"),
             quantize_vec(F.col(vec_col)).alias("_vq"))
         .select("code",
                 F.posexplode(_subspace_slices(F.col("_vq"), dim, m))
@@ -1738,3 +1745,129 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
         .join(F.broadcast(lut), ["query_id", "subspace", "code"])
     )
     return _adc_rank(cand, k)
+
+
+def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+                        m: int = 4, ksub: int = 8, stride: int = 50,
+                        k: int = 5, nprobe: int = 3,
+                        cent_stride: int = 50,
+                        codebooks: DataFrame | None = None,
+                        centroids: DataFrame | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """True IVFADC (Jégou et al. TPAMI 2011 §IV): PQ encodes the
+    RESIDUAL ``x − centroid(x)`` — residuals are smaller and more
+    isotropic than raw vectors, so the same m·log2(ksub) bits carry
+    more precision (recall ≥ the raw-vector variant on clustered data,
+    measured in tests/test_pq.py). Scoring decomposes exactly in the
+    integer domain:
+
+        dot(q, x̂)  = dot(q, c) + Σ_s LUT[s, code_s]
+        ‖x̂‖²       = ‖c‖² + 2·Σ_s cross[c, s, code_s] + Σ_s ‖cw‖²
+
+    where ``cross`` is the (centroid × codeword) dot table — C·m·ksub
+    rows, precomputed once, broadcast-sized for any sane C — so every
+    term is an EXACT int64 sum (the SRP_Q idiom) and only the final
+    cosine divides in float. Default codebooks: stride-sampled
+    RESIDUALS (deterministic); pass :func:`pq_codebooks_kmeans` output
+    trained on residuals for the recall-graded path."""
+    corpus = _as_double(corpus, vec_col)
+    queries_d = _as_double(queries, vec_col)
+    if centroids is None:
+        centroids = corpus.filter(
+            F.col(id_col) % cent_stride == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    else:
+        centroids = _as_double(centroids, vec_col).select(
+            "centroid_id", F.col(vec_col))
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cent_named = centroids.withColumnRenamed(vec_col, "_centv")
+    residuals = (
+        assigned.join(F.broadcast(cent_named), "centroid_id")
+        .select(id_col, "centroid_id",
+                F.zip_with(F.col(vec_col), F.col("_centv"),
+                           lambda x, y: x - y).alias(vec_col))
+    )
+    if codebooks is None:
+        # offset past the centroid rows: ids ≡ 0 (mod cent_stride) have
+        # ZERO residuals by construction — sampling them yields an
+        # all-zero degenerate codebook (every code collapses to c)
+        codebooks = pq_codebooks(residuals, dim, m, ksub, stride,
+                                 id_col, vec_col,
+                                 offset=max(1, cent_stride // 2))
+
+    enc = pq_encode(residuals, codebooks, dim, m, id_col, vec_col)
+    bucketed_codes = enc.join(
+        residuals.select(id_col, "centroid_id"), id_col)
+
+    # integer-exact centroid tables: norms and the centroid×codeword
+    # cross dots (C·m·ksub rows)
+    cq = cent_named.select(
+        "centroid_id", quantize_vec(F.col("_centv")).alias("_cq"))
+    cnorm = cq.select("centroid_id", _int_nsq(F.col("_cq")).alias("_cnsq2"))
+    csub = cq.select(
+        "centroid_id",
+        F.posexplode(_subspace_slices(F.col("_cq"), dim, m))
+        .alias("subspace", "_csv"))
+    cross = csub.join(F.broadcast(codebooks), "subspace").select(
+        "centroid_id", "subspace",
+        F.col("code").cast("int").alias("code"),
+        _int_dot(F.col("_csv"), F.col("cvq")).alias("_cross"),
+        F.col("cnsq").alias("_cwnsq"))
+
+    # per query: nprobe nearest centroids + the exact dot(q, c) term
+    q = queries_d.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("_qv"),
+                         quantize_vec(F.col(vec_col)).alias("_qq"))
+    qc = q.join(F.broadcast(cq.join(F.broadcast(cent_named),
+                                    "centroid_id"))).select(
+        "query_id", "centroid_id",
+        cosine(F.col("_qv"), F.col("_centv")).alias("_cs"),
+        _int_dot(F.col("_qq"), F.col("_cq")).alias("_qdotc"),
+        _int_nsq(F.col("_qq")).alias("_qnsq"))
+    wq = W.partitionBy("query_id").orderBy(F.desc("_cs"),
+                                           F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "centroid_id", "_qdotc", "_qnsq")
+    )
+
+    # residual LUT: the query side of ADC does NOT subtract the
+    # centroid (the decomposition above already carries dot(q, c))
+    lut = _pq_lut(queries_d, codebooks, dim, m, id_col, vec_col) \
+        .drop("_qnsq", "cnsq")
+
+    pruned = bucketed_codes.join(F.broadcast(probes), "centroid_id")
+    cand = (
+        pruned.select("query_id", "centroid_id", "_qdotc", "_qnsq",
+                      F.col(id_col).alias("neighbor_id"),
+                      F.posexplode("codes").alias("subspace", "code"))
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .join(F.broadcast(cross), ["centroid_id", "subspace", "code"])
+    )
+    agg = (
+        cand.groupBy("query_id", "neighbor_id", "centroid_id")
+        .agg(F.sum("_pdot").alias("_rdot"),
+             F.sum("_cross").alias("_xcross"),
+             F.sum("_cwnsq").alias("_rnsq"),
+             F.max("_qdotc").alias("_qdotc"),
+             F.max("_qnsq").alias("_qnsq"))
+        .join(F.broadcast(cnorm), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_adc", F.col("_qdotc") + F.col("_rdot"))
+        .withColumn("_xnsq", F.col("_cnsq2") + 2 * F.col("_xcross")
+                    + F.col("_rnsq"))
+        .withColumn("sim", F.when(
+            F.col("_xnsq") > 0,
+            F.round(F.col("_adc") / (F.sqrt(F.col("_qnsq"))
+                                     * F.sqrt(F.col("_xnsq"))), 6)))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"),
+                                          F.asc("neighbor_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

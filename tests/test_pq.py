@@ -188,3 +188,65 @@ def test_ivfpq_full_probe_identity_and_pruning(spark, sf_dir):
     max_cand = (universe.groupBy("query_id").count()
                 .agg(F.max("count")).first()[0])
     assert max_cand < n * 0.6, (max_cand, n)
+
+
+def test_ivfpq_residual_perfect_reconstruction(spark):
+    # targets constructed as centroid + codeword-concatenation
+    # reconstruct EXACTLY, so the residual decomposition's similarity
+    # equals exact cosine up to query-side quantization (<= 2e-5)
+    dim, m, ksub = 8, 2, 4
+    rng = np.random.RandomState(3)
+    cents = rng.uniform(-1, 1, size=(2, dim))
+    cws = rng.uniform(-0.2, 0.2, size=(ksub, dim))
+    targets, vid = [], 0
+    for ci in range(2):
+        for a in range(ksub):
+            for b in range(ksub):
+                targets.append(cents[ci] + np.concatenate(
+                    [cws[a][:4], cws[b][4:]]))
+    tdf = _vec_df(spark, targets)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id long, embedding array<double>")
+    # codebooks = the constructed residual codewords, quantized
+    import math
+    rows = []
+    for s in range(m):
+        for j in range(ksub):
+            sub = [math.floor(x * Q + 0.5) for x in cws[j][s * 4:(s + 1) * 4]]
+            rows.append((s, j, sub, sum(v * v for v in sub)))
+    cb = spark.createDataFrame(
+        rows, "subspace int, code int, cvq array<long>, cnsq long")
+    queries = tdf.filter(F.col("vec_id") < 3)
+    adc = {(r["query_id"], r["neighbor_id"]): r["sim"]
+           for r in S.ivfpq_residual_topk(
+               tdf, queries, dim, m=m, ksub=ksub, k=6, nprobe=2,
+               codebooks=cb, centroids=cent_df).collect()}
+    exact = {(r["query_id"], r["neighbor_id"]): r["sim"]
+             for r in S.brute_force_topk(tdf, queries, k=6).collect()}
+    shared = set(adc) & set(exact)
+    assert shared
+    for key in shared:
+        assert abs(adc[key] - exact[key]) <= 2e-5, (key, adc[key],
+                                                    exact[key])
+
+
+def test_ivfpq_residual_default_codebook_not_degenerate(spark, sf_dir):
+    # regression pin: ids ≡ 0 (mod cent_stride) have ZERO residuals —
+    # a stride codebook sampled AT the centroid ids collapses every
+    # code to the centroid itself (measured: every top hit ties at the
+    # centroid's own cosine). The offset default must keep at least
+    # one nonzero codeword in every subspace.
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 10)
+    out = S.ivfpq_residual_topk(embs, queries, dim=64, m=8, ksub=8,
+                                stride=50, k=5, nprobe=3)
+    rows = out.collect()
+    assert rows
+    # degenerate form scores every bucket-mate identically; the fixed
+    # form must produce >1 distinct sim per query for a 50-row output
+    import collections
+    per_q = collections.defaultdict(set)
+    for r in rows:
+        per_q[r["query_id"]].add(r["sim"])
+    assert any(len(s) > 1 for s in per_q.values()), per_q
