@@ -361,3 +361,100 @@ def payload_neardup_pairs(media: DataFrame, id_col: str = "doc_id",
     sigs = payload_simhash(media, id_col, payload_col, bits)
     return simhash_pairs(sigs, id_col, bits, max_hamming=max_hamming,
                          max_bucket=max_bucket)
+
+
+def dhash_bits(img) -> int:
+    """64-bit difference hash (dHash — the classic perceptual hash:
+    Krawetz's "kind of like that" gradient variant, public algorithm)
+    over a decoded HxWx3 uint8 array, INTEGER-EXACT end to end so the
+    hash is bit-reproducible on any platform:
+
+    - luma = 77R + 150G + 29B per pixel (integer Rec.601 weights,
+      un-normalized — scaling by a constant cannot flip comparisons);
+    - the image partitions into an 8-row × 9-column grid by integer
+      boundaries (``i·H//8`` / ``j·W//9``); per-cell SUMS replace the
+      float block-mean resize;
+    - bit (row, j) = 1 iff mean(cell j) > mean(cell j+1), compared as
+      the exact cross-product ``S_l·n_r > S_r·n_l`` — no division.
+
+    Uniform brightness shifts cancel exactly in the comparison, so the
+    hash is invariant to them by construction (test-pinned). Images
+    smaller than the grid raise ``ValueError`` (no silent upscale)."""
+    import numpy as np
+
+    a = np.asarray(img)
+    h, w = a.shape[0], a.shape[1]
+    if h < 8 or w < 9:
+        raise ValueError(f"dhash needs at least 8x9 pixels, got {h}x{w}")
+    a64 = a.astype(np.int64)
+    luma = 77 * a64[:, :, 0] + 150 * a64[:, :, 1] + 29 * a64[:, :, 2]
+    rb = [i * h // 8 for i in range(9)]
+    cb = [j * w // 9 for j in range(10)]
+    bits = 0
+    for i in range(8):
+        rows = luma[rb[i]:rb[i + 1]]
+        sums = [int(rows[:, cb[j]:cb[j + 1]].sum()) for j in range(9)]
+        cnts = [(rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j])
+                for j in range(9)]
+        for j in range(8):
+            if sums[j] * cnts[j + 1] > sums[j + 1] * cnts[j]:
+                bits |= 1 << (i * 8 + j)
+    return bits
+
+
+def perceptual_hashes(media: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """(id, dhash long) over DECODED payloads — the cross-codec
+    near-dup signature: the same picture saved as PNG and as JPEG
+    hashes to (nearly) the same 64 bits, which no byte-level signature
+    (M51 payload SimHash) can see. Decode runs through the
+    :func:`decode_image` codec ladder in the same Arrow ``mapInPandas``
+    shape as :func:`image_features`."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ])
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_image(bytes(payload))
+                ids.append(doc_id)
+                # two's-complement into a signed 64-bit column
+                v = dhash_bits(arr)
+                hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "dhash": pd.Series(hashes,
+                                                   dtype="int64")})
+
+    return media.select(id_col, payload_col).mapInPandas(_hash, schema)
+
+
+def perceptual_neardup_pairs(media: DataFrame, max_hamming: int = 3,
+                             max_bucket: int = 1000,
+                             id_col: str = "doc_id",
+                             payload_col: str = "payload") -> DataFrame:
+    """EXACT Hamming ≤ ``max_hamming`` image near-dup pairs over
+    decoded-pixel dHashes: the 64 signature bits split into bands
+    (pigeonhole: any pair within the radius shares ≥1 exact band — a
+    PROVEN candidate superset, the M111/M114 exactness discipline
+    applied to perceptual hashing), candidates verified by JVM-side
+    ``bit_count(xor)``. The band count is the smallest divisor of 64
+    that is ≥ max(2, max_hamming+1) — pigeonhole only needs n_bands ≥
+    radius+1, and ≥2 keeps every band mask inside a signed 64-bit
+    literal; reuses the SimHash band/bucket/skew-guard machinery."""
+    from .dedup import simhash_pairs
+
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming {max_hamming} outside [0, 63] — the exact "
+            f"pigeonhole guarantee needs a clean band inside the 64 "
+            f"signature bits")
+    n_bands = next(d for d in (2, 4, 8, 16, 32, 64)
+                   if d >= max(2, max_hamming + 1))
+    sigs = perceptual_hashes(media, id_col, payload_col).select(
+        F.col(id_col), F.col("dhash").alias("simhash"))
+    return simhash_pairs(sigs, id_col=id_col, bits=64,
+                         band_bits=64 // n_bands,
+                         max_hamming=max_hamming, max_bucket=max_bucket)
