@@ -12,12 +12,15 @@ The design contract for image/audio/video at 100 TB:
   upstream if skewed) so one 4 GB video cannot straggle a task that
   also holds ten thousand thumbnails.
 
-The actual media codecs (PIL/ffmpeg/torchaudio) are NOT available in
-this environment, so the decode kernels are stubbed: real Spark-side
-schema/batching/partitioning, deterministic fake features derived from
-the raw bytes. ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` with the intended signature documented — the
-single line to replace when the codec libraries exist.
+Decode is a codec LADDER (r7-r9): PIL/soundfile when importable
+(every format), else the vendored pure-Python decoders — PNG
+(full spec-valid matrix), baseline+progressive JPEG, stdlib-wave
+RIFF PCM — so the decoded paths (``image_features``,
+``perceptual_hashes``, ``audio_fingerprints``) run UNSKIPPED in a
+codec-less container. Only formats no rung covers raise the
+``NotImplementedError`` install-hint gate; byte-level stand-in
+features (``binary_features``) remain for oracle-checkable plumbing
+demos.
 """
 
 from __future__ import annotations
@@ -455,6 +458,87 @@ def perceptual_neardup_pairs(media: DataFrame, max_hamming: int = 3,
                    if d >= max(2, max_hamming + 1))
     sigs = perceptual_hashes(media, id_col, payload_col).select(
         F.col(id_col), F.col("dhash").alias("simhash"))
+    return simhash_pairs(sigs, id_col=id_col, bits=64,
+                         band_bits=64 // n_bands,
+                         max_hamming=max_hamming, max_bucket=max_bucket)
+
+
+def audio_energy_hash(samples) -> int:
+    """64-bit energy-contour fingerprint over decoded audio samples —
+    the audio sibling of :func:`dhash_bits`, same discipline: INTEGER
+    arithmetic end to end so the hash is bit-reproducible.
+
+    The float32 samples (``decode_audio``'s normalized output — exact
+    for integer-PCM sources, which divide by a power of two) re-
+    quantize to integers at 2^15; the clip partitions into 65 frames
+    by integer boundaries; frame ENERGY = Σ q² (exact int64); bit i =
+    1 iff mean-energy(frame i) > mean-energy(frame i+1), compared as
+    the exact cross-product — no division. Gain changes by a power of
+    two are EXACTLY invariant (float scaling by 2^k is lossless and
+    the comparison cancels it); arbitrary gains and bit-depth changes
+    are approximately invariant (energy ratios are preserved up to
+    quantization noise). Clips shorter than 65 samples raise."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.float64)
+    n = s.shape[0]
+    if n < 65:
+        raise ValueError(f"audio energy hash needs >= 65 samples, got {n}")
+    q = np.floor(s * 32768.0 + 0.5).astype(np.int64)
+    fb = [i * n // 65 for i in range(66)]
+    energies = [int((q[fb[i]:fb[i + 1]] ** 2).sum()) for i in range(65)]
+    counts = [fb[i + 1] - fb[i] for i in range(65)]
+    bits = 0
+    for i in range(64):
+        if energies[i] * counts[i + 1] > energies[i + 1] * counts[i]:
+            bits |= 1 << i
+    return bits
+
+
+def audio_fingerprints(media: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """(id, ahash long) over DECODED audio payloads through the
+    :func:`decode_audio` codec ladder — same Arrow ``mapInPandas``
+    shape as :func:`perceptual_hashes`."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ])
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr, _rate = decode_audio(bytes(payload))
+                ids.append(doc_id)
+                v = audio_energy_hash(arr)
+                hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "ahash": pd.Series(hashes,
+                                                   dtype="int64")})
+
+    return media.select(id_col, payload_col).mapInPandas(_hash, schema)
+
+
+def audio_neardup_pairs(media: DataFrame, max_hamming: int = 3,
+                        max_bucket: int = 1000,
+                        id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """EXACT Hamming ≤ ``max_hamming`` audio near-dup pairs over
+    energy-contour fingerprints — identical banding/verify contract
+    to :func:`perceptual_neardup_pairs` (pigeonhole-exact candidate
+    superset, codegen ``bit_count`` verify)."""
+    from .dedup import simhash_pairs
+
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming {max_hamming} outside [0, 63] — the exact "
+            f"pigeonhole guarantee needs a clean band inside the 64 "
+            f"signature bits")
+    n_bands = next(d for d in (2, 4, 8, 16, 32, 64)
+                   if d >= max(2, max_hamming + 1))
+    sigs = audio_fingerprints(media, id_col, payload_col).select(
+        F.col(id_col), F.col("ahash").alias("simhash"))
     return simhash_pairs(sigs, id_col=id_col, bits=64,
                          band_bits=64 // n_bands,
                          max_hamming=max_hamming, max_bucket=max_bucket)

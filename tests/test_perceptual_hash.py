@@ -110,3 +110,71 @@ def test_neardup_invalid_radius_is_loud(spark):
                                   "doc_id long, payload binary")
     with pytest.raises(ValueError, match="pigeonhole"):
         M.perceptual_neardup_pairs(media, max_hamming=64)
+
+
+def _wav_bytes(samples, width=2, rate=16000):
+    """Minimal stdlib WAV writer for fixtures (int PCM)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        if width == 2:
+            q = (np.clip(samples, -1, 32767 / 32768)
+                 * 32768).round().astype("<i2")
+        else:  # 8-bit unsigned
+            q = (np.clip(samples, -1, 127 / 128) * 128
+                 + 128).round().astype("u1")
+        wf.writeframes(q.tobytes())
+    return buf.getvalue()
+
+
+def _tone(freq, n=4000, amp=0.5):
+    t = np.arange(n) / 16000.0
+    return (amp * np.sin(2 * np.pi * freq * t)
+            * np.linspace(1.0, 0.2, n)).astype(np.float64)
+
+
+def test_audio_energy_hash_properties():
+    s = _tone(440)
+    h = M.audio_energy_hash(s)
+    # power-of-two gain is EXACTLY invariant
+    assert M.audio_energy_hash(s * 0.5) == h
+    # different content is far away
+    assert bin(h ^ M.audio_energy_hash(_tone(97, amp=0.3)[::-1])
+               ).count("1") > 10
+    with pytest.raises(ValueError, match=">= 65 samples"):
+        M.audio_energy_hash(np.zeros(10))
+
+
+def test_audio_cross_depth_and_pairs(spark):
+    a = _tone(440)
+    b = _tone(97, amp=0.3)[::-1]
+    payloads = [
+        (1, _wav_bytes(a, width=2)),
+        (2, _wav_bytes(a * 0.5, width=2)),   # gain twin
+        (3, _wav_bytes(a, width=1)),         # 8-bit re-encode
+        (4, _wav_bytes(b, width=2)),         # unrelated
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads],
+        "doc_id long, payload binary")
+    hashes = {r["doc_id"]: r["ahash"] & ((1 << 64) - 1)
+              for r in M.audio_fingerprints(media).collect()}
+    assert hashes[1] == hashes[2]
+    # 8-bit quantization moves only near-tie contour bits
+    d13 = bin(hashes[1] ^ hashes[3]).count("1")
+    assert d13 <= 6, d13
+    assert bin(hashes[1] ^ hashes[4]).count("1") > 10
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in M.audio_neardup_pairs(media, max_hamming=7).collect()}
+    ids = sorted(hashes)
+    expect = {(i, j): bin(hashes[i] ^ hashes[j]).count("1")
+              for i in ids for j in ids
+              if i < j and bin(hashes[i] ^ hashes[j]).count("1") <= 7}
+    assert got == expect
+    assert (1, 2) in got and (1, 3) in got and (1, 4) not in got
