@@ -45,7 +45,10 @@ from pyspark.sql import functions as F
 SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-QUERY_RE = r"\?([^#]*)"
+# query = after the FIRST '?' that precedes any '#' — [^#?]* pins the
+# match before the fragment, so a '?' INSIDE the fragment ("/p#sec?x")
+# never leaks into the query (fragments are dropped per RFC 3986 §3.5)
+QUERY_RE = r"^[^#?]*\?([^#]*)"
 PORT_RE = r":([0-9]+)$"
 IPV4_RE = r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"
 
@@ -118,7 +121,13 @@ def url_canonicalize(url: Column) -> Column:
 
 
 def registered_domain(host: Column) -> Column:
-    """Registrable domain of a lowercase host (see module docstring)."""
+    """Registrable domain of a lowercase host (see module docstring).
+
+    One trailing dot (the RFC-valid FQDN-root form, ``example.com.``)
+    is stripped first — otherwise the last-label regexps cannot match
+    and every root-form host would collapse into the '' domain,
+    bypassing blocklists keyed on the normal form."""
+    host = F.regexp_replace(host, r"\.$", "")
     return (
         F.when(host.rlike(IPV4_RE) | ~host.contains("."), host)
         .when(host.rlike(SUFFIX_TAIL_RE),

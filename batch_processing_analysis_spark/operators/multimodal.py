@@ -434,19 +434,16 @@ def perceptual_hashes(media: DataFrame, id_col: str = "doc_id",
     return media.select(id_col, payload_col).mapInPandas(_hash, schema)
 
 
-def perceptual_neardup_pairs(media: DataFrame, max_hamming: int = 3,
-                             max_bucket: int = 1000,
-                             id_col: str = "doc_id",
-                             payload_col: str = "payload") -> DataFrame:
-    """EXACT Hamming ≤ ``max_hamming`` image near-dup pairs over
-    decoded-pixel dHashes: the 64 signature bits split into bands
-    (pigeonhole: any pair within the radius shares ≥1 exact band — a
-    PROVEN candidate superset, the M111/M114 exactness discipline
-    applied to perceptual hashing), candidates verified by JVM-side
-    ``bit_count(xor)``. The band count is the smallest divisor of 64
-    that is ≥ max(2, max_hamming+1) — pigeonhole only needs n_bands ≥
-    radius+1, and ≥2 keeps every band mask inside a signed 64-bit
-    literal; reuses the SimHash band/bucket/skew-guard machinery."""
+def _banded_neardup_pairs(sigs: DataFrame, max_hamming: int,
+                          max_bucket: int, id_col: str) -> DataFrame:
+    """Shared EXACT Hamming ≤ ``max_hamming`` pair core for the
+    perceptual (image) and energy-contour (audio) fingerprints:
+    ``sigs`` is (id, simhash long). The band count is the smallest
+    divisor of 64 that is ≥ max(2, max_hamming+1) — pigeonhole needs
+    only n_bands ≥ radius+1 for a proven candidate superset, and ≥2
+    keeps every band mask inside a signed 64-bit literal; candidates
+    verify with JVM-side ``bit_count(xor)`` through the SimHash
+    band/bucket/skew-guard machinery."""
     from .dedup import simhash_pairs
 
     if not 0 <= max_hamming <= 63:
@@ -456,11 +453,22 @@ def perceptual_neardup_pairs(media: DataFrame, max_hamming: int = 3,
             f"signature bits")
     n_bands = next(d for d in (2, 4, 8, 16, 32, 64)
                    if d >= max(2, max_hamming + 1))
-    sigs = perceptual_hashes(media, id_col, payload_col).select(
-        F.col(id_col), F.col("dhash").alias("simhash"))
     return simhash_pairs(sigs, id_col=id_col, bits=64,
                          band_bits=64 // n_bands,
                          max_hamming=max_hamming, max_bucket=max_bucket)
+
+
+def perceptual_neardup_pairs(media: DataFrame, max_hamming: int = 3,
+                             max_bucket: int = 1000,
+                             id_col: str = "doc_id",
+                             payload_col: str = "payload") -> DataFrame:
+    """EXACT Hamming ≤ ``max_hamming`` image near-dup pairs over
+    decoded-pixel dHashes (the M111/M114 exactness discipline applied
+    to perceptual hashing; banding/verify contract in
+    :func:`_banded_neardup_pairs`)."""
+    sigs = perceptual_hashes(media, id_col, payload_col).select(
+        F.col(id_col), F.col("dhash").alias("simhash"))
+    return _banded_neardup_pairs(sigs, max_hamming, max_bucket, id_col)
 
 
 def audio_energy_hash(samples) -> int:
@@ -526,19 +534,8 @@ def audio_neardup_pairs(media: DataFrame, max_hamming: int = 3,
                         payload_col: str = "payload") -> DataFrame:
     """EXACT Hamming ≤ ``max_hamming`` audio near-dup pairs over
     energy-contour fingerprints — identical banding/verify contract
-    to :func:`perceptual_neardup_pairs` (pigeonhole-exact candidate
-    superset, codegen ``bit_count`` verify)."""
-    from .dedup import simhash_pairs
-
-    if not 0 <= max_hamming <= 63:
-        raise ValueError(
-            f"max_hamming {max_hamming} outside [0, 63] — the exact "
-            f"pigeonhole guarantee needs a clean band inside the 64 "
-            f"signature bits")
-    n_bands = next(d for d in (2, 4, 8, 16, 32, 64)
-                   if d >= max(2, max_hamming + 1))
+    to :func:`perceptual_neardup_pairs`
+    (:func:`_banded_neardup_pairs`)."""
     sigs = audio_fingerprints(media, id_col, payload_col).select(
         F.col(id_col), F.col("ahash").alias("simhash"))
-    return simhash_pairs(sigs, id_col=id_col, bits=64,
-                         band_bits=64 // n_bands,
-                         max_hamming=max_hamming, max_bucket=max_bucket)
+    return _banded_neardup_pairs(sigs, max_hamming, max_bucket, id_col)

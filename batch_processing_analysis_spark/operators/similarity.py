@@ -380,6 +380,33 @@ def kmeans_centroids(corpus: DataFrame, n_clusters: int, seed: int = 42,
     return cents
 
 
+def _resolve_centroids(corpus: DataFrame, centroids: DataFrame | None,
+                       stride: int, id_col: str,
+                       vec_col: str) -> DataFrame:
+    """Shared centroid-table default (the q46 convention): every
+    ``stride``-th corpus vector when no table is supplied; otherwise
+    normalize the caller's (centroid_id, vec) to double arrays."""
+    if centroids is None:
+        return corpus.filter(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    return _as_double(centroids, vec_col).select(
+        "centroid_id", F.col(vec_col))
+
+
+def _probe_topn(qc: DataFrame, nprobe: int, keep: list) -> DataFrame:
+    """Per-query nprobe nearest centroids from scored (query_id,
+    centroid_id, _cs, ...) rows — the probe-selection stage shared by
+    the IVF, IVF-PQ, and residual-IVFADC paths (deterministic
+    centroid_id tiebreak)."""
+    wq = W.partitionBy("query_id").orderBy(F.desc("_cs"),
+                                           F.asc("centroid_id"))
+    return (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(*keep)
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              stride: int = 50, nprobe: int = 3, id_col: str = "vec_id",
              vec_col: str = "embedding",
@@ -398,14 +425,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     corpus = _as_double(corpus, vec_col)
     queries = _as_double(queries, vec_col)
-    if centroids is None:
-        centroids = corpus.filter(F.col(id_col) % stride == 0).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col)
-        )
-    else:
-        centroids = _as_double(centroids, vec_col).select(
-            "centroid_id", F.col(vec_col)
-        )
+    centroids = _resolve_centroids(corpus, centroids, stride, id_col,
+                                   vec_col)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     return _ivf_probe(assigned, centroids, queries, k, nprobe, id_col,
                       vec_col)
@@ -424,12 +445,7 @@ def _ivf_probe(assigned: DataFrame, centroids: DataFrame,
         "query_id", "_qv", "centroid_id",
         cosine(F.col("_qv"), F.col("_centv")).alias("_cs"),
     )
-    wq = W.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
-    probes = (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", "centroid_id")
-    )
+    probes = _probe_topn(qc, nprobe, ["query_id", "_qv", "centroid_id"])
 
     cand = (
         assigned.join(F.broadcast(probes), "centroid_id")
@@ -482,14 +498,8 @@ def publish_ivf_index(spark, corpus: DataFrame, table_prefix: str,
     from ..sources.bucketed import write_bucketed
 
     corpus = _as_double(corpus, vec_col)
-    if centroids is None:
-        centroids = corpus.filter(F.col(id_col) % stride == 0).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col)
-        )
-    else:
-        centroids = _as_double(centroids, vec_col).select(
-            "centroid_id", F.col(vec_col)
-        )
+    centroids = _resolve_centroids(corpus, centroids, stride, id_col,
+                                   vec_col)
     cent_name = f"{table_prefix}_centroids"
     w = centroids.write.mode("overwrite").format("parquet")
     if path_root:
@@ -1432,10 +1442,24 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame, dim: int,
     (np.argmin first-index ≡ ORDER BY dist, code)."""
     dsub = dim // m
     rows = codebooks.select("subspace", "code", "cvq").collect()
-    ksub = max(r["code"] for r in rows) + 1
-    C = np.zeros((m, ksub, dsub), dtype=np.int64)
+    # argmin runs ONLY over codes that exist per subspace (sorted, so
+    # first-index ties still resolve to the lowest code id): a zero-
+    # filled dense array would silently assign gap codes with no
+    # codebook row, and the ADC inner join would then drop that
+    # subspace's contribution from the similarity sums
+    by_sub: dict[int, list] = {}
     for r in rows:
-        C[r["subspace"]][r["code"]] = r["cvq"]
+        by_sub.setdefault(r["subspace"], []).append((r["code"], r["cvq"]))
+    missing = [s for s in range(m) if not by_sub.get(s)]
+    if missing:
+        raise ValueError(f"codebooks have no codewords for subspaces "
+                         f"{missing}")
+    code_ids = {}
+    C = {}
+    for s, entries in by_sub.items():
+        entries.sort()
+        code_ids[s] = np.array([c for c, _ in entries], dtype=np.int32)
+        C[s] = np.array([v for _, v in entries], dtype=np.int64)
     id_type = corpus.schema[id_col].dataType
     out_schema = T.StructType([
         T.StructField(id_col, id_type),
@@ -1454,7 +1478,8 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame, dim: int,
             for s in range(m):
                 Xs = Xq[:, s * dsub:(s + 1) * dsub]
                 diff = Xs[:, None, :] - C[s][None, :, :]
-                codes[:, s] = np.argmin((diff * diff).sum(axis=2), axis=1)
+                codes[:, s] = code_ids[s][
+                    np.argmin((diff * diff).sum(axis=2), axis=1)]
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "codes": list(codes)})
 
@@ -1708,12 +1733,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
     serving quality matters."""
     corpus = _as_double(corpus, vec_col)
     queries_d = _as_double(queries, vec_col)
-    if centroids is None:
-        centroids = corpus.filter(F.col(id_col) % cent_stride == 0).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col))
-    else:
-        centroids = _as_double(centroids, vec_col).select(
-            "centroid_id", F.col(vec_col))
+    centroids = _resolve_centroids(corpus, centroids, cent_stride,
+                                   id_col, vec_col)
     if codebooks is None:
         codebooks = pq_codebooks(corpus, dim, m, ksub, stride, id_col,
                                  vec_col)
@@ -1729,13 +1750,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
         centroids.withColumnRenamed(vec_col, "_centv"))).select(
         "query_id", "centroid_id",
         cosine(F.col("_qv"), F.col("_centv")).alias("_cs"))
-    wq = W.partitionBy("query_id").orderBy(F.desc("_cs"),
-                                           F.asc("centroid_id"))
-    probes = (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "centroid_id")
-    )
+    probes = _probe_topn(qc, nprobe, ["query_id", "centroid_id"])
 
     pruned = bucketed_codes.join(F.broadcast(probes), "centroid_id")
     lut = _pq_lut(queries_d, codebooks, dim, m, id_col, vec_col)
@@ -1773,13 +1788,8 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame, dim: int,
     trained on residuals for the recall-graded path."""
     corpus = _as_double(corpus, vec_col)
     queries_d = _as_double(queries, vec_col)
-    if centroids is None:
-        centroids = corpus.filter(
-            F.col(id_col) % cent_stride == 0).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col))
-    else:
-        centroids = _as_double(centroids, vec_col).select(
-            "centroid_id", F.col(vec_col))
+    centroids = _resolve_centroids(corpus, centroids, cent_stride,
+                                   id_col, vec_col)
 
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     cent_named = centroids.withColumnRenamed(vec_col, "_centv")
@@ -1826,13 +1836,8 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame, dim: int,
         cosine(F.col("_qv"), F.col("_centv")).alias("_cs"),
         _int_dot(F.col("_qq"), F.col("_cq")).alias("_qdotc"),
         _int_nsq(F.col("_qq")).alias("_qnsq"))
-    wq = W.partitionBy("query_id").orderBy(F.desc("_cs"),
-                                           F.asc("centroid_id"))
-    probes = (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "centroid_id", "_qdotc", "_qnsq")
-    )
+    probes = _probe_topn(qc, nprobe,
+                         ["query_id", "centroid_id", "_qdotc", "_qnsq"])
 
     # residual LUT: the query side of ADC does NOT subtract the
     # centroid (the decomposition above already carries dot(q, c))

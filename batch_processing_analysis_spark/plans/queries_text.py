@@ -5112,7 +5112,7 @@ def q168_hist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-        regexp_extract(url, '\?([^#]*)', 1) AS q
+        regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q
       FROM u
     ),
     p2 AS (

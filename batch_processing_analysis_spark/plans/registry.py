@@ -70,7 +70,7 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q168_hist_drift",
     "q169_url_domain_census",
     "q170_pq_adc_topk",
-    # r6-tier, taken one round early (41 of 49)
+    # r6-tier, taken one round early (39 of 49 after the q22/q23 cedes)
     "q142_unimax_plan",
     "q144_embedding_gram",
     "q145_bloom_membership",

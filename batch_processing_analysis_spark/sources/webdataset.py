@@ -105,15 +105,24 @@ def write_webdataset_shards(
     as a DataFrame (shard, path, n_samples, n_bytes, sha256).
 
     One shuffle (hash on ``shard_col``), per-group sort on ``pos``,
-    one task-local tar build per shard. Overwrite semantics: existing
-    ``shard-*.tar`` under ``path`` are removed first so a re-publish
-    never leaves stale shards behind.
+    one task-local tar build per shard. Publish is COMMIT-LAST:
+    tasks write temp names and the driver swaps them over the final
+    names only after the whole job succeeds, then drops shards the
+    new publish no longer produces — a failed re-publish leaves the
+    previous tars and manifest fully intact (test-pinned).
     """
     payload_exts = payload_exts or {"payload": "bin"}
     spark = df.sparkSession
     os.makedirs(path, exist_ok=True)
+    # publish protocol: tasks write ``_tmp_shard-*.tar``; only after
+    # the whole job succeeds does the driver rename temps over the
+    # final names, remove stale shards, and rewrite the manifest — a
+    # FAILED re-publish leaves the previous dataset (tars + manifest)
+    # fully intact. Leftover temps from an earlier failure are swept
+    # first (a retried task reopens its fixed temp name with 'wb', so
+    # retries overwrite rather than append).
     for old in os.listdir(path):
-        if old.startswith("shard-") and old.endswith(".tar"):
+        if old.startswith("_tmp_shard-") and old.endswith(".tar"):
             os.remove(os.path.join(path, old))
 
     cols = [shard_col, key_col, pos_col, *payload_exts]
@@ -133,7 +142,7 @@ def write_webdataset_shards(
                 f"names must be unique per shard")
         data = _build_tar(keys, {c: list(pdf[c]) for c in exts}, exts)
         fname = _shard_name(shard)
-        with open(os.path.join(out_dir, fname), "wb") as f:
+        with open(os.path.join(out_dir, "_tmp_" + fname), "wb") as f:
             f.write(data)
         return pd.DataFrame([{
             "shard": shard, "path": fname, "n_samples": len(keys),
@@ -150,6 +159,16 @@ def write_webdataset_shards(
     )
     manifest = sorted((r.asDict() for r in manifest_rows),
                       key=lambda r: r["shard"])
+    # commit: atomically swap each temp over its final name, then drop
+    # shards the new publish no longer produces
+    new_names = {m["path"] for m in manifest}
+    for m in manifest:
+        os.replace(os.path.join(path, "_tmp_" + m["path"]),
+                   os.path.join(path, m["path"]))
+    for old in os.listdir(path):
+        if (old.startswith("shard-") and old.endswith(".tar")
+                and old not in new_names):
+            os.remove(os.path.join(path, old))
     with open(os.path.join(path, WDS_MANIFEST), "w") as f:
         json.dump({"shards": manifest}, f, indent=1, sort_keys=True)
     return spark.createDataFrame(
@@ -185,6 +204,11 @@ def read_webdataset_shards(
                 shard = int(os.path.basename(p)[len("shard-"):-len(".tar")])
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
                     for m in tf:
+                        if not m.isfile():
+                            # external WebDataset tooling emits leading
+                            # directory / PAX header members — skip,
+                            # never crash the task
+                            continue
                         stem, _, ext = m.name.rpartition(".")
                         rows.append((shard, stem, ext,
                                      tf.extractfile(m).read()))

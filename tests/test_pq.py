@@ -250,3 +250,24 @@ def test_ivfpq_residual_default_codebook_not_degenerate(spark, sf_dir):
     for r in rows:
         per_q[r["query_id"]].add(r["sim"])
     assert any(len(s) > 1 for s in per_q.values()), per_q
+
+
+def test_pq_encode_non_contiguous_codes(spark):
+    # a trained codebook with a gap (codes 1 and 3, no 0/2) must encode
+    # onto EXISTING code ids only — a silent zero-filled gap codeword
+    # would let the ADC join drop whole subspaces from the sums
+    vecs = np.array([[1.0, 1.0], [5.0, 5.0], [0.1, 0.1], [4.9, 5.1]])
+    corpus = _vec_df(spark, vecs)
+    cb = spark.createDataFrame(
+        [(0, 1, [int(1.0 * Q)], int(1.0 * Q) ** 2),
+         (0, 3, [int(5.0 * Q)], int(5.0 * Q) ** 2),
+         (1, 1, [int(1.0 * Q)], int(1.0 * Q) ** 2),
+         (1, 3, [int(5.0 * Q)], int(5.0 * Q) ** 2)],
+        "subspace int, code int, cvq array<long>, cnsq long")
+    enc = {r["vec_id"]: list(r["codes"])
+           for r in S.pq_encode(corpus, cb, dim=2, m=2).collect()}
+    assert enc == {0: [1, 1], 1: [3, 3], 2: [1, 1], 3: [3, 3]}
+    # a subspace with NO codewords is loud, never a zero fill
+    cb_missing = cb.filter(F.col("subspace") == 0)
+    with pytest.raises(Exception, match="no codewords"):
+        S.pq_encode(corpus, cb_missing, dim=2, m=2).collect()

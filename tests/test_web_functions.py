@@ -32,6 +32,11 @@ CASES = [
     ("https://localhost?a=b#c",
      "https", "localhost", None, "", "a=b",
      "https://localhost/?a=b"),
+    # a '?' INSIDE the fragment is NOT a query (RFC 3986: fragment is
+    # everything after '#'); canonicalization must drop it entirely
+    ("https://example.com/page#sec?x=1",
+     "https", "example.com", None, "/page", "",
+     "https://example.com/page"),
     ("not a url at all", "", "", None, "", "", None),
 ]
 
@@ -72,6 +77,8 @@ def test_registered_domain(spark):
         ("10.20.30.40", "10.20.30.40"),
         # "co.fr" is NOT a pinned suffix -> plain last-two rule
         ("shop.example.co.fr", "co.fr"),
+        # FQDN-root trailing dot strips to the normal form
+        ("example.com.", "example.com"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
     got = {r["host"]: r["dom"] for r in df.select(
@@ -84,6 +91,7 @@ def test_registered_domain(spark):
     assert got["localhost"] == "localhost"
     assert got["10.20.30.40"] == "10.20.30.40"
     assert got["shop.example.co.fr"] == "co.fr"
+    assert got["example.com."] == "example.com"
 
 
 def test_parsing_stays_in_codegen(spark):

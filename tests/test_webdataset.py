@@ -118,3 +118,52 @@ def test_overwrite_removes_stale_shards(spark, tmp_path):
                                 payload_exts={"img": "png"})
     tars = sorted(f for f in os.listdir(path) if f.endswith(".tar"))
     assert tars == ["shard-000000.tar", "shard-000001.tar"]
+
+
+def test_failed_republish_preserves_previous_dataset(spark, tmp_path):
+    # commit-last protocol: a re-publish that FAILS (duplicate keys in
+    # one shard) must leave the previous tars AND manifest intact and
+    # verifiable — never a half-deleted dataset
+    path = str(tmp_path / "wds")
+    WDS.write_webdataset_shards(_corpus(spark), path,
+                                payload_exts={"img": "png"})
+    before = {f: open(os.path.join(path, f), "rb").read()
+              for f in os.listdir(path)}
+    bad = spark.createDataFrame(
+        [(0, "same", 0, b"a"), (0, "same", 1, b"b")],
+        "shard long, key string, pos long, payload binary")
+    with pytest.raises(Exception, match="duplicate keys"):
+        WDS.write_webdataset_shards(bad, path)
+    after = {f: open(os.path.join(path, f), "rb").read()
+             for f in os.listdir(path) if not f.startswith("_tmp_")}
+    assert after == before
+    assert all(r["ok"] for r in WDS.verify_webdataset(spark, path)
+               .collect())
+
+
+def test_reader_skips_non_regular_members(spark, tmp_path):
+    # external WebDataset tooling emits leading directory / PAX
+    # header members; the reader must skip them, not crash the task
+    import io
+    import tarfile
+
+    path = str(tmp_path / "ext")
+    os.makedirs(path)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        d = tarfile.TarInfo("samples/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        info = tarfile.TarInfo("samples/k0.txt")
+        body = b"hello"
+        info.size = len(body)
+        tf.addfile(info, io.BytesIO(body))
+    with open(os.path.join(path, "shard-000000.tar"), "wb") as f:
+        f.write(buf.getvalue())
+    rows = WDS.read_webdataset_shards(spark, path).collect()
+    assert [(r["key"], bytes(r["payload"])) for r in rows] == [
+        ("samples/k0", b"hello")]
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no shard-"):
+        WDS.read_webdataset_shards(spark, str(empty))
