@@ -1810,7 +1810,23 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame, dim: int,
     enc = pq_encode(residuals, codebooks, dim, m, id_col, vec_col)
     bucketed_codes = enc.join(
         residuals.select(id_col, "centroid_id"), id_col)
+    return _ivfpq_residual_score(bucketed_codes, codebooks, centroids,
+                                 queries_d, dim, m, k, nprobe, id_col,
+                                 vec_col)
 
+
+def _ivfpq_residual_score(bucketed_codes: DataFrame,
+                          codebooks: DataFrame, centroids: DataFrame,
+                          queries_d: DataFrame, dim: int, m: int,
+                          k: int, nprobe: int, id_col: str,
+                          vec_col: str) -> DataFrame:
+    """Probe + ADC decomposition stage of residual IVFADC, shared by
+    the inline operator and :func:`ivfpq_topk_from_index`. The small
+    integer tables (quantized centroids, norms, the C·m·ksub
+    centroid×codeword cross dots) rebuild here in codegen — they are
+    trivial next to the N-proportional assignment and encode stages,
+    which the published-index path skips entirely."""
+    cent_named = centroids.withColumnRenamed(vec_col, "_centv")
     # integer-exact centroid tables: norms and the centroid×codeword
     # cross dots (C·m·ksub rows)
     cq = cent_named.select(
@@ -1876,3 +1892,67 @@ def ivfpq_residual_topk(corpus: DataFrame, queries: DataFrame, dim: int,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def publish_ivfpq_index(spark, corpus: DataFrame, table_prefix: str,
+                        dim: int, m: int = 4, ksub: int = 8,
+                        stride: int = 50, cent_stride: int = 50,
+                        codebooks: DataFrame | None = None,
+                        centroids: DataFrame | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        path_root: str | None = None) -> None:
+    """Persist residual-IVFADC state (the M150/M156 publish pattern on
+    the strongest ANN variant): ``{prefix}_centroids``,
+    ``{prefix}_codebooks`` (residual codewords), and
+    ``{prefix}_codes`` (id, centroid_id, codes). The two
+    N-proportional stages — coarse assignment (N·C cosine) and
+    residual encode (N·ksub·m) — run ONCE here; probes replay with no
+    Python stage and no re-encode (bit-identity + plan pinned in
+    tests/test_pq.py). The tiny C·m·ksub cross table rebuilds in
+    codegen per probe, so it needs no storage."""
+    corpus = _as_double(corpus, vec_col)
+    centroids = _resolve_centroids(corpus, centroids, cent_stride,
+                                   id_col, vec_col)
+
+    def _save(df: DataFrame, name: str) -> DataFrame:
+        w = df.write.mode("overwrite").format("parquet")
+        if path_root:
+            w = w.option("path", f"{path_root}/{name}")
+        w.saveAsTable(name)
+        return spark.table(name)
+
+    centroids = _save(centroids, f"{table_prefix}_centroids")
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cent_named = centroids.withColumnRenamed(vec_col, "_centv")
+    residuals = (
+        assigned.join(F.broadcast(cent_named), "centroid_id")
+        .select(id_col, "centroid_id",
+                F.zip_with(F.col(vec_col), F.col("_centv"),
+                           lambda x, y: x - y).alias(vec_col))
+    )
+    if codebooks is None:
+        codebooks = pq_codebooks(residuals, dim, m, ksub, stride,
+                                 id_col, vec_col,
+                                 offset=max(1, cent_stride // 2))
+    codebooks = _save(codebooks, f"{table_prefix}_codebooks")
+    codes = pq_encode(residuals, codebooks, dim, m, id_col,
+                      vec_col).join(
+        residuals.select(id_col, "centroid_id"), id_col)
+    _save(codes, f"{table_prefix}_codes")
+
+
+def ivfpq_topk_from_index(spark, queries: DataFrame, table_prefix: str,
+                          dim: int, m: int = 4, k: int = 5,
+                          nprobe: int = 3, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Residual-IVFADC top-k against :func:`publish_ivfpq_index`
+    state: identical rows to :func:`ivfpq_residual_topk` with the same
+    centroids/codebooks, but the plan is pure scans + joins — no
+    assignment, no mapInPandas encode."""
+    return _ivfpq_residual_score(
+        spark.table(f"{table_prefix}_codes"),
+        spark.table(f"{table_prefix}_codebooks"),
+        spark.table(f"{table_prefix}_centroids"),
+        _as_double(queries, vec_col), dim, m, k, nprobe, id_col,
+        vec_col)

@@ -271,3 +271,31 @@ def test_pq_encode_non_contiguous_codes(spark):
     cb_missing = cb.filter(F.col("subspace") == 0)
     with pytest.raises(Exception, match="no codewords"):
         S.pq_encode(corpus, cb_missing, dim=2, m=2).collect()
+
+
+def test_published_ivfpq_index_identical_and_stage_free(spark, sf_dir,
+                                                        tmp_path):
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 10)
+    S.publish_ivfpq_index(spark, embs, "ivfpqidx", dim=64, m=4, ksub=8,
+                          stride=50, cent_stride=50,
+                          path_root=str(tmp_path / "wh"))
+    try:
+        inline = S.ivfpq_residual_topk(embs, queries, dim=64, m=4,
+                                       ksub=8, stride=50, k=5, nprobe=3)
+        from_idx = S.ivfpq_topk_from_index(spark, queries, "ivfpqidx",
+                                           dim=64, m=4, k=5, nprobe=3)
+        rows_i = sorted(map(tuple, inline.collect()))
+        rows_f = sorted(map(tuple, from_idx.collect()))
+        assert rows_i == rows_f
+        assert rows_f, "fixture produced no top-k rows"
+        plan_i = inline._jdf.queryExecution().executedPlan().toString()
+        plan_f = from_idx._jdf.queryExecution().executedPlan().toString()
+        # the published path drops BOTH N-proportional stages: the
+        # mapInPandas encode and the assignment argmax
+        assert "MapInPandas" in plan_i, plan_i
+        assert "MapInPandas" not in plan_f, plan_f
+    finally:
+        for t in ("ivfpqidx_centroids", "ivfpqidx_codebooks",
+                  "ivfpqidx_codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
