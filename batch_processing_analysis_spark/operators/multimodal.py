@@ -435,7 +435,7 @@ def perceptual_hashes(media: DataFrame, id_col: str = "doc_id",
 
 
 def _banded_neardup_pairs(sigs: DataFrame, max_hamming: int,
-                          max_bucket: int, id_col: str) -> DataFrame:
+                          max_bucket: int | None, id_col: str) -> DataFrame:
     """Shared EXACT Hamming ≤ ``max_hamming`` pair core for the
     perceptual (image) and energy-contour (audio) fingerprints:
     ``sigs`` is (id, simhash long). The band count is the smallest
@@ -443,7 +443,20 @@ def _banded_neardup_pairs(sigs: DataFrame, max_hamming: int,
     only n_bands ≥ radius+1 for a proven candidate superset, and ≥2
     keeps every band mask inside a signed 64-bit literal; candidates
     verify with JVM-side ``bit_count(xor)`` through the SimHash
-    band/bucket/skew-guard machinery."""
+    band/bucket/skew-guard machinery.
+
+    The skew cap must not silently void the exactness claim: at
+    max_hamming ≥ 4 a band carries ≤ 8 bits (≤ 256 bucket keys), so a
+    fixed cap on a corpus much larger than cap·keyspace would drop
+    essentially EVERY bucket and quietly miss pairs. ``max_bucket``
+    therefore auto-scales when None (4× the uniform per-bucket load,
+    floor 1000 — real skew still drops, a merely-big corpus doesn't),
+    and an explicit cap below half the uniform load REFUSES loudly
+    (the caller's cap would structurally drop the median bucket, which
+    is a mis-sizing, not skew). Either path costs one count() of
+    ``sigs`` before the pair join — the house guard-before-join
+    discipline (decode runs once more; pre-persist ``sigs`` upstream
+    if the decode pass dominates)."""
     from .dedup import simhash_pairs
 
     if not 0 <= max_hamming <= 63:
@@ -453,13 +466,28 @@ def _banded_neardup_pairs(sigs: DataFrame, max_hamming: int,
             f"signature bits")
     n_bands = next(d for d in (2, 4, 8, 16, 32, 64)
                    if d >= max(2, max_hamming + 1))
+    band_bits = 64 // n_bands
+    key_space = 1 << min(band_bits, 62)
+    n_rows = sigs.count()
+    uniform = n_rows / key_space
+    if max_bucket is None:
+        max_bucket = max(1000, int(4 * uniform) + 1)
+    elif max_bucket < uniform / 2:
+        raise ValueError(
+            f"max_bucket {max_bucket} is below half the uniform "
+            f"per-bucket load ({uniform:.0f} = {n_rows} rows / "
+            f"{key_space} keys per {band_bits}-bit band) — the cap "
+            f"would drop the median bucket and silently void the "
+            f"exact Hamming<={max_hamming} claim; raise max_bucket "
+            f"(>= {int(4 * uniform) + 1} for the 4x-uniform default) "
+            f"or pass max_bucket=None to auto-scale")
     return simhash_pairs(sigs, id_col=id_col, bits=64,
-                         band_bits=64 // n_bands,
+                         band_bits=band_bits,
                          max_hamming=max_hamming, max_bucket=max_bucket)
 
 
 def perceptual_neardup_pairs(media: DataFrame, max_hamming: int = 3,
-                             max_bucket: int = 1000,
+                             max_bucket: int | None = None,
                              id_col: str = "doc_id",
                              payload_col: str = "payload") -> DataFrame:
     """EXACT Hamming ≤ ``max_hamming`` image near-dup pairs over
@@ -529,7 +557,7 @@ def audio_fingerprints(media: DataFrame, id_col: str = "doc_id",
 
 
 def audio_neardup_pairs(media: DataFrame, max_hamming: int = 3,
-                        max_bucket: int = 1000,
+                        max_bucket: int | None = None,
                         id_col: str = "doc_id",
                         payload_col: str = "payload") -> DataFrame:
     """EXACT Hamming ≤ ``max_hamming`` audio near-dup pairs over

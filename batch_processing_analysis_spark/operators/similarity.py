@@ -1477,9 +1477,16 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame, dim: int,
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for s in range(m):
                 Xs = Xq[:, s * dsub:(s + 1) * dsub]
-                diff = Xs[:, None, :] - C[s][None, :, :]
-                codes[:, s] = code_ids[s][
-                    np.argmin((diff * diff).sum(axis=2), axis=1)]
+                # ||x-c||^2 = ||x||^2 - 2xC^T + ||c||^2: one int64
+                # matmul and a batch x ksub temp, instead of the
+                # batch x ksub x dsub broadcast-difference cube
+                # (~dsub x the memory — hundreds of MB per task at
+                # production ksub). Exact integer arithmetic either
+                # way, so argmin ties still break on the lowest code.
+                d2 = ((Xs * Xs).sum(axis=1)[:, None]
+                      - 2 * (Xs @ C[s].T)
+                      + (C[s] * C[s]).sum(axis=1)[None, :])
+                codes[:, s] = code_ids[s][np.argmin(d2, axis=1)]
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "codes": list(codes)})
 

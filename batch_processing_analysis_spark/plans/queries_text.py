@@ -5097,6 +5097,7 @@ def q168_hist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHEN doc_id % 5 = 2 THEN 'cdn.' || source || '.example.com.au'
                  WHEN doc_id % 5 = 3 THEN '10.0.0.' || CAST(doc_id % 4 AS VARCHAR)
                  ELSE 'intra-' || source END)
+        || (CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END)
         || (CASE WHEN doc_id % 7 = 0 THEN ':8080'
                  WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
         || (CASE WHEN doc_id % 4 = 0 THEN ''
@@ -5125,6 +5126,12 @@ def q168_hist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
          END) AS port
       FROM p
     ),
+    p3 AS (
+      -- FQDN-root strip shared verbatim with functions/web.py
+      -- registered_domain: one trailing dot comes off BEFORE the
+      -- suffix/label matching, exactly as the Spark column does
+      SELECT *, regexp_replace(host, '\.$', '') AS rhost FROM p2
+    ),
     c AS (
       SELECT scheme, host, path,
         scheme || '://' || userinfo || host
@@ -5134,13 +5141,13 @@ def q168_hist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN ':' || CAST(port AS VARCHAR) ELSE '' END)
         || (CASE WHEN path = '' THEN '/' ELSE path END)
         || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon,
-        (CASE WHEN regexp_matches(host, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$')
-                OR NOT contains(host, '.') THEN host
-              WHEN regexp_matches(host, '\.(co\.uk|org\.uk|ac\.uk|gov\.uk|co\.jp|ne\.jp|or\.jp|com\.au|net\.au|org\.au|co\.nz|com\.br|com\.cn|com\.mx|co\.in|co\.kr|com\.sg|com\.tr|co\.za)$')
-              THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
-              ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        (CASE WHEN regexp_matches(rhost, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$')
+                OR NOT contains(rhost, '.') THEN rhost
+              WHEN regexp_matches(rhost, '\.(co\.uk|org\.uk|ac\.uk|gov\.uk|co\.jp|ne\.jp|or\.jp|com\.au|net\.au|org\.au|co\.nz|com\.br|com\.cn|com\.mx|co\.in|co\.kr|com\.sg|com\.tr|co\.za)$')
+              THEN regexp_extract(rhost, '([^.]+\.[^.]+\.[^.]+)$', 1)
+              ELSE regexp_extract(rhost, '([^.]+\.[^.]+)$', 1)
          END) AS domain
-      FROM p2
+      FROM p3
     )
     SELECT domain, count(*) AS n_urls,
            count(DISTINCT host) AS n_hosts,
@@ -5164,7 +5171,9 @@ def q169_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     The driver testdata has no URL column, so the query derives a
     deterministic one from (doc_id, source) — mixed-case schemes and
     hosts, userinfo, default AND non-default ports, empty paths,
-    queries, fragments, co.uk/com.au suffixes, IPv4 and dotless hosts
+    queries, fragments, co.uk/com.au suffixes, IPv4, dotless and
+    FQDN-root trailing-dot hosts ('example.com.', stripped before
+    domain matching in BOTH engines)
     — and BOTH engines parse the same derived strings with the same
     regexps (Java regex ∩ RE2 subset, shared verbatim from
     functions/web.py), so the oracle checks the parsing, not the
@@ -5184,6 +5193,7 @@ def q169_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 5 == 3, F.concat(F.lit("10.0.0."),
                                    (d % 4).cast("string")))
         .otherwise(F.concat(F.lit("intra-"), F.col("source"))),
+        F.when(d % 11 == 0, ".").otherwise(""),
         F.when(d % 7 == 0, ":8080").when(d % 2 == 0, ":443").otherwise(""),
         F.when(d % 4 == 0, "").otherwise(
             F.concat(F.lit("/Docs/"), (d % 10).cast("string"))),

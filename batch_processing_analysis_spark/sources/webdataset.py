@@ -32,8 +32,12 @@ Engine rules:
 Format notes: payload columns map to entry extensions
 (``payload_exts``); binary columns write raw bytes, string columns
 UTF-8. NULL payloads skip that entry (WebDataset's optional-field
-convention). Keys must be unique per shard; entries of one sample
-are adjacent, ``.{ext}`` order = the ``payload_exts`` order.
+convention). Keys must be unique per shard — and must contain no
+'.' (the public WebDataset convention splits an entry name into
+key/extension at the FIRST dot, so the extension may be dotted,
+``json.gz``, but the key may not; the writer validates, the reader
+splits first-dot to interop with external tooling). Entries of one
+sample are adjacent, ``.{ext}`` order = the ``payload_exts`` order.
 """
 
 from __future__ import annotations
@@ -58,6 +62,11 @@ MANIFEST_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.LongType()),
     T.StructField("sha256", T.StringType()),
 ])
+
+# task-side manifest: MANIFEST_SCHEMA plus the attempt-specific temp
+# name the driver must promote at commit (never published)
+_TASK_MANIFEST_SCHEMA = T.StructType(
+    [*MANIFEST_SCHEMA.fields, T.StructField("tmp", T.StringType())])
 
 READ_SCHEMA = T.StructType([
     T.StructField("shard", T.LongType()),
@@ -112,15 +121,26 @@ def write_webdataset_shards(
     previous tars and manifest fully intact (test-pinned).
     """
     payload_exts = payload_exts or {"payload": "bin"}
+    dotted = [c for c, e in payload_exts.items()
+              if e.startswith(".") or e.endswith(".")]
+    if dotted:
+        raise ValueError(
+            f"payload_exts for {dotted} start/end with '.' — extensions "
+            f"are written as '{{key}}.{{ext}}'; interior dots "
+            f"('json.gz') are fine, leading/trailing are malformed")
     spark = df.sparkSession
     os.makedirs(path, exist_ok=True)
-    # publish protocol: tasks write ``_tmp_shard-*.tar``; only after
-    # the whole job succeeds does the driver rename temps over the
-    # final names, remove stale shards, and rewrite the manifest — a
+    # publish protocol (mirrors Spark's output-committer): each task
+    # ATTEMPT writes ``_tmp_shard-NNNNNN.<attemptId>.tar`` — attempt
+    # ids are globally unique, so a speculative twin or a zombie
+    # attempt of the same shard can never interleave writes into one
+    # file. The manifest row records which attempt's temp the driver
+    # must promote; only after the whole job succeeds does the driver
+    # rename the RECORDED attempts over the final names, remove stale
+    # shards and loser-attempt temps, and rewrite the manifest — a
     # FAILED re-publish leaves the previous dataset (tars + manifest)
     # fully intact. Leftover temps from an earlier failure are swept
-    # first (a retried task reopens its fixed temp name with 'wb', so
-    # retries overwrite rather than append).
+    # first.
     for old in os.listdir(path):
         if old.startswith("_tmp_shard-") and old.endswith(".tar"):
             os.remove(os.path.join(path, old))
@@ -132,6 +152,7 @@ def write_webdataset_shards(
 
     def _write_group(pdf):
         import pandas as pd
+        from pyspark import TaskContext
 
         pdf = pdf.sort_values(pc, kind="mergesort")
         shard = int(pdf.iloc[0][shard_col])
@@ -140,33 +161,46 @@ def write_webdataset_shards(
             raise ValueError(
                 f"duplicate keys in shard {shard} — WebDataset entry "
                 f"names must be unique per shard")
+        bad = sorted(k for k in keys if "." in k)[:3]
+        if bad:
+            raise ValueError(
+                f"keys {bad} in shard {shard} contain '.' — WebDataset "
+                f"splits entry names at the FIRST dot, so a dotted key "
+                f"corrupts the key/extension boundary for every reader")
         data = _build_tar(keys, {c: list(pdf[c]) for c in exts}, exts)
         fname = _shard_name(shard)
-        with open(os.path.join(out_dir, "_tmp_" + fname), "wb") as f:
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        tmp = f"_tmp_{fname[:-len('.tar')]}.{attempt}.tar"
+        with open(os.path.join(out_dir, tmp), "wb") as f:
             f.write(data)
         return pd.DataFrame([{
             "shard": shard, "path": fname, "n_samples": len(keys),
             "n_bytes": len(data),
             "sha256": hashlib.sha256(data).hexdigest(),
+            "tmp": tmp,
         }])
 
     manifest_rows = (
         df.select(*cols)
         .repartition(F.col(shard_col))
         .groupBy(shard_col)
-        .applyInPandas(_write_group, MANIFEST_SCHEMA)
+        .applyInPandas(_write_group, _TASK_MANIFEST_SCHEMA)
         .collect()
     )
     manifest = sorted((r.asDict() for r in manifest_rows),
                       key=lambda r: r["shard"])
-    # commit: atomically swap each temp over its final name, then drop
-    # shards the new publish no longer produces
+    # commit: atomically swap each RECORDED attempt's temp over its
+    # final name, then drop shards the new publish no longer produces
+    # and any loser-attempt temps (speculative twins / zombie retries)
     new_names = {m["path"] for m in manifest}
     for m in manifest:
-        os.replace(os.path.join(path, "_tmp_" + m["path"]),
+        os.replace(os.path.join(path, m.pop("tmp")),
                    os.path.join(path, m["path"]))
     for old in os.listdir(path):
-        if (old.startswith("shard-") and old.endswith(".tar")
+        if old.startswith("_tmp_shard-") and old.endswith(".tar"):
+            os.remove(os.path.join(path, old))
+        elif (old.startswith("shard-") and old.endswith(".tar")
                 and old not in new_names):
             os.remove(os.path.join(path, old))
     with open(os.path.join(path, WDS_MANIFEST), "w") as f:
@@ -209,7 +243,11 @@ def read_webdataset_shards(
                             # directory / PAX header members — skip,
                             # never crash the task
                             continue
-                        stem, _, ext = m.name.rpartition(".")
+                        # FIRST-dot split (public WebDataset layout):
+                        # the key is the basename up to the first dot,
+                        # the extension is everything after — dotted
+                        # extensions ('json.gz') belong to the ext
+                        stem, _, ext = m.name.partition(".")
                         rows.append((shard, stem, ext,
                                      tf.extractfile(m).read()))
             yield pd.DataFrame(rows, columns=["shard", "key", "ext",
