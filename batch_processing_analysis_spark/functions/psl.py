@@ -1,0 +1,186 @@
+"""Public-Suffix-List registrable-domain extraction (M161) — the
+full publicsuffix.org algorithm over the REAL vendored list, closing
+the VERDICT r9 gap ("registered_domain ships a 19-suffix pinned
+subset"): on a real web corpus the pinned subset mis-groups every
+github.io / blogspot.com / cloudfront.net-class host into one giant
+"domain" — exactly the hosts a per-domain quota (operators/mixing.py
+``domain_quota_topk``, the C4 practice) most needs to separate.
+
+Data: ``data/public_suffix_list.dat`` is a verbatim snapshot of the
+public list (Mozilla Public Suffix List, MPL 2.0 — the attribution
+header is preserved in the file; canonical source
+https://publicsuffix.org/list/public_suffix_list.dat; this copy is
+the Debian ``publicsuffix`` package snapshot on the build host).
+~9.5k rules: ICANN + PRIVATE sections, wildcard rules (``*.ck``,
+``*.kawasaki.jp``) and exception rules (``!www.ck``,
+``!city.kawasaki.jp``). A newer snapshot drops in by replacing the
+file — the plan shape never changes.
+
+Algorithm (https://publicsuffix.org/list/ — the spec's matching
+rules, re-expressed as one broadcast join):
+
+1. A rule matches a host when the rule's labels are a label-wise
+   suffix of the host's labels; ``*`` matches exactly one label.
+2. If any EXCEPTION rule matches, it prevails: the public suffix is
+   the exception rule minus its leftmost label.
+3. Otherwise the prevailing rule is the matching rule with the MOST
+   labels (wildcard rules count the ``*``).
+4. If no rule matches, the prevailing rule is ``*`` (the bare TLD is
+   the public suffix).
+5. The registrable domain is the public suffix plus one more host
+   label — NULL when the host IS a public suffix (nothing
+   registrable), and NULL for IPv4 literals and dotless hosts.
+
+Spark shape (scale contract): the rules are a ~9.5k-row dimension →
+``F.broadcast`` join; hosts are deduplicated first, so the per-host
+work is 5 tail substrings + one broadcast hash join + one groupBy —
+a 100 TB URL column reduces to its distinct hosts before any PSL
+work, and the mapping joins back on the host key. No UDF anywhere:
+tails via ``substring_index``, label math via ``split``/``slice``/
+``array_join``, all whole-stage codegen.
+
+Semantics note: the sibling column function
+:func:`..functions.web.registered_domain` keeps its pinned-subset,
+never-NULL governance semantics (IPv4/dotless pass through); THIS
+module implements the standard library semantics (NULL when nothing
+is registrable), pinned in tests/test_psl.py. The DuckDB oracle twin
+(plans/queries_text.py q171) re-derives the rules from the SAME
+vendored file with SQL string ops — the oracle checks the algorithm,
+not a copied output.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PSL_PATH = str(Path(__file__).resolve().parent.parent / "data"
+               / "public_suffix_list.dat")
+
+# the list's deepest rule is 5 labels; tails beyond that can't match
+MAX_RULE_LABELS = 5
+
+_IPV4_RE = r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"
+
+
+def load_psl_rules(spark: SparkSession, path: str | None = None,
+                   include_private: bool = True) -> DataFrame:
+    """Parse the vendored list into a rules dimension
+    (match_key, kind, key_labels, section).
+
+    ``match_key`` is the rule minus any ``!``/``*.`` marker,
+    lowercased; ``kind`` ∈ {normal, wildcard, exception};
+    ``key_labels`` = label count of the key; ``section`` ∈
+    {icann, private}. Unicode rules additionally emit their IDNA
+    (punycode) twin when encodable, so ``xn--``-form hosts match —
+    best-effort, exactly the spec's canonicalized comparison."""
+    text = Path(path or PSL_PATH).read_text(encoding="utf-8")
+    section = "icann"
+    seen: set[tuple[str, str, str]] = set()
+    rows: list[tuple[str, str, int, str]] = []
+
+    def add(key: str, kind: str) -> None:
+        key = key.lower().rstrip(".")
+        if not key or (key, kind, section) in seen:
+            return
+        seen.add((key, kind, section))
+        rows.append((key, kind, key.count(".") + 1, section))
+
+    for line in text.splitlines():
+        s = line.strip()
+        if not s:
+            continue
+        if s.startswith("//"):
+            if "BEGIN PRIVATE" in s:
+                section = "private"
+            continue
+        s = s.split()[0]  # spec: rule ends at first whitespace
+        if s.startswith("!"):
+            kind, key = "exception", s[1:]
+        elif s.startswith("*."):
+            kind, key = "wildcard", s[2:]
+        else:
+            kind, key = "normal", s
+        add(key, kind)
+        if not key.isascii():
+            try:  # IDNA twin for punycode-form hosts
+                add(key.encode("idna").decode("ascii"), kind)
+            except UnicodeError:
+                pass
+    if not include_private:
+        rows = [r for r in rows if r[3] == "icann"]
+    return spark.createDataFrame(
+        rows, "match_key string, kind string, key_labels int, "
+              "section string")
+
+
+def psl_domain_map(hosts: DataFrame, rules: DataFrame,
+                   host_col: str = "host",
+                   out_col: str = "psl_domain") -> DataFrame:
+    """(host, registrable-domain) mapping for a DISTINCT host frame —
+    the join core of :func:`with_psl_registered_domain`; exposed so a
+    caller holding a host dimension can build the mapping once."""
+    rhost = F.regexp_replace(F.col(host_col), r"\.$", "")
+    labels = F.split(rhost, r"\.")
+    n = F.size(labels)
+    tails = F.array(*[
+        F.when(n >= k, F.substring_index(rhost, ".", -k))
+        for k in range(1, MAX_RULE_LABELS + 1)
+    ])
+    exploded = (
+        hosts.select(F.col(host_col), rhost.alias("_rhost"),
+                     n.alias("_n"), F.explode(tails).alias("_tail"))
+        .filter(F.col("_tail").isNotNull())
+    )
+    kl = F.col("key_labels")
+    matched = (
+        exploded.join(F.broadcast(rules),
+                      exploded["_tail"] == rules["match_key"], "left")
+        .groupBy(host_col, "_rhost", "_n")
+        .agg(
+            F.max(F.when(F.col("kind") == "exception", kl - 1))
+            .alias("_exc"),
+            F.max(F.when(F.col("kind") == "normal", kl)).alias("_nrm"),
+            F.max(F.when((F.col("kind") == "wildcard")
+                         & (F.col("_n") >= kl + 1), kl + 1))
+            .alias("_wld"),
+        )
+    )
+    ps = F.coalesce(
+        F.col("_exc"),
+        F.greatest(F.coalesce(F.col("_nrm"), F.lit(1)),
+                   F.coalesce(F.col("_wld"), F.lit(1))),
+    )
+    nn = F.col("_n")
+    rlabels = F.split(F.col("_rhost"), r"\.")
+    domain = (
+        F.when(F.col("_rhost").rlike(_IPV4_RE), F.lit(None))
+        .when(nn >= ps + 1,
+              F.array_join(F.slice(rlabels, nn - ps, ps + 1), "."))
+        .otherwise(F.lit(None))
+    )
+    return matched.select(F.col(host_col), domain.alias(out_col))
+
+
+def with_psl_registered_domain(df: DataFrame, host_col: str,
+                               out_col: str = "psl_domain",
+                               rules: DataFrame | None = None,
+                               include_private: bool = True) -> DataFrame:
+    """Add the PSL registrable domain of ``df[host_col]`` as
+    ``out_col`` (NULL when the host is itself a public suffix, an
+    IPv4 literal, or dotless — see module docstring).
+
+    Dedup-first: the corpus reduces to DISTINCT hosts, the ~9.5k-rule
+    dimension broadcasts against them, and the (host → domain) map
+    joins back on the host key — the big side shuffles once, on a key
+    it usually needs anyway (host-level census/quota follow-ups), and
+    AQE broadcasts the map side when the distinct-host count is
+    dimension-sized."""
+    if rules is None:
+        rules = load_psl_rules(df.sparkSession,
+                               include_private=include_private)
+    mapping = psl_domain_map(df.select(host_col).distinct(), rules,
+                             host_col, out_col)
+    return df.join(mapping, host_col, "left")

@@ -146,6 +146,71 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     )
 
 
+def prepare_web_corpus(docs: DataFrame, *, url_col: str = "url",
+                       id_col: str = "doc_id",
+                       order_col: str | None = None,
+                       domain_quota: int | None = None,
+                       blocklist: DataFrame | None = None,
+                       psl_rules: DataFrame | None = None,
+                       include_private: bool = True) -> DataFrame:
+    """URL-governance facade (M154 + M161 composed end-to-end — the
+    C4/CommonCrawl web-corpus discipline): RFC 3986 canonical-URL
+    exact dedup → PSL registrable domain → [domain blocklist] →
+    [per-domain quota].
+
+    - **Dedup** keeps the LOWEST ``id_col`` row per canonical URL
+      (lowercased scheme/host, default ports dropped, fragment
+      dropped — functions/web.py), so ``HTTPS://Host:443/p`` and
+      ``https://host/p`` are one document. Rows whose ``url_col`` is
+      not scheme://-shaped canonicalize to NULL and are dropped (not
+      web documents).
+    - **Domain** is the FULL Public Suffix List registrable domain
+      (functions/psl.py — github.io sub-sites are distinct domains);
+      unregistrable hosts (IPv4, dotless, suffix-itself) keep a NULL
+      domain: the blocklist never matches them and the quota groups
+      them as one NULL bucket.
+    - **Blocklist** drops whole registrable domains via the broadcast
+      anti-join (operators/mixing.py).
+    - **Quota** caps each domain at ``domain_quota`` docs by
+      ``order_col`` (required with a quota), deterministic on
+      ``id_col``, through the skew-governed two-phase top-k.
+
+    Adds (canon_url, host, psl_domain) to the kept rows. Scale shape:
+    one window exchange on canon_url, one distinct-host PSL broadcast
+    join, one anti-join, and the bounded two-phase quota — no UDF, no
+    driver loop (oracle-gated end to end by q172)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from .functions import psl as PSL
+    from .functions import web as WEB
+    from .operators import mixing as MX
+
+    if domain_quota is not None and order_col is None:
+        raise ValueError("domain_quota needs order_col — an "
+                         "unordered per-domain cap is nondeterministic")
+    base = (
+        docs.withColumn("canon_url",
+                        WEB.url_canonicalize(F.col(url_col)))
+        .withColumn("host", WEB.url_host(F.col(url_col)))
+        .filter(F.col("canon_url").isNotNull())
+    )
+    w = W.partitionBy("canon_url").orderBy(F.asc(id_col))
+    deduped = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+    out = PSL.with_psl_registered_domain(
+        deduped, "host", rules=psl_rules,
+        include_private=include_private)
+    if blocklist is not None:
+        out = MX.domain_blocklist_filter(out, "psl_domain", blocklist)
+    if domain_quota is not None:
+        out = MX.domain_quota_topk(out, "psl_domain", domain_quota,
+                                   order_col, id_col=id_col)
+    return out
+
+
 def build_training_set(docs: DataFrame, path: str, *,
                        benchmark: DataFrame | None = None,
                        seed: str = "train:0", num_shards: int = 64,

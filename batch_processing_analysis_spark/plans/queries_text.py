@@ -30,7 +30,9 @@ from ..operators import search as SR
 from ..operators import sketches as SK
 from ..operators import similarity as S
 from ..operators import text_analysis as TA
+from ..functions import psl as PSL
 from ..functions import web as WEB
+from ..pipeline import prepare_web_corpus
 from ..sources.tables import load_table
 from .registry import query
 
@@ -5301,3 +5303,278 @@ def q170_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return S.pq_adc_topk(embs, embs.filter(F.col("vec_id") < 10),
                          dim=64, m=4, ksub=8, stride=50, k=5)
+
+
+# q171 oracle: the FULL publicsuffix.org algorithm re-derived in SQL
+# from the SAME vendored data file (functions/psl.py:PSL_PATH) —
+# rules parsed with string ops, wildcard/exception/longest-match
+# resolution re-implemented independently, so the oracle checks the
+# ALGORITHM, not a copied output table.
+_PSL_HOST_SQL = """
+      SELECT doc_id,
+             (CASE WHEN doc_id % 13 = 0
+                   THEN source || CAST(doc_id % 3 AS VARCHAR) || '.github.io'
+              WHEN doc_id % 13 = 1 THEN 'www.' || source || '.co.uk'
+              WHEN doc_id % 13 = 2 THEN source || '.blogspot.com'
+              WHEN doc_id % 13 = 3
+                   THEN 'shop' || CAST(doc_id % 2 AS VARCHAR) || '.foo.ck'
+              WHEN doc_id % 13 = 4 THEN 'www.ck'
+              WHEN doc_id % 13 = 5
+                   THEN 'a' || CAST(doc_id % 2 AS VARCHAR) || '.city.kawasaki.jp'
+              WHEN doc_id % 13 = 6
+                   THEN 'b' || CAST(doc_id % 2 AS VARCHAR) || '.x.kawasaki.jp'
+              WHEN doc_id % 13 = 7 THEN source || '.example.com'
+              WHEN doc_id % 13 = 8 THEN '10.0.0.' || CAST(doc_id % 4 AS VARCHAR)
+              WHEN doc_id % 13 = 9 THEN 'localhost'
+              WHEN doc_id % 13 = 10 THEN 'github.io'
+              WHEN doc_id % 13 = 11 THEN source || '.example.com.'
+              ELSE 'x' || CAST(doc_id % 2 AS VARCHAR)
+                   || '.s3.cn-north-1.amazonaws.com.cn' END) AS host
+      FROM documents
+"""
+
+def _psl_host_col() -> "F.Column":
+    """The q171/q172 host fixture (Spark twin of _PSL_HOST_SQL)."""
+    d = F.col("doc_id")
+    return (
+        F.when(d % 13 == 0, F.concat(F.col("source"),
+                                     (d % 3).cast("string"),
+                                     F.lit(".github.io")))
+        .when(d % 13 == 1, F.concat(F.lit("www."), F.col("source"),
+                                    F.lit(".co.uk")))
+        .when(d % 13 == 2, F.concat(F.col("source"),
+                                    F.lit(".blogspot.com")))
+        .when(d % 13 == 3, F.concat(F.lit("shop"), (d % 2).cast("string"),
+                                    F.lit(".foo.ck")))
+        .when(d % 13 == 4, F.lit("www.ck"))
+        .when(d % 13 == 5, F.concat(F.lit("a"), (d % 2).cast("string"),
+                                    F.lit(".city.kawasaki.jp")))
+        .when(d % 13 == 6, F.concat(F.lit("b"), (d % 2).cast("string"),
+                                    F.lit(".x.kawasaki.jp")))
+        .when(d % 13 == 7, F.concat(F.col("source"),
+                                    F.lit(".example.com")))
+        .when(d % 13 == 8, F.concat(F.lit("10.0.0."),
+                                    (d % 4).cast("string")))
+        .when(d % 13 == 9, F.lit("localhost"))
+        .when(d % 13 == 10, F.lit("github.io"))
+        .when(d % 13 == 11, F.concat(F.col("source"),
+                                     F.lit(".example.com.")))
+        .otherwise(F.concat(F.lit("x"), (d % 2).cast("string"),
+                            F.lit(".s3.cn-north-1.amazonaws.com.cn")))
+    )
+
+
+# CTE chain implementing the PSL resolution for a ``hu(host)`` CTE of
+# distinct hosts — shared by q171 and the q172 governance facade.
+_PSL_ALGO_CTES = f"""
+    raw AS (
+      SELECT trim(unnest(string_split(content, chr(10)))) AS line
+      FROM read_text('{PSL.PSL_PATH}')
+    ),
+    toks AS (
+      SELECT string_split(line, ' ')[1] AS l FROM raw
+      WHERE line <> '' AND NOT starts_with(line, '//')
+    ),
+    rules AS (
+      SELECT DISTINCT
+        lower(CASE WHEN starts_with(l, '!') THEN substr(l, 2)
+                   WHEN starts_with(l, '*.') THEN substr(l, 3)
+                   ELSE l END) AS match_key,
+        (CASE WHEN starts_with(l, '!') THEN 'exception'
+              WHEN starts_with(l, '*.') THEN 'wildcard'
+              ELSE 'normal' END) AS kind
+      FROM toks
+    ),
+    rules2 AS (
+      SELECT match_key, kind,
+             len(string_split(match_key, '.')) AS key_labels
+      FROM rules
+    ),
+    hn AS (
+      SELECT host, rhost, string_split(rhost, '.') AS ls,
+             len(string_split(rhost, '.')) AS n
+      FROM (SELECT host, regexp_replace(host, '\\.$', '') AS rhost
+            FROM hu)
+    ),
+    tails AS (
+      SELECT host, n,
+             array_to_string(list_slice(ls, n - k + 1, n), '.') AS tail
+      FROM hn CROSS JOIN (SELECT unnest(range(1, 6)) AS k) ks
+      WHERE k <= n
+    ),
+    m AS (
+      SELECT t.host,
+        max(CASE WHEN r.kind = 'exception'
+                 THEN r.key_labels - 1 END) AS exc,
+        max(CASE WHEN r.kind = 'normal' THEN r.key_labels END) AS nrm,
+        max(CASE WHEN r.kind = 'wildcard' AND t.n >= r.key_labels + 1
+                 THEN r.key_labels + 1 END) AS wld
+      FROM tails t JOIN rules2 r ON t.tail = r.match_key
+      GROUP BY 1
+    ),
+    ps AS (
+      SELECT hn.host, hn.rhost, hn.ls, hn.n,
+             coalesce(m.exc, greatest(coalesce(m.nrm, 1),
+                                      coalesce(m.wld, 1))) AS ps
+      FROM hn LEFT JOIN m ON hn.host = m.host
+    ),
+    dm AS (
+      SELECT host,
+        (CASE WHEN regexp_matches(rhost,
+                     '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN NULL
+              WHEN n >= ps + 1
+              THEN array_to_string(list_slice(ls, n - ps, n), '.')
+              ELSE NULL END) AS domain
+      FROM ps
+    )"""
+
+_PSL_SQL = f"""
+    WITH hosts0 AS ({_PSL_HOST_SQL}),
+    hu AS (SELECT DISTINCT host FROM hosts0),
+    {_PSL_ALGO_CTES}
+    SELECT coalesce(dm.domain, '(unregistrable)') AS domain,
+           count(*) AS n_urls,
+           count(DISTINCT hosts0.host) AS n_hosts
+    FROM hosts0 JOIN dm ON hosts0.host = dm.host
+    GROUP BY 1
+    """
+
+
+@query(
+    "q171_psl_registered_domain",
+    _PSL_SQL,
+    primary=True,
+)
+def q171_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain census under the FULL Public Suffix List
+    (functions/psl.py, M161 — the real vendored publicsuffix.org
+    snapshot, ~9.5k rules): exercises private-section suffixes
+    (github.io / blogspot.com sub-sites SEPARATE instead of collapsing
+    into one mega-domain), wildcard rules (*.ck, *.kawasaki.jp),
+    exception rules (!www.ck, !city.kawasaki.jp), a 5-label private
+    rule (s3.cn-north-1.amazonaws.com.cn), plain ICANN 2-level
+    (co.uk), IPv4 / dotless / suffix-itself hosts (NULL →
+    '(unregistrable)'), and the FQDN-root trailing dot. The DuckDB
+    twin re-derives the rules from the SAME data file and re-runs the
+    spec's wildcard/exception/longest-match resolution in SQL — both
+    engines compute the algorithm independently. First driver window
+    r10."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hosts = docs.select(_psl_host_col().alias("host"))
+    out = PSL.with_psl_registered_domain(hosts, "host", out_col="_dom")
+    return (
+        out.withColumn("domain",
+                       F.coalesce(F.col("_dom"), F.lit("(unregistrable)")))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"),
+             F.countDistinct("host").alias("n_hosts"))
+    )
+
+
+# q172 oracle: the whole governance facade re-derived independently —
+# RFC 3986 parse/canonicalize (the q169 regexps, shared verbatim),
+# canonical-URL dedup, PSL resolution (_PSL_ALGO_CTES re-runs the
+# spec's algorithm from the raw data file), blocklist anti-filter,
+# per-domain quota top-k.
+_GOV_SQL = f"""
+    WITH hosts0 AS ({_PSL_HOST_SQL}),
+    u AS (
+      SELECT doc_id, host,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+        || '://' || host
+        || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url,
+        (doc_id * 37) % 101 AS score
+      FROM hosts0
+    ),
+    p AS (
+      SELECT doc_id, score,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+          AS auth,
+        regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+      FROM u
+    ),
+    p2 AS (
+      SELECT doc_id, score, scheme, path,
+        lower(regexp_replace(regexp_replace(auth, '^[^@]*@', ''),
+                             ':([0-9]+)$', '')) AS host,
+        (CASE WHEN regexp_extract(auth, ':([0-9]+)$', 1) <> ''
+              THEN CAST(regexp_extract(auth, ':([0-9]+)$', 1) AS INT)
+         END) AS port
+      FROM p
+    ),
+    c AS (
+      SELECT doc_id, score, host,
+        scheme || '://' || host
+        || (CASE WHEN port IS NOT NULL
+                  AND NOT (scheme = 'http' AND port = 80)
+                  AND NOT (scheme = 'https' AND port = 443)
+                 THEN ':' || CAST(port AS VARCHAR) ELSE '' END)
+        || (CASE WHEN path = '' THEN '/' ELSE path END) AS canon
+      FROM p2 WHERE scheme <> ''
+    ),
+    dd AS (
+      SELECT doc_id, score, host, canon FROM (
+        SELECT *, row_number() OVER (PARTITION BY canon
+                                     ORDER BY doc_id) AS rn
+        FROM c) WHERE rn = 1
+    ),
+    hu AS (SELECT DISTINCT host FROM dd),
+    {_PSL_ALGO_CTES},
+    j AS (
+      SELECT dd.doc_id, dd.canon, dd.score, dm.domain
+      FROM dd JOIN dm ON dd.host = dm.host
+    ),
+    nb AS (
+      SELECT * FROM j
+      WHERE domain IS NULL OR domain NOT IN ('www.ck', 'example.com')
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY domain
+                                   ORDER BY score DESC, doc_id) AS drn
+      FROM nb
+    )
+    SELECT doc_id, canon AS canon_url,
+           coalesce(domain, '(unregistrable)') AS domain, score
+    FROM ranked WHERE drn <= 5
+    """
+
+
+@query(
+    "q172_url_governance",
+    _GOV_SQL,
+    primary=True,
+)
+def q172_url_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-governance facade end to end (pipeline.prepare_web_corpus —
+    M154 + M161 composed): canonical-URL exact dedup (HTTPS/:443
+    variants collapse to one canonical form, lowest doc_id survives)
+    → full-PSL registrable domain → domain blocklist (www.ck,
+    example.com dropped) → per-domain quota top-5 by a deterministic
+    integer score through the skew-governed two-phase top-k. The
+    DuckDB twin recomputes every stage independently, including the
+    PSL resolution from the raw vendored list. Doc-level output pins
+    the exact survivor set. First driver window r10."""
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.when(d % 2 == 0, "HTTPS").otherwise("https"),
+        F.lit("://"), _psl_host_col(),
+        F.when(d % 3 == 0, ":443").otherwise(""),
+        F.lit("/p/"), (d % 7).cast("string"),
+    )
+    base = docs.select("doc_id", url.alias("url"),
+                       ((d * 37) % 101).alias("score"))
+    block = spark.createDataFrame([("www.ck",), ("example.com",)],
+                                  "domain string")
+    out = prepare_web_corpus(base, order_col="score", domain_quota=5,
+                             blocklist=block)
+    return out.select(
+        "doc_id", "canon_url",
+        F.coalesce(F.col("psl_domain"), F.lit("(unregistrable)"))
+        .alias("domain"),
+        "score",
+    )

@@ -33,83 +33,83 @@ ORACLES: dict[str, str] = {}
 EXTRA_QUERIES: dict[str, SparkBuilder] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
-# Round-9 rotation (VERDICT r8 task 2). 50 slots, built from
+# Round-10 rotation (VERDICT r9 task 2). 50 slots, built from
 # tools/rotation_check.py --plan (budget arithmetic lives in THAT
 # module's docstring: registered minus the 8 allowlisted environment
 # canaries, over 50 slots, makes a ~3.2-round refresh floor, hence the
 # 4-round budget):
-# - the 8 queries the r8 --plan listed as coming due (newest green r5,
-#   due at r9 close): q11, q28, q136-q141;
-# - q168_hist_drift, the round's new never-green M153 query (must be
-#   in the window per rotation_check);
-# - 39 of the 49 r6-tier queries (newest green r6, due at r10 close)
-#   taken a round early so the r10 window has room for the 50-strong
-#   r7 tier that follows; the 10 deferred are the cheap relational
-#   basics (q01/q02/q04/q05/q07/q14/q15/q16, plus q22/q23 ceded
-#   mid-round to the new q169/q170 — fast re-greens that fit any
-#   window), due exactly at r10 where --plan will list them.
-# Rotated OUT: the whole r8 window (every row green in
-# CORRECTNESS_r08, due back r12). q116_canary_hugeint_probe stays
+# - the 10 queries the r9 --plan listed as coming due (newest green
+#   r6, due at r10 close): the deferred relational basics
+#   q01/q02/q04/q05/q07/q14/q15/q16/q22/q23;
+# - q171/q172, the round's new never-green M161 queries (full-PSL
+#   registrable domain; the URL-governance facade) — must be in the
+#   window per rotation_check;
+# - 38 of the 50 r7-tier queries (newest green r7, due at r11) taken
+#   a round early so the r11 window has room; the 12 deferred are the
+#   cheap relational basics (q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
+#   q21/q24 — fast re-greens that fit any window), due exactly at r11
+#   where --plan will list them.
+# Rotated OUT: the whole r9 window (every row green in
+# CORRECTNESS_r09, due back r13). q116_canary_hugeint_probe stays
 # RETIRED in the extras registry (designed-red HUGEINT probe,
 # DRIVER_ENV.md) and all 8 canaries are budget-allowlisted in
 # rotation_check.py. Set to None to fall back to the per-call flags.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
-    # r5-tier staleness re-greens (the --plan coming-due list)
-    "q11_sessionize",
-    "q28_prioritization_pairs",
-    "q136_packing_efficiency",
-    "q137_dup_cluster_sizes",
-    "q138_eval_quotas",
-    "q139_rrf_fusion",
-    "q140_ppjoin_exact",
-    "q141_token_heavy_hitters",
-    # the round's new never-green queries (M153, M154, M156; q169/q170
-    # swapped in mid-round for q22_dense_rank/q23_instant_generation —
-    # cedable r6-tier slots, deferred to r10 with the other relational
-    # basics)
-    "q168_hist_drift",
-    "q169_url_domain_census",
-    "q170_pq_adc_topk",
-    # r6-tier, taken one round early (39 of 49 after the q22/q23 cedes)
-    "q142_unimax_plan",
-    "q144_embedding_gram",
-    "q145_bloom_membership",
-    "q146_nfc_audit",
-    "q147_ppjoin_increment",
-    "q148_token_entropy",
-    "q149_containment_pairs",
-    "q150_centroid_cosine",
-    "q151_script_mix",
-    "q152_last_touch_attribution",
-    "q153_frequent_paths",
-    "q154_ks_drift",
-    "q155_novelty_attribution",
-    "q156_weighted_median",
-    "q157_zipf_slope",
-    "q158_conformance_fitness",
-    "q159_variant_table",
-    "q160_linear_scores",
-    "q161_embedding_dispersion",
-    "q162_jaccard_threshold_profile",
-    "q25_conditional_pivot",
-    "q26_trace_subset",
-    "q27_calendar_displacement",
-    "q29_range_join_bucketed",
-    "q30_enabled_times",
-    "q34_waiting_time_report",
-    "q37_activation_rules",
-    "q41_dedup_minhash_lsh",
-    "q44_embedding_neardup",
-    "q45_ann_cosine_topk",
-    "q51_multimodal_features",
-    "q53_corpus_filter",
-    "q58_stratified_sample",
-    "q59_token_shard_packing",
-    "q60_winnowing_pairs",
-    "q61_event_blacklist",
-    "q74_semantic_dedup",
-    "q75_dedup_resolution",
-    "q80_funnel_steps",
+    # r6-tier staleness re-greens (the --plan coming-due list)
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q07_in_case_when",
+    "q14_nested_two_level_agg",
+    "q15_histogram",
+    "q16_rollup",
+    "q22_dense_rank",
+    "q23_instant_generation",
+    # the round's new never-green queries (M161 + the governance
+    # facade)
+    "q171_psl_registered_domain",
+    "q172_url_governance",
+    # r7-tier, taken one round early (38 of 50; q143 doubles as the
+    # bench control query)
+    "q143_edjoin_exact",
+    "q163_containment_increment",
+    "q164_ks_drift_quantized",
+    "q165_edjoin_increment",
+    "q31_task_batches",
+    "q32_batch_discovery_stats",
+    "q33_waiting_time_decomposition",
+    "q35_concurrency_pairs",
+    "q36_activation_features",
+    "q38_interval_sweep",
+    "q40_dedup_exact",
+    "q42_dedup_simhash",
+    "q43_dedup_ngram_jaccard",
+    "q46_ann_ivf_topk",
+    "q47_text_quality",
+    "q48_lang_id",
+    "q49_token_count",
+    "q52_dedup_components",
+    "q54_frame_sample",
+    "q55_payload_resize",
+    "q56_repetition_signals",
+    "q57_pattern_counts",
+    "q62_doc_chunking",
+    "q63_decontaminate",
+    "q65_quantized_topk",
+    "q66_asof_join",
+    "q67_bm25_topk",
+    "q68_incremental_merge",
+    "q69_seeded_shuffle",
+    "q71_context_packing",
+    "q72_unigram_logprob",
+    "q73_dedup_segments",
+    "q77_profile_columns",
+    "q78_quality_buckets",
+    "q79_cdc_chunks",
+    "q81_retention_cohorts",
+    "q82_payload_neardup",
+    "q83_interval_overlap_join",
 })
 
 
