@@ -18,6 +18,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Control set (VERDICT r9 task 4): byte-identical probes measured at
+# board start AND end; see main(). q143 was the de-facto control.
+CONTROL_SET = [
+    "q143_edjoin_exact",       # exact-join family (the expensive tier)
+    "q01_pricing_summary",     # scan + group-agg
+    "q11_sessionize",          # window / sessionization
+    "q47_text_quality",        # text-feature scan
+    "q65_quantized_topk",      # embedding / quantized ANN
+]
+CONTROL_THRESHOLD = 1.2
+
 # Headline set: one per capability family (SURVEY §2) — relational agg,
 # scan-filter, joins, windows/sessionization, event-log pipeline, text.
 HEADLINE = [
@@ -387,6 +398,42 @@ def main() -> None:
         print(f"bench: ingest facade failed: {e}", file=sys.stderr)
 
 
+    # Bench control set (VERDICT r9 task 4): five byte-identical probe
+    # queries spanning the engine's cost families (exact join, scan-
+    # agg, window/sessionization, text scan, quantized ANN), measured
+    # at board START and END with the same warm-up+min-of-2 protocol.
+    # Intra-board drift (end/start median) and cross-board drift
+    # (start vs the previous record's control start, falling back to
+    # its plain query rows) are recorded; beyond CONTROL_THRESHOLD the
+    # board stamps itself `drift_exceeded` — cross-round comparisons
+    # must be rescaled by `vs_prev_median` or voided, ending the
+    # every-round host-drift prose (q143 was the de-facto control; this
+    # formalizes it).
+    def _measure_controls() -> dict[str, float | None]:
+        out: dict[str, float | None] = {}
+        for name in CONTROL_SET:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                out[name] = round(best, 3)
+            except Exception as e:
+                print(f"bench: control {name} failed: {e}",
+                      file=sys.stderr)
+                out[name] = None
+        return out
+
+    control_start = _measure_controls()
+
     # Self-completing surface: any registered query the hand-ordered
     # HEADLINE list misses is appended (sorted) so a new registration
     # can never silently drop out of the per-round record (q124-q134
@@ -475,6 +522,48 @@ def main() -> None:
               f"{remeasured}; failed re-measures: {remeasure_failed}",
               file=sys.stderr)
 
+    control_end = _measure_controls()
+
+    def _median(xs: list[float]) -> float | None:
+        xs = sorted(xs)
+        if not xs:
+            return None
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+    intra = _median([
+        control_end[n] / control_start[n]
+        for n in control_start
+        if control_start.get(n) and control_end.get(n)
+    ])
+    prev_ctl = (prev.get("control") or {}).get("queries_start") or {}
+    prev_q_all = prev.get("queries") or {}
+    vs_prev = _median([
+        control_start[n] / (prev_ctl.get(n) or prev_q_all.get(n))
+        for n in control_start
+        if control_start.get(n)
+        and isinstance(prev_ctl.get(n) or prev_q_all.get(n), (int, float))
+        and (prev_ctl.get(n) or prev_q_all.get(n)) > 0
+    ])
+    drifted = any(
+        r is not None and (r > CONTROL_THRESHOLD or r < 1 / CONTROL_THRESHOLD)
+        for r in (intra, vs_prev)
+    )
+    control = {
+        "queries_start": control_start,
+        "queries_end": control_end,
+        "intra_median": round(intra, 3) if intra is not None else None,
+        "vs_prev_median": (round(vs_prev, 3)
+                           if vs_prev is not None else None),
+        "threshold": CONTROL_THRESHOLD,
+        "status": "drift_exceeded" if drifted else "ok",
+    }
+    if drifted:
+        print(f"bench: CONTROL DRIFT exceeded {CONTROL_THRESHOLD}x "
+              f"(intra={intra}, vs_prev={vs_prev}) — rescale "
+              f"cross-board comparisons by vs_prev_median or void them",
+              file=sys.stderr)
+
     ok = [v for v in timings.values() if v is not None]
     out = {
         "metric": "headline_queries_total_runtime",
@@ -483,6 +572,7 @@ def main() -> None:
         "queries": timings,
         "facades": facades,
         "facades_protocol": "min-of-2 solo, >2x rows re-measured",
+        "control": control,
         "remeasured": remeasured,
         "remeasure_failed": remeasure_failed,
         "sf": sf,
@@ -501,6 +591,7 @@ def main() -> None:
         "n_queries": len(ok),
         "n_failed": sum(1 for v in timings.values() if v is None),
         "facades": facades,
+        "control": control,
         "remeasured": remeasured,
         "remeasure_failed": remeasure_failed,
     }
