@@ -34,6 +34,20 @@ from pyspark.sql.utils import AnalysisException
 
 from .corpus_stream import CONTENT_HASH, with_content_hash
 
+# canonical-URL keep-set column (M163; see ingest_micro_batch)
+CANON_URL = "_canon_url"
+
+
+def _read_url_registry(spark: SparkSession, url_registry_path: str,
+                       exclude_batch: int) -> DataFrame | None:
+    try:
+        reg = spark.read.option("basePath", url_registry_path) \
+            .parquet(url_registry_path)
+    except AnalysisException:  # first batch ever: no registry yet
+        return None
+    return reg.filter(F.col("ingest_batch") != exclude_batch) \
+        .select(CANON_URL)
+
 
 def _read_registry(spark: SparkSession, registry_path: str,
                    exclude_batch: int) -> DataFrame | None:
@@ -52,7 +66,9 @@ def ingest_micro_batch(batch_df: DataFrame, batch_id: int, *,
                        hist_path: str | None = None,
                        census_group_cols: tuple[str, ...] = (),
                        hll_p: int = 8, hll_seed: str = "hll:0",
-                       hist_s: int = 4) -> None:
+                       hist_s: int = 4,
+                       url_col: str | None = None,
+                       url_registry_path: str | None = None) -> None:
     """Process one micro-batch: first-arrival dedup within the batch,
     anti-join the durable registry, append survivors + their hashes
     (each into an ``ingest_batch=<id>`` partition, overwrite = retry-
@@ -73,8 +89,25 @@ def ingest_micro_batch(batch_df: DataFrame, batch_id: int, *,
     are additive). Streamed state across a restart equals the batch
     ``hll_registers`` / ``log_histogram`` on everything ingested —
     pinned by tests/test_incremental_ingest.py.
+
+    ``url_col`` + ``url_registry_path`` (M163 — M154/M162 governance
+    inside the durable loop) additionally dedup by CANONICAL URL
+    first-arrival across waves, the web-crawl recrawl rule: a doc
+    survives iff its content hash AND its canonical URL (RFC 3986
+    form, functions/web.py) are both first-seen. The URL keep-set is a
+    second durable registry with the identical per-wave
+    overwrite-partition discipline (retry-idempotent); docs whose
+    ``url_col`` does not canonicalize (not scheme://-shaped) carry a
+    NULL key and are exempt from the URL rule — they still pass the
+    content rule. Streamed ≡ batch, pinned by
+    tests/test_incremental_ingest.py.
     """
     spark = batch_df.sparkSession
+    if (url_col is None) != (url_registry_path is None):
+        raise ValueError("url_col and url_registry_path come together "
+                         "— a URL dedup rule without a durable "
+                         "registry (or vice versa) is a half-configured "
+                         "keep-set")
     hashed = with_content_hash(batch_df, text_col)
     w = W.partitionBy(CONTENT_HASH).orderBy(time_col, id_col)
     canon = (
@@ -82,10 +115,32 @@ def ingest_micro_batch(batch_df: DataFrame, batch_id: int, *,
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if url_col is not None:
+        from ..functions.web import url_canonicalize
+
+        canon = canon.withColumn(CANON_URL,
+                                 url_canonicalize(F.col(url_col)))
+        wu = W.partitionBy(CANON_URL).orderBy(time_col, id_col)
+        canon = (
+            canon.withColumn("_urn", F.row_number().over(wu))
+            .filter(F.col(CANON_URL).isNull() | (F.col("_urn") == 1))
+            .drop("_urn")
+        )
     registry = _read_registry(spark, registry_path, batch_id)
     kept = canon if registry is None else canon.join(
         registry, CONTENT_HASH, "left_anti"
     )
+    if url_col is not None:
+        url_reg = _read_url_registry(spark, url_registry_path, batch_id)
+        if url_reg is not None:
+            # NULL canonical URLs are exempt: split, anti-join the
+            # URL-keyed rows only, reunite (a left_anti on a NULL key
+            # would keep the row anyway, but the explicit split keeps
+            # the exemption readable and the join key non-null)
+            keyed = kept.filter(F.col(CANON_URL).isNotNull()).join(
+                url_reg, CANON_URL, "left_anti")
+            kept = keyed.unionByName(
+                kept.filter(F.col(CANON_URL).isNull()))
     # One pass, N sinks: materialize survivors once.
     kept = kept.localCheckpoint(eager=True)
     kept.write.mode("overwrite").parquet(
@@ -94,6 +149,10 @@ def ingest_micro_batch(batch_df: DataFrame, batch_id: int, *,
     kept.select(CONTENT_HASH).write.mode("overwrite").parquet(
         f"{registry_path}/ingest_batch={batch_id}"
     )
+    if url_col is not None:
+        kept.filter(F.col(CANON_URL).isNotNull()).select(CANON_URL) \
+            .distinct().write.mode("overwrite").parquet(
+                f"{url_registry_path}/ingest_batch={batch_id}")
     if hll_path is not None:
         from ..operators.dedup import tokens
         from ..operators.sketches import hll_registers
@@ -125,14 +184,19 @@ def start_incremental_ingest(stream_docs: DataFrame, *, corpus_path: str,
                              hist_path: str | None = None,
                              census_group_cols: tuple[str, ...] = (),
                              hll_p: int = 8, hll_seed: str = "hll:0",
-                             hist_s: int = 4) -> StreamingQuery:
+                             hist_s: int = 4,
+                             url_col: str | None = None,
+                             url_registry_path: str | None = None
+                             ) -> StreamingQuery:
     """Run the ingest loop over a streaming DataFrame of documents.
 
     ``available_now=True`` drains what exists and stops (the test/
     backfill mode); ``False`` runs continuously. Restarting with the
     same checkpoint+registry resumes exactly where it left off — state
     lives on disk, not in executor memory. ``hll_path``/``hist_path``
-    maintain the durable census sketch state per wave (see
+    maintain the durable census sketch state per wave;
+    ``url_col``/``url_registry_path`` add canonical-URL first-arrival
+    dedup with its own durable keep-set (see
     :func:`ingest_micro_batch`).
     """
 
@@ -144,6 +208,7 @@ def start_incremental_ingest(stream_docs: DataFrame, *, corpus_path: str,
             hll_path=hll_path, hist_path=hist_path,
             census_group_cols=census_group_cols,
             hll_p=hll_p, hll_seed=hll_seed, hist_s=hist_s,
+            url_col=url_col, url_registry_path=url_registry_path,
         )
 
     writer = (
@@ -158,6 +223,15 @@ def start_incremental_ingest(stream_docs: DataFrame, *, corpus_path: str,
 def read_ingested(spark: SparkSession, corpus_path: str) -> DataFrame:
     """The deduplicated corpus accumulated so far (all batch partitions)."""
     return spark.read.option("basePath", corpus_path).parquet(corpus_path)
+
+
+def read_url_registry(spark: SparkSession,
+                      url_registry_path: str) -> DataFrame:
+    """The canonical-URL keep-set accumulated so far (M163): one row
+    per first-seen canonical URL, column ``_canon_url`` plus its
+    ``ingest_batch`` arrival wave."""
+    return spark.read.option("basePath", url_registry_path) \
+        .parquet(url_registry_path)
 
 
 def read_census_registers(spark: SparkSession, hll_path: str,

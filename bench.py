@@ -331,7 +331,36 @@ def main() -> None:
             lambda: analyze_batches(events_as_event_log(spark, sf_dir)))
         facade_runners["prepare_corpus_10x_docs"] = _mk_runner(
             lambda: prepare_corpus(big))
-        for _label in ("analyze_batches_events", "prepare_corpus_10x_docs"):
+
+        # URL-governance facade (M162) on the same 10x blow-up: derive
+        # a deterministic URL per doc (mixed case/port variants so the
+        # canonical dedup does real work), then canonical dedup ->
+        # full-PSL domain -> blocklist -> per-domain quota.
+        from batch_processing_analysis_spark.pipeline import (
+            prepare_web_corpus,
+        )
+
+        _gov_block = spark.createDataFrame(
+            [("example.com",)], "domain string")
+
+        def _gov_input():
+            d = F.col("doc_id")
+            url = F.concat(
+                F.when(d % 2 == 0, "HTTPS").otherwise("https"),
+                F.lit("://h"), (d % 5000).cast("string"),
+                F.when(d % 5 == 0, ".github.io").otherwise(".example.org"),
+                F.when(d % 3 == 0, ":443").otherwise(""),
+                F.lit("/p/"), (d % 97).cast("string"),
+            )
+            return big.select("doc_id", url.alias("url"),
+                              (d % 101).alias("score"))
+
+        facade_runners["prepare_web_corpus_10x_docs"] = _mk_runner(
+            lambda: prepare_web_corpus(_gov_input(), order_col="score",
+                                       domain_quota=50,
+                                       blocklist=_gov_block))
+        for _label in ("analyze_batches_events", "prepare_corpus_10x_docs",
+                       "prepare_web_corpus_10x_docs"):
             _run = facade_runners[_label]
             facades[_label] = round(min(_run(), _run()), 3)
     except Exception as e:

@@ -229,3 +229,85 @@ def test_census_state_across_restart_equals_batch(spark, tmp_path):
         corpus_path=paths["corpus_path"],
         registry_path=paths["registry_path"], **census)
     assert got_state() == (want_reg, want_hist)
+
+
+# ---------------------------------------------------------------------------
+# M163: canonical-URL keep-set in the durable loop
+# ---------------------------------------------------------------------------
+
+URL_SCHEMA = ("doc_id long, text string, url string, "
+              "ingest_time timestamp")
+
+
+def test_url_dedup_across_restart(spark, tmp_path):
+    """A doc survives iff its content hash AND its canonical URL are
+    both first-seen, across a genuine stream restart; NULL-canon
+    (non-URL) docs are exempt from the URL rule; the keep-set records
+    survivors' URLs (a URL whose only arrival died on content grounds
+    stays open — content identity already guards those rows)."""
+    from batch_processing_analysis_spark.streaming.incremental_ingest import (
+        read_url_registry,
+    )
+
+    src = str(tmp_path / "src")
+    paths = {
+        "corpus_path": str(tmp_path / "corpus"),
+        "registry_path": str(tmp_path / "registry"),
+        "checkpoint_path": str(tmp_path / "ckpt"),
+        "url_registry_path": str(tmp_path / "urlreg"),
+    }
+    wave1 = [
+        (1, "t1", "HTTPS://A.com:443/p", 0),   # canon https://a.com/p
+        (2, "t2", "https://a.com/p", 1),       # same canon -> dropped
+        (3, "t3", "not a url", 2),             # NULL canon: exempt
+        (4, "t4", "https://b.com/q", 3),
+    ]
+    wave2 = [
+        (11, "t11", "https://a.com/p#frag", 10),  # canon dup ACROSS restart
+        (12, "t12", "also not a url", 11),        # NULL, new content: kept
+        (13, "t3", "https://c.com/r", 12),        # content dup of 3
+        (14, "t14", "https://c.com/r", 13),       # loses URL race to 13
+        (15, "t15", "https://d.com/s", 14),
+    ]
+
+    def run_wave(rows):
+        spark.createDataFrame(
+            [(i, t, u, T0 + timedelta(minutes=m)) for i, t, u, m in rows],
+            URL_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(URL_SCHEMA).parquet(src)
+        q = start_incremental_ingest(stream, url_col="url", **paths)
+        q.awaitTermination()
+
+    run_wave(wave1)
+    run_wave(wave2)  # new query object: a genuine restart
+
+    got = read_ingested(spark, paths["corpus_path"])
+    assert {r.doc_id for r in got.collect()} == {1, 3, 4, 12, 15}
+    reg = read_url_registry(spark, paths["url_registry_path"])
+    urls = sorted(r["_canon_url"] for r in reg.collect())
+    # survivors' canonical forms only: 13's c.com/r died on content,
+    # so it is NOT reserved
+    assert urls == ["https://a.com/p", "https://b.com/q",
+                    "https://d.com/s"]
+
+    # retry idempotence: re-running the last micro-batch rewrites its
+    # own partitions; corpus and keep-set are unchanged
+    batch2 = spark.createDataFrame(
+        [(i, t, u, T0 + timedelta(minutes=m)) for i, t, u, m in wave2],
+        URL_SCHEMA)
+    ingest_micro_batch(batch2, 1, url_col="url", **{
+        k: v for k, v in paths.items() if k != "checkpoint_path"})
+    assert {r.doc_id for r in read_ingested(
+        spark, paths["corpus_path"]).collect()} == {1, 3, 4, 12, 15}
+    assert read_url_registry(
+        spark, paths["url_registry_path"]).count() == 3
+
+
+def test_url_dedup_requires_both_params(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "t", "https://a.com/", T0)], URL_SCHEMA)
+    with pytest.raises(ValueError, match="url_col and url_registry"):
+        ingest_micro_batch(
+            df, 0, corpus_path=str(tmp_path / "c"),
+            registry_path=str(tmp_path / "r"), url_col="url")
