@@ -567,16 +567,33 @@ def main() -> None:
     ])
     prev_ctl = (prev.get("control") or {}).get("queries_start") or {}
     prev_q_all = prev.get("queries") or {}
-    vs_prev = _median([
-        control_start[n] / (prev_ctl.get(n) or prev_q_all.get(n))
-        for n in control_start
-        if control_start.get(n)
-        and isinstance(prev_ctl.get(n) or prev_q_all.get(n), (int, float))
-        and (prev_ctl.get(n) or prev_q_all.get(n)) > 0
-    ])
-    drifted = any(
-        r is not None and (r > CONTROL_THRESHOLD or r < 1 / CONTROL_THRESHOLD)
-        for r in (intra, vs_prev)
+
+    def _vs_prev(ctrl: dict) -> float | None:
+        return _median([
+            ctrl[n] / (prev_ctl.get(n) or prev_q_all.get(n))
+            for n in ctrl
+            if ctrl.get(n)
+            and isinstance(prev_ctl.get(n) or prev_q_all.get(n),
+                           (int, float))
+            and (prev_ctl.get(n) or prev_q_all.get(n)) > 0
+        ])
+
+    vs_prev = _vs_prev(control_start)
+    vs_prev_end = _vs_prev(control_end)
+
+    def _in_band(r: float | None) -> bool:
+        return r is not None and 1 / CONTROL_THRESHOLD <= r <= CONTROL_THRESHOLD
+
+    # a board is comparable to the previous record at whichever
+    # endpoint's controls agree with it; the intra ratio says whether
+    # the board is internally consistent (rows near the other endpoint
+    # carry the drift)
+    comparable = ("start" if _in_band(vs_prev)
+                  else "end" if _in_band(vs_prev_end)
+                  else "none")
+    drifted = (
+        (intra is not None and not _in_band(intra))
+        or (vs_prev is not None and comparable == "none")
     )
     control = {
         "queries_start": control_start,
@@ -584,13 +601,17 @@ def main() -> None:
         "intra_median": round(intra, 3) if intra is not None else None,
         "vs_prev_median": (round(vs_prev, 3)
                            if vs_prev is not None else None),
+        "vs_prev_end_median": (round(vs_prev_end, 3)
+                               if vs_prev_end is not None else None),
+        "comparable_endpoint": comparable,
         "threshold": CONTROL_THRESHOLD,
         "status": "drift_exceeded" if drifted else "ok",
     }
     if drifted:
         print(f"bench: CONTROL DRIFT exceeded {CONTROL_THRESHOLD}x "
-              f"(intra={intra}, vs_prev={vs_prev}) — rescale "
-              f"cross-board comparisons by vs_prev_median or void them",
+              f"(intra={intra}, vs_prev start={vs_prev} "
+              f"end={vs_prev_end}) — rescale cross-board comparisons "
+              f"by the comparable endpoint's ratio or void them",
               file=sys.stderr)
 
     ok = [v for v in timings.values() if v is not None]
