@@ -193,3 +193,63 @@ def test_quota_pre_rank_parity_and_bound(spark):
     )
     hot = w1_out.filter(F.col("domain") == "mega.example").count()
     assert hot <= 16 * 10
+
+
+def _py_psl_domain(host: str, rules_rows) -> str | None:
+    """Independent pure-Python reference resolver (spec transcription,
+    no shared code with functions/psl.py's join form)."""
+    import re
+
+    rhost = host[:-1] if host.endswith(".") else host
+    if re.match(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$", rhost):
+        return None
+    labels = rhost.split(".")
+    n = len(labels)
+    exc, best = None, 1
+    for key, kind, kl in rules_rows:
+        klabels = key.split(".")
+        if n < len(klabels) or labels[n - len(klabels):] != klabels:
+            continue
+        if kind == "exception":
+            exc = max(exc or 0, kl - 1)
+        elif kind == "wildcard":
+            if n >= kl + 1:
+                best = max(best, kl + 1)
+        else:
+            best = max(best, kl)
+    ps = exc if exc is not None else best
+    if n >= ps + 1:
+        return ".".join(labels[n - ps - 1:])
+    return None
+
+
+def test_fuzzed_agreement_with_reference_resolver(spark, rules):
+    """Triple-implementation agreement: the Spark broadcast-join map,
+    the q171 DuckDB oracle (driver-gated), and THIS independent
+    Python transcription of the spec agree. 400 fuzzed hosts built
+    from real rule keys (normal/wildcard/exception, ICANN and
+    private) with 0-3 random extra labels and occasional FQDN dots."""
+    import random
+
+    rows = [(r["match_key"], r["kind"], r["key_labels"])
+            for r in rules.collect() if r["match_key"].isascii()]
+    rng = random.Random(20260816)
+    keys = rng.sample([k for k, _, _ in rows], 300)
+    hosts = []
+    for key in keys:
+        extra = rng.randint(0, 3)
+        pre = ".".join(f"l{rng.randint(0, 99)}" for _ in range(extra))
+        h = f"{pre}.{key}" if pre else key
+        if rng.random() < 0.1:
+            h += "."
+        hosts.append(h)
+    hosts += ["10.1.2.3", "localhost", "a.b.c.d.e.f.example.com",
+              "x.y.nom.br", "q.sch.uk", "deep.q.sch.uk"]
+    df = spark.createDataFrame([(h,) for h in set(hosts)], "host string")
+    got = {r["host"]: r["psl_domain"]
+           for r in __import__(
+               "batch_processing_analysis_spark.functions.psl",
+               fromlist=["psl"]).psl_domain_map(df, rules).collect()}
+    for h in got:
+        want = _py_psl_domain(h, rows)
+        assert got[h] == want, (h, got[h], want)
