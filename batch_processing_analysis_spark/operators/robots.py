@@ -1,0 +1,155 @@
+"""robots.txt governance (M164 — RFC 9309, the Robots Exclusion
+Protocol): parse a corpus of robots.txt documents into a per-
+(domain, agent) policy table and decide URL permission by the spec's
+longest-match rule — the third leg of web-corpus governance beside
+per-domain quotas (M154/M162) and the PSL registrable domain (M161):
+a compliant crawl corpus keeps a row only when the fetching agent was
+ALLOWED to fetch it.
+
+Spec semantics implemented (RFC 9309 + the de-facto Google
+extensions, pinned in tests/test_robots.py):
+
+- **Lines** are ``key: value`` with ``#`` comments stripped; keys are
+  case-insensitive; unknown keys are ignored.
+- **Groups**: a ``user-agent`` line NOT immediately preceded by
+  another ``user-agent`` line starts a new group; consecutive
+  ``user-agent`` lines share the group (multi-agent groups); ``allow``
+  / ``disallow`` lines attach to the most recent group. Blank lines
+  do NOT delimit groups (RFC 9309 §2.2.1 — only user-agent lines do).
+- **Empty ``disallow:``** is allow-all and produces no rule.
+- **Group selection**: an agent obeys ITS named group when one exists
+  for the domain, else the ``*`` group; named and ``*`` rules never
+  mix (RFC 9309 §2.2.1).
+- **Matching**: rule paths are prefix patterns with ``*`` (any chars)
+  and a trailing ``$`` (end anchor); the most specific (LONGEST
+  pattern) match wins; on a length tie ``allow`` wins (RFC 9309
+  §2.2.2). No matching rule ⇒ allowed.
+
+Engine shape: parsing is explode + window functions (the stateful
+"current group" scan becomes a running sum of group starts over the
+per-document line order), matching is one equi-join on domain with an
+``RLIKE`` against the rule's pre-translated regex — the policy table
+is dimension-sized (rules per domain are tens, not millions) and
+broadcasts; the URL side never shuffles. All expressions are
+built-ins; the DuckDB oracle twin (q173) re-implements the whole
+parse+match in SQL independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# regex metacharacters to neutralize in robots path patterns ('*' and
+# a TRAILING '$' carry meaning; a non-trailing '$' is literal)
+_ESCAPE_RE = r"([.+?^(){}\[\]|\\])"
+
+
+def _pattern_regex(pattern: F.Column) -> F.Column:
+    """Translate a robots path pattern to an anchored Java/RE2 regex:
+    escape metachars, ``*`` → ``.*``, keep ONE trailing ``$`` as the
+    end anchor (a non-trailing ``$`` is literal and gets escaped)."""
+    anchored = pattern.endswith("$")
+    body = F.when(anchored,
+                  F.substring(pattern, 1, F.length(pattern) - 1)) \
+        .otherwise(pattern)
+    esc = F.regexp_replace(body, _ESCAPE_RE, r"\\$1")
+    # Java replacement syntax: literal backslash = \\ , literal $ = \$
+    esc = F.regexp_replace(esc, r"\$", "\\\\\\$")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), esc,
+                    F.when(anchored, "$").otherwise(""))
+
+
+def parse_robots(robots: DataFrame, domain_col: str = "domain",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """robots.txt corpus → policy table
+    (domain, agent, rule ∈ {allow, disallow}, pattern, spec_len,
+    regex). One row per (group agent × rule line); ``spec_len`` is the
+    raw pattern length (the RFC's specificity key) and ``regex`` the
+    pre-translated anchored matcher, so the decision join needs no
+    per-row translation."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("ln", "raw"),
+    )
+    clean = lines.withColumn(
+        "stripped", F.trim(F.regexp_replace(F.col("raw"), "#.*", "")))
+    kv = (
+        clean.filter(F.col("stripped").contains(":"))
+        .withColumn("key", F.lower(F.trim(
+            F.regexp_extract("stripped", "^([^:]+):", 1))))
+        .withColumn("val", F.trim(
+            F.regexp_extract("stripped", "^[^:]+:(.*)$", 1)))
+        .filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    )
+    wl = W.partitionBy("domain").orderBy("ln")
+    grouped = (
+        kv.withColumn("is_ua", (F.col("key") == "user-agent"))
+        .withColumn("prev_ua", F.coalesce(F.lag("is_ua").over(wl),
+                                          F.lit(False)))
+        .withColumn("gstart",
+                    (F.col("is_ua") & ~F.col("prev_ua")).cast("int"))
+        .withColumn("gid", F.sum("gstart").over(
+            wl.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    uas = grouped.filter(F.col("is_ua")).select(
+        "domain", "gid", F.lower(F.col("val")).alias("agent"))
+    rules = grouped.filter(
+        ~F.col("is_ua") & (F.col("val") != "") & (F.col("gid") > 0)
+    ).select("domain", "gid", F.col("key").alias("rule"),
+             F.col("val").alias("pattern"))
+    return (
+        rules.join(uas, ["domain", "gid"])
+        .select("domain", "agent", "rule", "pattern",
+                F.length("pattern").alias("spec_len"),
+                _pattern_regex(F.col("pattern")).alias("regex"))
+    )
+
+
+def robots_allowed(urls: DataFrame, policies: DataFrame, agent: str,
+                   domain_col: str = "domain",
+                   path_col: str = "path") -> DataFrame:
+    """Add ``allowed`` (boolean) to ``urls`` for ``agent`` under the
+    parsed ``policies`` (RFC 9309 decision: named group if one exists
+    for the domain else ``*``; longest matching pattern wins; length
+    tie → allow; no match / no policies → allowed)."""
+    agent = agent.lower()
+    has_named = (
+        policies.filter(F.col("agent") == agent)
+        .select("domain").distinct()
+        .withColumn("_named", F.lit(True))
+    )
+    eff = (
+        policies.filter(F.col("agent").isin(agent, "*"))
+        .join(F.broadcast(has_named), "domain", "left")
+        .filter((F.col("agent") == agent)
+                | F.col("_named").isNull())  # '*' only without a named group
+        .select("domain", "rule", "spec_len", "regex")
+    )
+    u = urls.withColumn(
+        "_uid", F.monotonically_increasing_id())
+    cand = (
+        u.select("_uid", F.col(domain_col).alias("_dom"),
+                 F.col(path_col).alias("_path"))
+        .join(F.broadcast(eff), F.col("_dom") == eff["domain"], "left")
+        .filter(F.col("regex").isNull()
+                | F.expr("_path rlike regex"))
+    )
+    wu = W.partitionBy("_uid").orderBy(
+        F.desc_nulls_last("spec_len"),
+        F.desc(F.col("rule") == "allow"))
+    decided = (
+        cand.withColumn("_rn", F.row_number().over(wu))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "_uid",
+            F.coalesce(F.col("rule") != "disallow", F.lit(True))
+            .alias("allowed"),
+        )
+    )
+    return u.join(decided, "_uid", "left") \
+        .withColumn("allowed", F.coalesce("allowed", F.lit(True))) \
+        .drop("_uid")

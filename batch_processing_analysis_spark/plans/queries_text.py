@@ -5578,3 +5578,172 @@ def q172_url_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("domain"),
         "score",
     )
+
+
+# q173 fixture: three robots.txt documents (multi-agent groups, *
+# wildcards, $ anchors, empty-disallow, comments, a blanket
+# Disallow: /) + one policy-free domain; the oracle re-implements the
+# RFC 9309 parse (line split, comment strip, group scan via window
+# functions) and decision (named-group selection, longest-match,
+# allow-wins tie) entirely in SQL.
+_ROBOTS_SITE0 = [
+    "# governance demo",
+    "User-agent: *",
+    "Disallow: /private",
+    "Allow: /private/ok",
+    "",
+    "User-agent: mybot",
+    "User-agent: otherbot",
+    "Disallow: /tmp/*",
+    "Allow: /tmp/keep$",
+    "Crawl-delay: 2",
+    "Disallow:",
+]
+_ROBOTS_SITE1 = ["User-agent: *", "Disallow: /"]
+_ROBOTS_SITE2 = ["User-agent: mybot", "Allow: /pub", "Disallow: /"]
+
+
+def _sql_lines(lines: list[str]) -> str:
+    quoted = ", ".join("'" + ln.replace("'", "''") + "'" for ln in lines)
+    return f"concat_ws(chr(10), {quoted})"
+
+
+_ROBOTS_SQL = f"""
+    WITH robots AS (
+      SELECT 'site0.com' AS domain, {_sql_lines(_ROBOTS_SITE0)} AS txt
+      UNION ALL SELECT 'site1.com', {_sql_lines(_ROBOTS_SITE1)}
+      UNION ALL SELECT 'site2.com', {_sql_lines(_ROBOTS_SITE2)}
+    ),
+    urls AS (
+      SELECT 'site' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS domain,
+        (CASE WHEN doc_id % 6 = 0
+              THEN '/private/' || CAST(doc_id % 5 AS VARCHAR)
+         WHEN doc_id % 6 = 1
+              THEN '/private/ok/' || CAST(doc_id % 3 AS VARCHAR)
+         WHEN doc_id % 6 = 2 THEN '/tmp/' || CAST(doc_id % 7 AS VARCHAR)
+         WHEN doc_id % 6 = 3 THEN '/tmp/keep'
+         WHEN doc_id % 6 = 4 THEN '/pub/' || CAST(doc_id % 11 AS VARCHAR)
+         ELSE '/' END) AS path
+      FROM documents
+    ),
+    lines AS (
+      SELECT domain, unnest(string_split(txt, chr(10))) AS raw,
+             unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln
+      FROM robots
+    ),
+    kv AS (
+      SELECT domain, ln,
+        lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS key,
+        trim(regexp_extract(l, '^[^:]+:(.*)$', 1)) AS val
+      FROM (SELECT domain, ln, trim(regexp_replace(raw, '#.*', ''))
+                   AS l FROM lines)
+      WHERE contains(l, ':')
+        AND lower(trim(regexp_extract(l, '^([^:]+):', 1)))
+            IN ('user-agent', 'allow', 'disallow')
+    ),
+    grouped AS (
+      SELECT *, sum(gstart) OVER (PARTITION BY domain ORDER BY ln
+                                  ROWS UNBOUNDED PRECEDING) AS gid
+      FROM (
+        SELECT *,
+          (CASE WHEN is_ua AND NOT coalesce(lag(is_ua) OVER (
+             PARTITION BY domain ORDER BY ln), FALSE)
+           THEN 1 ELSE 0 END) AS gstart
+        FROM (SELECT *, key = 'user-agent' AS is_ua FROM kv)
+      )
+    ),
+    uas AS (
+      SELECT domain, gid, lower(val) AS agent FROM grouped WHERE is_ua
+    ),
+    pol AS (
+      SELECT r.domain, u.agent, r.key AS rule, r.val AS pattern,
+        length(r.val) AS spec_len,
+        '^' || regexp_replace(regexp_replace(regexp_replace(
+            (CASE WHEN r.val LIKE '%$'
+                  THEN substr(r.val, 1, length(r.val) - 1)
+                  ELSE r.val END),
+            '([.+?^(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+            '\\$', '\\\\$', 'g'),
+            '\\*', '.*', 'g')
+        || (CASE WHEN r.val LIKE '%$' THEN '$' ELSE '' END) AS regex
+      FROM (SELECT domain, gid, key, val FROM grouped
+            WHERE NOT is_ua AND val <> '' AND gid > 0) r
+      JOIN uas u ON r.domain = u.domain AND r.gid = u.gid
+    ),
+    named AS (SELECT DISTINCT domain FROM pol WHERE agent = 'mybot'),
+    eff AS (
+      SELECT p.domain, p.rule, p.spec_len, p.regex
+      FROM pol p LEFT JOIN named n ON p.domain = n.domain
+      WHERE (p.agent = 'mybot' AND n.domain IS NOT NULL)
+         OR (p.agent = '*' AND n.domain IS NULL)
+    ),
+    up AS (SELECT DISTINCT domain, path FROM urls),
+    best AS (
+      SELECT domain, path, rule FROM (
+        SELECT u.domain, u.path, e.rule,
+          row_number() OVER (PARTITION BY u.domain, u.path
+            ORDER BY e.spec_len DESC,
+                     CASE WHEN e.rule = 'allow' THEN 1 ELSE 0 END DESC
+          ) AS rn
+        FROM up u JOIN eff e ON u.domain = e.domain
+                            AND regexp_matches(u.path, e.regex)
+      ) WHERE rn = 1
+    ),
+    dec AS (
+      SELECT up.domain, up.path,
+             coalesce(b.rule <> 'disallow', TRUE) AS allowed
+      FROM up LEFT JOIN best b ON up.domain = b.domain
+                              AND up.path = b.path
+    )
+    SELECT u.domain, d.allowed, count(*) AS n_urls,
+           count(DISTINCT u.path) AS n_paths
+    FROM urls u JOIN dec d ON u.domain = d.domain AND u.path = d.path
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "q173_robots_governance",
+    _ROBOTS_SQL,
+    primary=True,
+)
+def q173_robots_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt governance census (operators/robots.py, M164 —
+    RFC 9309): parse a robots corpus (multi-agent groups, comments,
+    empty-disallow, * wildcards, $ anchors, a blanket Disallow: /)
+    into per-(domain, agent) policies with window-function group
+    scanning, then decide each derived URL for agent 'mybot' under
+    named-group selection + longest-match + allow-wins-tie, counting
+    allowed/blocked URLs per domain (a policy-free domain pins the
+    default-allow path). The DuckDB twin re-implements the whole
+    parse + pattern-translation + decision in SQL. First driver window
+    r10 (registered post-rotation: pytest/extra-gated until r11's
+    window)."""
+    from ..operators import robots as RB
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    robots_df = spark.createDataFrame(
+        [("site0.com", "\n".join(_ROBOTS_SITE0)),
+         ("site1.com", "\n".join(_ROBOTS_SITE1)),
+         ("site2.com", "\n".join(_ROBOTS_SITE2))],
+        "domain string, robots_txt string")
+    urls = docs.select(
+        F.concat(F.lit("site"), (d % 4).cast("string"),
+                 F.lit(".com")).alias("domain"),
+        F.when(d % 6 == 0, F.concat(F.lit("/private/"),
+                                    (d % 5).cast("string")))
+        .when(d % 6 == 1, F.concat(F.lit("/private/ok/"),
+                                   (d % 3).cast("string")))
+        .when(d % 6 == 2, F.concat(F.lit("/tmp/"),
+                                   (d % 7).cast("string")))
+        .when(d % 6 == 3, F.lit("/tmp/keep"))
+        .when(d % 6 == 4, F.concat(F.lit("/pub/"),
+                                   (d % 11).cast("string")))
+        .otherwise(F.lit("/")).alias("path"),
+    )
+    pol = RB.parse_robots(robots_df)
+    out = RB.robots_allowed(urls, pol, "mybot")
+    return out.groupBy("domain", "allowed").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("path").alias("n_paths"))

@@ -41,14 +41,15 @@ EXTRA_ORACLES: dict[str, str] = {}
 # - the 10 queries the r9 --plan listed as coming due (newest green
 #   r6, due at r10 close): the deferred relational basics
 #   q01/q02/q04/q05/q07/q14/q15/q16/q22/q23;
-# - q171/q172, the round's new never-green M161 queries (full-PSL
-#   registrable domain; the URL-governance facade) — must be in the
-#   window per rotation_check;
-# - 38 of the 50 r7-tier queries (newest green r7, due at r11) taken
-#   a round early so the r11 window has room; the 12 deferred are the
+# - q171/q172/q173, the round's new never-green M161/M162/M164
+#   queries (full-PSL registrable domain; the URL-governance facade;
+#   robots.txt governance — q173 took q31's slot mid-round) — must be
+#   in the window per rotation_check;
+# - 37 of the 50 r7-tier queries (newest green r7, due at r11) taken
+#   a round early so the r11 window has room; the 13 deferred are the
 #   cheap relational basics (q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
-#   q21/q24 — fast re-greens that fit any window), due exactly at r11
-#   where --plan will list them.
+#   q21/q24, plus q31 ceded to q173 — fast re-greens that fit any
+#   window), due exactly at r11 where --plan will list them.
 # Rotated OUT: the whole r9 window (every row green in
 # CORRECTNESS_r09, due back r13). q116_canary_hugeint_probe stays
 # RETIRED in the extras registry (designed-red HUGEINT probe,
@@ -70,13 +71,13 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     # facade)
     "q171_psl_registered_domain",
     "q172_url_governance",
-    # r7-tier, taken one round early (38 of 50; q143 doubles as the
+    "q173_robots_governance",
+    # r7-tier, taken one round early (37 of 50; q143 doubles as the
     # bench control query)
     "q143_edjoin_exact",
     "q163_containment_increment",
     "q164_ks_drift_quantized",
     "q165_edjoin_increment",
-    "q31_task_batches",
     "q32_batch_discovery_stats",
     "q33_waiting_time_decomposition",
     "q35_concurrency_pairs",

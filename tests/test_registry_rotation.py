@@ -90,6 +90,7 @@ EXPECTED_SHADOWED = frozenset({
     "q28_prioritization_pairs",
     "q29_range_join_bucketed",
     "q30_enabled_times",
+    "q31_task_batches",
     "q34_waiting_time_report",
     "q37_activation_rules",
     "q41_dedup_minhash_lsh",
