@@ -62,14 +62,12 @@ def _pattern_regex(pattern: F.Column) -> F.Column:
                     F.when(anchored, "$").otherwise(""))
 
 
-def parse_robots(robots: DataFrame, domain_col: str = "domain",
-                 text_col: str = "robots_txt") -> DataFrame:
-    """robots.txt corpus → policy table
-    (domain, agent, rule ∈ {allow, disallow}, pattern, spec_len,
-    regex). One row per (group agent × rule line); ``spec_len`` is the
-    raw pattern length (the RFC's specificity key) and ``regex`` the
-    pre-translated anchored matcher, so the decision join needs no
-    per-row translation."""
+def _grouped_lines(robots: DataFrame, domain_col: str,
+                   text_col: str) -> DataFrame:
+    """Shared parse core: robots corpus → per-line
+    (domain, ln, key, val, is_ua, gid) with the RFC group scan (a
+    user-agent line not preceded by one starts a group; consecutive
+    user-agent lines share it) as window functions."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(text_col), "\n"))
@@ -83,10 +81,11 @@ def parse_robots(robots: DataFrame, domain_col: str = "domain",
             F.regexp_extract("stripped", "^([^:]+):", 1))))
         .withColumn("val", F.trim(
             F.regexp_extract("stripped", "^[^:]+:(.*)$", 1)))
-        .filter(F.col("key").isin("user-agent", "allow", "disallow"))
+        .filter(F.col("key").isin("user-agent", "allow", "disallow",
+                                  "crawl-delay"))
     )
     wl = W.partitionBy("domain").orderBy("ln")
-    grouped = (
+    return (
         kv.withColumn("is_ua", (F.col("key") == "user-agent"))
         .withColumn("prev_ua", F.coalesce(F.lag("is_ua").over(wl),
                                           F.lit(False)))
@@ -95,10 +94,26 @@ def parse_robots(robots: DataFrame, domain_col: str = "domain",
         .withColumn("gid", F.sum("gstart").over(
             wl.rowsBetween(W.unboundedPreceding, 0)))
     )
-    uas = grouped.filter(F.col("is_ua")).select(
+
+
+def _group_agents(grouped: DataFrame) -> DataFrame:
+    return grouped.filter(F.col("is_ua")).select(
         "domain", "gid", F.lower(F.col("val")).alias("agent"))
+
+
+def parse_robots(robots: DataFrame, domain_col: str = "domain",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """robots.txt corpus → policy table
+    (domain, agent, rule ∈ {allow, disallow}, pattern, spec_len,
+    regex). One row per (group agent × rule line); ``spec_len`` is the
+    raw pattern length (the RFC's specificity key) and ``regex`` the
+    pre-translated anchored matcher, so the decision join needs no
+    per-row translation."""
+    grouped = _grouped_lines(robots, domain_col, text_col)
+    uas = _group_agents(grouped)
     rules = grouped.filter(
-        ~F.col("is_ua") & (F.col("val") != "") & (F.col("gid") > 0)
+        F.col("key").isin("allow", "disallow")
+        & (F.col("val") != "") & (F.col("gid") > 0)
     ).select("domain", "gid", F.col("key").alias("rule"),
              F.col("val").alias("pattern"))
     return (
@@ -107,6 +122,34 @@ def parse_robots(robots: DataFrame, domain_col: str = "domain",
                 F.length("pattern").alias("spec_len"),
                 _pattern_regex(F.col("pattern")).alias("regex"))
     )
+
+
+def parse_crawl_delays(robots: DataFrame, domain_col: str = "domain",
+                       text_col: str = "robots_txt") -> DataFrame:
+    """robots.txt corpus → (domain, agent, crawl_delay_s double) — the
+    de-facto ``crawl-delay`` directive (not in RFC 9309 but honored by
+    most crawlers), per group agent; non-numeric values are dropped,
+    multiple delays in one group keep the LAST (later lines override,
+    the same reading crawlers apply). Feeds a crawl scheduler's
+    per-domain rate limit the same way the policy table feeds the
+    fetch-permission join."""
+    grouped = _grouped_lines(robots, domain_col, text_col)
+    uas = _group_agents(grouped)
+    delays = (
+        grouped.filter((F.col("key") == "crawl-delay")
+                       & (F.col("gid") > 0))
+        .withColumn("crawl_delay_s",
+                    F.col("val").try_cast("double"))
+        .filter(F.col("crawl_delay_s").isNotNull())
+    )
+    wlast = W.partitionBy("domain", "gid").orderBy(F.desc("ln"))
+    last = (
+        delays.withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select("domain", "gid", "crawl_delay_s")
+    )
+    return last.join(uas, ["domain", "gid"]) \
+        .select("domain", "agent", "crawl_delay_s")
 
 
 def robots_allowed(urls: DataFrame, policies: DataFrame, agent: str,

@@ -5639,7 +5639,7 @@ _ROBOTS_SQL = f"""
                    AS l FROM lines)
       WHERE contains(l, ':')
         AND lower(trim(regexp_extract(l, '^([^:]+):', 1)))
-            IN ('user-agent', 'allow', 'disallow')
+            IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
     ),
     grouped AS (
       SELECT *, sum(gstart) OVER (PARTITION BY domain ORDER BY ln
@@ -5667,7 +5667,8 @@ _ROBOTS_SQL = f"""
             '\\*', '.*', 'g')
         || (CASE WHEN r.val LIKE '%$' THEN '$' ELSE '' END) AS regex
       FROM (SELECT domain, gid, key, val FROM grouped
-            WHERE NOT is_ua AND val <> '' AND gid > 0) r
+            WHERE key IN ('allow', 'disallow') AND val <> ''
+              AND gid > 0) r
       JOIN uas u ON r.domain = u.domain AND r.gid = u.gid
     ),
     named AS (SELECT DISTINCT domain FROM pol WHERE agent = 'mybot'),

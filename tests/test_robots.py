@@ -121,3 +121,93 @@ def test_no_python_in_plans(spark, policies):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_crawl_delays(spark):
+    rb = spark.createDataFrame(
+        [("a.com", "\n".join([
+            "User-agent: *",
+            "Crawl-delay: 1",
+            "Disallow: /x",
+            "User-agent: mybot",   # crawl-delay above ended UA accumulation
+            "Crawl-delay: 2.5",
+            "Crawl-delay: 4",      # later line overrides
+            "User-agent: later",   # new group: no delay
+            "Disallow: /y",
+            "Crawl-delay: nonsense",
+        ]))],
+        "domain string, robots_txt string")
+    got = {(r["domain"], r["agent"]): r["crawl_delay_s"]
+           for r in RB.parse_crawl_delays(rb).collect()}
+    assert got == {("a.com", "*"): 1.0, ("a.com", "mybot"): 4.0}
+
+
+def _py_robots_allowed(policy_rows, agent, domain, path):
+    """Independent pure-Python transcription of the RFC decision."""
+    import re
+
+    mine = [r for r in policy_rows
+            if r[0] == domain and r[1] == agent]
+    rules = mine or [r for r in policy_rows
+                     if r[0] == domain and r[1] == "*"]
+    best = None
+    for _, _, rule, pattern in rules:
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = "^" + re.escape(body).replace(r"\*", ".*") + (
+            "$" if anchored else "")
+        if re.search(rx, path):
+            key = (len(pattern), rule == "allow")
+            if best is None or key > best[0]:
+                best = (key, rule)
+    return best is None or best[1] != "disallow"
+
+
+def test_fuzzed_agreement_with_reference_resolver(spark):
+    """The Spark parse+decide pipeline agrees with an independent
+    Python transcription on randomized policies and paths (the q173
+    DuckDB oracle is the third implementation, driver-gated)."""
+    import random
+
+    rng = random.Random(20260817)
+    segs = ["a", "b+", "c(1)", "tmp", "keep", "x$y", "dir.d"]
+
+    def rand_pattern():
+        p = "/" + "/".join(rng.choice(segs)
+                           for _ in range(rng.randint(1, 3)))
+        if rng.random() < 0.3:
+            p += "*"
+        if rng.random() < 0.3:
+            p += "$"
+        return p
+
+    domains, texts = [], []
+    for di in range(8):
+        lines = []
+        for _ in range(rng.randint(1, 3)):  # groups
+            for _ in range(rng.randint(1, 2)):  # agents per group
+                lines.append("User-agent: "
+                             + rng.choice(["*", "mybot", "other"]))
+            for _ in range(rng.randint(1, 4)):  # rules per group
+                lines.append(rng.choice(["Allow", "Disallow"])
+                             + ": " + rand_pattern())
+        domains.append(f"d{di}.com")
+        texts.append("\n".join(lines))
+    rb = spark.createDataFrame(list(zip(domains, texts)),
+                               "domain string, robots_txt string")
+    pol = RB.parse_robots(rb)
+    policy_rows = [(r["domain"], r["agent"], r["rule"], r["pattern"])
+                   for r in pol.collect()]
+
+    paths = ["/" + "/".join(rng.choice(segs)
+                            for _ in range(rng.randint(1, 4)))
+             for _ in range(40)]
+    pairs = [(d, p) for d in domains + ["none.com"] for p in paths]
+    urls = spark.createDataFrame(pairs, "domain string, path string")
+    for agent in ("mybot", "strange"):
+        out = RB.robots_allowed(urls, pol, agent)
+        got = {(r["domain"], r["path"]): r["allowed"]
+               for r in out.collect()}
+        for (d, p), allowed in got.items():
+            want = _py_robots_allowed(policy_rows, agent, d, p)
+            assert allowed == want, (agent, d, p, allowed, want)
