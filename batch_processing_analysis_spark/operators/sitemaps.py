@@ -1,0 +1,90 @@
+"""Sitemap parsing (M165 — the sitemaps.org XML protocol): turn a
+corpus of fetched ``sitemap.xml`` payloads into URL rows — the crawl-
+seed discovery stage that feeds the governance pipeline (robots
+permission M164 → canonical dedup / PSL quotas M161-M163).
+
+Scope (the sitemaps.org 0.9 schema, pinned in tests/test_sitemaps.py):
+
+- ``<urlset>`` documents yield one row per ``<url>`` entry with
+  ``loc`` (required), optional ``lastmod`` / ``changefreq`` /
+  ``priority`` (default 0.5 per the spec when absent);
+- ``<sitemapindex>`` documents yield one row per ``<sitemap>`` entry
+  (kind = 'sitemap', the nested sitemap's ``loc`` + ``lastmod``) —
+  the caller recurses by fetching those and calling this again;
+- the five predefined XML entities in ``loc`` are unescaped
+  (``&amp;`` LAST, so ``&amp;lt;`` round-trips correctly);
+- malformed ``priority`` values go NULL (``try_cast``), entries with
+  no ``<loc>`` are dropped (the spec makes loc mandatory).
+
+Engine shape: pure codegen — ``regexp_extract_all`` with a DOTALL
+block pattern explodes the entries, per-entry fields are
+``regexp_extract`` projections, entity unescape is a fixed
+``replace`` chain. No XML library, no UDF, no Python in the plan; the
+same patterns re-run verbatim in the q174 DuckDB oracle. (Full XML —
+namespaces on every element, CDATA, comments inside entries — is out
+of scope and documented as such; real sitemap payloads are
+machine-generated to the plain schema this parses.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# order matters: &amp; LAST so '&amp;lt;' unescapes to '&lt;' literal
+XML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                ("&apos;", "'"), ("&amp;", "&")]
+
+
+def _unescape(col: F.Column) -> F.Column:
+    for ent, ch in XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def _entries(df: DataFrame, block_tag: str, kind: str) -> DataFrame:
+    block_re = f"(?s)<{block_tag}>(.*?)</{block_tag}>"
+    e = df.select(
+        "domain",
+        F.explode(F.expr(
+            f"regexp_extract_all(sitemap_xml, '{block_re}', 1)"
+        )).alias("entry"),
+    )
+    loc = F.trim(F.regexp_extract("entry", r"(?s)<loc>(.*?)</loc>", 1))
+    return (
+        e.select(
+            "domain",
+            F.lit(kind).alias("kind"),
+            _unescape(loc).alias("loc"),
+            F.trim(F.regexp_extract(
+                "entry", r"(?s)<lastmod>(.*?)</lastmod>", 1))
+            .alias("lastmod"),
+            F.trim(F.regexp_extract(
+                "entry", r"(?s)<changefreq>(.*?)</changefreq>", 1))
+            .alias("changefreq"),
+            F.when(
+                F.regexp_extract(
+                    "entry", r"(?s)<priority>(.*?)</priority>", 1) != "",
+                F.trim(F.regexp_extract(
+                    "entry", r"(?s)<priority>(.*?)</priority>", 1))
+                .try_cast("double"),
+            ).otherwise(
+                F.when(F.lit(kind) == "url", F.lit(0.5))
+            ).alias("priority"),
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
+def parse_sitemaps(sitemaps: DataFrame, domain_col: str = "domain",
+                   xml_col: str = "sitemap_xml") -> DataFrame:
+    """Sitemap corpus → (domain, kind ∈ {url, sitemap}, loc, lastmod,
+    changefreq, priority). ``kind='url'`` rows are crawlable URLs
+    (priority defaults to 0.5 when the tag is absent, per the spec);
+    ``kind='sitemap'`` rows are nested sitemaps from a
+    ``<sitemapindex>`` (priority stays NULL — the spec defines none
+    for index entries)."""
+    base = sitemaps.select(F.col(domain_col).alias("domain"),
+                           F.col(xml_col).alias("sitemap_xml"))
+    return _entries(base, "url", "url").unionByName(
+        _entries(base, "sitemap", "sitemap"))

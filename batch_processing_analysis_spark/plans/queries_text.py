@@ -5748,3 +5748,161 @@ def q173_robots_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("domain", "allowed").agg(
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("path").alias("n_paths"))
+
+
+# q174 fixture: per-domain sitemap XML AGGREGATED from document rows
+# (fragment order is irrelevant — the parse explodes entries and the
+# census is order-insensitive), three <urlset> domains with entity-
+# escaped locs / optional lastmod / absent-priority defaults / a
+# malformed priority, plus one <sitemapindex> domain. The oracle
+# rebuilds the XML with string_agg and re-runs the same DOTALL
+# regexp extraction + entity unescape + census in SQL.
+_SITEMAP_SQL = """
+    WITH frags AS (
+      SELECT
+        (CASE WHEN doc_id % 4 = 3 THEN 'idx.com'
+              ELSE 'sm' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+         END) AS domain,
+        (CASE WHEN doc_id % 4 = 3 THEN
+            '<sitemap><loc>https://idx.com/shard-'
+            || CAST(doc_id % 20 AS VARCHAR) || '.xml</loc>'
+            || (CASE WHEN doc_id % 2 = 0
+                     THEN '<lastmod>2024-02-0'
+                          || CAST(doc_id % 9 + 1 AS VARCHAR)
+                          || '</lastmod>' ELSE '' END)
+            || '</sitemap>'
+         ELSE
+            '<url><loc>https://sm' || CAST(doc_id % 3 AS VARCHAR)
+            || '.com/p?id=' || CAST(doc_id % 50 AS VARCHAR)
+            || '&amp;src=' || CAST(doc_id % 7 AS VARCHAR) || '</loc>'
+            || (CASE WHEN doc_id % 2 = 0
+                     THEN '<lastmod>2024-01-0'
+                          || CAST(doc_id % 9 + 1 AS VARCHAR)
+                          || '</lastmod>' ELSE '' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN ''
+                WHEN doc_id % 11 = 0 THEN '<priority>bogus</priority>'
+                ELSE '<priority>0.' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                     || '</priority>' END)
+            || '</url>'
+         END) AS frag
+      FROM documents
+    ),
+    xmls AS (
+      SELECT domain,
+        (CASE WHEN domain = 'idx.com'
+              THEN '<sitemapindex>' || string_agg(frag, '')
+                   || '</sitemapindex>'
+              ELSE '<urlset>' || string_agg(frag, '') || '</urlset>'
+         END) AS xml
+      FROM frags GROUP BY domain
+    ),
+    blocks AS (
+      SELECT domain, 'url' AS kind,
+             unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))
+               AS entry
+      FROM xmls
+      UNION ALL
+      SELECT domain, 'sitemap',
+             unnest(regexp_extract_all(xml,
+                    '(?s)<sitemap>(.*?)</sitemap>', 1))
+      FROM xmls
+    ),
+    parsed AS (
+      SELECT domain, kind,
+        replace(replace(replace(replace(replace(
+          trim(regexp_extract(entry, '(?s)<loc>(.*?)</loc>', 1)),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&apos;', CHR(39)), '&amp;', '&') AS loc,
+        trim(regexp_extract(entry, '(?s)<lastmod>(.*?)</lastmod>', 1))
+          AS lastmod,
+        (CASE WHEN regexp_extract(entry,
+                '(?s)<priority>(.*?)</priority>', 1) <> ''
+              THEN TRY_CAST(trim(regexp_extract(entry,
+                   '(?s)<priority>(.*?)</priority>', 1)) AS DOUBLE)
+              WHEN kind = 'url' THEN 0.5 END) AS priority
+      FROM blocks
+    )
+    SELECT domain, kind, count(*) AS n_entries,
+           count(DISTINCT loc) AS n_locs,
+           CAST(sum(CASE WHEN lastmod <> '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_lastmod,
+           round(avg(priority), 6) AS avg_priority
+    FROM parsed WHERE loc <> ''
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "q174_sitemap_census",
+    _SITEMAP_SQL,
+    primary=True,
+)
+def q174_sitemap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-corpus census (operators/sitemaps.py, M165 — the
+    sitemaps.org 0.9 protocol): per-domain XML payloads (three
+    <urlset> domains + one <sitemapindex>, aggregated from document
+    rows so entry sets are engine-identical while order is free)
+    parsed to URL/nested-sitemap rows — DOTALL block explode,
+    entity-unescaped locs ('&amp;' in query strings), optional
+    lastmod, spec-default 0.5 priority when the tag is absent, NULL
+    for a malformed value — then counted per (domain, kind) with a
+    6dp avg priority. The DuckDB twin rebuilds the same XML and
+    re-runs extraction, unescape, and census in SQL. First driver
+    window r10 (slot ceded by q38)."""
+    from ..operators import sitemaps as SM
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    domain = F.when(d % 4 == 3, F.lit("idx.com")).otherwise(
+        F.concat(F.lit("sm"), (d % 3).cast("string"), F.lit(".com")))
+    frag = F.when(
+        d % 4 == 3,
+        F.concat(
+            F.lit("<sitemap><loc>https://idx.com/shard-"),
+            (d % 20).cast("string"), F.lit(".xml</loc>"),
+            F.when(d % 2 == 0,
+                   F.concat(F.lit("<lastmod>2024-02-0"),
+                            (d % 9 + 1).cast("string"),
+                            F.lit("</lastmod>"))).otherwise(""),
+            F.lit("</sitemap>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<url><loc>https://sm"), (d % 3).cast("string"),
+            F.lit(".com/p?id="), (d % 50).cast("string"),
+            F.lit("&amp;src="), (d % 7).cast("string"),
+            F.lit("</loc>"),
+            F.when(d % 2 == 0,
+                   F.concat(F.lit("<lastmod>2024-01-0"),
+                            (d % 9 + 1).cast("string"),
+                            F.lit("</lastmod>"))).otherwise(""),
+            F.when(d % 5 == 0, F.lit(""))
+            .when(d % 11 == 0, F.lit("<priority>bogus</priority>"))
+            .otherwise(F.concat(F.lit("<priority>0."),
+                                (d % 9 + 1).cast("string"),
+                                F.lit("</priority>"))),
+            F.lit("</url>"),
+        )
+    )
+    xmls = (
+        docs.select(domain.alias("domain"), frag.alias("frag"))
+        .groupBy("domain")
+        .agg(F.concat_ws("", F.collect_list("frag")).alias("body"))
+        .select(
+            "domain",
+            F.when(F.col("domain") == "idx.com",
+                   F.concat(F.lit("<sitemapindex>"), F.col("body"),
+                            F.lit("</sitemapindex>")))
+            .otherwise(F.concat(F.lit("<urlset>"), F.col("body"),
+                                F.lit("</urlset>")))
+            .alias("sitemap_xml"),
+        )
+    )
+    parsed = SM.parse_sitemaps(xmls)
+    return parsed.groupBy("domain", "kind").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.countDistinct("loc").alias("n_locs"),
+        F.sum(F.when(F.col("lastmod") != "", 1).otherwise(0))
+        .alias("n_with_lastmod"),
+        F.round(F.avg("priority"), 6).alias("avg_priority"),
+    )

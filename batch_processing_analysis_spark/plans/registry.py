@@ -41,15 +41,16 @@ EXTRA_ORACLES: dict[str, str] = {}
 # - the 10 queries the r9 --plan listed as coming due (newest green
 #   r6, due at r10 close): the deferred relational basics
 #   q01/q02/q04/q05/q07/q14/q15/q16/q22/q23;
-# - q171/q172/q173, the round's new never-green M161/M162/M164
-#   queries (full-PSL registrable domain; the URL-governance facade;
-#   robots.txt governance — q173 took q31's slot mid-round) — must be
-#   in the window per rotation_check;
-# - 37 of the 50 r7-tier queries (newest green r7, due at r11) taken
-#   a round early so the r11 window has room; the 13 deferred are the
+# - q171/q172/q173/q174, the round's new never-green M161/M162/M164/
+#   M165 queries (full-PSL registrable domain; the URL-governance
+#   facade; robots.txt governance; sitemap census — q173/q174 took
+#   q31/q38's slots mid-round) — must be in the window per
+#   rotation_check;
+# - 36 of the 50 r7-tier queries (newest green r7, due at r11) taken
+#   a round early so the r11 window has room; the 14 deferred are the
 #   cheap relational basics (q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
-#   q21/q24, plus q31 ceded to q173 — fast re-greens that fit any
-#   window), due exactly at r11 where --plan will list them.
+#   q21/q24, plus q31/q38 ceded to q173/q174 — fast re-greens that
+#   fit any window), due exactly at r11 where --plan will list them.
 # Rotated OUT: the whole r9 window (every row green in
 # CORRECTNESS_r09, due back r13). q116_canary_hugeint_probe stays
 # RETIRED in the extras registry (designed-red HUGEINT probe,
@@ -72,7 +73,8 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q171_psl_registered_domain",
     "q172_url_governance",
     "q173_robots_governance",
-    # r7-tier, taken one round early (37 of 50; q143 doubles as the
+    "q174_sitemap_census",
+    # r7-tier, taken one round early (36 of 50; q143 doubles as the
     # bench control query)
     "q143_edjoin_exact",
     "q163_containment_increment",
@@ -82,7 +84,6 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q33_waiting_time_decomposition",
     "q35_concurrency_pairs",
     "q36_activation_features",
-    "q38_interval_sweep",
     "q40_dedup_exact",
     "q42_dedup_simhash",
     "q43_dedup_ngram_jaccard",

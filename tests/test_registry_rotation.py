@@ -93,6 +93,7 @@ EXPECTED_SHADOWED = frozenset({
     "q31_task_batches",
     "q34_waiting_time_report",
     "q37_activation_rules",
+    "q38_interval_sweep",
     "q41_dedup_minhash_lsh",
     "q44_embedding_neardup",
     "q50_fingerprint",

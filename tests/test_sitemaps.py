@@ -1,0 +1,80 @@
+"""Sitemap parsing tests (M165, operators/sitemaps.py) — the
+sitemaps.org 0.9 subset pinned against hand-computed expectations;
+q174's DuckDB oracle twin re-runs extraction, entity unescape, and
+the census in SQL at corpus scale."""
+
+from __future__ import annotations
+
+from batch_processing_analysis_spark.operators import robots as RB
+from batch_processing_analysis_spark.operators import sitemaps as SM
+
+URLSET = "\n".join([
+    '<?xml version="1.0" encoding="UTF-8"?>',
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    "<url><loc>https://a.com/p?x=1&amp;y=2</loc>",
+    "<lastmod>2024-01-01</lastmod><priority>0.8</priority></url>",
+    "<url><loc> https://a.com/q </loc></url>",
+    "<url><loc>https://a.com/&amp;lt;odd&amp;gt;</loc>",
+    "<priority>bogus</priority></url>",
+    "<url><lastmod>2024-03-03</lastmod></url>",
+    "</urlset>",
+])
+INDEX = ("<sitemapindex><sitemap><loc>https://b.com/sm1.xml</loc>"
+         "<lastmod>2024-02-02</lastmod></sitemap>"
+         "<sitemap><loc>https://b.com/sm2.xml</loc></sitemap>"
+         "</sitemapindex>")
+
+
+def test_parse_urlset_and_index(spark):
+    df = spark.createDataFrame([("a.com", URLSET), ("b.com", INDEX)],
+                               "domain string, sitemap_xml string")
+    rows = {(r["domain"], r["kind"], r["loc"]):
+            (r["lastmod"], r["changefreq"], r["priority"])
+            for r in SM.parse_sitemaps(df).collect()}
+    # entity unescape in loc; explicit priority
+    assert rows[("a.com", "url", "https://a.com/p?x=1&y=2")] == \
+        ("2024-01-01", "", 0.8)
+    # loc whitespace trimmed; absent priority -> spec default 0.5
+    assert rows[("a.com", "url", "https://a.com/q")] == ("", "", 0.5)
+    # '&amp;lt;' unescapes to literal '&lt;' (amp replaced LAST);
+    # malformed priority -> NULL
+    assert rows[("a.com", "url", "https://a.com/&lt;odd&gt;")] == \
+        ("", "", None)
+    # index entries carry kind='sitemap', NULL priority
+    assert rows[("b.com", "sitemap", "https://b.com/sm1.xml")] == \
+        ("2024-02-02", "", None)
+    assert rows[("b.com", "sitemap", "https://b.com/sm2.xml")] == \
+        ("", "", None)
+    # entry with no <loc> dropped (spec: loc mandatory)
+    assert len(rows) == 5
+
+
+def test_robots_sitemap_directive(spark):
+    rb = spark.createDataFrame(
+        [("a.com", "\n".join([
+            "Sitemap: https://a.com/sitemap.xml",
+            "User-agent: *",
+            "Disallow: /x",
+            "sitemap: https://a.com/sitemap2.xml  # trailing comment",
+            "Sitemap:",
+        ])),
+         ("b.com", "User-agent: *\nDisallow: /")],
+        "domain string, robots_txt string")
+    got = sorted((r["domain"], r["sitemap_url"])
+                 for r in RB.robots_sitemaps(rb).collect())
+    assert got == [("a.com", "https://a.com/sitemap.xml"),
+                   ("a.com", "https://a.com/sitemap2.xml")]
+    # the group-blind sitemap parse must not disturb the group scan
+    pol = RB.parse_robots(rb)
+    assert {(r["domain"], r["agent"], r["pattern"])
+            for r in pol.collect()} == {("a.com", "*", "/x"),
+                                        ("b.com", "*", "/")}
+
+
+def test_no_python_in_plan(spark):
+    df = spark.createDataFrame([("a.com", URLSET)],
+                               "domain string, sitemap_xml string")
+    plan = SM.parse_sitemaps(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
