@@ -27,12 +27,25 @@ extensions, pinned in tests/test_robots.py):
 
 Engine shape: parsing is explode + window functions (the stateful
 "current group" scan becomes a running sum of group starts over the
-per-document line order), matching is one equi-join on domain with an
-``RLIKE`` against the rule's pre-translated regex — the policy table
-is dimension-sized (rules per domain are tens, not millions) and
-broadcasts; the URL side never shuffles. All expressions are
-built-ins; the DuckDB oracle twin (q173) re-implements the whole
-parse+match in SQL independently.
+per-document line order). The decision collapses each domain's
+agent-effective rules into ONE array column on the broadcast side
+(rules per domain are tens, not millions), broadcast-joins it to the
+URL table once, and decides per row with higher-order functions
+(``filter`` the array on RLIKE, ``array_max`` on
+``struct(spec_len, is_allow)`` — struct ordering IS the RFC's
+longest-match-then-allow-wins key), so the URL side — the biggest
+table in a crawl pipeline — incurs ZERO exchanges, no window, no
+join-back, and no synthetic row ids (tests/test_robots.py pins the
+plan structurally). All expressions are built-ins; the DuckDB oracle
+twin (q173) re-implements the whole parse+match in SQL independently.
+
+RFC 9309 precedence subtlety (pinned in tests): a named group that
+exists but carries NO allow/disallow rules — the common allow-all
+idiom ``User-agent: mybot`` + ``Disallow:`` — still takes precedence
+over ``*``. Rule rows alone cannot see such groups, so group
+PRESENCE comes from :func:`parse_robots_agents`; pass its output as
+``agents=`` to :func:`robots_allowed` (the policies-only fallback is
+kept for pre-parsed policy tables but documents this blind spot).
 """
 
 from __future__ import annotations
@@ -124,6 +137,18 @@ def parse_robots(robots: DataFrame, domain_col: str = "domain",
     )
 
 
+def parse_robots_agents(robots: DataFrame, domain_col: str = "domain",
+                        text_col: str = "robots_txt") -> DataFrame:
+    """robots.txt corpus → distinct (domain, agent) group PRESENCE —
+    every agent NAMED by a ``user-agent`` line, including agents whose
+    group carries no allow/disallow rules (the allow-all idiom).
+    RFC 9309 group selection keys on presence, not on having rules:
+    feed this as ``agents=`` to :func:`robots_allowed` so an empty
+    named group correctly shields its agent from the ``*`` rules."""
+    grouped = _grouped_lines(robots, domain_col, text_col)
+    return _group_agents(grouped).select("domain", "agent").distinct()
+
+
 def robots_sitemaps(robots: DataFrame, domain_col: str = "domain",
                     text_col: str = "robots_txt") -> DataFrame:
     """robots.txt corpus → (domain, sitemap_url): the ``Sitemap:``
@@ -177,14 +202,30 @@ def parse_crawl_delays(robots: DataFrame, domain_col: str = "domain",
 
 def robots_allowed(urls: DataFrame, policies: DataFrame, agent: str,
                    domain_col: str = "domain",
-                   path_col: str = "path") -> DataFrame:
+                   path_col: str = "path",
+                   agents: DataFrame | None = None) -> DataFrame:
     """Add ``allowed`` (boolean) to ``urls`` for ``agent`` under the
     parsed ``policies`` (RFC 9309 decision: named group if one exists
     for the domain else ``*``; longest matching pattern wins; length
-    tie → allow; no match / no policies → allowed)."""
+    tie → allow; no match / no policies → allowed).
+
+    ``agents`` (output of :func:`parse_robots_agents`) supplies group
+    PRESENCE so an empty named group — ``User-agent: mybot`` +
+    ``Disallow:`` — correctly takes precedence over ``*`` (RFC 9309
+    §2.2.1). Without it, presence is approximated from the rule rows,
+    which cannot see rule-less groups and would wrongly apply the
+    ``*`` rules to such agents.
+
+    Scale shape: the per-domain effective rules collapse to one array
+    column (``collect_list(struct(spec_len, is_allow, regex))``) on
+    the dimension side, broadcast-join once on domain, decide in a
+    single projection via higher-order functions — the URL side never
+    shuffles, sorts, or windows, and no synthetic row id exists to
+    diverge under recomputation."""
     agent = agent.lower()
+    presence = agents if agents is not None else policies
     has_named = (
-        policies.filter(F.col("agent") == agent)
+        presence.filter(F.col("agent") == agent)
         .select("domain").distinct()
         .withColumn("_named", F.lit(True))
     )
@@ -193,29 +234,24 @@ def robots_allowed(urls: DataFrame, policies: DataFrame, agent: str,
         .join(F.broadcast(has_named), "domain", "left")
         .filter((F.col("agent") == agent)
                 | F.col("_named").isNull())  # '*' only without a named group
-        .select("domain", "rule", "spec_len", "regex")
+        .groupBy("domain")
+        .agg(F.collect_list(F.struct(
+            F.col("spec_len").cast("int").alias("sl"),
+            (F.col("rule") == "allow").alias("al"),
+            F.col("regex").alias("rx"))).alias("_rb_rules"))
+        .withColumnRenamed("domain", "_rb_domain")
     )
-    u = urls.withColumn(
-        "_uid", F.monotonically_increasing_id())
-    cand = (
-        u.select("_uid", F.col(domain_col).alias("_dom"),
-                 F.col(path_col).alias("_path"))
-        .join(F.broadcast(eff), F.col("_dom") == eff["domain"], "left")
-        .filter(F.col("regex").isNull()
-                | F.expr("_path rlike regex"))
+    # struct(sl, al) compares lexicographically: longest pattern wins,
+    # and on a length tie allow (true > false) wins — exactly the RFC
+    # key. filter/transform/array_max of a NULL or empty array yield
+    # NULL, so no-policy domains and no-match URLs coalesce to allowed.
+    best = F.expr(
+        f"array_max(transform(filter(_rb_rules, "
+        f"r -> `{path_col}` rlike r.rx), r -> struct(r.sl, r.al)))")
+    return (
+        urls.join(F.broadcast(eff),
+                  F.col(domain_col) == F.col("_rb_domain"), "left")
+        .withColumn("allowed",
+                    F.coalesce(best.getField("al"), F.lit(True)))
+        .drop("_rb_domain", "_rb_rules")
     )
-    wu = W.partitionBy("_uid").orderBy(
-        F.desc_nulls_last("spec_len"),
-        F.desc(F.col("rule") == "allow"))
-    decided = (
-        cand.withColumn("_rn", F.row_number().over(wu))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "_uid",
-            F.coalesce(F.col("rule") != "disallow", F.lit(True))
-            .alias("allowed"),
-        )
-    )
-    return u.join(decided, "_uid", "left") \
-        .withColumn("allowed", F.coalesce("allowed", F.lit(True))) \
-        .drop("_uid")

@@ -5601,6 +5601,11 @@ _ROBOTS_SITE0 = [
 ]
 _ROBOTS_SITE1 = ["User-agent: *", "Disallow: /"]
 _ROBOTS_SITE2 = ["User-agent: mybot", "Allow: /pub", "Disallow: /"]
+# the allow-all idiom: mybot's named group EXISTS but has no rules
+# (empty Disallow), so RFC 9309 shields mybot from the '*' disallows —
+# group presence comes from the user-agent scan, not the rule rows
+_ROBOTS_SITE4 = ["User-agent: mybot", "Disallow:", "",
+                 "User-agent: *", "Disallow: /"]
 
 
 def _sql_lines(lines: list[str]) -> str:
@@ -5613,9 +5618,10 @@ _ROBOTS_SQL = f"""
       SELECT 'site0.com' AS domain, {_sql_lines(_ROBOTS_SITE0)} AS txt
       UNION ALL SELECT 'site1.com', {_sql_lines(_ROBOTS_SITE1)}
       UNION ALL SELECT 'site2.com', {_sql_lines(_ROBOTS_SITE2)}
+      UNION ALL SELECT 'site4.com', {_sql_lines(_ROBOTS_SITE4)}
     ),
     urls AS (
-      SELECT 'site' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS domain,
+      SELECT 'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain,
         (CASE WHEN doc_id % 6 = 0
               THEN '/private/' || CAST(doc_id % 5 AS VARCHAR)
          WHEN doc_id % 6 = 1
@@ -5671,7 +5677,9 @@ _ROBOTS_SQL = f"""
               AND gid > 0) r
       JOIN uas u ON r.domain = u.domain AND r.gid = u.gid
     ),
-    named AS (SELECT DISTINCT domain FROM pol WHERE agent = 'mybot'),
+    -- presence from the USER-AGENT scan, not the rule rows: an empty
+    -- named group (site4) still shields mybot from '*' (RFC 9309)
+    named AS (SELECT DISTINCT domain FROM uas WHERE agent = 'mybot'),
     eff AS (
       SELECT p.domain, p.rule, p.spec_len, p.regex
       FROM pol p LEFT JOIN named n ON p.domain = n.domain
@@ -5716,10 +5724,12 @@ def q173_robots_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning, then decide each derived URL for agent 'mybot' under
     named-group selection + longest-match + allow-wins-tie, counting
     allowed/blocked URLs per domain (a policy-free domain pins the
-    default-allow path). The DuckDB twin re-implements the whole
+    default-allow path; site4's rule-less named group pins the RFC
+    empty-named-group precedence — presence from the UA scan, not the
+    rule rows). The decision is the zero-URL-shuffle broadcast+HOF
+    plan (r11 rewrite). The DuckDB twin re-implements the whole
     parse + pattern-translation + decision in SQL. First driver window
-    r10 (registered post-rotation: pytest/extra-gated until r11's
-    window)."""
+    r10."""
     from ..operators import robots as RB
 
     d = F.col("doc_id")
@@ -5727,10 +5737,11 @@ def q173_robots_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots_df = spark.createDataFrame(
         [("site0.com", "\n".join(_ROBOTS_SITE0)),
          ("site1.com", "\n".join(_ROBOTS_SITE1)),
-         ("site2.com", "\n".join(_ROBOTS_SITE2))],
+         ("site2.com", "\n".join(_ROBOTS_SITE2)),
+         ("site4.com", "\n".join(_ROBOTS_SITE4))],
         "domain string, robots_txt string")
     urls = docs.select(
-        F.concat(F.lit("site"), (d % 4).cast("string"),
+        F.concat(F.lit("site"), (d % 5).cast("string"),
                  F.lit(".com")).alias("domain"),
         F.when(d % 6 == 0, F.concat(F.lit("/private/"),
                                     (d % 5).cast("string")))
@@ -5744,7 +5755,8 @@ def q173_robots_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("/")).alias("path"),
     )
     pol = RB.parse_robots(robots_df)
-    out = RB.robots_allowed(urls, pol, "mybot")
+    uas = RB.parse_robots_agents(robots_df)
+    out = RB.robots_allowed(urls, pol, "mybot", agents=uas)
     return out.groupBy("domain", "allowed").agg(
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("path").alias("n_paths"))

@@ -114,6 +114,41 @@ def test_equal_length_tie_allow_wins(spark):
     assert got == {("t.com", "/dir/page"): True}
 
 
+def test_empty_named_group_allows_all(spark):
+    """RFC 9309 §2.2.1: a named group that EXISTS but has no rules
+    (the allow-all idiom 'User-agent: mybot' + empty 'Disallow:')
+    takes precedence over '*' — presence comes from the user-agent
+    scan (parse_robots_agents), which the rule rows cannot see."""
+    rb = spark.createDataFrame(
+        [("e.com", "User-agent: mybot\nDisallow:\n\n"
+                   "User-agent: *\nDisallow: /"),
+         # same idiom with the named group LAST in the file
+         ("f.com", "User-agent: *\nDisallow: /\n\nUser-agent: mybot")],
+        "domain string, robots_txt string")
+    pol = RB.parse_robots(rb)
+    uas = RB.parse_robots_agents(rb)
+    urls = spark.createDataFrame(
+        [("e.com", "/x"), ("e.com", "/private/a"), ("f.com", "/y")],
+        "domain string, path string")
+    got = {(r["domain"], r["path"]): r["allowed"]
+           for r in RB.robots_allowed(urls, pol, "MyBot",
+                                      agents=uas).collect()}
+    assert got == {("e.com", "/x"): True,
+                   ("e.com", "/private/a"): True,
+                   ("f.com", "/y"): True}
+    # everyone else still obeys the '*' disallow-all
+    got_star = {(r["domain"], r["path"]): r["allowed"]
+                for r in RB.robots_allowed(urls, pol, "other",
+                                           agents=uas).collect()}
+    assert set(got_star.values()) == {False}
+    # the documented fallback blind spot: without agents, rule-less
+    # named groups are invisible and mybot wrongly inherits '*'
+    fallback = {(r["domain"], r["path"]): r["allowed"]
+                for r in RB.robots_allowed(urls, pol,
+                                           "mybot").collect()}
+    assert set(fallback.values()) == {False}
+
+
 def test_no_python_in_plans(spark, policies):
     urls = spark.createDataFrame([("a.com", "/x")],
                                  "domain string, path string")
@@ -121,6 +156,50 @@ def test_no_python_in_plans(spark, policies):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def _subtree_names(jnode, out):
+    out.append(jnode.nodeName())
+    kids = jnode.children()
+    for i in range(kids.size()):
+        _subtree_names(kids.apply(i), out)
+    return out
+
+
+def test_url_side_zero_exchange(spark, policies):
+    """The decision join's STREAMED subtree — the URL table — contains
+    no Exchange, no Sort, no Window, and no monotonically_increasing_id
+    (the r10 plan had two URL-side Exchanges + a window + a synthetic
+    row id; the module docstring's 'URL side never shuffles' claim is
+    now structurally pinned)."""
+    urls = spark.createDataFrame(
+        [("a.com", f"/p/{i}") for i in range(100)],
+        "domain string, path string")
+    out = RB.robots_allowed(urls, policies, "mybot")
+    jplan = out._jdf.queryExecution().sparkPlan()
+    names = _subtree_names(jplan, [])
+    assert not any("MonotonicallyIncreasingID" in n or "Window" in n
+                   for n in names), names
+    # locate the URL-side decision join and audit its streamed child
+    def find_bhj(node):
+        if "BroadcastHashJoin" in node.nodeName():
+            kids = _subtree_names(node.children().apply(0), [])
+            # the URL side is the subtree WITHOUT an aggregate
+            # (the policy side carries the collect_list aggregation)
+            if not any("Aggregate" in k for k in kids):
+                return node
+        kids = node.children()
+        for i in range(kids.size()):
+            got = find_bhj(kids.apply(i))
+            if got is not None:
+                return got
+        return None
+
+    bhj = find_bhj(jplan)
+    assert bhj is not None, names
+    streamed = _subtree_names(bhj.children().apply(0), [])
+    assert not any("Exchange" in n or "Sort" in n or "Window" in n
+                   for n in streamed), streamed
 
 
 def test_crawl_delays(spark):
@@ -142,14 +221,21 @@ def test_crawl_delays(spark):
     assert got == {("a.com", "*"): 1.0, ("a.com", "mybot"): 4.0}
 
 
-def _py_robots_allowed(policy_rows, agent, domain, path):
-    """Independent pure-Python transcription of the RFC decision."""
+def _py_robots_allowed(policy_rows, agent_presence, agent, domain,
+                       path):
+    """Independent pure-Python transcription of the RFC decision.
+    ``agent_presence`` is the set of (domain, agent) pairs named by
+    user-agent lines — group selection keys on PRESENCE (an empty
+    named group still shields its agent from '*'), not on having
+    rules."""
     import re
 
-    mine = [r for r in policy_rows
-            if r[0] == domain and r[1] == agent]
-    rules = mine or [r for r in policy_rows
-                     if r[0] == domain and r[1] == "*"]
+    if (domain, agent) in agent_presence:
+        rules = [r for r in policy_rows
+                 if r[0] == domain and r[1] == agent]
+    else:
+        rules = [r for r in policy_rows
+                 if r[0] == domain and r[1] == "*"]
     best = None
     for _, _, rule, pattern in rules:
         anchored = pattern.endswith("$")
@@ -163,10 +249,47 @@ def _py_robots_allowed(policy_rows, agent, domain, path):
     return best is None or best[1] != "disallow"
 
 
+def _r10_window_robots_allowed(urls, policies, agent, agents):
+    """The r10 decision plan (window + row_number + join-back),
+    reimplemented here as a parity reference for the r11 broadcast+HOF
+    rewrite — same semantics, different physical shape — with the
+    presence fix applied so both implementations decide the same
+    spec."""
+    from pyspark.sql import Window as W
+
+    agent = agent.lower()
+    has_named = (agents.filter(F.col("agent") == agent)
+                 .select("domain").distinct()
+                 .withColumn("_named", F.lit(True)))
+    eff = (policies.filter(F.col("agent").isin(agent, "*"))
+           .join(F.broadcast(has_named), "domain", "left")
+           .filter((F.col("agent") == agent) | F.col("_named").isNull())
+           .select("domain", "rule", "spec_len", "regex"))
+    u = urls.withColumn("_uid", F.monotonically_increasing_id())
+    cand = (u.select("_uid", F.col("domain").alias("_dom"),
+                     F.col("path").alias("_path"))
+            .join(F.broadcast(eff), F.col("_dom") == eff["domain"],
+                  "left")
+            .filter(F.col("regex").isNull()
+                    | F.expr("_path rlike regex")))
+    wu = W.partitionBy("_uid").orderBy(
+        F.desc_nulls_last("spec_len"),
+        F.desc(F.col("rule") == "allow"))
+    decided = (cand.withColumn("_rn", F.row_number().over(wu))
+               .filter(F.col("_rn") == 1)
+               .select("_uid",
+                       F.coalesce(F.col("rule") != "disallow",
+                                  F.lit(True)).alias("allowed")))
+    return (u.join(decided, "_uid", "left")
+            .withColumn("allowed", F.coalesce("allowed", F.lit(True)))
+            .drop("_uid"))
+
+
 def test_fuzzed_agreement_with_reference_resolver(spark):
     """The Spark parse+decide pipeline agrees with an independent
-    Python transcription on randomized policies and paths (the q173
-    DuckDB oracle is the third implementation, driver-gated)."""
+    Python transcription AND with the r10 window-plan reference on
+    randomized policies and paths — including rule-less groups (the
+    q173 DuckDB oracle is the fourth implementation, driver-gated)."""
     import random
 
     rng = random.Random(20260817)
@@ -188,16 +311,27 @@ def test_fuzzed_agreement_with_reference_resolver(spark):
             for _ in range(rng.randint(1, 2)):  # agents per group
                 lines.append("User-agent: "
                              + rng.choice(["*", "mybot", "other"]))
-            for _ in range(rng.randint(1, 4)):  # rules per group
+            # 0 rules = the allow-all idiom: presence without rules
+            for _ in range(rng.randint(0, 4)):  # rules per group
                 lines.append(rng.choice(["Allow", "Disallow"])
                              + ": " + rand_pattern())
         domains.append(f"d{di}.com")
         texts.append("\n".join(lines))
+    # a mid-file 0-rule group merges into the NEXT group's user-agent
+    # lines (consecutive UA lines share a group), so only a TRAILING
+    # rule-less group survives — plant one deterministically
+    domains.append("d8.com")
+    texts.append("User-agent: *\nDisallow: /\n\nUser-agent: mybot")
     rb = spark.createDataFrame(list(zip(domains, texts)),
                                "domain string, robots_txt string")
     pol = RB.parse_robots(rb)
+    uas = RB.parse_robots_agents(rb)
     policy_rows = [(r["domain"], r["agent"], r["rule"], r["pattern"])
                    for r in pol.collect()]
+    presence = {(r["domain"], r["agent"]) for r in uas.collect()}
+    assert any((d, a) in presence and not any(
+        pr[0] == d and pr[1] == a for pr in policy_rows)
+        for d, a in presence), "fixture must include a rule-less group"
 
     paths = ["/" + "/".join(rng.choice(segs)
                             for _ in range(rng.randint(1, 4)))
@@ -205,9 +339,14 @@ def test_fuzzed_agreement_with_reference_resolver(spark):
     pairs = [(d, p) for d in domains + ["none.com"] for p in paths]
     urls = spark.createDataFrame(pairs, "domain string, path string")
     for agent in ("mybot", "strange"):
-        out = RB.robots_allowed(urls, pol, agent)
+        out = RB.robots_allowed(urls, pol, agent, agents=uas)
         got = {(r["domain"], r["path"]): r["allowed"]
                for r in out.collect()}
+        r10 = {(r["domain"], r["path"]): r["allowed"]
+               for r in _r10_window_robots_allowed(
+                   urls, pol, agent, uas).collect()}
+        assert got == r10, "r11 HOF plan diverged from r10 window plan"
         for (d, p), allowed in got.items():
-            want = _py_robots_allowed(policy_rows, agent, d, p)
+            want = _py_robots_allowed(policy_rows, presence, agent,
+                                      d, p)
             assert allowed == want, (agent, d, p, allowed, want)
