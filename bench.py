@@ -362,6 +362,14 @@ def main() -> None:
         for _label in ("analyze_batches_events", "prepare_corpus_10x_docs",
                        "prepare_web_corpus_10x_docs"):
             _run = facade_runners[_label]
+            # The untimed warm-up was CLAIMED by the comment above but
+            # never executed for facades — min-of-2 timed a cold run,
+            # and r10's analyze_batches board row read 16.2 s where a
+            # warmed fresh-session solo measures 9.7-10.4 s
+            # (SOLO_FACADE_r11.json: cold 21.8 -> warm 10.4; facade
+            # LAST in a 12-query session is 0.78x facade FIRST, so no
+            # session-state interference either). Warm up for real.
+            _run()
             facades[_label] = round(min(_run(), _run()), 3)
     except Exception as e:
         print(f"bench: facade stage failed: {e}", file=sys.stderr)
@@ -532,9 +540,12 @@ def main() -> None:
     for label, v in list(facades.items()):
         pv = prev_f.get(label)
         run = facade_runners.get(label)
+        # Facades re-measure at >1.3x (VERDICT r10 task 1): only 4
+        # rows, ~30 s worst case, and a 1.65x jump on the headline
+        # parity pipeline sailed through the old >2x trigger.
         if (v is None or run is None
                 or not isinstance(pv, (int, float)) or pv <= 0
-                or v <= 2 * pv):
+                or v <= 1.3 * pv):
             continue
         best, reran = v, 0
         try:
@@ -621,7 +632,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "facades": facades,
-        "facades_protocol": "min-of-2 solo, >2x rows re-measured",
+        "facades_protocol": "untimed warm-up + min-of-2, >1.3x rows re-measured",
         "control": control,
         "remeasured": remeasured,
         "remeasure_failed": remeasure_failed,
