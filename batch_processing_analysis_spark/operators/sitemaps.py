@@ -14,16 +14,23 @@ Scope (the sitemaps.org 0.9 schema, pinned in tests/test_sitemaps.py):
 - the five predefined XML entities in ``loc`` are unescaped
   (``&amp;`` LAST, so ``&amp;lt;`` round-trips correctly);
 - malformed ``priority`` values go NULL (``try_cast``), entries with
-  no ``<loc>`` are dropped (the spec makes loc mandatory).
+  no ``<loc>`` are dropped (the spec makes loc mandatory);
+- entry tags may carry ATTRIBUTES (``<url data-x="1">``,
+  ``<urlset xmlns="...">`` — real sitemaps almost always namespace
+  the root): the block pattern is ``<url(?:\\s[^>]*)?>``, tag name
+  bounded so ``<urlset>`` never matches as a ``url`` block;
+- ``<sitemapindex>`` recursion: :func:`expand_sitemap_indexes` runs
+  the bounded-depth iterative expansion (k rounds of parse over
+  fetched payloads supplied as a DataFrame).
 
 Engine shape: pure codegen — ``regexp_extract_all`` with a DOTALL
 block pattern explodes the entries, per-entry fields are
 ``regexp_extract`` projections, entity unescape is a fixed
 ``replace`` chain. No XML library, no UDF, no Python in the plan; the
 same patterns re-run verbatim in the q174 DuckDB oracle. (Full XML —
-namespaces on every element, CDATA, comments inside entries — is out
-of scope and documented as such; real sitemap payloads are
-machine-generated to the plain schema this parses.)
+CDATA, comments inside entries — is out of scope and documented as
+such; real sitemap payloads are machine-generated to the plain
+schema this parses.)
 """
 
 from __future__ import annotations
@@ -43,12 +50,14 @@ def _unescape(col: F.Column) -> F.Column:
 
 
 def _entries(df: DataFrame, block_tag: str, kind: str) -> DataFrame:
-    block_re = f"(?s)<{block_tag}>(.*?)</{block_tag}>"
+    # attribute-tolerant open tag: `<url data-x="1">` parses, while
+    # the tag-name boundary (attrs must start with whitespace) keeps
+    # `<urlset …>` from matching as a `url` block
+    block_re = f"(?s)<{block_tag}(?:\\s[^>]*)?>(.*?)</{block_tag}>"
     e = df.select(
         "domain",
-        F.explode(F.expr(
-            f"regexp_extract_all(sitemap_xml, '{block_re}', 1)"
-        )).alias("entry"),
+        F.explode(F.regexp_extract_all(
+            "sitemap_xml", F.lit(block_re), 1)).alias("entry"),
     )
     loc = F.trim(F.regexp_extract("entry", r"(?s)<loc>(.*?)</loc>", 1))
     return (
@@ -88,3 +97,44 @@ def parse_sitemaps(sitemaps: DataFrame, domain_col: str = "domain",
                            F.col(xml_col).alias("sitemap_xml"))
     return _entries(base, "url", "url").unionByName(
         _entries(base, "sitemap", "sitemap"))
+
+
+def expand_sitemap_indexes(sitemaps: DataFrame, payloads: DataFrame,
+                           max_depth: int = 3,
+                           domain_col: str = "domain",
+                           xml_col: str = "sitemap_xml") -> DataFrame:
+    """Bounded-depth ``<sitemapindex>`` expansion: parse the seed
+    corpus; each round, ``kind='sitemap'`` rows join ``payloads``
+    (``loc`` → fetched ``sitemap_xml`` — the caller's fetch results
+    supplied as a DataFrame, the M132/M68 iterative pattern) to form
+    the next round's parse input. Returns the UNION of all
+    ``kind='url'`` rows across levels with a ``depth`` column
+    (0 = found in the seed document).
+
+    ``max_depth`` bounds the driver-side loop — each level is one
+    declarative parse + equi-join, so a depth-k expansion is k jobs,
+    not k×rows; index rows deeper than ``max_depth`` are dropped (the
+    spec forbids index→index nesting beyond one level in practice,
+    but defensive crawls see them). A nested sitemap whose loc is
+    missing from ``payloads`` simply contributes nothing (inner
+    join). Payload loc keys are matched EXACTLY as written in the
+    index (post entity-unescape)."""
+    pay = payloads.select(F.col("loc").alias("_sm_loc"),
+                          F.col(xml_col).alias("_sm_xml"))
+    frontier = sitemaps.select(F.col(domain_col).alias("domain"),
+                               F.col(xml_col).alias("sitemap_xml"))
+    out: DataFrame | None = None
+    for depth in range(max_depth + 1):
+        parsed = parse_sitemaps(frontier)
+        urls = parsed.filter(F.col("kind") == "url") \
+            .withColumn("depth", F.lit(depth))
+        out = urls if out is None else out.unionByName(urls)
+        if depth == max_depth:
+            break
+        frontier = (
+            parsed.filter(F.col("kind") == "sitemap")
+            .select("domain", F.col("loc").alias("_sm_loc"))
+            .join(pay, "_sm_loc")
+            .select("domain", F.col("_sm_xml").alias("sitemap_xml"))
+        )
+    return out

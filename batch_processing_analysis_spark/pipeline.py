@@ -152,7 +152,8 @@ def prepare_web_corpus(docs: DataFrame, *, url_col: str = "url",
                        domain_quota: int | None = None,
                        blocklist: DataFrame | None = None,
                        psl_rules: DataFrame | None = None,
-                       include_private: bool = True) -> DataFrame:
+                       include_private: bool = True,
+                       _reuse_derived: bool = False) -> DataFrame:
     """URL-governance facade (M154 + M161 composed end-to-end — the
     C4/CommonCrawl web-corpus discipline): RFC 3986 canonical-URL
     exact dedup → PSL registrable domain → [domain blocklist] →
@@ -189,12 +190,21 @@ def prepare_web_corpus(docs: DataFrame, *, url_col: str = "url",
     if domain_quota is not None and order_col is None:
         raise ValueError("domain_quota needs order_col — an "
                          "unordered per-domain cap is nondeterministic")
-    base = (
-        docs.withColumn("canon_url",
-                        WEB.url_canonicalize(F.col(url_col)))
-        .withColumn("host", WEB.url_host(F.col(url_col)))
-        .filter(F.col("canon_url").isNotNull())
-    )
+    if _reuse_derived and {"canon_url", "host"} <= set(docs.columns):
+        # facade-internal hook (prepare_crawl_corpus): the caller
+        # already derived canon_url/host with THESE functions and
+        # semi-joined on canon_url — reusing the attribute lets the
+        # dedup window inherit that exchange instead of recomputing a
+        # fresh (provably-equal but unprovable-to-Catalyst) column
+        # and shuffling the corpus a second time.
+        base = docs.filter(F.col("canon_url").isNotNull())
+    else:
+        base = (
+            docs.withColumn("canon_url",
+                            WEB.url_canonicalize(F.col(url_col)))
+            .withColumn("host", WEB.url_host(F.col(url_col)))
+            .filter(F.col("canon_url").isNotNull())
+        )
     w = W.partitionBy("canon_url").orderBy(F.asc(id_col))
     deduped = (
         base.withColumn("_rn", F.row_number().over(w))
@@ -209,6 +219,96 @@ def prepare_web_corpus(docs: DataFrame, *, url_col: str = "url",
         out = MX.domain_quota_topk(out, "psl_domain", domain_quota,
                                    order_col, id_col=id_col)
     return out
+
+
+def prepare_crawl_corpus(docs: DataFrame, sitemaps: DataFrame,
+                         robots: DataFrame, agent: str, *,
+                         url_col: str = "url", id_col: str = "doc_id",
+                         sitemap_payloads: DataFrame | None = None,
+                         sitemap_max_depth: int = 3,
+                         order_col: str | None = None,
+                         domain_quota: int | None = None,
+                         blocklist: DataFrame | None = None,
+                         psl_rules: DataFrame | None = None,
+                         include_private: bool = True) -> DataFrame:
+    """Crawl-compliance facade (M166 — the composition a real crawl
+    corpus hits first): sitemap-discovered URLs → RFC 9309 robots
+    permission for ``agent`` → canonical keep-set →
+    :func:`prepare_web_corpus` (canonical dedup → full-PSL domain →
+    blocklist → skew-governed quota).
+
+    - **Discovery**: ``sitemaps`` is the fetched sitemap corpus
+      (domain, sitemap_xml). With ``sitemap_payloads`` (loc →
+      fetched xml), ``<sitemapindex>`` entries expand through the
+      bounded-depth loop (operators/sitemaps.py); otherwise index
+      entries are ignored (the caller recurses).
+    - **Permission**: each discovered URL is decided for ``agent``
+      against the parsed ``robots`` corpus (domain, robots_txt),
+      keyed on the URL's OWN host; group presence comes from the
+      user-agent scan so rule-less named groups shield their agent
+      (RFC 9309 §2.2.1). The match target is path plus
+      ``'?' + query`` when a query exists — the de-facto reading
+      (rules like ``/*?x=1$`` work); a URL whose host has no robots
+      document is allowed.
+    - **Keep-set**: docs survive when their CANONICAL URL equals a
+      discovered-and-allowed URL's canonical form (RFC 3986
+      canonicalization on both sides, so ``HTTPS://Host:443/p`` in
+      the fetch log matches ``https://host/p`` in the sitemap).
+    - **Governance**: survivors run the full
+      :func:`prepare_web_corpus` discipline.
+
+    Scale shape: the robots decision is the zero-URL-shuffle
+    broadcast+HOF plan; the seed side shuffles once (distinct
+    canonical keep-set); the corpus side derives canon_url/host ONCE,
+    semi-joins on canon_url, and the downstream dedup window inherits
+    that exchange (``_reuse_derived``) — one corpus shuffle for
+    compliance + dedup combined, then the governance stages' own
+    bounded exchanges. Oracle-gated end to end by q175, whose DuckDB
+    twin recomputes every stage independently."""
+    from pyspark.sql import functions as F
+
+    from .functions import web as WEB
+    from .operators import robots as RB
+    from .operators import sitemaps as SM
+
+    if sitemap_payloads is not None:
+        seeds = SM.expand_sitemap_indexes(
+            sitemaps, sitemap_payloads, max_depth=sitemap_max_depth)
+    else:
+        seeds = SM.parse_sitemaps(sitemaps).filter(
+            F.col("kind") == "url")
+    loc = F.col("loc")
+    p, q = WEB.url_path(loc), WEB.url_query(loc)
+    target = F.concat(
+        F.when(p == "", "/").otherwise(p),
+        F.when(q == "", "").otherwise(F.concat(F.lit("?"), q)))
+    sd = seeds.select(
+        "loc",
+        WEB.url_host(loc).alias("_rb_host"),
+        target.alias("_rb_path"),
+    )
+    decided = RB.robots_allowed(
+        sd, RB.parse_robots(robots), agent,
+        domain_col="_rb_host", path_col="_rb_path",
+        agents=RB.parse_robots_agents(robots))
+    keep = (
+        decided.filter(F.col("allowed"))
+        .select(WEB.url_canonicalize(F.col("loc")).alias("canon_url"))
+        .filter(F.col("canon_url").isNotNull())
+        .distinct()
+    )
+    base = (
+        docs.withColumn("canon_url",
+                        WEB.url_canonicalize(F.col(url_col)))
+        .withColumn("host", WEB.url_host(F.col(url_col)))
+        .filter(F.col("canon_url").isNotNull())
+        .join(keep, "canon_url", "left_semi")
+    )
+    return prepare_web_corpus(
+        base, url_col=url_col, id_col=id_col, order_col=order_col,
+        domain_quota=domain_quota, blocklist=blocklist,
+        psl_rules=psl_rules, include_private=include_private,
+        _reuse_derived=True)
 
 
 def build_training_set(docs: DataFrame, path: str, *,

@@ -5784,7 +5784,9 @@ _SITEMAP_SQL = """
                           || '</lastmod>' ELSE '' END)
             || '</sitemap>'
          ELSE
-            '<url><loc>https://sm' || CAST(doc_id % 3 AS VARCHAR)
+            (CASE WHEN doc_id % 13 = 0 THEN '<url data-x="1">'
+                  ELSE '<url>' END)
+            || '<loc>https://sm' || CAST(doc_id % 3 AS VARCHAR)
             || '.com/p?id=' || CAST(doc_id % 50 AS VARCHAR)
             || '&amp;src=' || CAST(doc_id % 7 AS VARCHAR) || '</loc>'
             || (CASE WHEN doc_id % 2 = 0
@@ -5802,21 +5804,23 @@ _SITEMAP_SQL = """
     xmls AS (
       SELECT domain,
         (CASE WHEN domain = 'idx.com'
-              THEN '<sitemapindex>' || string_agg(frag, '')
-                   || '</sitemapindex>'
-              ELSE '<urlset>' || string_agg(frag, '') || '</urlset>'
+              THEN '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                   || string_agg(frag, '') || '</sitemapindex>'
+              ELSE '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                   || string_agg(frag, '') || '</urlset>'
          END) AS xml
       FROM frags GROUP BY domain
     ),
     blocks AS (
       SELECT domain, 'url' AS kind,
-             unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))
+             unnest(regexp_extract_all(xml,
+                    '(?s)<url(?:\s[^>]*)?>(.*?)</url>', 1))
                AS entry
       FROM xmls
       UNION ALL
       SELECT domain, 'sitemap',
              unnest(regexp_extract_all(xml,
-                    '(?s)<sitemap>(.*?)</sitemap>', 1))
+                    '(?s)<sitemap(?:\s[^>]*)?>(.*?)</sitemap>', 1))
       FROM xmls
     ),
     parsed AS (
@@ -5880,7 +5884,12 @@ def q174_sitemap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(
         F.concat(
-            F.lit("<url><loc>https://sm"), (d % 3).cast("string"),
+            # attribute-bearing open tags pin the tolerant block
+            # pattern (real sitemaps namespace the root and may
+            # attribute entries)
+            F.when(d % 13 == 0, F.lit('<url data-x="1">'))
+            .otherwise(F.lit("<url>")),
+            F.lit("<loc>https://sm"), (d % 3).cast("string"),
             F.lit(".com/p?id="), (d % 50).cast("string"),
             F.lit("&amp;src="), (d % 7).cast("string"),
             F.lit("</loc>"),
@@ -5903,10 +5912,10 @@ def q174_sitemap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "domain",
             F.when(F.col("domain") == "idx.com",
-                   F.concat(F.lit("<sitemapindex>"), F.col("body"),
-                            F.lit("</sitemapindex>")))
-            .otherwise(F.concat(F.lit("<urlset>"), F.col("body"),
-                                F.lit("</urlset>")))
+                   F.concat(F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                            F.col("body"), F.lit("</sitemapindex>")))
+            .otherwise(F.concat(F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                                F.col("body"), F.lit("</urlset>")))
             .alias("sitemap_xml"),
         )
     )
@@ -5917,4 +5926,274 @@ def q174_sitemap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lastmod") != "", 1).otherwise(0))
         .alias("n_with_lastmod"),
         F.round(F.avg("priority"), 6).alias("avg_priority"),
+    )
+
+
+# q175 fixture: the crawl-compliance composition end to end — one
+# sitemap document discovering URLs across four hosts (three co.uk
+# sites + one github.io site), per-host robots.txt (prefix rules, a
+# $-anchored allow, a query-string rule, a named mybot group, the
+# rule-less-named-group allow-all idiom), fetched docs whose URLs are
+# case/port VARIANTS of the discovered URLs plus undiscovered extras,
+# then canonical dedup → PSL → blocklist → quota. The oracle
+# recomputes every stage independently: sitemap seed set, RFC 9309
+# parse + decision (presence from the UA scan), RFC 3986
+# canonicalization with query preservation, PSL resolution from the
+# raw vendored file, blocklist, two-phase quota.
+_CRAWL_R0 = ["User-agent: *", "Disallow: /tmp/", "Allow: /tmp/ok$",
+             "Disallow: /*?x=1$"]
+_CRAWL_R1 = ["User-agent: mybot", "Disallow: /p/3*", "",
+             "User-agent: *", "Disallow: /"]
+_CRAWL_R2 = ["User-agent: mybot", "Disallow:", "",
+             "User-agent: *", "Disallow: /"]
+
+_CRAWL_SQL = f"""
+    WITH b AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 4 = 0 THEN 'www.site0.co.uk'
+              WHEN doc_id % 4 = 1 THEN 'www.site1.co.uk'
+              WHEN doc_id % 4 = 2 THEN 'www.site2.co.uk'
+              ELSE 'blocked.github.io' END) AS shost,
+        (CASE WHEN doc_id % 5 = 0
+              THEN '/tmp/a' || CAST(doc_id % 4 AS VARCHAR)
+              WHEN doc_id % 5 = 1 THEN '/tmp/ok'
+              WHEN doc_id % 5 = 2 THEN '/p/' || CAST(doc_id % 7 AS VARCHAR)
+              WHEN doc_id % 5 = 3 THEN '/q'
+              ELSE '/q?x=' || CAST(doc_id % 3 AS VARCHAR) END) AS spath
+      FROM documents
+    ),
+    robots AS (
+      SELECT 'www.site0.co.uk' AS domain, {_sql_lines(_CRAWL_R0)} AS txt
+      UNION ALL SELECT 'www.site1.co.uk', {_sql_lines(_CRAWL_R1)}
+      UNION ALL SELECT 'www.site2.co.uk', {_sql_lines(_CRAWL_R2)}
+    ),
+    rlines AS (
+      SELECT domain, unnest(string_split(txt, chr(10))) AS raw,
+             unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln
+      FROM robots
+    ),
+    rkv AS (
+      SELECT domain, ln,
+        lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS key,
+        trim(regexp_extract(l, '^[^:]+:(.*)$', 1)) AS val
+      FROM (SELECT domain, ln, trim(regexp_replace(raw, '#.*', ''))
+                   AS l FROM rlines)
+      WHERE contains(l, ':')
+        AND lower(trim(regexp_extract(l, '^([^:]+):', 1)))
+            IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+    ),
+    rgrouped AS (
+      SELECT *, sum(gstart) OVER (PARTITION BY domain ORDER BY ln
+                                  ROWS UNBOUNDED PRECEDING) AS gid
+      FROM (
+        SELECT *,
+          (CASE WHEN is_ua AND NOT coalesce(lag(is_ua) OVER (
+             PARTITION BY domain ORDER BY ln), FALSE)
+           THEN 1 ELSE 0 END) AS gstart
+        FROM (SELECT *, key = 'user-agent' AS is_ua FROM rkv)
+      )
+    ),
+    ruas AS (
+      SELECT domain, gid, lower(val) AS agent FROM rgrouped WHERE is_ua
+    ),
+    rpol AS (
+      SELECT r.domain, u.agent, r.key AS rule, r.val AS pattern,
+        length(r.val) AS spec_len,
+        '^' || regexp_replace(regexp_replace(regexp_replace(
+            (CASE WHEN r.val LIKE '%$'
+                  THEN substr(r.val, 1, length(r.val) - 1)
+                  ELSE r.val END),
+            '([.+?^(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+            '\\$', '\\\\$', 'g'),
+            '\\*', '.*', 'g')
+        || (CASE WHEN r.val LIKE '%$' THEN '$' ELSE '' END) AS regex
+      FROM (SELECT domain, gid, key, val FROM rgrouped
+            WHERE key IN ('allow', 'disallow') AND val <> ''
+              AND gid > 0) r
+      JOIN ruas u ON r.domain = u.domain AND r.gid = u.gid
+    ),
+    -- presence from the USER-AGENT scan (site2's rule-less mybot
+    -- group shields mybot from the '*' disallow-all)
+    named AS (SELECT DISTINCT domain FROM ruas WHERE agent = 'mybot'),
+    eff AS (
+      SELECT p.domain, p.rule, p.spec_len, p.regex
+      FROM rpol p LEFT JOIN named n ON p.domain = n.domain
+      WHERE (p.agent = 'mybot' AND n.domain IS NOT NULL)
+         OR (p.agent = '*' AND n.domain IS NULL)
+    ),
+    sp AS (SELECT DISTINCT shost, spath FROM b),
+    rbest AS (
+      SELECT shost, spath, rule FROM (
+        SELECT s.shost, s.spath, e.rule,
+          row_number() OVER (PARTITION BY s.shost, s.spath
+            ORDER BY e.spec_len DESC,
+                     CASE WHEN e.rule = 'allow' THEN 1 ELSE 0 END DESC
+          ) AS rn
+        FROM sp s JOIN eff e ON s.shost = e.domain
+                            AND regexp_matches(s.spath, e.regex)
+      ) WHERE rn = 1
+    ),
+    dec AS (
+      SELECT sp.shost, sp.spath,
+             coalesce(rb.rule <> 'disallow', TRUE) AS allowed
+      FROM sp LEFT JOIN rbest rb ON sp.shost = rb.shost
+                                AND sp.spath = rb.spath
+    ),
+    -- seed locs are constructed canonical (https, lowercase host, no
+    -- port, non-empty path, query preserved), so canon(loc) = loc
+    keepset AS (
+      SELECT DISTINCT 'https://' || shost || spath AS canon
+      FROM dec WHERE allowed
+    ),
+    docs0 AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+        || '://'
+        || (CASE WHEN doc_id % 3 = 0 THEN upper(shost) ELSE shost END)
+        || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        || (CASE WHEN doc_id % 11 = 0
+                 THEN '/undiscovered/' || CAST(doc_id % 5 AS VARCHAR)
+                 ELSE spath END) AS url,
+        (doc_id * 37) % 101 AS score
+      FROM b
+    ),
+    p AS (
+      SELECT doc_id, score,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+          AS auth,
+        regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query
+      FROM docs0
+    ),
+    p2 AS (
+      SELECT doc_id, score, scheme, path, query,
+        lower(regexp_replace(regexp_replace(auth, '^[^@]*@', ''),
+                             ':([0-9]+)$', '')) AS host,
+        (CASE WHEN regexp_extract(auth, ':([0-9]+)$', 1) <> ''
+              THEN CAST(regexp_extract(auth, ':([0-9]+)$', 1) AS INT)
+         END) AS port
+      FROM p
+    ),
+    c AS (
+      SELECT doc_id, score, host,
+        scheme || '://' || host
+        || (CASE WHEN port IS NOT NULL
+                  AND NOT (scheme = 'http' AND port = 80)
+                  AND NOT (scheme = 'https' AND port = 443)
+                 THEN ':' || CAST(port AS VARCHAR) ELSE '' END)
+        || (CASE WHEN path = '' THEN '/' ELSE path END)
+        || (CASE WHEN query = '' THEN '' ELSE '?' || query END)
+          AS canon
+      FROM p2 WHERE scheme <> ''
+    ),
+    kept AS (
+      SELECT c.* FROM c JOIN keepset k ON c.canon = k.canon
+    ),
+    dd AS (
+      SELECT doc_id, score, host, canon FROM (
+        SELECT *, row_number() OVER (PARTITION BY canon
+                                     ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ),
+    hu AS (SELECT DISTINCT host FROM dd),
+    {_PSL_ALGO_CTES},
+    j AS (
+      SELECT dd.doc_id, dd.canon, dd.score, dm.domain
+      FROM dd JOIN dm ON dd.host = dm.host
+    ),
+    nb AS (
+      SELECT * FROM j
+      WHERE domain IS NULL OR domain NOT IN ('blocked.github.io')
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY domain
+                                   ORDER BY score DESC, doc_id) AS drn
+      FROM nb
+    )
+    SELECT doc_id, canon AS canon_url,
+           coalesce(domain, '(unregistrable)') AS domain, score
+    FROM ranked WHERE drn <= 4
+    """
+
+
+@query(
+    "q175_crawl_compliance",
+    _CRAWL_SQL,
+    primary=True,
+)
+def q175_crawl_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance facade end to end
+    (pipeline.prepare_crawl_corpus, M166 — sitemaps M165 → robots
+    M164 → URL governance M162 composed): a sitemap corpus discovers
+    URLs across four hosts; each is decided for agent 'mybot' under
+    RFC 9309 (prefix rules, $-anchored allow, a query-string rule
+    '/*?x=1$', a named group on site1, site2's rule-less named group
+    = allow-all idiom, no robots at all on the github.io host);
+    fetched docs survive only when their CANONICAL URL (HTTPS/:443/
+    case variants collapse) matches a discovered-and-allowed seed,
+    then flow through canonical dedup → full-PSL domain → blocklist
+    (blocked.github.io) → per-domain quota top-4 by score. The DuckDB
+    twin recomputes every stage independently, including the PSL
+    resolution from the raw vendored list. New in r11 (never-green:
+    must be in the r11 window)."""
+    from ..pipeline import prepare_crawl_corpus
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when(d % 4 == 0, F.lit("www.site0.co.uk"))
+        .when(d % 4 == 1, F.lit("www.site1.co.uk"))
+        .when(d % 4 == 2, F.lit("www.site2.co.uk"))
+        .otherwise(F.lit("blocked.github.io"))
+    )
+    spath = (
+        F.when(d % 5 == 0, F.concat(F.lit("/tmp/a"),
+                                    (d % 4).cast("string")))
+        .when(d % 5 == 1, F.lit("/tmp/ok"))
+        .when(d % 5 == 2, F.concat(F.lit("/p/"), (d % 7).cast("string")))
+        .when(d % 5 == 3, F.lit("/q"))
+        .otherwise(F.concat(F.lit("/q?x="), (d % 3).cast("string")))
+    )
+    loc = F.concat(F.lit("https://"), host, spath)
+    sitemaps_df = (
+        docs.select(F.concat(F.lit("<url><loc>"), loc,
+                             F.lit("</loc></url>")).alias("frag"))
+        .agg(F.concat_ws("", F.collect_list("frag")).alias("body"))
+        .select(
+            F.lit("seeds.example").alias("domain"),
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.col("body"), F.lit("</urlset>")).alias("sitemap_xml"),
+        )
+    )
+    robots_df = spark.createDataFrame(
+        [("www.site0.co.uk", "\n".join(_CRAWL_R0)),
+         ("www.site1.co.uk", "\n".join(_CRAWL_R1)),
+         ("www.site2.co.uk", "\n".join(_CRAWL_R2))],
+        "domain string, robots_txt string")
+    dpath = F.when(
+        d % 11 == 0,
+        F.concat(F.lit("/undiscovered/"), (d % 5).cast("string"))
+    ).otherwise(spath)
+    url = F.concat(
+        F.when(d % 2 == 0, "HTTPS").otherwise("https"), F.lit("://"),
+        F.when(d % 3 == 0, F.upper(host)).otherwise(host),
+        F.when(d % 3 == 0, ":443").otherwise(""),
+        dpath,
+    )
+    base = docs.select("doc_id", url.alias("url"),
+                       ((d * 37) % 101).alias("score"))
+    block = spark.createDataFrame([("blocked.github.io",)],
+                                  "domain string")
+    out = prepare_crawl_corpus(base, sitemaps_df, robots_df, "mybot",
+                               order_col="score", domain_quota=4,
+                               blocklist=block)
+    return out.select(
+        "doc_id", "canon_url",
+        F.coalesce(F.col("psl_domain"), F.lit("(unregistrable)"))
+        .alias("domain"),
+        "score",
     )

@@ -33,85 +33,81 @@ ORACLES: dict[str, str] = {}
 EXTRA_QUERIES: dict[str, SparkBuilder] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
-# Round-10 rotation (VERDICT r9 task 2). 50 slots, built from
+# Round-11 rotation (VERDICT r10 task 3). 50 slots, built from
 # tools/rotation_check.py --plan (budget arithmetic lives in THAT
 # module's docstring: registered minus the 8 allowlisted environment
 # canaries, over 50 slots, makes a ~3.2-round refresh floor, hence the
 # 4-round budget):
-# - the 10 queries the r9 --plan listed as coming due (newest green
-#   r6, due at r10 close): the deferred relational basics
-#   q01/q02/q04/q05/q07/q14/q15/q16/q22/q23;
-# - q171/q172/q173/q174, the round's new never-green M161/M162/M164/
-#   M165 queries (full-PSL registrable domain; the URL-governance
-#   facade; robots.txt governance; sitemap census — q173/q174 took
-#   q31/q38's slots mid-round) — must be in the window per
-#   rotation_check;
-# - 36 of the 50 r7-tier queries (newest green r7, due at r11) taken
-#   a round early so the r11 window has room; the 14 deferred are the
-#   cheap relational basics (q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
-#   q21/q24, plus q31/q38 ceded to q173/q174 — fast re-greens that
-#   fit any window), due exactly at r11 where --plan will list them.
-# Rotated OUT: the whole r9 window (every row green in
-# CORRECTNESS_r09, due back r13). q116_canary_hugeint_probe stays
+# - the 14 queries the r10 --plan listed as coming due (newest green
+#   r7, due at r11 close): q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
+#   q21/q24/q31/q38;
+# - q175, the round's new never-green M166 crawl-compliance facade
+#   (sitemaps → robots → prepare_web_corpus) — must be in the window
+#   per rotation_check;
+# - 35 of the 50 r8-tier queries (newest green r8, due at r12) taken
+#   a round early so the r12 window has room; the 15 deferred
+#   (q84-q87, q89-q99) are cheap window/statistics/drift re-greens
+#   that fit any window, due exactly at r12 where --plan will list
+#   them.
+# Rotated OUT: the whole r10 window (every row green in
+# CORRECTNESS_r10, due back r14). q116_canary_hugeint_probe stays
 # RETIRED in the extras registry (designed-red HUGEINT probe,
 # DRIVER_ENV.md) and all 8 canaries are budget-allowlisted in
 # rotation_check.py. Set to None to fall back to the per-call flags.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
-    # r6-tier staleness re-greens (the --plan coming-due list)
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q07_in_case_when",
-    "q14_nested_two_level_agg",
-    "q15_histogram",
-    "q16_rollup",
-    "q22_dense_rank",
-    "q23_instant_generation",
-    # the round's new never-green queries (M161 + the governance
-    # facade)
-    "q171_psl_registered_domain",
-    "q172_url_governance",
-    "q173_robots_governance",
-    "q174_sitemap_census",
-    # r7-tier, taken one round early (36 of 50; q143 doubles as the
-    # bench control query)
-    "q143_edjoin_exact",
-    "q163_containment_increment",
-    "q164_ks_drift_quantized",
-    "q165_edjoin_increment",
-    "q32_batch_discovery_stats",
-    "q33_waiting_time_decomposition",
-    "q35_concurrency_pairs",
-    "q36_activation_features",
-    "q40_dedup_exact",
-    "q42_dedup_simhash",
-    "q43_dedup_ngram_jaccard",
-    "q46_ann_ivf_topk",
-    "q47_text_quality",
-    "q48_lang_id",
-    "q49_token_count",
-    "q52_dedup_components",
-    "q54_frame_sample",
-    "q55_payload_resize",
-    "q56_repetition_signals",
-    "q57_pattern_counts",
-    "q62_doc_chunking",
-    "q63_decontaminate",
-    "q65_quantized_topk",
-    "q66_asof_join",
-    "q67_bm25_topk",
-    "q68_incremental_merge",
-    "q69_seeded_shuffle",
-    "q71_context_packing",
-    "q72_unigram_logprob",
-    "q73_dedup_segments",
-    "q77_profile_columns",
-    "q78_quality_buckets",
-    "q79_cdc_chunks",
-    "q81_retention_cohorts",
-    "q82_payload_neardup",
-    "q83_interval_overlap_join",
+    # r7-tier staleness re-greens (the --plan coming-due list)
+    "q03_top_revenue_orders",
+    "q06_regional_revenue",
+    "q08_string_ops",
+    "q09_window_topk",
+    "q10_argmin_first_event",
+    "q13_directly_follows",
+    "q17_cte_ratio",
+    "q18_range_join_workload",
+    "q19_theta_self_join",
+    "q20_chunking",
+    "q21_rolling_sequence",
+    "q24_union_rekey",
+    "q31_task_batches",
+    "q38_interval_sweep",
+    # the round's new never-green query (M166 crawl compliance)
+    "q175_crawl_compliance",
+    # r8-tier, taken one round early (35 of 50)
+    "q100_jl_projection",
+    "q101_negative_samples",
+    "q102_dedup_weights",
+    "q103_rolling_mad",
+    "q104_percentile_normalize",
+    "q105_novelty_signals",
+    "q106_dedup_audit_by_source",
+    "q107_weighted_sample",
+    "q108_k_anonymous_rollup",
+    "q109_time_split_embargo",
+    "q110_cross_source_dup_matrix",
+    "q118_embedding_outliers",
+    "q119_source_overlap_sketch",
+    "q120_temperature_mix_weights",
+    "q121_epoch_plan",
+    "q123_vocab_coverage",
+    "q124_nb_class_scores",
+    "q125_source_jsd_matrix",
+    "q126_striped_pack_audit",
+    "q127_dsir_weights",
+    "q128_dup_span_audit",
+    "q129_fertility_by_lang",
+    "q130_split_leakage",
+    "q131_backoff_logprob",
+    "q132_pmi_collocations",
+    "q133_lexical_richness",
+    "q134_score_calibration",
+    "q135_quality_funnel",
+    "q166_hll_census",
+    "q167_log_hist_quantiles",
+    "q50_fingerprint",
+    "q64_diversity_signals",
+    "q70_source_mixing",
+    "q76_bigram_logprob",
+    "q88_corpus_diff",
 })
 
 

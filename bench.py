@@ -359,8 +359,67 @@ def main() -> None:
             lambda: prepare_web_corpus(_gov_input(), order_col="score",
                                        domain_quota=50,
                                        blocklist=_gov_block))
+
+        # Crawl-compliance facade (M166) on the same 10x blow-up:
+        # ~512 sitemap documents discover the canonical forms of 2/3
+        # of the doc URLs; ~3.3k per-host robots.txt documents (the
+        # other hosts have none) gate them for agent 'bench'; then the
+        # full governance pipeline. Seeds/robots derive from the same
+        # rows so the semi-join and decision do real work.
+        from batch_processing_analysis_spark.pipeline import (
+            prepare_crawl_corpus,
+        )
+
+        def _crawl_inputs():
+            d = F.col("doc_id")
+            canon = F.concat(
+                F.lit("https://h"), (d % 5000).cast("string"),
+                F.when(d % 5 == 0, ".github.io").otherwise(".example.org"),
+                F.lit("/p/"), (d % 97).cast("string"),
+            )
+            seeds = (
+                big.filter(d % 3 != 0)
+                .select((d % 512).alias("shard"),
+                        F.concat(F.lit("<url><loc>"), canon,
+                                 F.lit("</loc></url>")).alias("frag"))
+                .groupBy("shard")
+                .agg(F.concat_ws("", F.collect_list("frag")).alias("body"))
+                .select(
+                    F.concat(F.lit("sm"), F.col("shard").cast("string"))
+                    .alias("domain"),
+                    F.concat(F.lit("<urlset>"), F.col("body"),
+                             F.lit("</urlset>")).alias("sitemap_xml"),
+                )
+            )
+            k = F.col("id")
+            robots = (
+                spark.range(5000).filter(k % 3 != 0)
+                .select(
+                    F.concat(
+                        F.lit("h"), k.cast("string"),
+                        F.when(k % 5 == 0, ".github.io")
+                        .otherwise(".example.org")).alias("domain"),
+                    F.when(k % 2 == 0,
+                           F.lit("User-agent: *\nDisallow: /p/1*"))
+                    .otherwise(F.lit("User-agent: bench\nDisallow:\n\n"
+                                     "User-agent: *\nDisallow: /"))
+                    .alias("robots_txt"),
+                )
+            )
+            return _gov_input(), seeds, robots
+
+        def _run_crawl():
+            docs_in, seeds, robots = _crawl_inputs()
+            return prepare_crawl_corpus(
+                docs_in, seeds, robots, "bench",
+                order_col="score", domain_quota=50,
+                blocklist=_gov_block)
+
+        facade_runners["prepare_crawl_corpus_10x_docs"] = _mk_runner(
+            _run_crawl)
         for _label in ("analyze_batches_events", "prepare_corpus_10x_docs",
-                       "prepare_web_corpus_10x_docs"):
+                       "prepare_web_corpus_10x_docs",
+                       "prepare_crawl_corpus_10x_docs"):
             _run = facade_runners[_label]
             # The untimed warm-up was CLAIMED by the comment above but
             # never executed for facades — min-of-2 timed a cold run,

@@ -49,6 +49,59 @@ def test_parse_urlset_and_index(spark):
     assert len(rows) == 5
 
 
+def test_attribute_bearing_entries(spark):
+    """Entry tags may carry attributes (real sitemaps namespace the
+    root; some generators attribute entries); the tag-name boundary
+    keeps <urlset …> from matching as a <url> block."""
+    xml = ('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" '
+           'xmlns:xhtml="http://www.w3.org/1999/xhtml">'
+           '<url data-x="1"><loc>https://a.com/attr</loc></url>'
+           "<url><loc>https://a.com/plain</loc></url>"
+           "</urlset>")
+    df = spark.createDataFrame([("a.com", xml)],
+                               "domain string, sitemap_xml string")
+    rows = {r["loc"]: r["kind"] for r in SM.parse_sitemaps(df).collect()}
+    assert rows == {"https://a.com/attr": "url",
+                    "https://a.com/plain": "url"}
+
+
+def test_expand_sitemap_indexes(spark):
+    """Bounded-depth index recursion over fetched payloads: a 2-level
+    index (root index -> child index -> urlsets) expands to all leaf
+    URLs with the right depth; a missing payload contributes nothing;
+    max_depth truncates."""
+    root = ('<sitemapindex>'
+            "<sitemap><loc>https://b.com/child.xml</loc></sitemap>"
+            "<sitemap><loc>https://b.com/leaf0.xml</loc></sitemap>"
+            "<sitemap><loc>https://b.com/missing.xml</loc></sitemap>"
+            "</sitemapindex>")
+    child = ('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+             "<sitemap><loc>https://b.com/leaf1.xml</loc></sitemap>"
+             "</sitemapindex>")
+    leaf0 = "<urlset><url><loc>https://b.com/p0</loc></url></urlset>"
+    leaf1 = ("<urlset><url><loc>https://b.com/p1</loc></url>"
+             "<url><loc>https://b.com/p2</loc></url></urlset>")
+    seeds = spark.createDataFrame(
+        [("b.com", root),
+         ("a.com", "<urlset><url><loc>https://a.com/x</loc></url></urlset>")],
+        "domain string, sitemap_xml string")
+    payloads = spark.createDataFrame(
+        [("https://b.com/child.xml", child),
+         ("https://b.com/leaf0.xml", leaf0),
+         ("https://b.com/leaf1.xml", leaf1)],
+        "loc string, sitemap_xml string")
+    got = {(r["domain"], r["loc"]): r["depth"]
+           for r in SM.expand_sitemap_indexes(seeds, payloads).collect()}
+    assert got == {("a.com", "https://a.com/x"): 0,
+                   ("b.com", "https://b.com/p0"): 1,
+                   ("b.com", "https://b.com/p1"): 2,
+                   ("b.com", "https://b.com/p2"): 2}
+    # depth bound: the child index's leaves are out of reach at 1
+    shallow = {r["loc"] for r in SM.expand_sitemap_indexes(
+        seeds, payloads, max_depth=1).collect()}
+    assert shallow == {"https://a.com/x", "https://b.com/p0"}
+
+
 def test_robots_sitemap_directive(spark):
     rb = spark.createDataFrame(
         [("a.com", "\n".join([
