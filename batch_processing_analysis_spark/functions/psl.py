@@ -111,6 +111,16 @@ def load_psl_rules(spark: SparkSession, path: str | None = None,
                 pass
     if not include_private:
         rows = [r for r in rows if r[3] == "icann"]
+    deepest = max(r[2] for r in rows)
+    if deepest > MAX_RULE_LABELS:
+        # the tail expansion only probes MAX_RULE_LABELS suffix
+        # lengths — a deeper rule would be SILENTLY unmatched and its
+        # hosts mis-resolved, so a snapshot upgrade must fail loudly
+        raise ValueError(
+            f"PSL snapshot has a {deepest}-label rule but the tail "
+            f"expansion probes only {MAX_RULE_LABELS}; bump "
+            f"psl.MAX_RULE_LABELS to {deepest} (the plan shape is "
+            f"unchanged — one more substring_index tail)")
     return spark.createDataFrame(
         rows, "match_key string, kind string, key_labels int, "
               "section string")

@@ -117,8 +117,17 @@ def write_webdataset_shards(
     one task-local tar build per shard. Publish is COMMIT-LAST:
     tasks write temp names and the driver swaps them over the final
     names only after the whole job succeeds, then drops shards the
-    new publish no longer produces — a failed re-publish leaves the
-    previous tars and manifest fully intact (test-pinned).
+    new publish no longer produces — a FAILED JOB (any task error)
+    leaves the previous tars and manifest fully intact (test-pinned).
+
+    Torn-publish window, stated honestly: the driver-side commit
+    renames shard files ONE BY ONE (POSIX has no multi-file atomic
+    rename), so a driver crash mid-commit can leave a mix of new and
+    old tars beside a stale manifest. The manifest itself is updated
+    atomically (temp + ``os.replace``) and LAST, so the torn state is
+    always DETECTABLE — ``verify_webdataset`` flags every shard whose
+    digest disagrees with the manifest — and re-running the same
+    publish repairs it (the commit is idempotent).
     """
     payload_exts = payload_exts or {"payload": "bin"}
     dotted = [c for c, e in payload_exts.items()
@@ -203,8 +212,14 @@ def write_webdataset_shards(
         elif (old.startswith("shard-") and old.endswith(".tar")
                 and old not in new_names):
             os.remove(os.path.join(path, old))
-    with open(os.path.join(path, WDS_MANIFEST), "w") as f:
+    # manifest update is atomic (temp + replace) and LAST: a reader
+    # never observes a half-written manifest, and a driver crash
+    # before this line leaves the OLD manifest — torn tars are then
+    # detectable via verify_webdataset (see docstring)
+    mtmp = os.path.join(path, WDS_MANIFEST + ".tmp")
+    with open(mtmp, "w") as f:
         json.dump({"shards": manifest}, f, indent=1, sort_keys=True)
+    os.replace(mtmp, os.path.join(path, WDS_MANIFEST))
     return spark.createDataFrame(
         [(m["shard"], m["path"], m["n_samples"], m["n_bytes"],
           m["sha256"]) for m in manifest],

@@ -143,7 +143,12 @@ def ingest_micro_batch(batch_df: DataFrame, batch_id: int, *,
                 kept.filter(F.col(CANON_URL).isNull()))
     # One pass, N sinks: materialize survivors once.
     kept = kept.localCheckpoint(eager=True)
-    kept.write.mode("overwrite").parquet(
+    # The derived URL key stays OUT of the corpus partitions (it lives
+    # in the URL registry): otherwise toggling url_col on an existing
+    # corpus would fork the partition schema, and read_ingested's
+    # plain parquet read samples one footer — mixed partitions could
+    # silently drop the column or fail.
+    kept.drop(CANON_URL).write.mode("overwrite").parquet(
         f"{corpus_path}/ingest_batch={batch_id}"
     )
     kept.select(CONTENT_HASH).write.mode("overwrite").parquet(

@@ -302,6 +302,20 @@ def test_url_dedup_across_restart(spark, tmp_path):
         spark, paths["corpus_path"]).collect()} == {1, 3, 4, 12, 15}
     assert read_url_registry(
         spark, paths["url_registry_path"]).count() == 3
+    # the derived URL key must NOT leak into the corpus partitions —
+    # it lives in the URL registry, and keeping it out means toggling
+    # url_col mid-corpus can never fork the partition schema under
+    # read_ingested's plain (non-mergeSchema) parquet read
+    assert "_canon_url" not in read_ingested(
+        spark, paths["corpus_path"]).columns
+    # a url_col=None wave appended to the SAME corpus reads back fine
+    extra = spark.createDataFrame(
+        [(21, "t21", "https://e.com/x", T0 + timedelta(hours=1))],
+        URL_SCHEMA)
+    ingest_micro_batch(extra, 2, corpus_path=paths["corpus_path"],
+                       registry_path=paths["registry_path"])
+    assert {r.doc_id for r in read_ingested(
+        spark, paths["corpus_path"]).collect()} == {1, 3, 4, 12, 15, 21}
 
 
 def test_url_dedup_requires_both_params(spark, tmp_path):

@@ -108,6 +108,18 @@ def test_icann_only_collapses_private(spark):
                    "bar.github.io": "github.io"}
 
 
+def test_deep_rule_snapshot_fails_loudly(spark, tmp_path):
+    """A future snapshot with a rule deeper than MAX_RULE_LABELS must
+    refuse to load (the tail expansion would silently never match it,
+    mis-resolving those hosts) and point at the constant to bump."""
+    deep = tmp_path / "psl.dat"
+    deep.write_text("com\na.b.c.d.e.f\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="MAX_RULE_LABELS"):
+        PSL.load_psl_rules(spark, path=str(deep))
+    # the vendored snapshot itself loads (its deepest rule fits)
+    PSL.load_psl_rules(spark)
+
+
 def test_agrees_with_pinned_subset_on_its_domain(spark, rules):
     """On the pinned-subset function's own turf (co.uk-class ccTLD
     registries + plain 2-level) the two implementations agree — the
