@@ -200,6 +200,73 @@ def parse_crawl_delays(robots: DataFrame, domain_col: str = "domain",
         .select("domain", "agent", "crawl_delay_s")
 
 
+def crawl_schedule(urls: DataFrame, delays: DataFrame, agent: str,
+                   order_col: str, default_delay_s: float = 1.0,
+                   domain_col: str = "domain",
+                   agents: DataFrame | None = None) -> DataFrame:
+    """Politeness scheduler (M167): assign each URL a per-domain fetch
+    slot under the domain's effective ``crawl-delay`` for ``agent``.
+
+    Effective delay follows the SAME group selection as the rules
+    (RFC 9309 §2.2.1 — a crawler obeys exactly one group): when the
+    agent has a named group on the domain (presence via ``agents``,
+    the :func:`parse_robots_agents` output, falling back to the delay
+    rows), the named group's delay applies — or ``default_delay_s``
+    if that group declared none (it does NOT inherit the ``*``
+    delay); otherwise the ``*`` delay, else the default.
+
+    Adds ``crawl_delay_s`` (double), ``fetch_slot`` (0-based
+    row_number within the domain by ``order_col`` then URL columns —
+    deterministic), and ``fetch_offset_s`` = slot × delay, the
+    earliest polite start relative to the domain's first fetch.
+
+    Scale shape: ONE exchange of the URL table, on ``domain_col`` —
+    the partitioning a crawl executor needs anyway (all of a domain's
+    fetches drain from one partition) — with the delay dimension
+    broadcast; skewed mega-domains are a real hazard here, but the
+    schedule itself is the serialization the crawl must respect, so
+    the skew is the workload's, not the plan's."""
+    agent = agent.lower()
+    presence = agents if agents is not None else delays
+    has_named = (
+        presence.filter(F.col("agent") == agent)
+        .select("domain").distinct()
+        .withColumn("_named", F.lit(True))
+    )
+    eff = (
+        delays.filter(F.col("agent").isin(agent, "*"))
+        .join(F.broadcast(has_named), "domain", "left")
+        .filter((F.col("agent") == agent)
+                | F.col("_named").isNull())
+        .groupBy("domain")
+        # an agent named in TWO separate groups may carry two delays
+        # (groups do not merge in the file); max() keeps the
+        # conservative (politest) one
+        .agg(F.max("crawl_delay_s").alias("crawl_delay_s"))
+        .withColumnRenamed("domain", "_cd_domain")
+    )
+    # a named group WITHOUT a delay row needs no special case: the
+    # shadowing filter removed the '*' row, eff has no row for the
+    # domain, and the coalesce resolves to the default — exactly the
+    # "obey only your own group" semantics
+    wd = W.partitionBy(domain_col).orderBy(
+        F.col(order_col).asc(), *[F.col(c) for c in urls.columns
+                                  if c not in (domain_col, order_col)])
+    return (
+        urls.join(F.broadcast(eff),
+                  F.col(domain_col) == F.col("_cd_domain"), "left")
+        .withColumn(
+            "crawl_delay_s",
+            F.coalesce(F.col("crawl_delay_s"),
+                       F.lit(float(default_delay_s))))
+        .withColumn("fetch_slot",
+                    F.row_number().over(wd) - F.lit(1))
+        .withColumn("fetch_offset_s",
+                    F.col("fetch_slot") * F.col("crawl_delay_s"))
+        .drop("_cd_domain")
+    )
+
+
 def robots_allowed(urls: DataFrame, policies: DataFrame, agent: str,
                    domain_col: str = "domain",
                    path_col: str = "path",

@@ -99,6 +99,76 @@ def parse_sitemaps(sitemaps: DataFrame, domain_col: str = "domain",
         _entries(base, "sitemap", "sitemap"))
 
 
+def parse_w3c_datetime(col: F.Column) -> F.Column:
+    """Parse a sitemaps.org ``lastmod`` value (W3C datetime) to a
+    timestamp: date-only ``YYYY-MM-DD`` or full datetime with ``T``
+    separator and optional trailing ``Z`` (both normalized to the
+    space-separated form before ``try_cast``, evaluated in the
+    session timezone — UTC in this engine). Numeric zone offsets are
+    out of scope (documented): they ``try_cast`` to NULL, which the
+    staleness logic treats as "no usable lastmod", never a wrong
+    ordering."""
+    norm = F.regexp_replace(F.trim(col), "Z$", "")
+    norm = F.regexp_replace(norm, "T", " ")
+    return norm.try_cast("timestamp")
+
+
+def recrawl_status(corpus: DataFrame, entries: DataFrame,
+                   url_col: str = "canon_url",
+                   fetched_col: str = "fetched_at",
+                   loc_col: str = "loc",
+                   lastmod_col: str = "lastmod") -> DataFrame:
+    """Recrawl planner (M168): compare the crawled ``corpus``
+    (canonical URL → last fetch time) against the current sitemap
+    ``entries`` (loc → lastmod) and classify every URL:
+
+    - ``new``      — listed in the sitemap, never fetched;
+    - ``stale``    — fetched, and the sitemap's lastmod is STRICTLY
+      newer than the fetch time (refetch);
+    - ``fresh``    — fetched, and lastmod ≤ fetch time, or the entry
+      carries no parseable lastmod (no evidence of change);
+    - ``unlisted`` — fetched, but no longer in the sitemap (the
+      site delisted it — retention policy decides, not this
+      operator).
+
+    Output: one row per canonical URL — (canon_url, status,
+    lastmod_ts, fetched_at). Duplicate sitemap listings keep the
+    NEWEST parseable lastmod (a URL listed in two sitemap files is
+    stale if ANY listing says so); duplicate corpus rows keep the
+    newest fetch. Scale shape: both sides aggregate to distinct URL
+    keys (one exchange each, on the key a recrawl queue partitions
+    by anyway), then one full-outer merge join — no UDF, no
+    broadcast assumption (sitemap sets are corpus-sized, not
+    dimension-sized)."""
+    left = (
+        corpus.select(F.col(url_col).alias("canon_url"),
+                      F.col(fetched_col).alias("fetched_at"))
+        .filter(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(F.max("fetched_at").alias("fetched_at"))
+    )
+    right = (
+        entries.select(F.col(loc_col).alias("canon_url"),
+                       parse_w3c_datetime(F.col(lastmod_col))
+                       .alias("lastmod_ts"))
+        .filter(F.col("canon_url").isNotNull()
+                & (F.col("canon_url") != ""))
+        .groupBy("canon_url")
+        .agg(F.max("lastmod_ts").alias("lastmod_ts"))
+        .withColumn("_listed", F.lit(True))
+    )
+    merged = left.join(right, "canon_url", "full_outer")
+    status = (
+        F.when(F.col("fetched_at").isNull(), "new")
+        .when(F.col("_listed").isNull(), "unlisted")
+        .when(F.col("lastmod_ts").isNotNull()
+              & (F.col("lastmod_ts") > F.col("fetched_at")), "stale")
+        .otherwise("fresh")
+    )
+    return merged.select("canon_url", status.alias("status"),
+                         "lastmod_ts", "fetched_at")
+
+
 def expand_sitemap_indexes(sitemaps: DataFrame, payloads: DataFrame,
                            max_depth: int = 3,
                            domain_col: str = "domain",

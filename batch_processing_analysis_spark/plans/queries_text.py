@@ -6197,3 +6197,242 @@ def q175_crawl_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("domain"),
         "score",
     )
+
+
+# q176 fixture: crawl-delay politeness scheduling — five domains
+# pinning every delay-resolution case: a '*' delay, a named override,
+# a rule-less named group that SHADOWS the '*' delay down to the
+# default (obey only your own group), a no-robots domain, and an
+# agent named in two separate groups (delays do not merge in the
+# file; the politest wins). The oracle re-runs the group scan,
+# last-line-per-group delay, named shadowing, cross-group max, and
+# the per-domain slot window in SQL.
+_CD0 = ["User-agent: *", "Crawl-delay: 2", "Disallow: /x"]
+_CD1 = ["User-agent: mybot", "Crawl-delay: 0.5", "",
+        "User-agent: *", "Crawl-delay: 5"]
+_CD2 = ["User-agent: mybot", "Disallow:", "",
+        "User-agent: *", "Crawl-delay: 9"]
+_CD4 = ["User-agent: mybot", "Crawl-delay: 3", "",
+        "User-agent: other", "User-agent: mybot", "Crawl-delay: 4"]
+
+_SCHED_SQL = f"""
+    WITH robots AS (
+      SELECT 'cd0.com' AS domain, {_sql_lines(_CD0)} AS txt
+      UNION ALL SELECT 'cd1.com', {_sql_lines(_CD1)}
+      UNION ALL SELECT 'cd2.com', {_sql_lines(_CD2)}
+      UNION ALL SELECT 'cd4.com', {_sql_lines(_CD4)}
+    ),
+    rlines AS (
+      SELECT domain, unnest(string_split(txt, chr(10))) AS raw,
+             unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln
+      FROM robots
+    ),
+    rkv AS (
+      SELECT domain, ln,
+        lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS key,
+        trim(regexp_extract(l, '^[^:]+:(.*)$', 1)) AS val
+      FROM (SELECT domain, ln, trim(regexp_replace(raw, '#.*', ''))
+                   AS l FROM rlines)
+      WHERE contains(l, ':')
+        AND lower(trim(regexp_extract(l, '^([^:]+):', 1)))
+            IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+    ),
+    rgrouped AS (
+      SELECT *, sum(gstart) OVER (PARTITION BY domain ORDER BY ln
+                                  ROWS UNBOUNDED PRECEDING) AS gid
+      FROM (
+        SELECT *,
+          (CASE WHEN is_ua AND NOT coalesce(lag(is_ua) OVER (
+             PARTITION BY domain ORDER BY ln), FALSE)
+           THEN 1 ELSE 0 END) AS gstart
+        FROM (SELECT *, key = 'user-agent' AS is_ua FROM rkv)
+      )
+    ),
+    ruas AS (
+      SELECT domain, gid, lower(val) AS agent FROM rgrouped WHERE is_ua
+    ),
+    dlast AS (
+      SELECT domain, gid, cds FROM (
+        SELECT domain, gid, TRY_CAST(val AS DOUBLE) AS cds,
+               row_number() OVER (PARTITION BY domain, gid
+                                  ORDER BY ln DESC) AS rn
+        FROM rgrouped
+        WHERE key = 'crawl-delay' AND gid > 0
+          AND TRY_CAST(val AS DOUBLE) IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    adelay AS (
+      SELECT d.domain, u.agent, d.cds
+      FROM dlast d JOIN ruas u ON d.domain = u.domain AND d.gid = u.gid
+    ),
+    named AS (SELECT DISTINCT domain FROM ruas WHERE agent = 'mybot'),
+    eff AS (
+      SELECT a.domain, max(a.cds) AS crawl_delay_s
+      FROM adelay a LEFT JOIN named n ON a.domain = n.domain
+      WHERE (a.agent = 'mybot' AND n.domain IS NOT NULL)
+         OR (a.agent = '*' AND n.domain IS NULL)
+      GROUP BY 1
+    ),
+    urls AS (
+      SELECT doc_id,
+        'cd' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain,
+        '/u/' || CAST(doc_id % 50 AS VARCHAR) AS path,
+        (doc_id * 13) % 97 AS score
+      FROM documents
+    ),
+    sched AS (
+      SELECT u.doc_id, u.domain,
+        coalesce(e.crawl_delay_s, 1.0) AS crawl_delay_s,
+        row_number() OVER (PARTITION BY u.domain
+                           ORDER BY u.score, u.path, u.doc_id) - 1
+          AS fetch_slot
+      FROM urls u LEFT JOIN eff e ON u.domain = e.domain
+    )
+    SELECT doc_id, domain, crawl_delay_s, fetch_slot,
+           round(fetch_slot * crawl_delay_s, 6) AS fetch_offset_s
+    FROM sched
+    """
+
+
+@query(
+    "q176_crawl_schedule",
+    _SCHED_SQL,
+    primary=True,
+)
+def q176_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduler (operators/robots.py:crawl_schedule, M167):
+    per-domain fetch slots under the effective crawl-delay for agent
+    'mybot' — '*' delay (cd0), named override 0.5s (cd1), a rule-less
+    named group shadowing the '*' delay to the default (cd2), no
+    robots at all (cd3 → default), and an agent named in two groups
+    keeping the politest delay (cd4 → 4s). Slot order is
+    (score, path, doc_id) within each domain; offset = slot × delay.
+    The DuckDB twin re-runs the whole chain — group scan,
+    last-line-per-group delay, named shadowing, cross-group max,
+    window — independently. New in r11 (never-green: must be in the
+    r11 window)."""
+    from ..operators import robots as RB
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    robots_df = spark.createDataFrame(
+        [("cd0.com", "\n".join(_CD0)), ("cd1.com", "\n".join(_CD1)),
+         ("cd2.com", "\n".join(_CD2)), ("cd4.com", "\n".join(_CD4))],
+        "domain string, robots_txt string")
+    urls = docs.select(
+        F.concat(F.lit("cd"), (d % 5).cast("string"),
+                 F.lit(".com")).alias("domain"),
+        F.concat(F.lit("/u/"), (d % 50).cast("string")).alias("path"),
+        ((d * 13) % 97).alias("score"),
+        "doc_id",
+    )
+    out = RB.crawl_schedule(
+        urls, RB.parse_crawl_delays(robots_df), "MyBot",
+        order_col="score",
+        agents=RB.parse_robots_agents(robots_df))
+    return out.select(
+        "doc_id", "domain", "crawl_delay_s", "fetch_slot",
+        F.round(F.col("fetch_offset_s"), 6).alias("fetch_offset_s"))
+
+
+# q177 fixture: recrawl staleness — corpus p0..p499 (duplicate fetches
+# keep the newest) vs sitemap listings p100..p599 (duplicate listings
+# keep the newest parseable lastmod) with every W3C-datetime form the
+# operator supports: date-only, 'T'-separated with trailing Z, space-
+# separated, absent, and malformed (try_cast NULL ⇒ no evidence of
+# change ⇒ fresh). p0-p99 come out 'unlisted', p500-p599 'new', the
+# overlap splits fresh/stale on the strict lastmod > fetched_at
+# comparison. The oracle re-runs parsing, both dedup reductions, and
+# the full-outer classification in SQL.
+_RECRAWL_SQL = """
+    WITH corpus AS (
+      SELECT 'https://r.com/p' || CAST(doc_id % 500 AS VARCHAR)
+               AS canon_url,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + (doc_id % 40) * INTERVAL 1 DAY AS fetched_at
+      FROM documents
+    ),
+    entries AS (
+      SELECT 'https://r.com/p' || CAST(100 + doc_id % 500 AS VARCHAR)
+               AS loc,
+        (CASE WHEN doc_id % 7 = 0 THEN ''
+              WHEN doc_id % 7 = 1
+              THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                      2, '0')
+              WHEN doc_id % 7 = 2 THEN '2024-01-15T12:00:00Z'
+              WHEN doc_id % 7 = 3 THEN '2024-02-01 08:30:00'
+              WHEN doc_id % 7 = 4 THEN 'not-a-date'
+              WHEN doc_id % 7 = 5 THEN '2023-12-31'
+              ELSE '2024-01-20T00:00:00' END) AS lastmod
+      FROM documents
+    ),
+    lft AS (
+      SELECT canon_url, max(fetched_at) AS fetched_at
+      FROM corpus GROUP BY 1
+    ),
+    rgt AS (
+      SELECT loc AS canon_url,
+             max(TRY_CAST(replace(regexp_replace(trim(lastmod),
+                 'Z$', ''), 'T', ' ') AS TIMESTAMP)) AS lastmod_ts,
+             TRUE AS listed
+      FROM entries WHERE loc <> '' GROUP BY 1
+    ),
+    merged AS (
+      SELECT coalesce(l.canon_url, r.canon_url) AS canon_url,
+             l.fetched_at, r.lastmod_ts, r.listed
+      FROM lft l FULL OUTER JOIN rgt r ON l.canon_url = r.canon_url
+    )
+    SELECT canon_url,
+      (CASE WHEN fetched_at IS NULL THEN 'new'
+            WHEN listed IS NULL THEN 'unlisted'
+            WHEN lastmod_ts IS NOT NULL AND lastmod_ts > fetched_at
+            THEN 'stale' ELSE 'fresh' END) AS status,
+      CAST(floor(epoch(lastmod_ts)) AS BIGINT) AS lastmod_epoch,
+      CAST(floor(epoch(fetched_at)) AS BIGINT) AS fetched_epoch
+    FROM merged
+    """
+
+
+@query(
+    "q177_recrawl_status",
+    _RECRAWL_SQL,
+    primary=True,
+)
+def q177_recrawl_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl staleness planner (operators/sitemaps.py:recrawl_status,
+    M168): full-outer classification of crawled canonical URLs vs
+    current sitemap listings — new / stale / fresh / unlisted — under
+    W3C-datetime lastmod parsing (date-only, T+Z, space-separated;
+    malformed → NULL → fresh), newest-fetch and newest-lastmod dedup
+    reductions on each side, and the strict lastmod > fetched_at
+    staleness rule. The DuckDB twin recomputes parsing, reductions,
+    and classification independently. New in r11 (never-green: must
+    be in the r11 window)."""
+    from ..operators import sitemaps as SM
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.select(
+        F.concat(F.lit("https://r.com/p"),
+                 (d % 500).cast("string")).alias("canon_url"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
+               "0, 0, 0, doc_id % 40, 0, 0, 0)").alias("fetched_at"),
+    )
+    entries = docs.select(
+        F.concat(F.lit("https://r.com/p"),
+                 (d % 500 + 100).cast("string")).alias("loc"),
+        F.when(d % 7 == 0, F.lit(""))
+        .when(d % 7 == 1,
+              F.concat(F.lit("2024-01-"),
+                       F.lpad((d % 28 + 1).cast("string"), 2, "0")))
+        .when(d % 7 == 2, F.lit("2024-01-15T12:00:00Z"))
+        .when(d % 7 == 3, F.lit("2024-02-01 08:30:00"))
+        .when(d % 7 == 4, F.lit("not-a-date"))
+        .when(d % 7 == 5, F.lit("2023-12-31"))
+        .otherwise(F.lit("2024-01-20T00:00:00")).alias("lastmod"),
+    )
+    out = SM.recrawl_status(corpus, entries)
+    return out.select(
+        "canon_url", "status",
+        F.unix_timestamp("lastmod_ts").alias("lastmod_epoch"),
+        F.unix_timestamp("fetched_at").alias("fetched_epoch"))

@@ -41,14 +41,14 @@ EXTRA_ORACLES: dict[str, str] = {}
 # - the 14 queries the r10 --plan listed as coming due (newest green
 #   r7, due at r11 close): q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
 #   q21/q24/q31/q38;
-# - q175, the round's new never-green M166 crawl-compliance facade
-#   (sitemaps → robots → prepare_web_corpus) — must be in the window
-#   per rotation_check;
-# - 35 of the 50 r8-tier queries (newest green r8, due at r12) taken
-#   a round early so the r12 window has room; the 15 deferred
-#   (q84-q87, q89-q99) are cheap window/statistics/drift re-greens
-#   that fit any window, due exactly at r12 where --plan will list
-#   them.
+# - q175/q176/q177, the round's new never-green queries (M166
+#   crawl-compliance facade; M167 crawl-delay scheduler; M168
+#   recrawl staleness) — must be in the window per rotation_check;
+# - 33 of the 50 r8-tier queries (newest green r8, due at r12) taken
+#   a round early so the r12 window has room; the 17 deferred
+#   (q84-q87, q89-q99, q76, q88 — the last two ceded mid-round to
+#   q176/q177) are cheap re-greens that fit any window, due exactly
+#   at r12 where --plan will list them.
 # Rotated OUT: the whole r10 window (every row green in
 # CORRECTNESS_r10, due back r14). q116_canary_hugeint_probe stays
 # RETIRED in the extras registry (designed-red HUGEINT probe,
@@ -70,9 +70,11 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q24_union_rekey",
     "q31_task_batches",
     "q38_interval_sweep",
-    # the round's new never-green query (M166 crawl compliance)
+    # the round's new never-green queries (M166/M167/M168)
     "q175_crawl_compliance",
-    # r8-tier, taken one round early (35 of 50)
+    "q176_crawl_schedule",
+    "q177_recrawl_status",
+    # r8-tier, taken one round early (33 of 50)
     "q100_jl_projection",
     "q101_negative_samples",
     "q102_dedup_weights",
@@ -106,8 +108,6 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q50_fingerprint",
     "q64_diversity_signals",
     "q70_source_mixing",
-    "q76_bigram_logprob",
-    "q88_corpus_diff",
 })
 
 

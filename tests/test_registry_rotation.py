@@ -56,7 +56,7 @@ def test_every_window_query_has_oracle():
 
 # The r11 snapshot: every primary=True registration now outside the
 # window — the whole r10 window (green in CORRECTNESS_r10, due back
-# r14), the r9-tier queries not yet due (due r13), and the 15
+# r14), the r9-tier queries not yet due (due r13), and the 17
 # deferred r8-tier window/statistics re-greens (due exactly at r12);
 # the r11 rotation lends its slots to the 14 r7-due queries, the new
 # M166 crawl-compliance facade (q175), and 35 of the r8 tier (see

@@ -350,3 +350,59 @@ def test_fuzzed_agreement_with_reference_resolver(spark):
             want = _py_robots_allowed(policy_rows, presence, agent,
                                       d, p)
             assert allowed == want, (agent, d, p, allowed, want)
+
+
+def test_crawl_schedule_delay_resolution(spark):
+    """Effective-delay selection mirrors the RFC group rule: named
+    delay wins; a rule-less named group shadows the '*' delay down to
+    the DEFAULT (obey only your own group); no robots -> default; an
+    agent named in two groups keeps the politest delay."""
+    rb = spark.createDataFrame(
+        [("s.com", "User-agent: *\nCrawl-delay: 2"),
+         ("n.com", "User-agent: mybot\nCrawl-delay: 0.5\n\n"
+                   "User-agent: *\nCrawl-delay: 5"),
+         ("e.com", "User-agent: mybot\nDisallow:\n\n"
+                   "User-agent: *\nCrawl-delay: 9"),
+         ("t.com", "User-agent: mybot\nCrawl-delay: 3\n\n"
+                   "User-agent: other\nUser-agent: mybot\n"
+                   "Crawl-delay: 4")],
+        "domain string, robots_txt string")
+    urls = spark.createDataFrame(
+        [(d, f"/p{i}", i) for d in
+         ("s.com", "n.com", "e.com", "t.com", "none.com")
+         for i in range(3)],
+        "domain string, path string, score int")
+    out = RB.crawl_schedule(
+        urls, RB.parse_crawl_delays(rb), "MyBot", order_col="score",
+        agents=RB.parse_robots_agents(rb))
+    rows = {(r["domain"], r["path"]):
+            (r["crawl_delay_s"], r["fetch_slot"], r["fetch_offset_s"])
+            for r in out.collect()}
+    assert rows[("s.com", "/p2")] == (2.0, 2, 4.0)
+    assert rows[("n.com", "/p1")] == (0.5, 1, 0.5)
+    # rule-less named group: default 1.0, NOT the '*' group's 9
+    assert rows[("e.com", "/p2")] == (1.0, 2, 2.0)
+    assert rows[("none.com", "/p0")] == (1.0, 0, 0.0)
+    # two groups naming the agent: max(3, 4) = 4
+    assert rows[("t.com", "/p1")] == (4.0, 1, 4.0)
+    # slots are dense 0..n-1 within every domain
+    for d in ("s.com", "n.com", "e.com", "t.com", "none.com"):
+        assert sorted(s for (dd, _), (_, s, _) in rows.items()
+                      if dd == d) == [0, 1, 2]
+
+
+def test_crawl_schedule_url_side_plan(spark):
+    """One URL-side exchange, on the domain key (the partitioning a
+    crawl executor needs anyway); the delay dimension broadcasts."""
+    rb = spark.createDataFrame(
+        [("s.com", "User-agent: *\nCrawl-delay: 2")],
+        "domain string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("s.com", f"/p{i}", i) for i in range(20)],
+        "domain string, path string, score int")
+    out = RB.crawl_schedule(urls, RB.parse_crawl_delays(rb), "mybot",
+                            order_col="score",
+                            agents=RB.parse_robots_agents(rb))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -131,3 +131,55 @@ def test_no_python_in_plan(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_recrawl_status_classification(spark):
+    """new / stale / fresh / unlisted under W3C lastmod parsing with
+    newest-fetch and newest-lastmod dedup on each side."""
+    from datetime import datetime
+
+    corpus = spark.createDataFrame(
+        [("https://a.com/p1", datetime(2024, 1, 10)),
+         ("https://a.com/p1", datetime(2024, 1, 5)),   # older dup
+         ("https://a.com/p2", datetime(2024, 1, 10)),
+         ("https://a.com/p3", datetime(2024, 1, 10)),
+         ("https://a.com/p4", datetime(2024, 1, 10)),
+         ("https://a.com/gone", datetime(2024, 1, 2))],
+        "canon_url string, fetched_at timestamp")
+    entries = spark.createDataFrame(
+        [("https://a.com/p1", "2024-01-08"),        # < newest fetch
+         ("https://a.com/p1", "2024-01-02"),        # older listing
+         ("https://a.com/p2", "2024-01-15T09:00:00Z"),  # newer: stale
+         ("https://a.com/p3", ""),                  # no lastmod: fresh
+         ("https://a.com/p4", "not-a-date"),        # malformed: fresh
+         ("https://a.com/new", "2024-02-01 00:00:00")],
+        "loc string, lastmod string")
+    out = {r["canon_url"]: (r["status"], r["lastmod_ts"])
+           for r in SM.recrawl_status(corpus, entries).collect()}
+    assert out["https://a.com/p1"][0] == "fresh"
+    # newest listing won the dedup even though it stays fresh
+    assert out["https://a.com/p1"][1] == datetime(2024, 1, 8)
+    assert out["https://a.com/p2"][0] == "stale"
+    assert out["https://a.com/p2"][1] == datetime(2024, 1, 15, 9)
+    assert out["https://a.com/p3"] == ("fresh", None)
+    assert out["https://a.com/p4"] == ("fresh", None)
+    assert out["https://a.com/new"][0] == "new"
+    assert out["https://a.com/gone"][0] == "unlisted"
+    assert len(out) == 6
+
+
+def test_recrawl_feeds_from_parse(spark):
+    """recrawl_status consumes parse_sitemaps output directly (the
+    M165 -> M168 composition)."""
+    from datetime import datetime
+
+    xml = ("<urlset><url><loc>https://a.com/x</loc>"
+           "<lastmod>2024-03-01</lastmod></url></urlset>")
+    sm = spark.createDataFrame([("a.com", xml)],
+                               "domain string, sitemap_xml string")
+    entries = SM.parse_sitemaps(sm).filter("kind = 'url'")
+    corpus = spark.createDataFrame(
+        [("https://a.com/x", datetime(2024, 2, 1))],
+        "canon_url string, fetched_at timestamp")
+    got = SM.recrawl_status(corpus, entries).collect()
+    assert len(got) == 1 and got[0]["status"] == "stale"
