@@ -5769,7 +5769,7 @@ def q173_robots_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # malformed priority, plus one <sitemapindex> domain. The oracle
 # rebuilds the XML with string_agg and re-runs the same DOTALL
 # regexp extraction + entity unescape + census in SQL.
-_SITEMAP_SQL = """
+_SITEMAP_SQL = r"""
     WITH frags AS (
       SELECT
         (CASE WHEN doc_id % 4 = 3 THEN 'idx.com'
