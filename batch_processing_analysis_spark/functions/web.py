@@ -134,3 +134,98 @@ def registered_domain(host: Column) -> Column:
               F.regexp_extract(host, LAST3_RE, 1))
         .otherwise(F.regexp_extract(host, LAST2_RE, 1))
     )
+
+
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal for a ROOTED path (the
+    only form reference resolution produces here — every merge
+    attaches to a base path that starts with '/').
+
+    Spark-first shape: the spec's input/output-buffer loop becomes a
+    single ``aggregate`` (HOF fold) over the split segments — '.' is
+    skipped, '..' pops the stack (clamped at the root, so
+    '/../../a' → '/a' like the spec), anything else pushes — then
+    one array_join. Pure codegen, exact at ANY nesting depth (no
+    bounded unroll); a trailing '/', '/.' or '/..' keeps the
+    directory form's trailing slash (§5.2.4 steps 2B/2C)."""
+    segs = F.split(path, "/")
+    # empty segments are SKIPPED (interior '//' collapses) — the
+    # stdlib-urljoin behavior this function is fuzz-pinned against
+    # (CPython filters "redundant slashes" from the resolved path, a
+    # deliberate deviation from a literal §5.2.4 read); the trailing
+    # directory slash is restored below
+    stack = F.aggregate(
+        segs,
+        F.array(F.lit("")).cast("array<string>"),  # the root marker
+        lambda acc, x: (
+            F.when((x == ".") | (x == ""), acc)
+            .when(x == "..",
+                  F.when(F.size(acc) > 1,
+                         F.slice(acc, 1, F.size(acc) - 1))
+                  .otherwise(acc))
+            .otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
+    joined = F.array_join(stack, "/")
+    needs_slash = path.rlike(r"(/\.\.|/\.|/)$")
+    return (
+        F.when(joined == "", F.when(needs_slash | (path != ""), "/")
+               .otherwise(""))
+        .when(needs_slash & ~joined.endswith("/"),
+              F.concat(joined, F.lit("/")))
+        .otherwise(joined)
+    )
+
+
+def url_resolve(base: Column, ref: Column) -> Column:
+    """RFC 3986 §5.2.2 reference resolution — turn an ``href`` into an
+    absolute URL against the page's base URL (the crawl-frontier
+    expansion primitive; output feeds ``url_canonicalize`` which owns
+    port/case normalization).
+
+    Cases, in spec order: a ref with its OWN scheme returns verbatim
+    (matching stdlib ``urljoin``, which skips §5.2.4 normalization
+    there — pinned by the fuzz test); ``//authority…`` inherits the
+    base scheme; ``/rooted`` replaces the path; ``''`` and ``#frag``
+    return the base (fragments are dropped engine-wide, §3.5);
+    ``?query`` replaces the base query; anything else merges onto the
+    base directory and normalizes dot segments. NULL when the base is
+    not scheme://-shaped and the ref is not absolute.
+
+    Documented deviation from stdlib: CPython's ``urljoin`` filters
+    interior empty segments in MERGED relative refs but preserves
+    them in rooted refs (and there lets ``..`` pop an empty segment)
+    — an internal inconsistency this function does not replicate;
+    empty segments collapse uniformly in both forms. The fuzz test
+    pins byte-equality with ``urljoin`` everywhere except that one
+    class, which it pins explicitly against OUR semantics."""
+    b_scheme = url_scheme(base)
+    b_auth = _authority(base)
+    b_path = url_path(base)
+    b_query = url_query(base)
+    r_scheme = F.regexp_extract(ref, SCHEME_RE[:-2], 1)  # no '//' needed
+    prefix = F.concat(b_scheme, F.lit("://"), b_auth)
+    ref_nf = F.regexp_replace(ref, r"#.*$", "")  # fragments never resolve
+    r_path = F.regexp_extract(ref_nf, r"^([^?]*)", 1)
+    r_query = F.regexp_extract(ref_nf, r"\?(.*)$", 1)
+    q_of = F.when(r_query != "", F.concat(F.lit("?"), r_query)) \
+        .otherwise("")
+    base_dir = F.regexp_extract(b_path, r"^(.*/)", 1)
+    merged = F.concat(
+        F.when(base_dir == "", "/").otherwise(base_dir), r_path)
+    resolved = (
+        F.when(r_scheme != "", ref)
+        .when(ref_nf.startswith("//"), F.concat(b_scheme, F.lit(":"),
+                                                ref_nf))
+        .when(ref_nf == "",
+              F.concat(prefix, b_path,
+                       F.when(b_query != "",
+                              F.concat(F.lit("?"), b_query))
+                       .otherwise("")))
+        .when(ref_nf.startswith("?"),
+              F.concat(prefix, b_path, ref_nf))
+        .when(ref_nf.startswith("/"),
+              F.concat(prefix, remove_dot_segments(r_path), q_of))
+        .otherwise(F.concat(prefix, remove_dot_segments(merged), q_of))
+    )
+    return F.when((b_scheme != "") | (r_scheme != ""), resolved)

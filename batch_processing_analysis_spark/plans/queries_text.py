@@ -6436,3 +6436,247 @@ def q177_recrawl_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canon_url", "status",
         F.unix_timestamp("lastmod_ts").alias("lastmod_epoch"),
         F.unix_timestamp("fetched_at").alias("fetched_epoch"))
+
+
+# q178 fixture: deterministic per-doc HTML (title/style/script blocks,
+# conditional comment, entity-bearing paragraph, nbsp + <br> division)
+# -> the full M169 text-extraction chain -> per-doc text + length.
+# The oracle re-runs the IDENTICAL pattern chain (shared constants,
+# RE2 ∩ Java subset — no backreferences) with DuckDB regexp_replace.
+_HTML_SQL = r"""
+    WITH h0 AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        || '</title><style>p{x:1}</style>'
+        || '<script>var a=1 && b<2;</script></head><body>'
+        || '<h1>H' || CAST(doc_id % 7 AS VARCHAR) || '</h1>'
+        || (CASE WHEN doc_id % 3 = 0
+                 THEN '<!-- hidden ' || CAST(doc_id AS VARCHAR)
+                      || ' -->' ELSE '' END)
+        || '<p>Para &amp; ' || CAST(doc_id % 13 AS VARCHAR)
+        || ' &lt;x&gt;</p>'
+        || '<div>left&nbsp;right<br>next '
+        || CAST(doc_id % 5 AS VARCHAR) || '</div>'
+        || '</body></html>' AS html
+      FROM documents
+    ),
+    t1 AS (SELECT doc_id, regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(html,
+             '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+             '(?is)<noscript\b[^>]*>.*?</noscript\s*>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g') AS t FROM h0),
+    t2 AS (SELECT doc_id, regexp_replace(t,
+             '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote|/section|/article|/title)\b[^>]*>',
+             chr(10), 'g') AS t FROM t1),
+    t3 AS (SELECT doc_id, regexp_replace(t,
+             '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS t FROM t2),
+    t4 AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(
+               t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&apos;', chr(39)), '&#39;', chr(39)),
+               '&nbsp;', ' '), '&amp;', '&') AS t FROM t3),
+    t5 AS (SELECT doc_id, regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(t,
+             '[ ' || chr(9) || chr(13) || chr(12) || ']+', ' ', 'g'),
+             ' ?' || chr(10) || ' ?', chr(10), 'g'),
+             chr(10) || '+', chr(10), 'g'),
+             '^[ ' || chr(10) || ']+|[ ' || chr(10) || ']+$', '', 'g')
+             AS t FROM t4)
+    SELECT doc_id, t AS text, length(t) AS n_chars FROM t5
+    """
+
+
+@query(
+    "q178_html_to_text",
+    _HTML_SQL,
+    primary=True,
+)
+def q178_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → training text (operators/html.py:html_to_text, M169 —
+    the crawl→corpus extraction step, C4's regex tier): script/style/
+    noscript content dropped, comments dropped, block closers and
+    <br> become newlines, tags strip, entities unescape (&amp; last),
+    whitespace canonicalizes — full extracted text emitted per doc so
+    the pin is byte-level. The DuckDB twin re-runs the identical
+    pattern chain (module-level shared constants) in SQL. New in r11
+    (never-green: must be in the r11 window)."""
+    from ..operators import html as H
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit("</title><style>p{x:1}</style>"
+              "<script>var a=1 && b<2;</script></head><body>"),
+        F.lit("<h1>H"), (d % 7).cast("string"), F.lit("</h1>"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("<!-- hidden "), d.cast("string"),
+                        F.lit(" -->"))).otherwise(""),
+        F.lit("<p>Para &amp; "), (d % 13).cast("string"),
+        F.lit(" &lt;x&gt;</p>"),
+        F.lit("<div>left&nbsp;right<br>next "),
+        (d % 5).cast("string"), F.lit("</div></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        H.html_to_text(page).alias("text"),
+    ).withColumn("n_chars", F.length("text"))
+
+
+# q179 fixture: frontier expansion — eight anchors per doc covering
+# double-quoted rooted, single-quoted relative-with-.. (entity &amp;
+# in the query), bare-token, fragment-only, absolute, scheme-
+# relative, query-only, and beyond-root ../../.. forms, resolved
+# against a per-doc base URL. The oracle re-implements extraction
+# (same anchor/href regexes) AND RFC 3986 resolution per form, with
+# dot-segment removal as a bounded unrolled replace loop (the
+# fixture's deepest chain is 3 '..' segments; the UNBOUNDED general
+# case is pinned by the urljoin fuzz test in tests/test_web_functions
+# — the Spark side's HOF fold needs no bound).
+_LINKS_SQL = r"""
+    WITH pages AS (
+      SELECT doc_id,
+        'http://s' || CAST(doc_id % 9 AS VARCHAR)
+          || '.com/dir/sub/page.html' AS base,
+        '<a href="/r/' || CAST(doc_id % 11 AS VARCHAR) || '">a</a>'
+        || '<a class=''c'' href=''../up/' || CAST(doc_id % 4 AS VARCHAR)
+          || '?a=1&amp;b=2''>b</a>'
+        || '<a href=rel' || CAST(doc_id % 6 AS VARCHAR) || '.html>c</a>'
+        || '<a href="#sec">d</a>'
+        || '<a href="https://cdn' || CAST(doc_id % 3 AS VARCHAR)
+          || '.example/x">e</a>'
+        || '<a href="//mirror.example/m/' || CAST(doc_id % 2 AS VARCHAR)
+          || '">f</a>'
+        || '<a href="?p=' || CAST(doc_id % 5 AS VARCHAR) || '">g</a>'
+        || '<a href="../../../deep">h</a>' AS html
+      FROM documents
+    ),
+    tags AS (
+      SELECT doc_id, base,
+             unnest(regexp_extract_all(html, '(?is)<a\s[^>]*>'))
+               AS a_tag
+      FROM pages
+    ),
+    hrefs AS (
+      SELECT doc_id, base,
+        replace(replace(replace(replace(replace(replace(replace(
+          trim(CASE
+            WHEN regexp_extract(a_tag,
+                 '(?is)\bhref\s*=\s*"([^"]*)"', 1) <> ''
+            THEN regexp_extract(a_tag,
+                 '(?is)\bhref\s*=\s*"([^"]*)"', 1)
+            WHEN regexp_extract(a_tag,
+                 '(?is)\bhref\s*=\s*''([^'']*)''', 1) <> ''
+            THEN regexp_extract(a_tag,
+                 '(?is)\bhref\s*=\s*''([^'']*)''', 1)
+            ELSE regexp_extract(a_tag,
+                 '(?is)\bhref\s*=\s*([^\s"''>]+)', 1) END),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&apos;', chr(39)), '&#39;', chr(39)),
+          '&nbsp;', ' '), '&amp;', '&') AS href
+      FROM tags
+    ),
+    parts AS (
+      SELECT doc_id, base, href,
+        regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+          AS b_scheme,
+        regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+          AS b_auth,
+        regexp_extract(base,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS b_path,
+        regexp_replace(href, '#.*$', '') AS ref_nf
+      FROM hrefs WHERE href <> ''
+    ),
+    cases AS (
+      SELECT doc_id, base, href, b_scheme, b_auth, b_path,
+        regexp_extract(ref_nf, '^([^?]*)', 1) AS r_path,
+        regexp_extract(ref_nf, '\?(.*)$', 1) AS r_query,
+        ref_nf,
+        b_scheme || '://' || b_auth AS prefix,
+        regexp_extract(b_path, '^(.*/)', 1) AS base_dir
+      FROM parts
+    ),
+    merged AS (
+      SELECT *,
+        (CASE WHEN ref_nf LIKE '/%' THEN r_path
+              ELSE (CASE WHEN base_dir = '' THEN '/' ELSE base_dir END)
+                   || r_path END) AS mp
+      FROM cases
+    ),
+    -- bounded dot-segment removal: '/./' passes, then 3 rounds of
+    -- seg/../ + leading /../ (fixture max chain = 3), trailing forms
+    -- covered by the (/|$) alternation
+    rds AS (
+      SELECT *, regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(
+          regexp_replace(mp, '/\.(/|$)', '/', 'g'),
+          '/\.(/|$)', '/', 'g'),
+          '/[^/]+/\.\.(/|$)', '/', 'g'),
+          '^/\.\.(/|$)', '/', 'g'),
+          '/[^/]+/\.\.(/|$)', '/', 'g'),
+          '^/\.\.(/|$)', '/', 'g'),
+          '/[^/]+/\.\.(/|$)', '/', 'g'),
+          '^/\.\.(/|$)', '/', 'g'),
+          '//+', '/', 'g') AS np
+      FROM merged
+    )
+    SELECT doc_id, href,
+      (CASE
+        WHEN regexp_extract(ref_nf, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)
+             <> '' THEN href
+        WHEN ref_nf LIKE '//%' THEN b_scheme || ':' || ref_nf
+        WHEN ref_nf = '' THEN prefix || b_path
+        WHEN ref_nf LIKE '?%' THEN prefix || b_path || ref_nf
+        ELSE prefix || np
+             || (CASE WHEN r_query <> '' THEN '?' || r_query
+                 ELSE '' END) END) AS resolved
+    FROM rds
+    """
+
+
+@query(
+    "q179_link_frontier",
+    _LINKS_SQL,
+    primary=True,
+)
+def q179_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction + frontier expansion
+    (operators/html.py:extract_links + functions/web.py:url_resolve,
+    M170): eight href forms per doc — quoted/bare attributes, entity
+    unescape in query strings, fragment-only (→ the base itself),
+    absolute (verbatim), scheme-relative (inherits base scheme),
+    query-only, relative and beyond-root '..' chains — resolved
+    against per-doc base URLs; per-link rows pin every resolution
+    byte-for-byte. The DuckDB twin re-implements extraction and
+    RFC 3986 resolution independently (bounded unrolled dot-segment
+    removal for this fixture; the general case is fuzz-pinned against
+    stdlib urljoin in pytest). New in r11 (never-green: must be in
+    the r11 window)."""
+    from ..operators import html as H
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    html = F.concat(
+        F.lit('<a href="/r/'), (d % 11).cast("string"), F.lit('">a</a>'),
+        F.lit("<a class='c' href='../up/"), (d % 4).cast("string"),
+        F.lit("?a=1&amp;b=2'>b</a>"),
+        F.lit("<a href=rel"), (d % 6).cast("string"),
+        F.lit(".html>c</a>"),
+        F.lit('<a href="#sec">d</a>'),
+        F.lit('<a href="https://cdn'), (d % 3).cast("string"),
+        F.lit('.example/x">e</a>'),
+        F.lit('<a href="//mirror.example/m/'), (d % 2).cast("string"),
+        F.lit('">f</a>'),
+        F.lit('<a href="?p='), (d % 5).cast("string"), F.lit('">g</a>'),
+        F.lit('<a href="../../../deep">h</a>'),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://s"), (d % 9).cast("string"),
+                 F.lit(".com/dir/sub/page.html")).alias("base"),
+        html.alias("html"),
+    )
+    out = H.extract_links(pages, html_col="html", base_col="base")
+    return out.select("doc_id", "href", "resolved")

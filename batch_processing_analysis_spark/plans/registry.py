@@ -41,14 +41,15 @@ EXTRA_ORACLES: dict[str, str] = {}
 # - the 14 queries the r10 --plan listed as coming due (newest green
 #   r7, due at r11 close): q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
 #   q21/q24/q31/q38;
-# - q175/q176/q177, the round's new never-green queries (M166
-#   crawl-compliance facade; M167 crawl-delay scheduler; M168
-#   recrawl staleness) — must be in the window per rotation_check;
-# - 33 of the 50 r8-tier queries (newest green r8, due at r12) taken
-#   a round early so the r12 window has room; the 17 deferred
-#   (q84-q87, q89-q99, q76, q88 — the last two ceded mid-round to
-#   q176/q177) are cheap re-greens that fit any window, due exactly
-#   at r12 where --plan will list them.
+# - q175-q179, the round's new never-green queries (M166 crawl-
+#   compliance facade; M167 crawl-delay scheduler; M168 recrawl
+#   staleness; M169 HTML text extraction; M170 link frontier) —
+#   must be in the window per rotation_check;
+# - 31 of the 50 r8-tier queries (newest green r8, due at r12) taken
+#   a round early so the r12 window has room; the 19 deferred
+#   (q84-q87, q89-q99, q76, q88, q64, q70 — the last four ceded
+#   mid-round to q176-q179) are cheap re-greens that fit any window,
+#   due exactly at r12 where --plan will list them.
 # Rotated OUT: the whole r10 window (every row green in
 # CORRECTNESS_r10, due back r14). q116_canary_hugeint_probe stays
 # RETIRED in the extras registry (designed-red HUGEINT probe,
@@ -70,11 +71,13 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q24_union_rekey",
     "q31_task_batches",
     "q38_interval_sweep",
-    # the round's new never-green queries (M166/M167/M168)
+    # the round's new never-green queries (M166-M170)
     "q175_crawl_compliance",
     "q176_crawl_schedule",
     "q177_recrawl_status",
-    # r8-tier, taken one round early (33 of 50)
+    "q178_html_to_text",
+    "q179_link_frontier",
+    # r8-tier, taken one round early (31 of 50)
     "q100_jl_projection",
     "q101_negative_samples",
     "q102_dedup_weights",
@@ -106,8 +109,6 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q166_hll_census",
     "q167_log_hist_quantiles",
     "q50_fingerprint",
-    "q64_diversity_signals",
-    "q70_source_mixing",
 })
 
 

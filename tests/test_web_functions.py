@@ -133,3 +133,72 @@ def test_domain_quota_and_blocklist(spark):
     # the corpus side must not shuffle: broadcast anti join
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_remove_dot_segments(spark):
+    from batch_processing_analysis_spark.functions.web import (
+        remove_dot_segments,
+    )
+
+    cases = {
+        "/a/b/c/./../../g": "/a/g",      # RFC 3986 §5.2.4 example 1
+        "/mid/content=5/../6": "/mid/6",  # example 2
+        "/../../a": "/a",                 # pops clamp at the root
+        "/a/b/..": "/a/",                 # trailing '..' keeps dir form
+        "/a/b/.": "/a/b/",
+        "/a/b/": "/a/b/",
+        "/a//b": "/a/b",                  # interior '//' collapses
+        "/": "/",
+        "": "",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "p string")
+    got = {r["p"]: r["out"] for r in df.select(
+        "p", remove_dot_segments(F.col("p")).alias("out")).collect()}
+    assert got == cases
+
+
+def test_url_resolve_fuzz_vs_stdlib(spark):
+    """url_resolve agrees byte-for-byte with stdlib urljoin (fragment
+    stripped) on a randomized matrix of bases × refs — except the one
+    documented deviation class (rooted refs containing '//', where
+    CPython inconsistently preserves empty segments it filters
+    everywhere else; ours collapse uniformly, pinned below)."""
+    import random
+    from urllib.parse import urldefrag, urljoin
+
+    from batch_processing_analysis_spark.functions.web import (
+        url_resolve,
+    )
+
+    rng = random.Random(20260817)
+    bases = ["http://h.com/a/b/c", "https://x.org/a/b/",
+             "http://h.com/", "http://h.com",
+             "https://u:p@h.com:8080/d/e?q=1", "http://h.com/a//b/c"]
+    segs = ["a", "b", ".", "..", "x1", "", ".."]
+    refs = ["", "#f", "?x=2", "//other.com/p",
+            "http://abs.com/q/../r", "mailto:x@y",
+            "/rooted/./p/../q", "g", "./g", "../g", "../../g",
+            "../../../../g", "g/", "g/.", "g/..", "..", ".",
+            "g?y=3#z", "a//b"]
+    refs += ["/".join(rng.choice(segs)
+                      for _ in range(rng.randint(1, 5)))
+             for _ in range(60)]
+    pairs = [(b, r) for b in bases for r in refs]
+    df = spark.createDataFrame(pairs, "base string, ref string")
+    rows = df.select("base", "ref",
+                     url_resolve(F.col("base"), F.col("ref"))
+                     .alias("res")).collect()
+    checked = 0
+    for r in rows:
+        if r["ref"].startswith("/") and "//" in r["ref"]:
+            continue  # the documented deviation class
+        want = urldefrag(urljoin(r["base"], r["ref"]))[0]
+        assert r["res"] == want, (r["base"], r["ref"], r["res"], want)
+        checked += 1
+    assert checked > 400
+    # the deviation class, pinned against OUR uniform-collapse rule
+    dev = spark.createDataFrame(
+        [("http://h.com/x", "/a//b/../c")], "base string, ref string")
+    got = dev.select(url_resolve(F.col("base"), F.col("ref"))
+                     .alias("r")).collect()[0]["r"]
+    assert got == "http://h.com/a/c"  # urljoin says 'http://h.com/a//c'
