@@ -311,6 +311,69 @@ def prepare_crawl_corpus(docs: DataFrame, sitemaps: DataFrame,
         _reuse_derived=True)
 
 
+def expand_frontier(pages: DataFrame, robots: DataFrame, agent: str, *,
+                    html_col: str = "html", url_col: str = "url",
+                    known: DataFrame | None = None) -> DataFrame:
+    """Frontier expansion facade (M171 — the link-following discovery
+    channel beside sitemap discovery M165/M166): fetched pages →
+    out-links (M170 extraction + RFC 3986 resolution) → canonical
+    http(s) URLs → RFC 9309 robots permission for ``agent`` →
+    [minus the ``known`` set] → the next crawl wave, one row per NEW
+    canonical URL with its in-link count (``n_refs`` — the classic
+    frontier priority signal) and earliest referring page.
+
+    - Non-web schemes (mailto:, javascript:, ftp://…) drop at the
+      canonicalization gate (only http/https survive).
+    - ``known`` is the already-fetched/queued registry (a frame with
+      a ``canon_url`` column — e.g. the M163 URL registry); matched
+      URLs never re-enter the frontier.
+    - Self-links and duplicate hrefs collapse in the final groupBy.
+
+    Scale shape: extraction/resolution/canonicalization are pure
+    per-row projections on the pages table; the robots decision is
+    the zero-shuffle broadcast+HOF plan; ONE exchange of the link
+    rows (the groupBy on canon_url — the frontier's natural key) and
+    an optional anti-join against ``known`` on the same key."""
+    from pyspark.sql import functions as F
+
+    from .functions import web as WEB
+    from .operators import html as H
+    from .operators import robots as RB
+
+    links = H.extract_links(
+        pages.select(url_col, html_col),
+        html_col=html_col, base_col=url_col)
+    canon = WEB.url_canonicalize(F.col("resolved"))
+    cand = (
+        links.withColumn("canon_url", canon)
+        .filter(F.col("canon_url").isNotNull()
+                & WEB.url_scheme(F.col("canon_url"))
+                .isin("http", "https"))
+        .select(F.col(url_col).alias("_src"), "canon_url")
+    )
+    p = WEB.url_path(F.col("canon_url"))
+    q = WEB.url_query(F.col("canon_url"))
+    target = F.concat(
+        F.when(p == "", "/").otherwise(p),
+        F.when(q == "", "").otherwise(F.concat(F.lit("?"), q)))
+    decided = RB.robots_allowed(
+        cand.withColumn("_rb_host",
+                        WEB.url_host(F.col("canon_url")))
+        .withColumn("_rb_path", target),
+        RB.parse_robots(robots), agent,
+        domain_col="_rb_host", path_col="_rb_path",
+        agents=RB.parse_robots_agents(robots))
+    allowed = decided.filter(F.col("allowed")) \
+        .select("_src", "canon_url")
+    if known is not None:
+        allowed = allowed.join(
+            known.select("canon_url").distinct(),
+            "canon_url", "left_anti")
+    return allowed.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.min("_src").alias("first_src"))
+
+
 def build_training_set(docs: DataFrame, path: str, *,
                        benchmark: DataFrame | None = None,
                        seed: str = "train:0", num_shards: int = 64,

@@ -6680,3 +6680,225 @@ def q179_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = H.extract_links(pages, html_col="html", base_col="base")
     return out.select("doc_id", "href", "resolved")
+
+
+# q180 fixture: the link-following discovery channel end to end —
+# five href forms per fetched page (relative, rooted-into-a-blocked
+# prefix, absolute cross-host with an entity-escaped query, mailto
+# (dropped at the web-scheme gate), and a '..' relative), resolved
+# against per-page bases, robots-decided for 'mybot' (a '*'
+# Disallow: /x/ on f0-f2, the allow-all empty named group on f3, no
+# robots on the ext hosts), minus a known-URL registry, grouped to
+# (canon_url, n_refs, first_src). The oracle re-implements
+# extraction, resolution, the decision, the anti-join, and the
+# rollup independently. Resolution outputs are constructed canonical
+# (lowercase hosts, no ports, non-empty paths), so canon = resolved.
+_FRONTIER_R0 = ["User-agent: *", "Disallow: /x/"]
+_FRONTIER_R3 = ["User-agent: mybot", "Disallow:", "",
+                "User-agent: *", "Disallow: /"]
+
+_FRONTIER_SQL = f"""
+    WITH pages AS (
+      SELECT doc_id,
+        'http://f' || CAST(doc_id % 6 AS VARCHAR) || '.com/d'
+          || CAST(doc_id % 4 AS VARCHAR) || '/p'
+          || CAST(doc_id % 20 AS VARCHAR) || '.html' AS url,
+        '<a href="n' || CAST(doc_id % 8 AS VARCHAR) || '.html">a</a>'
+        || '<a href="/x/' || CAST(doc_id % 5 AS VARCHAR) || '">b</a>'
+        || '<a href="https://ext' || CAST(doc_id % 3 AS VARCHAR)
+          || '.org/e?a=1&amp;b=' || CAST(doc_id % 4 AS VARCHAR)
+          || '">c</a>'
+        || '<a href="mailto:a@b.c">d</a>'
+        || '<a href="../up' || CAST(doc_id % 2 AS VARCHAR)
+          || '/q">e</a>' AS html
+      FROM documents
+    ),
+    tags AS (
+      SELECT doc_id, url,
+             unnest(regexp_extract_all(html, '(?is)<a\\s[^>]*>'))
+               AS a_tag
+      FROM pages
+    ),
+    hrefs AS (
+      SELECT doc_id, url,
+        replace(trim(regexp_extract(a_tag,
+          '(?is)\\bhref\\s*=\\s*"([^"]*)"', 1)), '&amp;', '&') AS href
+      FROM tags
+    ),
+    parts AS (
+      SELECT doc_id, url AS src, href,
+        regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+          AS b_scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+          AS b_auth,
+        regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS b_path
+      FROM hrefs WHERE href <> ''
+    ),
+    res AS (
+      SELECT doc_id, src, href,
+        (CASE
+          WHEN regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)
+               <> '' THEN href
+          WHEN href LIKE '/%' THEN b_scheme || '://' || b_auth || href
+          ELSE b_scheme || '://' || b_auth ||
+            regexp_replace(regexp_replace(
+              regexp_extract(b_path, '^(.*/)', 1) || href,
+              '/[^/]+/\\.\\.(/|$)', '/', 'g'),
+              '^/\\.\\.(/|$)', '/', 'g')
+          END) AS resolved
+      FROM parts
+    ),
+    cand AS (
+      SELECT src, resolved AS canon_url,
+        regexp_extract(resolved,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS chost,
+        regexp_extract(resolved,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS cpath
+      FROM res
+      WHERE regexp_extract(resolved,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) IN ('http', 'https')
+    ),
+    robots AS (
+      SELECT 'f0.com' AS domain, {_sql_lines(_FRONTIER_R0)} AS txt
+      UNION ALL SELECT 'f1.com', {_sql_lines(_FRONTIER_R0)}
+      UNION ALL SELECT 'f2.com', {_sql_lines(_FRONTIER_R0)}
+      UNION ALL SELECT 'f3.com', {_sql_lines(_FRONTIER_R3)}
+    ),
+    rlines AS (
+      SELECT domain, unnest(string_split(txt, chr(10))) AS raw,
+             unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln
+      FROM robots
+    ),
+    rkv AS (
+      SELECT domain, ln,
+        lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS key,
+        trim(regexp_extract(l, '^[^:]+:(.*)$', 1)) AS val
+      FROM (SELECT domain, ln, trim(regexp_replace(raw, '#.*', ''))
+                   AS l FROM rlines)
+      WHERE contains(l, ':')
+        AND lower(trim(regexp_extract(l, '^([^:]+):', 1)))
+            IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+    ),
+    rgrouped AS (
+      SELECT *, sum(gstart) OVER (PARTITION BY domain ORDER BY ln
+                                  ROWS UNBOUNDED PRECEDING) AS gid
+      FROM (
+        SELECT *,
+          (CASE WHEN is_ua AND NOT coalesce(lag(is_ua) OVER (
+             PARTITION BY domain ORDER BY ln), FALSE)
+           THEN 1 ELSE 0 END) AS gstart
+        FROM (SELECT *, key = 'user-agent' AS is_ua FROM rkv)
+      )
+    ),
+    ruas AS (
+      SELECT domain, gid, lower(val) AS agent FROM rgrouped WHERE is_ua
+    ),
+    rpol AS (
+      SELECT r.domain, u.agent, r.key AS rule,
+        length(r.val) AS spec_len,
+        '^' || regexp_replace(regexp_replace(regexp_replace(
+            (CASE WHEN r.val LIKE '%$'
+                  THEN substr(r.val, 1, length(r.val) - 1)
+                  ELSE r.val END),
+            '([.+?^(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+            '\\$', '\\\\$', 'g'),
+            '\\*', '.*', 'g')
+        || (CASE WHEN r.val LIKE '%$' THEN '$' ELSE '' END) AS regex
+      FROM (SELECT domain, gid, key, val FROM rgrouped
+            WHERE key IN ('allow', 'disallow') AND val <> ''
+              AND gid > 0) r
+      JOIN ruas u ON r.domain = u.domain AND r.gid = u.gid
+    ),
+    named AS (SELECT DISTINCT domain FROM ruas WHERE agent = 'mybot'),
+    eff AS (
+      SELECT p.domain, p.rule, p.spec_len, p.regex
+      FROM rpol p LEFT JOIN named n ON p.domain = n.domain
+      WHERE (p.agent = 'mybot' AND n.domain IS NOT NULL)
+         OR (p.agent = '*' AND n.domain IS NULL)
+    ),
+    up AS (SELECT DISTINCT chost, cpath FROM cand),
+    rbest AS (
+      SELECT chost, cpath, rule FROM (
+        SELECT u.chost, u.cpath, e.rule,
+          row_number() OVER (PARTITION BY u.chost, u.cpath
+            ORDER BY e.spec_len DESC,
+                     CASE WHEN e.rule = 'allow' THEN 1 ELSE 0 END DESC
+          ) AS rn
+        FROM up u JOIN eff e ON u.chost = e.domain
+                            AND regexp_matches(u.cpath, e.regex)
+      ) WHERE rn = 1
+    ),
+    dec AS (
+      SELECT up.chost, up.cpath,
+             coalesce(rb.rule <> 'disallow', TRUE) AS allowed
+      FROM up LEFT JOIN rbest rb ON up.chost = rb.chost
+                                AND up.cpath = rb.cpath
+    ),
+    known AS (
+      SELECT DISTINCT 'http://f' || CAST(doc_id % 6 AS VARCHAR)
+        || '.com/d' || CAST(doc_id % 4 AS VARCHAR) || '/n'
+        || CAST(doc_id % 8 AS VARCHAR) || '.html' AS canon_url
+      FROM documents WHERE doc_id % 8 < 3
+    )
+    SELECT c.canon_url, count(*) AS n_refs, min(c.src) AS first_src
+    FROM cand c
+    JOIN dec d ON c.chost = d.chost AND c.cpath = d.cpath
+    LEFT JOIN known k ON c.canon_url = k.canon_url
+    WHERE d.allowed AND k.canon_url IS NULL
+    GROUP BY 1
+    """
+
+
+@query(
+    "q180_frontier_expansion",
+    _FRONTIER_SQL,
+    primary=True,
+)
+def q180_frontier_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-following frontier expansion end to end
+    (pipeline.expand_frontier, M171 — M170 links → RFC 3986
+    resolution → web-scheme gate → M164 robots decision → known-set
+    anti-join → in-link rollup): relative/rooted/absolute/mailto/
+    dotdot hrefs per fetched page, '*' Disallow: /x/ on three hosts,
+    the allow-all empty named group on f3, no robots on the external
+    hosts, and a known-URL registry excluding already-queued
+    relative targets. Output rows pin every surviving frontier URL
+    with its reference count and earliest referrer. The DuckDB twin
+    re-implements every stage independently. New in r11 (never-green:
+    must be in the r11 window)."""
+    from ..pipeline import expand_frontier
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    html = F.concat(
+        F.lit('<a href="n'), (d % 8).cast("string"),
+        F.lit('.html">a</a>'),
+        F.lit('<a href="/x/'), (d % 5).cast("string"), F.lit('">b</a>'),
+        F.lit('<a href="https://ext'), (d % 3).cast("string"),
+        F.lit(".org/e?a=1&amp;b="), (d % 4).cast("string"),
+        F.lit('">c</a>'),
+        F.lit('<a href="mailto:a@b.c">d</a>'),
+        F.lit('<a href="../up'), (d % 2).cast("string"),
+        F.lit('/q">e</a>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://f"), (d % 6).cast("string"),
+                 F.lit(".com/d"), (d % 4).cast("string"),
+                 F.lit("/p"), (d % 20).cast("string"),
+                 F.lit(".html")).alias("url"),
+        html.alias("html"),
+    )
+    robots_df = spark.createDataFrame(
+        [("f0.com", "\n".join(_FRONTIER_R0)),
+         ("f1.com", "\n".join(_FRONTIER_R0)),
+         ("f2.com", "\n".join(_FRONTIER_R0)),
+         ("f3.com", "\n".join(_FRONTIER_R3))],
+        "domain string, robots_txt string")
+    known = docs.filter(d % 8 < 3).select(
+        F.concat(F.lit("http://f"), (d % 6).cast("string"),
+                 F.lit(".com/d"), (d % 4).cast("string"),
+                 F.lit("/n"), (d % 8).cast("string"),
+                 F.lit(".html")).alias("canon_url")).distinct()
+    out = expand_frontier(pages, robots_df, "mybot", known=known)
+    return out.select("canon_url", "n_refs", "first_src")

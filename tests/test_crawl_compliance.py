@@ -146,3 +146,33 @@ def test_index_payloads_expand_through_facade(spark, fixture):
     # without payloads the index discovers nothing
     empty = prepare_crawl_corpus(docs, sitemaps, robots, "mybot")
     assert empty.count() == 0
+
+
+def test_expand_frontier(spark):
+    """Link-following discovery: out-links resolve, non-web schemes
+    drop, robots gate per target host, known URLs never re-enter,
+    in-link counts and earliest referrer aggregate."""
+    from batch_processing_analysis_spark.pipeline import expand_frontier
+
+    pages = spark.createDataFrame(
+        [("http://a.com/d/p1.html",
+          '<a href="n.html">x</a><a href="/x/blocked">y</a>'
+          '<a href="https://ext.org/e">z</a>'
+          '<a href="mailto:a@b.c">m</a>'),
+         ("http://a.com/d/p2.html",
+          '<a href="n.html">x</a><a href="known.html">k</a>')],
+        "url string, html string")
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x/")],
+        "domain string, robots_txt string")
+    known = spark.createDataFrame(
+        [("http://a.com/d/known.html",)], "canon_url string")
+    out = {r["canon_url"]: (r["n_refs"], r["first_src"])
+           for r in expand_frontier(pages, robots, "bot",
+                                    known=known).collect()}
+    assert out == {
+        # two pages link the same relative target: n_refs=2
+        "http://a.com/d/n.html": (2, "http://a.com/d/p1.html"),
+        # no robots for ext.org: allowed
+        "https://ext.org/e": (1, "http://a.com/d/p1.html"),
+    }

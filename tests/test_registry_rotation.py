@@ -101,6 +101,7 @@ EXPECTED_SHADOWED = frozenset({
     "q47_text_quality",
     "q48_lang_id",
     "q49_token_count",
+    "q50_fingerprint",
     "q51_multimodal_features",
     "q52_dedup_components",
     "q53_corpus_filter",
