@@ -6902,3 +6902,142 @@ def q180_frontier_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(".html")).alias("canon_url")).distinct()
     out = expand_frontier(pages, robots_df, "mybot", known=known)
     return out.select("canon_url", "n_refs", "first_src")
+
+
+# q181 fixture: WARC record strings built from document rows — one
+# warcinfo per 10 docs, responses otherwise (varying target URIs,
+# W3C dates, 200/301/404 statuses, HTML bodies; Content-Length
+# COMPUTED from the constructed HTTP message in both engines) — run
+# through the M172 field parser and emitted per record. The oracle
+# rebuilds the same strings and re-runs the identical header/block
+# regexes in SQL.
+_WARC_SQL = r"""
+    WITH built AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 10 = 0 THEN 'warcinfo'
+              ELSE 'response' END) AS wtype,
+        (CASE WHEN doc_id % 10 = 0 THEN ''
+              ELSE 'http://w' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+         END) AS uri,
+        '2024-01-' || lpad(CAST(doc_id % 25 + 2 AS VARCHAR), 2, '0')
+          || 'T0' || CAST(doc_id % 9 AS VARCHAR) || ':30:00Z' AS wdate,
+        (CASE WHEN doc_id % 11 = 0 THEN 404
+              WHEN doc_id % 5 = 0 THEN 301 ELSE 200 END) AS status,
+        '<html>doc ' || CAST(doc_id AS VARCHAR) || '</html>' AS body
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, wtype, uri, wdate,
+        (CASE WHEN wtype = 'warcinfo'
+              THEN 'software: test' || chr(13) || chr(10)
+              ELSE 'HTTP/1.1 ' || CAST(status AS VARCHAR) || ' X'
+                   || chr(13) || chr(10) || 'Content-Type: text/html'
+                   || chr(13) || chr(10) || chr(13) || chr(10) || body
+         END) AS block
+      FROM built
+    ),
+    recs AS (
+      SELECT doc_id,
+        'WARC/1.0' || chr(13) || chr(10)
+        || 'WARC-Type: ' || wtype || chr(13) || chr(10)
+        || (CASE WHEN uri <> ''
+                 THEN 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
+                 ELSE '' END)
+        || 'WARC-Date: ' || wdate || chr(13) || chr(10)
+        || 'Content-Length: ' || CAST(length(block) AS VARCHAR)
+        || chr(13) || chr(10) || chr(13) || chr(10)
+        || block AS record
+      FROM blocks
+    ),
+    parsed AS (
+      SELECT doc_id,
+        regexp_extract(record, '^WARC/([0-9.]+)', 1) AS warc_version,
+        lower(regexp_extract(hd, '(?im)^WARC-Type: *([^' || chr(13)
+          || chr(10) || ']*)', 1)) AS warc_type,
+        regexp_extract(hd, '(?im)^WARC-Target-URI: *([^' || chr(13)
+          || chr(10) || ']*)', 1) AS target_uri,
+        TRY_CAST(replace(regexp_replace(trim(
+          regexp_extract(hd, '(?im)^WARC-Date: *([^' || chr(13)
+            || chr(10) || ']*)', 1)), 'Z$', ''), 'T', ' ')
+          AS TIMESTAMP) AS warc_date_ts,
+        TRY_CAST(regexp_extract(hd, '(?im)^Content-Length: *([^'
+          || chr(13) || chr(10) || ']*)', 1) AS BIGINT)
+          AS content_length,
+        (CASE WHEN starts_with(blk, 'HTTP/')
+              THEN TRY_CAST(regexp_extract(blk,
+                   '(?s)^HTTP/[0-9.]+ +([0-9]{3})', 1) AS INT)
+         END) AS http_status,
+        (CASE WHEN starts_with(blk, 'HTTP/')
+              THEN regexp_extract(blk, '(?s)^HTTP/.*?' || chr(13)
+                   || chr(10) || chr(13) || chr(10) || '(.*)$', 1)
+              ELSE blk END) AS payload
+      FROM (
+        SELECT doc_id, record,
+          regexp_extract(record, '(?s)^(.*?)' || chr(13) || chr(10)
+            || chr(13) || chr(10), 1) AS hd,
+          regexp_extract(record, '(?s)' || chr(13) || chr(10)
+            || chr(13) || chr(10) || '(.*)$', 1) AS blk
+        FROM recs
+      )
+    )
+    SELECT doc_id, warc_version, warc_type, target_uri,
+           CAST(floor(epoch(warc_date_ts)) AS BIGINT) AS warc_epoch,
+           content_length, http_status, payload
+    FROM parsed
+    """
+
+
+@query(
+    "q181_warc_parse",
+    _WARC_SQL,
+    primary=True,
+)
+def q181_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record parsing (sources/warc.py:parse_warc_fields, M172 —
+    ISO 28500, the CommonCrawl interchange format): warcinfo +
+    response records with computed Content-Length, case-insensitive
+    header extraction, W3C date parsing, nested HTTP message split
+    (status line + headers + payload), non-HTTP blocks passing
+    through whole. Per-record rows pin every field byte-for-byte; the
+    DuckDB twin rebuilds the same record strings and re-runs the
+    identical regexes. The binary framing layer (gzip members,
+    Content-Length record splitting) is pytest-verified
+    (tests/test_warc.py) — file IO is not SQL-expressible. New in r11
+    (never-green: must be in the r11 window)."""
+    from ..sources import warc as WR
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    crlf = "\r\n"
+    wtype = F.when(d % 10 == 0, "warcinfo").otherwise("response")
+    uri = F.when(d % 10 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("http://w"), (d % 7).cast("string"),
+                 F.lit(".com/p/"), (d % 50).cast("string")))
+    wdate = F.concat(F.lit("2024-01-"),
+                     F.lpad((d % 25 + 2).cast("string"), 2, "0"),
+                     F.lit("T0"), (d % 9).cast("string"),
+                     F.lit(":30:00Z"))
+    status = (F.when(d % 11 == 0, 404)
+              .when(d % 5 == 0, 301).otherwise(200))
+    body = F.concat(F.lit("<html>doc "), d.cast("string"),
+                    F.lit("</html>"))
+    block = F.when(
+        wtype == "warcinfo", F.lit("software: test" + crlf)
+    ).otherwise(F.concat(
+        F.lit("HTTP/1.1 "), status.cast("string"), F.lit(" X" + crlf),
+        F.lit("Content-Type: text/html" + crlf + crlf), body))
+    record = F.concat(
+        F.lit("WARC/1.0" + crlf),
+        F.lit("WARC-Type: "), wtype, F.lit(crlf),
+        F.when(uri != "", F.concat(F.lit("WARC-Target-URI: "), uri,
+                                   F.lit(crlf))).otherwise(""),
+        F.lit("WARC-Date: "), wdate, F.lit(crlf),
+        F.lit("Content-Length: "),
+        F.length(block).cast("string"), F.lit(crlf + crlf), block)
+    recs = docs.select("doc_id", record.alias("record"))
+    out = WR.parse_warc_fields(recs)
+    return out.select(
+        "doc_id", "warc_version", "warc_type", "target_uri",
+        F.unix_timestamp("warc_date_ts").alias("warc_epoch"),
+        "content_length", "http_status", "payload")
