@@ -111,3 +111,81 @@ def extract_links(df: DataFrame, html_col: str = "html",
             "resolved",
             WEB.url_resolve(F.col(base_col), F.col("href")))
     return out
+
+
+# meta/link attribute patterns (q182 oracle shares them verbatim):
+# name/content and rel/href in EITHER attribute order, double- or
+# single-quoted values
+META_NAMED_DQ = (r'(?is)<meta\s[^>]*name\s*=\s*["\']{NAME}["\']'
+                 r'[^>]*content\s*=\s*"([^"]*)"')
+META_NAMED_SQ = (r"(?is)<meta\s[^>]*name\s*=\s*[\"']{NAME}[\"']"
+                 r"[^>]*content\s*=\s*'([^']*)'")
+META_REV_DQ = (r'(?is)<meta\s[^>]*content\s*=\s*"([^"]*)"'
+               r'[^>]*name\s*=\s*["\']{NAME}["\']')
+META_REV_SQ = (r"(?is)<meta\s[^>]*content\s*=\s*'([^']*)'"
+               r"[^>]*name\s*=\s*[\"']{NAME}[\"']")
+TITLE_RE = r"(?is)<title[^>]*>(.*?)</title\s*>"
+CANONICAL_DQ = (r'(?is)<link\s[^>]*rel\s*=\s*["\']canonical["\']'
+                r'[^>]*href\s*=\s*"([^"]*)"')
+CANONICAL_SQ = (r"(?is)<link\s[^>]*rel\s*=\s*[\"']canonical[\"']"
+                r"[^>]*href\s*=\s*'([^']*)'")
+CANONICAL_REV_DQ = (r'(?is)<link\s[^>]*href\s*=\s*"([^"]*)"'
+                    r'[^>]*rel\s*=\s*["\']canonical["\']')
+CHARSET_RE = r"""(?is)<meta\s[^>]*charset\s*=\s*["']?([A-Za-z0-9_-]+)"""
+
+
+def _meta_content(html: Column, name: str) -> Column:
+    """First non-empty match across the four attribute-order/quote
+    variants for ``<meta name="{name}" content="…">``."""
+    pats = [p.replace("{NAME}", name)
+            for p in (META_NAMED_DQ, META_NAMED_SQ,
+                      META_REV_DQ, META_REV_SQ)]
+    col = F.regexp_extract(html, pats[0], 1)
+    for p in pats[1:]:
+        col = F.when(col != "", col) \
+            .otherwise(F.regexp_extract(html, p, 1))
+    return col
+
+
+def html_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Add page-metadata columns to a frame of HTML payloads (M173 —
+    the in-page half of crawl compliance beside robots.txt M164:
+    ``noindex`` pages must be EXCLUDED from a compliant corpus, and
+    ``canonical`` is the page's own dedup hint):
+
+    - ``title`` — first ``<title>`` text, whitespace-collapsed,
+      entity-unescaped;
+    - ``meta_description`` — ``<meta name="description">`` content
+      (either attribute order, either quote style);
+    - ``canonical_url`` — ``<link rel="canonical">`` href,
+      entity-unescaped (feed to url_resolve/url_canonicalize);
+    - ``meta_robots`` — lowercased ``<meta name="robots">`` content;
+      ``noindex`` / ``nofollow`` booleans are token-tests on it
+      (comma/space separated per the de-facto spec);
+    - ``charset`` — ``<meta charset=…>`` or the charset parameter of
+      a content-type meta, lowercased.
+
+    Pure codegen; the same patterns re-run in the q182 oracle."""
+    h = F.col(html_col)
+    title = F.regexp_extract(h, TITLE_RE, 1)
+    title = _unescape(F.trim(F.regexp_replace(title, r"\s+", " ")))
+    canonical = F.regexp_extract(h, CANONICAL_DQ, 1)
+    canonical = F.when(canonical != "", canonical) \
+        .otherwise(F.regexp_extract(h, CANONICAL_SQ, 1))
+    canonical = F.when(canonical != "", canonical) \
+        .otherwise(F.regexp_extract(h, CANONICAL_REV_DQ, 1))
+    robots = F.lower(F.trim(_meta_content(h, "robots")))
+    token = lambda t: robots.rlike(  # noqa: E731
+        rf"(^|[,\s]){t}($|[,\s])")
+    charset = F.lower(F.regexp_extract(h, CHARSET_RE, 1))
+    return df.select(
+        *df.columns,
+        title.alias("title"),
+        _unescape(F.trim(_meta_content(h, "description")))
+        .alias("meta_description"),
+        _unescape(F.trim(canonical)).alias("canonical_url"),
+        robots.alias("meta_robots"),
+        token("noindex").alias("noindex"),
+        token("nofollow").alias("nofollow"),
+        charset.alias("charset"),
+    )

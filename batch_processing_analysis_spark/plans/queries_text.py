@@ -7041,3 +7041,185 @@ def q181_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "warc_version", "warc_type", "target_uri",
         F.unix_timestamp("warc_date_ts").alias("warc_epoch"),
         "content_length", "http_status", "payload")
+
+
+# q182 fixture: per-doc page heads exercising every html_meta variant
+# — entity-bearing titles, both charset declaration forms, meta
+# description in both attribute orders / quote styles / absent, the
+# robots directive set incl. the 'noindexing' token trap, canonical
+# links in both attribute orders / absent. The oracle rebuilds the
+# same pages and re-runs the identical patterns (dollar-quoted so the
+# mixed-quote regexes stay verbatim).
+_META_SQL = r"""
+    WITH pages AS (
+      SELECT doc_id,
+        '<html><head><title>Doc &amp; ' || CAST(doc_id % 9 AS VARCHAR)
+        || '</title>'
+        || (CASE WHEN doc_id % 2 = 0 THEN '<meta charset="utf-8">'
+            ELSE '<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'
+            END)
+        || (CASE WHEN doc_id % 3 = 0
+            THEN '<meta content=''d' || CAST(doc_id % 7 AS VARCHAR)
+                 || ' desc'' name=''description''>'
+            WHEN doc_id % 3 = 1
+            THEN '<meta name="description" content="plain &quot;d'
+                 || CAST(doc_id % 7 AS VARCHAR) || '&quot;">'
+            ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0
+            THEN '<meta name="robots" content="noindex">'
+            WHEN doc_id % 5 = 1
+            THEN '<meta content=''noindex, nofollow'' name=''ROBOTS''>'
+            WHEN doc_id % 5 = 2
+            THEN '<meta name="robots" content="index, follow">'
+            WHEN doc_id % 5 = 3
+            THEN '<meta name="robots" content="noindexing,nofollow">'
+            ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 0
+            THEN '<link rel="canonical" href="https://c.com/p?a=1&amp;b='
+                 || CAST(doc_id % 6 AS VARCHAR) || '">'
+            WHEN doc_id % 4 = 1
+            THEN '<link href="https://c.com/q/' || CAST(doc_id % 6 AS VARCHAR)
+                 || '" rel="canonical">'
+            ELSE '' END)
+        || '</head><body>x</body></html>' AS html
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, html,
+        regexp_extract(html, '(?is)<title[^>]*>(.*?)</title\s*>', 1)
+          AS raw_title,
+        (CASE WHEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*name\s*=\s*["']description["'][^>]*content\s*=\s*"([^"]*)"$$, 1) <> ''
+          THEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*name\s*=\s*["']description["'][^>]*content\s*=\s*"([^"]*)"$$, 1)
+          WHEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*name\s*=\s*["']description["'][^>]*content\s*=\s*'([^']*)'$$, 1) <> ''
+          THEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*name\s*=\s*["']description["'][^>]*content\s*=\s*'([^']*)'$$, 1)
+          WHEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*["']description["']$$, 1) <> ''
+          THEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*["']description["']$$, 1)
+          ELSE regexp_extract(html,
+            $$(?is)<meta\s[^>]*content\s*=\s*'([^']*)'[^>]*name\s*=\s*["']description["']$$, 1)
+          END) AS raw_desc,
+        (CASE WHEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*"([^"]*)"$$, 1) <> ''
+          THEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*"([^"]*)"$$, 1)
+          WHEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*'([^']*)'$$, 1) <> ''
+          THEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*'([^']*)'$$, 1)
+          WHEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*["']robots["']$$, 1) <> ''
+          THEN regexp_extract(html,
+            $$(?is)<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*["']robots["']$$, 1)
+          ELSE regexp_extract(html,
+            $$(?is)<meta\s[^>]*content\s*=\s*'([^']*)'[^>]*name\s*=\s*["']robots["']$$, 1)
+          END) AS raw_robots,
+        (CASE WHEN regexp_extract(html,
+            $$(?is)<link\s[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*"([^"]*)"$$, 1) <> ''
+          THEN regexp_extract(html,
+            $$(?is)<link\s[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*"([^"]*)"$$, 1)
+          WHEN regexp_extract(html,
+            $$(?is)<link\s[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*'([^']*)'$$, 1) <> ''
+          THEN regexp_extract(html,
+            $$(?is)<link\s[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*'([^']*)'$$, 1)
+          ELSE regexp_extract(html,
+            $$(?is)<link\s[^>]*href\s*=\s*"([^"]*)"[^>]*rel\s*=\s*["']canonical["']$$, 1)
+          END) AS raw_canon,
+        lower(regexp_extract(html,
+          $$(?is)<meta\s[^>]*charset\s*=\s*["']?([A-Za-z0-9_-]+)$$, 1))
+          AS charset
+      FROM pages
+    ),
+    un AS (
+      SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(replace(
+          trim(regexp_replace(raw_title, '\s+', ' ', 'g')),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&apos;', chr(39)), '&#39;', chr(39)), '&nbsp;', ' '),
+          '&amp;', '&') AS title,
+        replace(replace(replace(replace(replace(replace(replace(
+          trim(raw_desc),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&apos;', chr(39)), '&#39;', chr(39)), '&nbsp;', ' '),
+          '&amp;', '&') AS meta_description,
+        replace(replace(replace(replace(replace(replace(replace(
+          trim(raw_canon),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&apos;', chr(39)), '&#39;', chr(39)), '&nbsp;', ' '),
+          '&amp;', '&') AS canonical_url,
+        lower(trim(raw_robots)) AS meta_robots,
+        charset
+      FROM ex
+    )
+    SELECT doc_id, title, meta_description, canonical_url, meta_robots,
+      regexp_matches(meta_robots, '(^|[,\s])noindex($|[,\s])')
+        AS noindex,
+      regexp_matches(meta_robots, '(^|[,\s])nofollow($|[,\s])')
+        AS nofollow,
+      charset
+    FROM un
+    """
+
+
+@query(
+    "q182_html_meta",
+    _META_SQL,
+    primary=True,
+)
+def q182_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (operators/html.py:html_meta, M173 —
+    the in-page compliance half beside robots.txt: noindex exclusion,
+    canonical dedup hints): entity-bearing titles, both charset
+    declaration forms, meta description and robots directives in both
+    attribute orders / quote styles / absent (incl. the 'noindexing'
+    token trap that must NOT match noindex), canonical links in both
+    attribute orders. Per-doc rows pin every field; the DuckDB twin
+    rebuilds the pages and re-runs the identical patterns. New in r11
+    (never-green: must be in the r11 window)."""
+    from ..operators import html as H
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    page = F.concat(
+        F.lit("<html><head><title>Doc &amp; "), (d % 9).cast("string"),
+        F.lit("</title>"),
+        F.when(d % 2 == 0, F.lit('<meta charset="utf-8">'))
+        .otherwise(F.lit('<meta http-equiv="Content-Type" '
+                         'content="text/html; charset=ISO-8859-1">')),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("<meta content='d"),
+                        (d % 7).cast("string"),
+                        F.lit(" desc' name='description'>")))
+        .when(d % 3 == 1,
+              F.concat(F.lit('<meta name="description" '
+                             'content="plain &quot;d'),
+                       (d % 7).cast("string"), F.lit('&quot;">')))
+        .otherwise(""),
+        F.when(d % 5 == 0,
+               F.lit('<meta name="robots" content="noindex">'))
+        .when(d % 5 == 1,
+              F.lit("<meta content='noindex, nofollow' "
+                    "name='ROBOTS'>"))
+        .when(d % 5 == 2,
+              F.lit('<meta name="robots" content="index, follow">'))
+        .when(d % 5 == 3,
+              F.lit('<meta name="robots" '
+                    'content="noindexing,nofollow">'))
+        .otherwise(""),
+        F.when(d % 4 == 0,
+               F.concat(F.lit('<link rel="canonical" '
+                              'href="https://c.com/p?a=1&amp;b='),
+                        (d % 6).cast("string"), F.lit('">')))
+        .when(d % 4 == 1,
+              F.concat(F.lit('<link href="https://c.com/q/'),
+                       (d % 6).cast("string"),
+                       F.lit('" rel="canonical">')))
+        .otherwise(""),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return H.html_meta(pages).drop("html")

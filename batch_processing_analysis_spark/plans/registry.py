@@ -41,16 +41,18 @@ EXTRA_ORACLES: dict[str, str] = {}
 # - the 14 queries the r10 --plan listed as coming due (newest green
 #   r7, due at r11 close): q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
 #   q21/q24/q31/q38;
-# - q175-q181, the round's new never-green queries (M166 crawl-
+# - q175-q182, the round's new never-green queries (M166 crawl-
 #   compliance facade; M167 crawl-delay scheduler; M168 recrawl
 #   staleness; M169 HTML text extraction; M170 link frontier;
-#   M171 frontier-expansion facade; M172 WARC source) —
+#   M171 frontier-expansion facade; M172 WARC source; M173 page
+#   metadata / noindex compliance) —
 #   must be in the window per rotation_check;
-# - 29 of the 50 r8-tier queries (newest green r8, due at r12) taken
-#   a round early so the r12 window has room; the 21 deferred
-#   (q84-q87, q89-q99, q76, q88, q64, q70, q50, q166 — the last six
-#   ceded mid-round to q176-q181) are cheap re-greens that fit any
-#   window, due exactly at r12 where --plan will list them.
+# - 28 of the 50 r8-tier queries (newest green r8, due at r12) taken
+#   a round early so the r12 window has room; the 22 deferred
+#   (q84-q87, q89-q99, q76, q88, q64, q70, q50, q166, q167 — the
+#   last seven ceded mid-round to q176-q182) are cheap re-greens
+#   that fit any window, due exactly at r12 where --plan will list
+#   them.
 # Rotated OUT: the whole r10 window (every row green in
 # CORRECTNESS_r10, due back r14). q116_canary_hugeint_probe stays
 # RETIRED in the extras registry (designed-red HUGEINT probe,
@@ -80,7 +82,8 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q179_link_frontier",
     "q180_frontier_expansion",
     "q181_warc_parse",
-    # r8-tier, taken one round early (29 of 50)
+    "q182_html_meta",
+    # r8-tier, taken one round early (28 of 50)
     "q100_jl_projection",
     "q101_negative_samples",
     "q102_dedup_weights",
@@ -109,7 +112,6 @@ PRIMARY_ROTATION: frozenset[str] | None = frozenset({
     "q133_lexical_richness",
     "q134_score_calibration",
     "q135_quality_funnel",
-    "q167_log_hist_quantiles",
 })
 
 

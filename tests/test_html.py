@@ -80,3 +80,35 @@ def test_no_python_in_plans(spark):
         plan = d._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_html_meta(spark):
+    page = (
+        "<html><head>"
+        "<title> My  Page &amp; Co </title>"
+        '<meta charset="UTF-8">'
+        '<meta name="description" content="A &quot;fine&quot; page">'
+        "<meta content='noindex, nofollow' name='ROBOTS'>"
+        '<link href="https://a.com/canon?x=1&amp;y=2" rel="canonical">'
+        "</head><body>x</body></html>"
+    )
+    plain = "<html><head><title>T</title></head></html>"
+    df = spark.createDataFrame([(1, page), (2, plain)],
+                               "doc_id int, html string")
+    rows = {r["doc_id"]: r for r in H.html_meta(df).collect()}
+    r = rows[1]
+    assert r["title"] == "My Page & Co"
+    assert r["meta_description"] == 'A "fine" page'
+    assert r["canonical_url"] == "https://a.com/canon?x=1&y=2"
+    assert r["meta_robots"] == "noindex, nofollow"
+    assert r["noindex"] is True and r["nofollow"] is True
+    assert r["charset"] == "utf-8"
+    p = rows[2]
+    assert p["title"] == "T" and p["meta_description"] == ""
+    assert p["noindex"] is False and p["nofollow"] is False
+    # 'noindexing' must NOT token-match noindex
+    tricky = spark.createDataFrame(
+        [(3, '<meta name="robots" content="noindexing,nofollow">')],
+        "doc_id int, html string")
+    t = H.html_meta(tricky).collect()[0]
+    assert t["noindex"] is False and t["nofollow"] is True

@@ -74,6 +74,7 @@ EXPECTED_SHADOWED = frozenset({
     "q163_containment_increment",
     "q164_ks_drift_quantized",
     "q166_hll_census",
+    "q167_log_hist_quantiles",
     "q165_edjoin_increment",
     "q168_hist_drift",
     "q169_url_domain_census",
