@@ -177,7 +177,9 @@ def psl_domain_map(hosts: DataFrame, rules: DataFrame,
 def with_psl_registered_domain(df: DataFrame, host_col: str,
                                out_col: str = "psl_domain",
                                rules: DataFrame | None = None,
-                               include_private: bool = True) -> DataFrame:
+                               include_private: bool = True,
+                               host_source: DataFrame | None = None
+                               ) -> DataFrame:
     """Add the PSL registrable domain of ``df[host_col]`` as
     ``out_col`` (NULL when the host is itself a public suffix, an
     IPv4 literal, or dotless — see module docstring).
@@ -187,10 +189,20 @@ def with_psl_registered_domain(df: DataFrame, host_col: str,
     joins back on the host key — the big side shuffles once, on a key
     it usually needs anyway (host-level census/quota follow-ups), and
     AQE broadcasts the map side when the distinct-host count is
-    dimension-sized."""
+    dimension-sized.
+
+    ``host_source`` (optional): a frame whose ``host_col`` values are
+    a SUPERSET of ``df``'s — used to derive the distinct-host side of
+    the mapping instead of ``df`` itself. A caller whose ``df`` is an
+    expensive subtree (e.g. the post-dedup-window corpus in
+    ``pipeline.prepare_web_corpus``) passes the cheap pre-window frame
+    here so the mapping's distinct() does not re-execute the window;
+    extra hosts add unmatched mapping rows only, so the left join is
+    unchanged."""
+    src = host_source if host_source is not None else df
     if rules is None:
         rules = load_psl_rules(df.sparkSession,
                                include_private=include_private)
-    mapping = psl_domain_map(df.select(host_col).distinct(), rules,
+    mapping = psl_domain_map(src.select(host_col).distinct(), rules,
                              host_col, out_col)
     return df.join(mapping, host_col, "left")

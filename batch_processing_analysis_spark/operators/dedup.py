@@ -192,20 +192,27 @@ def char_grams(text: Column, n: int = 5) -> Column:
 # --------------------------------------------------------------------------
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                hash_col: str | None = None) -> DataFrame:
     """Exact duplicate clustering on whitespace-normalized lowercase text.
 
     Output: one row per input doc with its content-hash cluster size and
     whether it is the cluster's canonical row (min id). A downstream
     "keep canonicals" filter is then ``is_canonical = 1``.
 
+    ``hash_col`` (optional): name of a PRECOMPUTED
+    ``md5(content_norm(text_col))`` column — lets a caller that stages
+    the hash in a shared wide pass (pipeline.prepare_corpus) skip
+    re-normalizing the text here. Identical results by contract.
+
     Scale: one shuffle on the 128-bit content hash; cluster stats via a
     window over the same key reuse that shuffle (no second exchange).
     """
-    norm = content_norm(text_col)
+    hashed = (F.col(hash_col) if hash_col is not None
+              else F.md5(content_norm(text_col)))
     w = W.partitionBy("content_hash")
     return (
-        docs.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        docs.select(F.col(id_col), hashed.alias("content_hash"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .withColumn("canonical_id", F.min(id_col).over(w))
         .select(
@@ -774,12 +781,16 @@ def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
     win = W.partitionBy(id_col).orderBy("_pos")
     leads = [F.col("_tok")] + [F.lead("_tok", i).over(win)
                                for i in range(1, w)]
+    # Staged once (lazy checkpoint): the span→doc-count aggregate and
+    # the join-back both consume the span rows — unstaged, the
+    # posexplode + lead-window + hash pipeline executed twice.
     spans = (
         tok.select(F.col(id_col),
                    F.concat_ws(" ", *leads).alias("_span"),
                    leads[-1].alias("_last"))
         .filter(F.col("_last").isNotNull())
         .select(id_col, hash60(F.col("_span")).alias("_h"))
+        .localCheckpoint(eager=False)
     )
     docs_per_span = spans.groupBy("_h").agg(
         F.countDistinct(id_col).alias("_nd")
@@ -1157,13 +1168,12 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
             F.count(F.lit(1)).alias("_cc"))
         cnt_s = sub.groupBy("_ck", "_lx", "_i").agg(
             F.count(F.lit(1)).alias("_cs"))
-        bound_pass = (
+        bound_pass_df = (
             cnt_c.join(cnt_s,
                        (F.col("_lc") == F.col("_lx"))
                        & (cnt_c["_ck"] == cnt_s["_ck"])
                        & (cnt_c["_i"] == cnt_s["_i"]))
             .agg(F.sum(F.col("_cc") * F.col("_cs")).alias("_b"))
-            .collect()[0]["_b"] or 0
         )
         tiny_cnt = (
             t.filter(F.col("_len") <= cutoff)
@@ -1175,11 +1185,21 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
                               F.col("_band") + 1)).alias("_band"),
             F.col("_c").alias("_cp"),
         )
-        bound_tiny = (
+        bound_tiny_df = (
             probe_cnt.join(tiny_cnt, "_band")
             .agg(F.sum(F.col("_cp") * F.col("_c")).alias("_b"))
-            .collect()[0]["_b"] or 0
         )
+        # ONE job for both bound aggregates (they were two sequential
+        # collect round-trips; the union lets the independent subtrees
+        # run concurrently — guide §2.6 overlap). Tagged rows so the
+        # mapping is order-independent.
+        rows = {
+            r["_k"]: int(r["_b"] or 0)
+            for r in bound_pass_df.select(F.lit(0).alias("_k"), "_b")
+            .unionByName(bound_tiny_df.select(F.lit(1).alias("_k"), "_b"))
+            .collect()
+        }
+        bound_pass, bound_tiny = rows[0], rows[1]
         _check_candidate_budget(
             int(bound_pass + bound_tiny), max_candidates, "edjoin_pairs",
             "minhash_lsh_pairs (q41, probabilistic recall) or "

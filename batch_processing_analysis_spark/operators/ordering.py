@@ -399,19 +399,20 @@ def split_leakage_audit(df: DataFrame, fractions: dict[str, float],
             "id_a", "id_b",
         )
     )
-    per = cls.groupBy("split_lo", "split_hi").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    # One traversal of the pair pipeline: explode each pair into its
+    # two endpoints, then count pairs (rows/2 — every pair contributes
+    # exactly 2 rows) and distinct docs in a single aggregate. The
+    # previous per/touched/join shape referenced `cls` three times,
+    # re-executing the whole LSH+verify pair join per reference
+    # (measured: 102 Exchanges in the q130 plan, 3.1 s at sf0.1).
+    exploded = cls.select(
+        "split_lo", "split_hi",
+        F.explode(F.array("id_a", "id_b")).alias("_d"),
     )
-    touched = (
-        cls.select("split_lo", "split_hi", F.col("id_a").alias("_d"))
-        .unionByName(
-            cls.select("split_lo", "split_hi", F.col("id_b").alias("_d"))
-        )
-        .distinct()
-        .groupBy("split_lo", "split_hi")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    return exploded.groupBy("split_lo", "split_hi").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("_d").alias("n_docs"),
     )
-    return per.join(touched, ["split_lo", "split_hi"])
 
 
 def packing_efficiency(docs: DataFrame, ctx_len: int,

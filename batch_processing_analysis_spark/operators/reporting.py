@@ -69,7 +69,15 @@ def summarize_batch_waiting_times(log: DataFrame, config: Configuration) -> Data
     doubles for avgs), cte, size_distribution map<int,long>.
     """
     ids = config.log_ids
-    per_case = batch_instance_summary(log, config)
+    # per_case feeds BOTH report levels (per-type + pooled) and the
+    # instance-size rollup — five aggregate consumers that otherwise
+    # each re-execute the whole per-case summarization subtree (and,
+    # under q34, the waiting-time pipeline beneath it; the q34 plan
+    # carried 84 Exchanges from exactly this fan-out). One lazy
+    # checkpoint of the small O(#instances·cases) frame serves all of
+    # them; values are untouched.
+    per_case = batch_instance_summary(log, config).localCheckpoint(
+        eager=False)
 
     inst = (
         per_case.groupBy("activities", ids.batch_type, ids.batch_id)
@@ -258,6 +266,12 @@ def occurrence_denominators(log: DataFrame, summary: DataFrame,
 def batch_report(log: DataFrame, config: Configuration,
                  order_col: str | None = None) -> DataFrame:
     """Full report table: summary + occurrence denominators + frequency."""
+    # The log is traversed by the summary, the pattern extraction, the
+    # single-activity counts, and one rolling-window pass per distinct
+    # pattern length — each traversal re-executing the upstream
+    # enablement/discovery/waiting-time plan. Checkpoint it once
+    # (lazily) so every pass reads the materialized event rows.
+    log = log.localCheckpoint(eager=False)
     summary = summarize_batch_waiting_times(log, config)
     denom = occurrence_denominators(log, summary, config, order_col)
     out = summary.join(F.broadcast(denom), "activities", "left")

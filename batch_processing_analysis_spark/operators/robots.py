@@ -115,14 +115,22 @@ def _group_agents(grouped: DataFrame) -> DataFrame:
 
 
 def parse_robots(robots: DataFrame, domain_col: str = "domain",
-                 text_col: str = "robots_txt") -> DataFrame:
+                 text_col: str = "robots_txt", *,
+                 _grouped: DataFrame | None = None) -> DataFrame:
     """robots.txt corpus → policy table
     (domain, agent, rule ∈ {allow, disallow}, pattern, spec_len,
     regex). One row per (group agent × rule line); ``spec_len`` is the
     raw pattern length (the RFC's specificity key) and ``regex`` the
     pre-translated anchored matcher, so the decision join needs no
-    per-row translation."""
-    grouped = _grouped_lines(robots, domain_col, text_col)
+    per-row translation.
+
+    ``_grouped``: a pre-staged :func:`_grouped_lines` frame — callers
+    that also need :func:`parse_robots_agents` /
+    :func:`parse_crawl_delays` stage the group scan once (typically a
+    lazy localCheckpoint) instead of re-parsing the corpus per
+    derived table."""
+    grouped = (_grouped if _grouped is not None
+               else _grouped_lines(robots, domain_col, text_col))
     uas = _group_agents(grouped)
     rules = grouped.filter(
         F.col("key").isin("allow", "disallow")
@@ -138,14 +146,17 @@ def parse_robots(robots: DataFrame, domain_col: str = "domain",
 
 
 def parse_robots_agents(robots: DataFrame, domain_col: str = "domain",
-                        text_col: str = "robots_txt") -> DataFrame:
+                        text_col: str = "robots_txt", *,
+                        _grouped: DataFrame | None = None) -> DataFrame:
     """robots.txt corpus → distinct (domain, agent) group PRESENCE —
     every agent NAMED by a ``user-agent`` line, including agents whose
     group carries no allow/disallow rules (the allow-all idiom).
     RFC 9309 group selection keys on presence, not on having rules:
     feed this as ``agents=`` to :func:`robots_allowed` so an empty
-    named group correctly shields its agent from the ``*`` rules."""
-    grouped = _grouped_lines(robots, domain_col, text_col)
+    named group correctly shields its agent from the ``*`` rules.
+    ``_grouped``: see :func:`parse_robots`."""
+    grouped = (_grouped if _grouped is not None
+               else _grouped_lines(robots, domain_col, text_col))
     return _group_agents(grouped).select("domain", "agent").distinct()
 
 
@@ -173,15 +184,17 @@ def robots_sitemaps(robots: DataFrame, domain_col: str = "domain",
 
 
 def parse_crawl_delays(robots: DataFrame, domain_col: str = "domain",
-                       text_col: str = "robots_txt") -> DataFrame:
+                       text_col: str = "robots_txt", *,
+                       _grouped: DataFrame | None = None) -> DataFrame:
     """robots.txt corpus → (domain, agent, crawl_delay_s double) — the
     de-facto ``crawl-delay`` directive (not in RFC 9309 but honored by
     most crawlers), per group agent; non-numeric values are dropped,
     multiple delays in one group keep the LAST (later lines override,
     the same reading crawlers apply). Feeds a crawl scheduler's
     per-domain rate limit the same way the policy table feeds the
-    fetch-permission join."""
-    grouped = _grouped_lines(robots, domain_col, text_col)
+    fetch-permission join. ``_grouped``: see :func:`parse_robots`."""
+    grouped = (_grouped if _grouped is not None
+               else _grouped_lines(robots, domain_col, text_col))
     uas = _group_agents(grouped)
     delays = (
         grouped.filter((F.col("key") == "crawl-delay")

@@ -688,8 +688,20 @@ def srp_neardup_pairs(corpus: DataFrame, threshold: float,
     is the banding curve 1 − (1 − (1 − θ/π)^band_bits)^n_bands
     (≈0.95+ for sim ≥ 0.8 at 32/8; raise num_bits and band_bits
     together at corpus scale so buckets stay small)."""
-    sigs = srp_signatures(corpus, num_bits, dim, seed, id_col, vec_col,
-                          strategy=strategy)
+    # One signature pass, reused by BOTH band sides of the bucket
+    # self-join: checkpoint only the narrow (id, srp_sig) projection —
+    # the q44 plan previously carried TWO ArrowEvalPython nodes (the
+    # signature kernel ran once per join side;
+    # plans/r11/q44_*_before.txt). Checkpointing the vectors too was
+    # measured SLOWER (4.2 s vs 3.6 s at sf0.1: array serialization
+    # into the block manager outweighs a column-pruned rescan), so the
+    # verify sides keep reading the corpus directly.
+    sigs = (
+        srp_signatures(corpus, num_bits, dim, seed, id_col, vec_col,
+                       strategy=strategy)
+        .select(F.col(id_col), F.col("srp_sig"))
+        .localCheckpoint(eager=False)
+    )
     n_bands = num_bits // band_bits
     mask = (1 << band_bits) - 1
     band_structs = [

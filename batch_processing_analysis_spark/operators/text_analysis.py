@@ -41,7 +41,8 @@ def char_trigrams(text: Column) -> Column:
 
 def language_id(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", lang_col: str = "lang",
-                profile_size: int = 20) -> DataFrame:
+                profile_size: int = 20,
+                tg_col: str | None = None) -> DataFrame:
     """Predict language by trigram-profile coverage.
 
     Pass 1 (train): per-language top-``profile_size`` trigrams by corpus
@@ -49,11 +50,31 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     |doc trigrams ∩ profile| / |doc trigrams| per language; prediction =
     argmax coverage (ties → lang asc).
 
+    ``tg_col`` (optional): name of a PRECOMPUTED ``char_trigrams``
+    array column. The trigram array feeds three subtrees (profile
+    training, hit scoring, per-doc counts); a caller that stages the
+    array once (e.g. ``pipeline.prepare_corpus``'s checkpointed wide
+    pass) avoids re-deriving it from ``text_col`` per subtree. Must
+    hold exactly ``char_trigrams(text_col)`` — identical results.
+
     Output: (doc_id, predicted_lang, actual_lang, hit).
     """
+    if tg_col is None:
+        # Stage the trigram array ONCE (lazy checkpoint): the three
+        # consumers below otherwise each re-derive it from the text —
+        # three full scans + three trigram passes for one logical
+        # array (the q48 plan carried 18 Exchanges from this fan-out).
+        staged = docs.select(
+            F.col(id_col), F.col(lang_col),
+            char_trigrams(F.col(text_col)).alias("_lid_tg"),
+        ).localCheckpoint(eager=False)
+        return language_id(staged, id_col=id_col, text_col=text_col,
+                           lang_col=lang_col, profile_size=profile_size,
+                           tg_col="_lid_tg")
+    tga = F.col(tg_col)
     tg = docs.select(
         F.col(id_col), F.col(lang_col),
-        F.explode(char_trigrams(F.col(text_col))).alias("tg"),
+        F.explode(tga).alias("tg"),
     )
     prof_w = W.partitionBy(lang_col).orderBy(F.desc("n"), F.asc("tg"))
     profile = (
@@ -68,7 +89,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     # (~N·|trigrams| extra rows; the facade's measured hot spot).
     doc_n = docs.select(
         F.col(id_col),
-        F.size(char_trigrams(F.col(text_col))).alias("n_tg"),
+        F.size(tga).alias("n_tg"),
         F.col(lang_col).alias("actual_lang"),
     ).filter(F.col("n_tg") > 0)  # same row set as the exploded form
     hits = (
@@ -404,11 +425,18 @@ def winnowing_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
     fingerprint → pair aggregation. Same shape as the n-gram Jaccard
     join; every stage hash-partitions on bounded keys.
     """
-    fps = winnowing_fingerprint_rows(docs, id_col, text_col, k, window)
+    # Stage the fingerprint rows once: the df-count and the blocking
+    # join both consume them, and the blocked rows feed BOTH pair-join
+    # sides — without staging, the per-doc hashing/window-minima
+    # pipeline executed four times per query (26 Exchanges in the q60
+    # plan at sf0.1).
+    fps = winnowing_fingerprint_rows(docs, id_col, text_col, k,
+                                     window).localCheckpoint(eager=False)
     dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
     rare = (
         fps.join(dfreq.filter(F.col("_df").between(2, df_max)), "fp")
         .select(id_col, "fp")
+        .localCheckpoint(eager=False)
     )
     a = rare.select(F.col(id_col).alias("id_a"), "fp")
     b = rare.select(F.col(id_col).alias("id_b"), "fp")
@@ -889,9 +917,11 @@ def novelty_signals(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
     """
     from .decontamination import word_ngrams
 
+    # Staged once (lazy checkpoint): the df count and the join-back
+    # both consume the gram rows — unstaged, the explode ran twice.
     grams = docs.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
-    )
+    ).localCheckpoint(eager=False)
     df_counts = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         grams.join(df_counts, "_g")

@@ -61,6 +61,32 @@ def waiting_time_report(log: DataFrame, config: Configuration | None = None) -> 
     return render_report(batch_report(analyzed, config).collect(), config)
 
 
+def corpus_feature_stage(docs: DataFrame) -> DataFrame:
+    """ONE wide pass over a (doc_id, text, lang) corpus (guide-§8
+    shape: derive every lightweight decision column once, never
+    re-traverse the heavy payload): quality features + the language-id
+    trigram array (``_tg``) + the exact-dedup content hash
+    (``_chash``), lazily checkpointed so each downstream consumer
+    reads the staged columns instead of re-executing the input plan.
+    Before this staging, the corpus-filter composition ran FIVE full
+    text passes (language-id's trigram subtree alone ran three times)
+    for one logical pass. Feature values are byte-identical to the
+    per-operator derivations by construction (same expressions)."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup as D
+    from .operators import text_analysis as TA
+
+    cols = TA.quality_columns("text")
+    return docs.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        *[c.alias(n) for n, c in cols.items()],
+        TA.char_trigrams(F.col("text")).alias("_tg"),
+        F.md5(D.content_norm("text")).alias("_chash"),
+    ).localCheckpoint(eager=False)
+
+
 def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
                    tokens_min: int = 5, tokens_max: int = 10_000,
                    shard_tokens: int = 4096,
@@ -93,9 +119,14 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     from .operators import dedup as D
     from .operators import text_analysis as TA
 
-    qual = TA.quality_features(docs).select("doc_id", "n_tokens", "quality_score")
-    pred = TA.language_id(docs).select("doc_id", "predicted_lang")
     if near_dedup:
+        # The near-dup keep-list needs the raw text downstream (n-gram
+        # shingles, longest-variant preference), so stage the input
+        # once and keep the operator composition unchanged.
+        docs = docs.localCheckpoint(eager=False)
+        qual = TA.quality_features(docs).select(
+            "doc_id", "n_tokens", "quality_score")
+        pred = TA.language_id(docs).select("doc_id", "predicted_lang")
         from .operators.graph import resolve_duplicates
 
         edges = D.exact_pair_edges(docs).unionByName(
@@ -115,7 +146,14 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
             .select("doc_id")
         )
     else:
-        canon = D.exact_dedup(docs).filter(F.col("is_canonical") == 1).select("doc_id")
+        staged = corpus_feature_stage(docs)
+        qual = staged.select("doc_id", "n_tokens", "quality_score")
+        pred = TA.language_id(staged, tg_col="_tg").select(
+            "doc_id", "predicted_lang")
+        canon = (
+            D.exact_dedup(staged, hash_col="_chash")
+            .filter(F.col("is_canonical") == 1).select("doc_id")
+        )
     kept = (
         qual.filter(
             (F.col("quality_score") >= quality_min)
@@ -210,9 +248,13 @@ def prepare_web_corpus(docs: DataFrame, *, url_col: str = "url",
         base.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1).drop("_rn")
     )
+    # host_source=base: the PSL mapping's distinct-host side derives
+    # from the cheap pre-window projection (hosts are unchanged by the
+    # dedup window — a strict superset at most), so the dedup window
+    # subtree executes once, not once per mapping traversal.
     out = PSL.with_psl_registered_domain(
         deduped, "host", rules=psl_rules,
-        include_private=include_private)
+        include_private=include_private, host_source=base)
     if blocklist is not None:
         out = MX.domain_blocklist_filter(out, "psl_domain", blocklist)
     if domain_quota is not None:
@@ -287,10 +329,15 @@ def prepare_crawl_corpus(docs: DataFrame, sitemaps: DataFrame,
         WEB.url_host(loc).alias("_rb_host"),
         target.alias("_rb_path"),
     )
+    # One robots parse: the policy table and the agent-presence table
+    # both derive from the same staged group scan instead of each
+    # re-running the explode + window over the robots corpus.
+    grouped = RB._grouped_lines(robots, "domain", "robots_txt") \
+        .localCheckpoint(eager=False)
     decided = RB.robots_allowed(
-        sd, RB.parse_robots(robots), agent,
+        sd, RB.parse_robots(robots, _grouped=grouped), agent,
         domain_col="_rb_host", path_col="_rb_path",
-        agents=RB.parse_robots_agents(robots))
+        agents=RB.parse_robots_agents(robots, _grouped=grouped))
     keep = (
         decided.filter(F.col("allowed"))
         .select(WEB.url_canonicalize(F.col("loc")).alias("canon_url"))

@@ -883,12 +883,18 @@ def q53_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: quality features are narrow codegen over the scan; the dedup
     keep-list is one content-hash shuffle semi-joined back; language ID
     broadcasts its tiny trigram profile. One wide input pass total —
-    composition adds no extra scan of the corpus."""
-    docs = _docs(spark, sf_dir)
-    qual = TA.quality_features(docs).select("doc_id", "n_tokens", "quality_score")
-    pred = TA.language_id(docs).select("doc_id", "predicted_lang")
+    composition adds no extra scan of the corpus (the staged
+    feature pass, pipeline.corpus_feature_stage, makes that literal:
+    quality/trigrams/hash derive once into a lazy checkpoint)."""
+    from ..pipeline import corpus_feature_stage
+
+    staged = corpus_feature_stage(_docs(spark, sf_dir))
+    qual = staged.select("doc_id", "n_tokens", "quality_score")
+    pred = TA.language_id(staged, tg_col="_tg").select(
+        "doc_id", "predicted_lang")
     canon = (
-        D.exact_dedup(docs).filter(F.col("is_canonical") == 1).select("doc_id")
+        D.exact_dedup(staged, hash_col="_chash")
+        .filter(F.col("is_canonical") == 1).select("doc_id")
     )
     return (
         qual.filter(
@@ -5754,8 +5760,10 @@ def q173_robots_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    (d % 11).cast("string")))
         .otherwise(F.lit("/")).alias("path"),
     )
-    pol = RB.parse_robots(robots_df)
-    uas = RB.parse_robots_agents(robots_df)
+    grouped = RB._grouped_lines(robots_df, "domain", "robots_txt") \
+        .localCheckpoint(eager=False)
+    pol = RB.parse_robots(robots_df, _grouped=grouped)
+    uas = RB.parse_robots_agents(robots_df, _grouped=grouped)
     out = RB.robots_allowed(urls, pol, "mybot", agents=uas)
     return out.groupBy("domain", "allowed").agg(
         F.count(F.lit(1)).alias("n_urls"),
@@ -6326,10 +6334,12 @@ def q176_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((d * 13) % 97).alias("score"),
         "doc_id",
     )
+    grouped = RB._grouped_lines(robots_df, "domain", "robots_txt") \
+        .localCheckpoint(eager=False)
     out = RB.crawl_schedule(
-        urls, RB.parse_crawl_delays(robots_df), "MyBot",
-        order_col="score",
-        agents=RB.parse_robots_agents(robots_df))
+        urls, RB.parse_crawl_delays(robots_df, _grouped=grouped),
+        "MyBot", order_col="score",
+        agents=RB.parse_robots_agents(robots_df, _grouped=grouped))
     return out.select(
         "doc_id", "domain", "crawl_delay_s", "fetch_slot",
         F.round(F.col("fetch_offset_s"), 6).alias("fetch_offset_s"))

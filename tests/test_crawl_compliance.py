@@ -119,10 +119,16 @@ def test_reuse_derived_saves_an_exchange(spark, fixture):
             ._jdf.queryExecution().executedPlan().toString()
         np_ = prepare_web_corpus(naive_base) \
             ._jdf.queryExecution().executedPlan().toString()
-        # the corpus subtree appears TWICE in the governance plan (the
-        # PSL host map joins back onto the survivor frame), so the
-        # window exchange the reuse avoids is counted in both branches
-        assert fp.count("Exchange") == np_.count("Exchange") - 2, \
+        # r11 optimization: the PSL host map's distinct-host side now
+        # derives from the PRE-window frame (host_source=base), so the
+        # dedup window no longer duplicates into the mapping branch.
+        # The naive composition still pays the canon re-derivation
+        # window exchange AND re-executes its own (post-semi-join)
+        # subtree in the mapping branch — measured delta 5 at this
+        # fixture; assert the reuse saves at least the 2 the original
+        # shape guaranteed so the check stays directional, not
+        # magic-number-coupled to Catalyst details.
+        assert fp.count("Exchange") <= np_.count("Exchange") - 2, \
             (fp, np_)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
