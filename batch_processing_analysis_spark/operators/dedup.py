@@ -330,9 +330,13 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         .select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey"))
     )
     pop = W.partitionBy("band", "bkey")
+    # Staged once (lazy checkpoint): BOTH self-join sides consume the
+    # guarded band rows — unstaged, the signature aggregation, band
+    # explode, and skew-guard window all executed twice (once per join
+    # side). The staged frame is narrow (id, band, bkey).
     exploded = exploded.withColumn("_n", F.count(F.lit(1)).over(pop)).filter(
         F.col("_n") <= max_bucket
-    ).drop("_n")
+    ).drop("_n").localCheckpoint(eager=False)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -456,9 +460,14 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id",
                 F.col("_bb.bkey").alias("bkey"))
     )
     pop = W.partitionBy("band", "bkey")
+    # Staged once (lazy checkpoint): both self-join sides consume the
+    # guarded band rows — unstaged, the signature subtree (for text
+    # SimHash the full token-explode vote aggregation; for payloads
+    # the hex-gram explode) and the guard window executed twice. The
+    # staged frame is narrow (id, simhash, band, bkey — all longs).
     bands = bands.withColumn("_n", F.count(F.lit(1)).over(pop)).filter(
         F.col("_n") <= max_bucket
-    ).drop("_n")
+    ).drop("_n").localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -508,7 +517,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     rare = ex.join(
         dfreq.filter((F.col("df") >= 2) & (F.col("df") <= df_max)), "g"
-    ).select("gid", "g")
+    ).select("gid", "g").localCheckpoint(eager=False)
+    # rare staged too: both candidate-join sides consume it — unstaged,
+    # the df join re-ran once per side (ex is materialized, but the
+    # blocking join itself is a shuffle worth paying once).
     a, b = rare.alias("a"), rare.alias("b")
     cand = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.gid") < F.col("b.gid")))

@@ -311,19 +311,24 @@ def ks_drift_by_group(df: DataFrame, group_col: str = "source",
                 f"(exact KS of the quantized variable), or raise the "
                 f"budget."
             )
+    # ONE pass over the input builds the (group, value) counts; the
+    # value grid, per-group sizes, pooled counts and the scalar total
+    # all derive from that dictionary-sized frame (previously four
+    # MORE full input passes). Σ-identities make the numbers exact:
+    # distinct values, Σ_c per group, Σ_c per value, ΣΣ_c.
     counts = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("_c")
-    )
-    vals = df.select(value_col).distinct()
-    groups = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
-    total = df.agg(F.count(F.lit(1)).alias("_N"))
+    ).localCheckpoint(eager=False)
+    vals = counts.select(value_col).distinct()
+    groups = counts.groupBy(group_col).agg(F.sum("_c").alias("_ng"))
+    total = groups.agg(F.sum("_ng").alias("_N"))
     grid = (
         vals.crossJoin(F.broadcast(groups))
         .join(counts, [group_col, value_col], "left")
         .select(group_col, value_col, "_ng",
                 F.coalesce("_c", F.lit(0).cast("long")).alias("_c"))
     )
-    allc = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_ca"))
+    allc = counts.groupBy(value_col).agg(F.sum("_c").alias("_ca"))
     w_g = (W.partitionBy(group_col).orderBy(value_col)
            .rowsBetween(W.unboundedPreceding, 0))
     w_a = (W.partitionBy(F.lit(1)).orderBy(value_col)

@@ -47,15 +47,21 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
             )
         ).alias("_kv")
     ).select("_kv.col_name", "_kv.value")
-    totals = melted.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("value").alias("_n_nonnull"),
-    )
-    vc = (
-        melted.filter(F.col("value").isNotNull())
-        .groupBy("col_name", "value")
+    # ONE pass over the melted rows builds the full (column, value)
+    # counts — nulls included — and the totals derive from that
+    # dictionary-sized frame by Σ-identity (previously a second full
+    # melt pass): n_rows = Σ_c, non-null = Σ_c over non-null values.
+    vc_all = (
+        melted.groupBy("col_name", "value")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
     )
+    totals = vc_all.groupBy("col_name").agg(
+        F.sum("_c").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNotNull(), F.col("_c"))
+              .otherwise(F.lit(0))).alias("_n_nonnull"),
+    )
+    vc = vc_all.filter(F.col("value").isNotNull())
     top = vc.groupBy("col_name").agg(
         F.count(F.lit(1)).alias("n_distinct"),
         F.min(

@@ -53,6 +53,10 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 10,
     if not q:
         raise ValueError("query_terms must be non-empty")
 
+    # Staged once (lazy checkpoint): the corpus stats and the tf
+    # aggregate both consume the tokenized rows — unstaged, the
+    # tokenize + filter pipeline ran once per consumer (and again per
+    # tf consumer below).
     base = docs.select(
         F.col(id_col),
         tokens(F.lower(F.col(text_col))).alias("_tk"),
@@ -62,7 +66,7 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 10,
         # Keep only query-term occurrences before exploding: the
         # filtered array is tiny even when the document is not.
         F.filter(F.col("_tk"), lambda t: t.isin(*q)).alias("_hits"),
-    )
+    ).localCheckpoint(eager=False)
 
     # Corpus stats: one row (N, avgdl). Computed over ALL docs (dl is
     # per-row work; the aggregate is a scalar) and crossJoin-broadcast
@@ -76,6 +80,7 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 10,
         base.select(id_col, "dl", F.explode("_hits").alias("term"))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
 
     # Document frequency per query term (≤ |q| rows) — broadcast back.

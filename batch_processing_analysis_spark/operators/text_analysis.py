@@ -517,19 +517,23 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     for natural language (Zipf head tokens hash-spread by doc), and the
     total-count scalar is a broadcast. Docs with no tokens report 0.
     """
+    # Staged once: the vocab count and the scoring join both consume
+    # the token explode — unstaged it ran twice (three times counting
+    # the old total pass, which now derives from the vocab dictionary:
+    # Σc over vocab ≡ the occurrence count, a |vocab|-row aggregate).
     occ = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
-    )
+    ).localCheckpoint(eager=False)
     # Fresh key name at the groupBy: vocab and the total both derive
     # from occ, so downstream references to "_t" after their crossJoin
     # trip Spark's shared-lineage ambiguity check.
     vocab = occ.groupBy(F.col("_t").alias("_tv")).agg(
         F.count(F.lit(1)).alias("_c")
-    )
+    ).localCheckpoint(eager=False)
     # Scalar broadcast join-back (1-row build side; plan-audit
     # allowlisted — Catalyst folds any literal-key equi-join back into
     # a true-condition NLJ anyway).
-    total = occ.agg(F.count(F.lit(1)).alias("_T"))
+    total = vocab.agg(F.sum("_c").alias("_T"))
     q = vocab.crossJoin(F.broadcast(total)).select(
         "_tv",
         F.floor(-F.log(F.col("_c") / F.col("_T")) * F.lit(1e6) + F.lit(0.5))
@@ -585,14 +589,18 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_t")
     )
     w = W.partitionBy(id_col).orderBy("_pos")
+    # Staged once: the model count and the scoring join both consume
+    # the bigram rows — unstaged, the explode + lead-window pipeline
+    # ran twice; bc staged too (|bigram vocab| rows) so its aggregate
+    # runs once for the prefix rollup and the model join.
     big = tok.select(
         F.col(id_col),
         F.col("_t").alias("_w1"),
         F.lead("_t", 1).over(w).alias("_w2"),
-    ).filter(F.col("_w2").isNotNull())
+    ).filter(F.col("_w2").isNotNull()).localCheckpoint(eager=False)
     bc = big.groupBy(
         F.col("_w1").alias("_v1"), F.col("_w2").alias("_v2")
-    ).agg(F.count(F.lit(1)).alias("_cb"))
+    ).agg(F.count(F.lit(1)).alias("_cb")).localCheckpoint(eager=False)
     pc = bc.groupBy("_v1").agg(F.sum("_cb").alias("_cp"))
     q = bc.join(pc, "_v1").select(
         "_v1", "_v2",
@@ -649,14 +657,18 @@ def nb_class_scores(docs: DataFrame, label_col: str = "lang",
     per-doc aggregate. No Python anywhere.
     """
     is_pos = (F.col(label_col) == F.lit(positive)).cast("long")
+    # Staged once: the class counts and the scoring join both consume
+    # the token explode — unstaged it ran twice; counts staged too
+    # (|vocab| rows) so the smoothing scalars and the weight table
+    # share one aggregation.
     occ = docs.select(
         F.col(id_col), is_pos.alias("_y"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
-    )
+    ).localCheckpoint(eager=False)
     counts = occ.groupBy(F.col("_t").alias("_tv")).agg(
         F.sum("_y").alias("_cp"),
         F.sum(F.lit(1) - F.col("_y")).alias("_cn"),
-    )
+    ).localCheckpoint(eager=False)
     stats = counts.agg(
         F.sum("_cp").alias("_Tp"), F.sum("_cn").alias("_Tn"),
         F.count(F.lit(1)).alias("_V"),
@@ -733,7 +745,11 @@ def js_divergence_matrix(docs: DataFrame, group_col: str = "source",
         F.col(group_col).alias("_g"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
     )
-    freq = occ.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    # freq staged once: the group totals and BOTH self-join sides
+    # consume the (group, token) counts — unstaged, the token explode
+    # + aggregate ran three times.
+    freq = occ.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_c")) \
+        .localCheckpoint(eager=False)
     totals = freq.groupBy("_g").agg(F.sum("_c").alias("_tot"))
     # Attach each side's group total BEFORE the self-join (a |G|-row
     # broadcast), then rename every column — the two sides share freq's
@@ -867,10 +883,12 @@ def distinctive_terms(docs: DataFrame, group_col: str,
     document. Zipf-head tokens are spread across reducers by the
     (group, token) composite key.
     """
+    # Staged once: the tf and df aggregates both consume the token
+    # explode — unstaged it ran twice.
     occ = docs.select(
         F.col(group_col).alias("_g"), F.col(id_col).alias("_id"),
         F.explode(tokens(F.col(text_col))).alias("_t"),
-    ).filter(F.length("_t") >= min_token_len)
+    ).filter(F.length("_t") >= min_token_len).localCheckpoint(eager=False)
     tf = occ.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
         occ.select("_id", "_t").distinct()
@@ -969,10 +987,12 @@ def vocab_coverage(docs: DataFrame, vocab_size: int = 1000,
     """
     if vocab_size <= 0:
         raise ValueError("vocab_size must be positive")
+    # Staged once: the vocabulary count and the per-doc coverage join
+    # both consume the token explode — unstaged it ran twice.
     tok_rows = docs.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
-    )
+    ).localCheckpoint(eager=False)
     vocab = (
         tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
         .orderBy(F.col("_c").desc(), F.col("_tok"))
@@ -1059,7 +1079,10 @@ def dsir_importance_weights(docs: DataFrame, id_col: str = "doc_id",
     ).select(
         id_col, "_y",
         F.pmod(hash60(F.col("_g")), F.lit(n_buckets)).alias("_b"),
-    )
+    ).localCheckpoint(eager=False)
+    # Staged once (narrow: three longs per gram occurrence): the model
+    # counts AND the scoring join both consume the gram explode —
+    # unstaged, the tokenize + bigram-zip + md5 pipeline ran twice.
     counts = occ.groupBy("_b").agg(
         F.sum("_y").alias("_cp"),
         F.sum(F.lit(1) - F.col("_y")).alias("_cn"),
@@ -1169,7 +1192,9 @@ def backoff_logprob(docs: DataFrame, model_filter: Column,
     tok = docs.select(
         F.col(id_col), model_filter.cast("long").alias("_m"),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_pos", "_t"),
-    )
+    ).localCheckpoint(eager=False)
+    # Staged once: the bigram window below AND the model unigram count
+    # both consume the token explode — unstaged it ran twice.
     w = W.partitionBy(id_col).orderBy("_pos")
     big = tok.select(
         F.col(id_col), F.col("_m"),
@@ -1268,22 +1293,28 @@ def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 100,
     on a token key; top-k is TakeOrderedAndProject (never a global
     sort).
     """
+    # Staged once: the unigram dictionary and the bigram window both
+    # consume the token explode — unstaged it ran twice (and the
+    # scalar totals, previously two MORE full passes, now derive from
+    # the dictionaries: N_tok = Σc_u, N_big = Σc_b before min_count —
+    # dictionary-sized aggregates instead of corpus passes).
     tok = docs.select(
         F.col(id_col),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_pos", "_t"),
-    )
+    ).localCheckpoint(eager=False)
     w = W.partitionBy(id_col).orderBy("_pos")
     big = tok.select(
         F.col(id_col),
         F.col("_t").alias("_w1"),
         F.lead("_t", 1).over(w).alias("_w2"),
     ).filter(F.col("_w2").isNotNull())
-    bc = big.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
+    bc = big.groupBy("_w1", "_w2").agg(
+        F.count(F.lit(1)).alias("_cb")).localCheckpoint(eager=False)
     uc = tok.groupBy(F.col("_t").alias("_v")).agg(
         F.count(F.lit(1)).alias("_cu")
-    )
-    totals = big.agg(F.count(F.lit(1)).alias("_NB")).crossJoin(
-        tok.agg(F.count(F.lit(1)).alias("_NT"))
+    ).localCheckpoint(eager=False)
+    totals = bc.agg(F.sum("_cb").alias("_NB")).crossJoin(
+        uc.agg(F.sum("_cu").alias("_NT"))
     )
     u1 = uc.select(F.col("_v").alias("_u1"), F.col("_cu").alias("_c1"))
     u2 = uc.select(F.col("_v").alias("_u2"), F.col("_cu").alias("_c2"))
@@ -1554,14 +1585,20 @@ def token_entropy(docs: DataFrame, id_col: str = "doc_id",
     per-doc rollup, one broadcast-free left join back to the doc
     spine. No windows, no Python.
     """
+    # tc staged once: the per-doc rollup and the entropy-term join
+    # both consume the (doc, token) counts — unstaged, the explode +
+    # aggregate ran twice (n, doc-spine-sized, staged for its two
+    # join consumers as well).
     tc = (
         docs.select(F.col(id_col),
                     F.explode(tokens(F.lower(F.col(text_col))))
                     .alias("_t"))
         .groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
     )
     n = tc.groupBy(id_col).agg(F.sum("_c").alias("n_tokens"),
-                               F.count(F.lit(1)).alias("vocab_size"))
+                               F.count(F.lit(1)).alias("vocab_size")) \
+        .localCheckpoint(eager=False)
     p = F.col("_c") / F.col("n_tokens")
     per_tok = (
         tc.join(n, id_col)
@@ -1659,10 +1696,14 @@ def novelty_attribution(docs: DataFrame, group_col: str = "source",
     """
     from .decontamination import word_ngrams
 
+    # Staged once: the per-group distinct counts and the
+    # first-occurrence aggregate both consume the distinct (group,
+    # gram-hash) rows — unstaged, the n-gram explode ran twice.
     gg = docs.select(
         F.col(group_col).alias("_g"),
         F.explode(word_ngrams(F.lower(F.col(text_col)), n)).alias("_t"),
-    ).select("_g", hash60(F.col("_t")).alias("_h")).distinct()
+    ).select("_g", hash60(F.col("_t")).alias("_h")).distinct() \
+        .localCheckpoint(eager=False)
     seen = gg.groupBy("_g").agg(F.count(F.lit(1)).alias("n_grams_seen"))
     first = (
         gg.groupBy("_h").agg(F.min("_g").alias("_g"))
