@@ -248,13 +248,17 @@ def prepare_web_corpus(docs: DataFrame, *, url_col: str = "url",
         base.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1).drop("_rn")
     )
-    # host_source=base: the PSL mapping's distinct-host side derives
-    # from the cheap pre-window projection (hosts are unchanged by the
-    # dedup window — a strict superset at most), so the dedup window
-    # subtree executes once, not once per mapping traversal.
+    # The PSL mapping's distinct-host side derives from `deduped`
+    # (NOT the pre-window `base`): the mapping branch then contains
+    # the IDENTICAL canon_url exchange as the survivor branch, which
+    # Catalyst collapses to a ReusedExchange — the window subtree's
+    # shuffle runs once and both branches read it. Deriving from
+    # `base` looks cheaper (no window) but builds a DIFFERENT subtree
+    # that re-executes the whole input lineage: measured 11.0 s vs
+    # 6.4 s on the 10x governance facade (tools/ab_webcorpus.py, r11).
     out = PSL.with_psl_registered_domain(
         deduped, "host", rules=psl_rules,
-        include_private=include_private, host_source=base)
+        include_private=include_private)
     if blocklist is not None:
         out = MX.domain_blocklist_filter(out, "psl_domain", blocklist)
     if domain_quota is not None:

@@ -566,10 +566,14 @@ def main() -> None:
             timings[name] = None
 
     # Self-certifying regression check (VERDICT r6 task 5): any row
-    # whose time exceeds 2x its newest same-sf recorded run gets two
+    # whose time exceeds 1.5x its newest same-sf recorded run gets two
     # more solo runs folded into its min before the JSON is written,
-    # and is stamped in `remeasured`. Surviving >2x rows are therefore
-    # real regressions, not one-shot host-noise spikes.
+    # and is stamped in `remeasured`. Surviving >1.5x rows are
+    # therefore real regressions, not one-shot host-noise spikes.
+    # (Trigger lowered from 2x in r11: a 1.76x mid-board interference
+    # spike on q172 sailed through the old trigger while a fresh-
+    # session solo run read 0.87x — the facade trigger had already
+    # been lowered to 1.3x for the same reason, VERDICT r10 task 1.)
     prev = _previous_bench(sf)
     remeasured: list[str] = []
     remeasure_failed: list[str] = []
@@ -579,7 +583,7 @@ def main() -> None:
         fn = qs.get(name)
         if (v is None or fn is None
                 or not isinstance(pv, (int, float)) or pv <= 0
-                or v <= 2 * pv):
+                or v <= 1.5 * pv):
             continue
         best, reran = v, 0
         try:
