@@ -394,13 +394,27 @@ def expand_frontier(pages: DataFrame, robots: DataFrame, agent: str, *,
     links = H.extract_links(
         pages.select(url_col, html_col),
         html_col=html_col, base_col=url_col)
+    # Stage the per-link RESOLUTION output, then the CANONICAL form,
+    # as stored narrow columns. These Column helpers compose by
+    # SUBSTITUTION: url_canonicalize(resolved) copies the whole
+    # url_resolve tree into each of its ~8 regexp references, and the
+    # scheme gate / host / path / query derivations copy the composed
+    # tree again — without the two barriers each link row re-ran the
+    # resolve pipeline a few hundred times (measured 14 s of
+    # single-core CPU for 25k links at sf0.1, and multi-second driver
+    # planning over the exploded expression tree; staged: sub-second).
+    # Both staged frames are two short strings per link — linear,
+    # narrow state, the §6.1d-r8-safe shape.
+    links = links.select(F.col(url_col).alias("_src"), "resolved") \
+        .localCheckpoint(eager=False)
     canon = WEB.url_canonicalize(F.col("resolved"))
     cand = (
         links.withColumn("canon_url", canon)
         .filter(F.col("canon_url").isNotNull()
                 & WEB.url_scheme(F.col("canon_url"))
                 .isin("http", "https"))
-        .select(F.col(url_col).alias("_src"), "canon_url")
+        .select("_src", "canon_url")
+        .localCheckpoint(eager=False)
     )
     p = WEB.url_path(F.col("canon_url"))
     q = WEB.url_query(F.col("canon_url"))

@@ -6892,7 +6892,15 @@ def q180_frontier_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<a href="../up'), (d % 2).cast("string"),
         F.lit('/q">e</a>'),
     )
-    pages = docs.select(
+    # The doc_id-pruned parquet scan is a single ~3 KB input split, and
+    # everything downstream of it is narrow (the operator's zero-shuffle
+    # design), so without this spread the whole extraction → resolution
+    # → decision chain runs in ONE task (measured 14 s single-task CPU
+    # at sf0.1). A real pages table arrives in many scan partitions;
+    # spreading the synthetic fixture the same way is result-identical.
+    pages = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         F.concat(F.lit("http://f"), (d % 6).cast("string"),
                  F.lit(".com/d"), (d % 4).cast("string"),
                  F.lit("/p"), (d % 20).cast("string"),
