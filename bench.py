@@ -239,6 +239,21 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's post-shuffle coalescing floor, parameterised (r11).
+        # The floor only BINDS when a shuffle's total bytes are below
+        # cores x floor — i.e. when data is small relative to the
+        # cluster; above that, parallelism-first sizing governs and
+        # the value is inert, so this is scale-adaptive by
+        # construction, not a local[32] constant. Stage profiles
+        # showed CPU-dense byte-light stages (set-intersection
+        # verifies, per-case enablement HOFs, XML parses) coalesced
+        # to 1-4 tasks on 32 cores by the 1m default; a 64k floor
+        # measured the full board 180-query surface at -18%
+        # control-normalized (136.3 s vs 179.7 s total) with the
+        # wins exactly on those profiled stages. OPTIMIZATION_r11.md
+        # has the A/B boards and the production-value justification.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
