@@ -182,3 +182,27 @@ def test_expand_frontier(spark):
         # no robots for ext.org: allowed
         "https://ext.org/e": (1, "http://a.com/d/p1.html"),
     }
+
+
+def test_expand_frontier_plan_stays_staged(spark):
+    """r11 regression guard: expand_frontier stages (src, resolved) and
+    (src, canon_url) as stored frames. Without those barriers the
+    Column helpers compose by SUBSTITUTION — url_canonicalize copies
+    the whole url_resolve tree into each of its ~8 regexp references
+    and the scheme/host/path derivations copy the composed tree again,
+    which blew the q180 physical plan up to 797 KB of formatted text
+    and a few hundred regex evaluations per link row
+    (plans/r11/q180_frontier_expansion_before.txt). Assert the plan
+    text stays orders of magnitude below that, and Python-free."""
+    from batch_processing_analysis_spark.pipeline import expand_frontier
+
+    pages = spark.createDataFrame(
+        [("http://a.com/d/p1.html", '<a href="n.html">x</a>')],
+        "url string, html string")
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x/")],
+        "domain string, robots_txt string")
+    plan = expand_frontier(pages, robots, "bot") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 120_000, len(plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
