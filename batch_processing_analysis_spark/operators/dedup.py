@@ -225,16 +225,22 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 
 def exact_pair_edges(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     hash_col: str | None = None) -> DataFrame:
     """Exact-duplicate graph edges: one (id_a=canonical min id,
     id_b=duplicate) row per non-canonical member of a content-hash
     cluster — the star-shaped edge set feeding connected-components
     clustering (operators/graph.py). Same single content-hash shuffle
-    as :func:`exact_dedup`."""
-    norm = content_norm(text_col)
+    as :func:`exact_dedup`.
+
+    ``hash_col`` (optional): a PRECOMPUTED ``md5(content_norm(...))``
+    column, same contract as :func:`exact_dedup` — a caller staging the
+    hash in a shared wide pass skips re-normalizing the text here."""
+    hashed = (F.col(hash_col) if hash_col is not None
+              else F.md5(content_norm(text_col)))
     w = W.partitionBy("content_hash")
     return (
-        docs.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        docs.select(F.col(id_col), hashed.alias("content_hash"))
         .withColumn("_canon", F.min(id_col).over(w))
         .filter(F.col(id_col) != F.col("_canon"))
         .select(F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b"))

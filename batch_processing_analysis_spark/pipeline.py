@@ -71,7 +71,12 @@ def corpus_feature_stage(docs: DataFrame) -> DataFrame:
     Before this staging, the corpus-filter composition ran FIVE full
     text passes (language-id's trigram subtree alone ran three times)
     for one logical pass. Feature values are byte-identical to the
-    per-operator derivations by construction (same expressions)."""
+    per-operator derivations by construction (same expressions).
+
+    Deliberately NOT reused by the near-dedup branch of
+    :func:`prepare_corpus` — that branch needs the raw text
+    downstream, and a keep-text variant of this stage measured slower
+    than its per-operator passes (tools/ab_neardedup.py)."""
     from pyspark.sql import functions as F
 
     from .operators import dedup as D
@@ -122,7 +127,16 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
     if near_dedup:
         # The near-dup keep-list needs the raw text downstream (n-gram
         # shingles, longest-variant preference), so stage the input
-        # once and keep the operator composition unchanged.
+        # once and keep the operator composition unchanged. NOT folded
+        # into corpus_feature_stage: measured (tools/ab_neardedup.py,
+        # r11 close, four result-identical A/B boards) — a keep-text
+        # wide stage (quality + _tg + _chash in one checkpoint) never
+        # beat this shape beyond the host noise band and usually lost
+        # (7.07–8.54 s here vs 7.32–8.97 s staged at sf0.1); each
+        # operator's pass over the bare-text checkpoint computes
+        # distinct work, and carrying staged arrays through the
+        # edge/ngram/resolve scans costs what the merged passes save
+        # (the q44-vectors finding).
         docs = docs.localCheckpoint(eager=False)
         qual = TA.quality_features(docs).select(
             "doc_id", "n_tokens", "quality_score")

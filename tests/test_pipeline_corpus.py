@@ -157,6 +157,33 @@ def test_prepare_corpus_near_dedup_is_subset(spark, sf_dir):
     assert near  # and it keeps something
 
 
+def test_exact_pair_edges_precomputed_hash_parity(spark, sf_dir):
+    # The staged wide pass (prepare_corpus near_dedup) hands
+    # exact_pair_edges a precomputed md5(content_norm(text)) column;
+    # the edge set must be identical to the self-derived path.
+    from batch_processing_analysis_spark.operators import dedup as D
+
+    base = load_table(spark, sf_dir, "documents")
+    # Plant guaranteed exact duplicates (offset ids, same text) so the
+    # edge set is non-empty regardless of the fixture's dedup density.
+    docs = base.unionByName(
+        base.orderBy("doc_id").limit(20).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            *[c for c in base.columns if c != "doc_id"],
+        )
+    )
+    default = sorted(
+        tuple(r) for r in D.exact_pair_edges(docs).collect()
+    )
+    pre = docs.withColumn("_h", F.md5(D.content_norm("text")))
+    staged = sorted(
+        tuple(r)
+        for r in D.exact_pair_edges(pre, hash_col="_h").collect()
+    )
+    assert default == staged
+    assert default  # the planted copies guarantee edges
+
+
 def test_corpus_report_sections_match_components(spark, sf_dir):
     from pyspark.sql import functions as F
 
