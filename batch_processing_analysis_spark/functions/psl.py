@@ -65,18 +65,19 @@ MAX_RULE_LABELS = 5
 _IPV4_RE = r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"
 
 
-def load_psl_rules(spark: SparkSession, path: str | None = None,
-                   include_private: bool = True) -> DataFrame:
-    """Parse the vendored list into a rules dimension
-    (match_key, kind, key_labels, section).
+# Parsed-rule memo: the list is a STATIC vendored file re-read by
+# every PSL-consuming query/facade build (measured 0.3-0.4 s of
+# driver time per build at r11 close). Key includes the file's mtime
+# so a snapshot upgrade invalidates; values are immutable row tuples
+# (parsed config, not data or results — guide §4.5 heavyweight init
+# once). createDataFrame still runs per call: nothing session-bound
+# is cached.
+_RULES_CACHE: dict[tuple[str, int, bool], tuple[tuple, ...]] = {}
 
-    ``match_key`` is the rule minus any ``!``/``*.`` marker,
-    lowercased; ``kind`` ∈ {normal, wildcard, exception};
-    ``key_labels`` = label count of the key; ``section`` ∈
-    {icann, private}. Unicode rules additionally emit their IDNA
-    (punycode) twin when encodable, so ``xn--``-form hosts match —
-    best-effort, exactly the spec's canonicalized comparison."""
-    text = Path(path or PSL_PATH).read_text(encoding="utf-8")
+
+def _parse_psl_rules(path: Path,
+                     include_private: bool) -> tuple[tuple, ...]:
+    text = path.read_text(encoding="utf-8")
     section = "icann"
     seen: set[tuple[str, str, str]] = set()
     rows: list[tuple[str, str, int, str]] = []
@@ -121,9 +122,32 @@ def load_psl_rules(spark: SparkSession, path: str | None = None,
             f"expansion probes only {MAX_RULE_LABELS}; bump "
             f"psl.MAX_RULE_LABELS to {deepest} (the plan shape is "
             f"unchanged — one more substring_index tail)")
+    return tuple(rows)
+
+
+def load_psl_rules(spark: SparkSession, path: str | None = None,
+                   include_private: bool = True) -> DataFrame:
+    """Parse the vendored list into a rules dimension
+    (match_key, kind, key_labels, section).
+
+    ``match_key`` is the rule minus any ``!``/``*.`` marker,
+    lowercased; ``kind`` ∈ {normal, wildcard, exception};
+    ``key_labels`` = label count of the key; ``section`` ∈
+    {icann, private}. Unicode rules additionally emit their IDNA
+    (punycode) twin when encodable, so ``xn--``-form hosts match —
+    best-effort, exactly the spec's canonicalized comparison.
+
+    The parse is memoized on (path, mtime, include_private) — see
+    ``_RULES_CACHE`` above; identical rows by construction."""
+    p = Path(path or PSL_PATH)
+    key = (str(p.resolve()), p.stat().st_mtime_ns, include_private)
+    rows = _RULES_CACHE.get(key)
+    if rows is None:
+        rows = _parse_psl_rules(p, include_private)
+        _RULES_CACHE[key] = rows
     return spark.createDataFrame(
-        rows, "match_key string, kind string, key_labels int, "
-              "section string")
+        list(rows), "match_key string, kind string, key_labels int, "
+                    "section string")
 
 
 def psl_domain_map(hosts: DataFrame, rules: DataFrame,
