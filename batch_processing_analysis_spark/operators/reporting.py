@@ -217,7 +217,18 @@ def occurrence_denominators(log: DataFrame, summary: DataFrame,
             ).alias("pattern"),
         )
     )
-    keys = summary.select("activities").distinct().join(pattern, "activities", "left")
+    # Stage the tiny (activities, pattern) frame: its subtree is a
+    # full pass over the batched log (window + two aggregations), and
+    # it is consumed by the singles filter, the length-collect below,
+    # one broadcast join per distinct pattern length, and the final
+    # left join — 3 + #lengths re-executions of the log-sized subtree
+    # without the barrier (profiled at r11 close: two identical
+    # 8 s-executor stages per q34 run from this fan-out alone).
+    keys = (
+        summary.select("activities").distinct()
+        .join(pattern, "activities", "left")
+        .localCheckpoint(eager=False)
+    )
 
     single = keys.filter(F.size("pattern") == 1).select(
         "activities", F.element_at("pattern", 1).alias("_act")
