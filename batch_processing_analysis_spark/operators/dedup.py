@@ -1343,8 +1343,18 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     tok = shingle_rows(lowered, id_col, text_col, k).select(
         F.col(id_col).alias("gid"), hash60(F.col("shingle")).alias("tk")
     ).distinct().localCheckpoint(eager=False)
-    dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
-    sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
+    # dfreq and sizes are each consumed from two different JOBS (the
+    # rank build runs inside ranked's checkpoint materialization; the
+    # guard and alltok live in the main/collect jobs), so exchange
+    # reuse cannot kick in across them and each consumer re-aggregated
+    # the full token table (r11-close duplicate-stage sweep,
+    # tools/find_dup_stages.py: byte-identical 21.7 MB-input stage
+    # pairs, ~19 s executor each for the df aggregation). Stage both
+    # tiny count frames once.
+    dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df")) \
+        .localCheckpoint(eager=False)
+    sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n")) \
+        .localCheckpoint(eager=False)
     # Staged like ppjoin_pairs: prefix + guard bound share the rank
     # window's output instead of re-running it.
     ranked = (
@@ -1361,7 +1371,12 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     alltok = tok.join(sizes, "gid")
     if max_candidates is not None:
         ca = pfx.groupBy("tk").agg(F.count(F.lit(1)).alias("_ca"))
-        cb = alltok.groupBy("tk").agg(F.count(F.lit(1)).alias("_cb"))
+        # cb ≡ dfreq: alltok = tok ⋈ sizes is 1:1 on gid (sizes is
+        # derived from tok, every gid present), so counting alltok
+        # rows per tk IS the token df — reuse the staged aggregate
+        # instead of re-running a full token-table pass (the second
+        # 19 s stage of the r11-close duplicate pair).
+        cb = dfreq.select("tk", F.col("_df").alias("_cb"))
         bound = (
             ca.join(cb, "tk")
             .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_b"))
