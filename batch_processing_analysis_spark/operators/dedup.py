@@ -591,6 +591,12 @@ def dedup_segments(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
     )
+    # Staged: the tile aggregation (posexplode + per-(doc, seg)
+    # collect_list + hash — the operator's dominant stage) fans out to
+    # THREE consumers (firsts, the kept join side, counts); without
+    # the barrier each re-ran it as its own job (r11-close
+    # duplicate-stage sweep: byte-identical ~17 s-executor stage pair
+    # per run). Linear, narrow state — one row per segment.
     segs = (
         tok.withColumn("_seg", (F.col("_pos") / width).cast("int"))
         .groupBy(id_col, "_seg")
@@ -604,6 +610,7 @@ def dedup_segments(docs: DataFrame, id_col: str = "doc_id",
             ).alias("_stext")
         )
         .withColumn("_h", hash60(F.col("_stext")))
+        .localCheckpoint(eager=False)
     )
     firsts = segs.groupBy("_h").agg(
         F.min(
