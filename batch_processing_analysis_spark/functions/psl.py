@@ -51,6 +51,7 @@ not a copied output.
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,8 +72,9 @@ _IPV4_RE = r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"
 # so a snapshot upgrade invalidates; values are immutable row tuples
 # (parsed config, not data or results — guide §4.5 heavyweight init
 # once). createDataFrame still runs per call: nothing session-bound
-# is cached.
-_RULES_CACHE: dict[tuple[str, int, bool], tuple[tuple, ...]] = {}
+# is cached. Bounded lru_cache rather than a bare dict (ADVICE r11):
+# a dict retains every distinct (path, mtime) key forever and its
+# check-then-set is racy; the lru_cache is thread-safe and capped.
 
 
 def _parse_psl_rules(path: Path,
@@ -125,6 +127,12 @@ def _parse_psl_rules(path: Path,
     return tuple(rows)
 
 
+@functools.lru_cache(maxsize=8)
+def _parse_psl_rules_memo(resolved: str, mtime_ns: int,
+                          include_private: bool) -> tuple[tuple, ...]:
+    return _parse_psl_rules(Path(resolved), include_private)
+
+
 def load_psl_rules(spark: SparkSession, path: str | None = None,
                    include_private: bool = True) -> DataFrame:
     """Parse the vendored list into a rules dimension
@@ -138,13 +146,10 @@ def load_psl_rules(spark: SparkSession, path: str | None = None,
     best-effort, exactly the spec's canonicalized comparison.
 
     The parse is memoized on (path, mtime, include_private) — see
-    ``_RULES_CACHE`` above; identical rows by construction."""
+    ``_parse_psl_rules_memo`` above; identical rows by construction."""
     p = Path(path or PSL_PATH)
-    key = (str(p.resolve()), p.stat().st_mtime_ns, include_private)
-    rows = _RULES_CACHE.get(key)
-    if rows is None:
-        rows = _parse_psl_rules(p, include_private)
-        _RULES_CACHE[key] = rows
+    rows = _parse_psl_rules_memo(str(p.resolve()), p.stat().st_mtime_ns,
+                                 include_private)
     return spark.createDataFrame(
         list(rows), "match_key string, kind string, key_labels int, "
                     "section string")

@@ -33,85 +33,79 @@ ORACLES: dict[str, str] = {}
 EXTRA_QUERIES: dict[str, SparkBuilder] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
-# Round-11 rotation (VERDICT r10 task 3). 50 slots, built from
-# tools/rotation_check.py --plan (budget arithmetic lives in THAT
-# module's docstring: registered minus the 8 allowlisted environment
-# canaries, over 50 slots, makes a ~3.2-round refresh floor, hence the
-# 4-round budget):
-# - the 14 queries the r10 --plan listed as coming due (newest green
-#   r7, due at r11 close): q03/q06/q08/q09/q10/q13/q17/q18/q19/q20/
-#   q21/q24/q31/q38;
-# - q175-q182, the round's new never-green queries (M166 crawl-
-#   compliance facade; M167 crawl-delay scheduler; M168 recrawl
-#   staleness; M169 HTML text extraction; M170 link frontier;
-#   M171 frontier-expansion facade; M172 WARC source; M173 page
-#   metadata / noindex compliance) —
-#   must be in the window per rotation_check;
-# - 28 of the 50 r8-tier queries (newest green r8, due at r12) taken
-#   a round early so the r12 window has room; the 22 deferred
-#   (q84-q87, q89-q99, q76, q88, q64, q70, q50, q166, q167 — the
-#   last seven ceded mid-round to q176-q182) are cheap re-greens
-#   that fit any window, due exactly at r12 where --plan will list
-#   them.
-# Rotated OUT: the whole r10 window (every row green in
-# CORRECTNESS_r10, due back r14). q116_canary_hugeint_probe stays
+# Round-12 rotation (VERDICT r11 tasks 2 and "Gap, not a gate
+# failure"). 50 slots, built from tools/rotation_check.py --plan
+# (same 4-round staleness budget):
+# - the 22 queries the r11 --plan listed as coming due (newest green
+#   r8, due at r12): q50/q64/q70/q76/q84-q99/q166/q167 — includes the
+#   22 deferred a round by the r11 rotation;
+# - the 28 r11-OPTIMIZED heavy rows the judge flagged as
+#   touched-but-not-driver-verified (VERDICT r11 item 2): their code
+#   changed in opt round 1 (subtree staging, Sigma-identity rewrites,
+#   broadcast+HOF governance, collect fusion) and their last driver
+#   green predates the change, so the r12 window must hash-verify the
+#   post-optimization implementations: q34, q41-q44, q48, q53, q60,
+#   q67, q72, q73, q77, q82, q140, q143, q147, q148, q149, q154,
+#   q155, q162-q165, q169, q171-q173 (q76/q94, also touched, arrive
+#   via the coming-due list above).
+# Rotated OUT: the whole r11 window (every row green in
+# CORRECTNESS_r11, due back r15). q116_canary_hugeint_probe stays
 # RETIRED in the extras registry (designed-red HUGEINT probe,
 # DRIVER_ENV.md) and all 8 canaries are budget-allowlisted in
 # rotation_check.py. Set to None to fall back to the per-call flags.
 PRIMARY_ROTATION: frozenset[str] | None = frozenset({
-    # r7-tier staleness re-greens (the --plan coming-due list)
-    "q03_top_revenue_orders",
-    "q06_regional_revenue",
-    "q08_string_ops",
-    "q09_window_topk",
-    "q10_argmin_first_event",
-    "q13_directly_follows",
-    "q17_cte_ratio",
-    "q18_range_join_workload",
-    "q19_theta_self_join",
-    "q20_chunking",
-    "q21_rolling_sequence",
-    "q24_union_rekey",
-    "q31_task_batches",
-    "q38_interval_sweep",
-    # the round's new never-green queries (M166-M170)
-    "q175_crawl_compliance",
-    "q176_crawl_schedule",
-    "q177_recrawl_status",
-    "q178_html_to_text",
-    "q179_link_frontier",
-    "q180_frontier_expansion",
-    "q181_warc_parse",
-    "q182_html_meta",
-    # r8-tier, taken one round early (28 of 50)
-    "q100_jl_projection",
-    "q101_negative_samples",
-    "q102_dedup_weights",
-    "q103_rolling_mad",
-    "q104_percentile_normalize",
-    "q105_novelty_signals",
-    "q106_dedup_audit_by_source",
-    "q107_weighted_sample",
-    "q108_k_anonymous_rollup",
-    "q109_time_split_embargo",
-    "q110_cross_source_dup_matrix",
-    "q118_embedding_outliers",
-    "q119_source_overlap_sketch",
-    "q120_temperature_mix_weights",
-    "q121_epoch_plan",
-    "q123_vocab_coverage",
-    "q124_nb_class_scores",
-    "q125_source_jsd_matrix",
-    "q126_striped_pack_audit",
-    "q127_dsir_weights",
-    "q128_dup_span_audit",
-    "q129_fertility_by_lang",
-    "q130_split_leakage",
-    "q131_backoff_logprob",
-    "q132_pmi_collocations",
-    "q133_lexical_richness",
-    "q134_score_calibration",
-    "q135_quality_funnel",
+    # r8-tier staleness re-greens (the --plan coming-due list, 22)
+    "q50_fingerprint",
+    "q64_diversity_signals",
+    "q70_source_mixing",
+    "q76_bigram_logprob",
+    "q84_resample_locf",
+    "q85_rolling_median",
+    "q86_json_props_stats",
+    "q87_pseudonymized_rollup",
+    "q88_corpus_diff",
+    "q89_sql_surface",
+    "q90_dfg_drift",
+    "q91_profile_drift",
+    "q92_redact_pii",
+    "q93_cms_heavy_hitters",
+    "q94_distinctive_terms",
+    "q95_validation_summary",
+    "q96_train_split",
+    "q97_distribution_drift",
+    "q98_rendezvous_shards",
+    "q99_bucket_rollup",
+    "q166_hll_census",
+    "q167_log_hist_quantiles",
+    # r11-optimized heavy rows, driver-unverified post-change (28)
+    "q34_waiting_time_report",
+    "q41_dedup_minhash_lsh",
+    "q42_dedup_simhash",
+    "q43_dedup_ngram_jaccard",
+    "q44_embedding_neardup",
+    "q48_lang_id",
+    "q53_corpus_filter",
+    "q60_winnowing_pairs",
+    "q67_bm25_topk",
+    "q72_unigram_logprob",
+    "q73_dedup_segments",
+    "q77_profile_columns",
+    "q82_payload_neardup",
+    "q140_ppjoin_exact",
+    "q143_edjoin_exact",
+    "q147_ppjoin_increment",
+    "q148_token_entropy",
+    "q149_containment_pairs",
+    "q154_ks_drift",
+    "q155_novelty_attribution",
+    "q162_jaccard_threshold_profile",
+    "q163_containment_increment",
+    "q164_ks_drift_quantized",
+    "q165_edjoin_increment",
+    "q169_url_domain_census",
+    "q171_psl_registered_domain",
+    "q172_url_governance",
+    "q173_robots_governance",
 })
 
 

@@ -19,9 +19,18 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # Control set (VERDICT r9 task 4): byte-identical probes measured at
-# board start AND end; see main(). q143 was the de-facto control.
+# board start AND end; see main(). VERDICT r11 task 5: a control must
+# be a NEVER-OPTIMIZED query or it cannot separate host drift from
+# progress (q143, the original expensive-tier probe, was itself made
+# ~1.7x faster in r11, polluting the r11 board's vs_prev medians).
+# q79_cdc_chunks replaces it: same cost tier (~2.9 s), and its floor
+# is documented as off-limits ("payload hashing IS the contract",
+# OPTIMIZATION_r11.md "Deliberately left alone") — as are the other
+# four probes (q01/q11/q47/q65, untouched in r10-r12). Optimizing a
+# control query requires swapping in a fresh never-touched probe in
+# the same edit.
 CONTROL_SET = [
-    "q143_edjoin_exact",       # exact-join family (the expensive tier)
+    "q79_cdc_chunks",          # payload hashing (the expensive tier)
     "q01_pricing_summary",     # scan + group-agg
     "q11_sessionize",          # window / sessionization
     "q47_text_quality",        # text-feature scan
@@ -722,6 +731,20 @@ def main() -> None:
     # driver's tail capture always gets one complete parseable JSON
     # object regardless of how many queries the headline set holds.
     print(json.dumps(out))
+    # Driver per-query visibility (VERDICT r11 task 1): the tail
+    # window is 2000 bytes and 180 full query names alone are ~5 KB,
+    # so the per-query dict CANNOT ride in the last line. Instead the
+    # full record is also written to a stable file next to bench.py —
+    # refreshed by every run, including the driver's — and the
+    # guaranteed-short last line points at it. The committed copy of
+    # this file is the per-query record of the round.
+    perquery_file = None
+    try:
+        pq_path = Path(__file__).resolve().parent / "BENCH_PERQUERY.json"
+        pq_path.write_text(json.dumps(out) + "\n")
+        perquery_file = pq_path.name
+    except OSError as e:  # recording must never fail the bench
+        print(f"bench: per-query record not written: {e}", file=sys.stderr)
     compact = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(ok), 3),
@@ -729,6 +752,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(ok),
         "n_failed": sum(1 for v in timings.values() if v is None),
+        "queries_file": perquery_file,
         "facades": facades,
         "control": control,
         "remeasured": remeasured,

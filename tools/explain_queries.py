@@ -1,8 +1,8 @@
-"""Capture .explain("formatted") for named queries into plans/r11/.
+"""Capture .explain("formatted") for named queries into plans/r12/.
 
 Usage: python tools/explain_queries.py <suffix> q165_edjoin_increment ...
 
-Writes plans/r11/<name>_<suffix>.txt for each query name (suffix is
+Writes plans/r12/<name>_<suffix>.txt for each query name (suffix is
 "before" or "after"). Plan-only: nothing is executed, so this is safe
 to run beside other Spark work. Uses the same session confs as
 bench.py so the captured plans match what the bench runs.
@@ -48,7 +48,7 @@ def main() -> None:
     for _name, _fn in _reg.EXTRA_QUERIES.items():
         qs.setdefault(_name, _fn)
 
-    out_dir = REPO / "plans" / "r11"
+    out_dir = REPO / "plans" / "r12"
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         fn = qs.get(name)
