@@ -67,6 +67,8 @@ chains).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -162,6 +164,15 @@ def detect_task_batches(log: DataFrame, ids: EventLogIDs, gap_seconds: int = 0) 
         .drop("_cls", "_grp", "_res")
     )
 
+def _detect_barrier(df: DataFrame) -> DataFrame:
+    """Optional eager barrier on the case detectors' shared pre-envelope
+    frame (``SPARK_GRAFT_DETECT_BARRIER=1``; default off). See the call
+    sites for the overlap-vs-dedupe trade; discover_batches releases
+    the blocks once its mid1 checkpoint is materialized."""
+    if os.environ.get("SPARK_GRAFT_DETECT_BARRIER") == "1":
+        return df.localCheckpoint(eager=True)
+    return df
+
 
 def detect_case_batches(log: DataFrame, ids: EventLogIDs, gap_seconds: int = 0) -> DataFrame:
     """Case-level (subprocess) detection (W2): per-case maximal runs of
@@ -187,6 +198,21 @@ def detect_case_batches(log: DataFrame, ids: EventLogIDs, gap_seconds: int = 0) 
             (F.coalesce(F.lag("_res").over(w_case) != F.col("_res"), F.lit(True))).cast("long")
         ).over(w_run),
     )
+    # The envelope aggregation below AND the join-back both consume
+    # this frame, so the whole upstream (input scan, enablement
+    # window, task-detection windows, the _run window) executes once
+    # per join side — a KNOWN duplicated subtree. A lazy checkpoint
+    # cannot dedupe it (the envelope side reaches the join as a
+    # broadcast-exchange FUTURE that races the main lineage before
+    # blocks exist), so the cure is an EAGER barrier — which
+    # serializes upstream vs join stages and measured +0.4-0.9 s on
+    # the analyze facade at sf0.1, where the duplicate runs free on
+    # idle cores (interleaved same-session A/B, OPTIMIZATION_r12.md).
+    # Local default: overlap (barrier off). At cluster scale the
+    # envelope side outgrows the broadcast threshold, the overlap
+    # disappears, and the duplicate detection pass costs real serial
+    # time — turn the barrier on (guide §2.1 / §1.2).
+    df = _detect_barrier(df)
     env = (
         df.groupBy(ids.case, "_run")
         .agg(
@@ -292,6 +318,9 @@ def detect_case_batches_all(log: DataFrame, ids: EventLogIDs,
         ids.start_time, ids.end_time, ids.activity
     )
     df = df.withColumn("_rn", F.row_number().over(w_in_run))
+    # Same barrier decision as detect_case_batches: `runs` and the
+    # winner join-back both consume this frame.
+    df = _detect_barrier(df)
 
     runs = (
         df.groupBy(ids.case, "_run")
@@ -411,8 +440,7 @@ def _split_mixed_type_subprocess(df: DataFrame) -> DataFrame:
     )
 
 
-def _split_wrong_enabled(df: DataFrame, ids: EventLogIDs, grp_col: str,
-                         analysis_rows: Column) -> DataFrame:
+def _split_wrong_enabled_both(df: DataFrame, ids: EventLogIDs) -> DataFrame:
     """Repair pass 3 (discovery.py:12-81): iteratively split off batch
     cases whose enabled time is after the instance's first start (they
     could not have been part of that batch accumulation).
@@ -421,8 +449,24 @@ def _split_wrong_enabled(df: DataFrame, ids: EventLogIDs, grp_col: str,
     here the loop's closed form runs JVM-side over per-(instance, case)
     aggregates (see the threshold-chain derivation below), and the
     resulting sub-index joins back in one pass.
+
+    BOTH levels in ONE aggregate pass (r12): the task-level analysis
+    rows (``_sub_type`` null, ``_task_grp`` set) and the subprocess
+    rows (``_sub_type`` set — null-synchronized with ``_sub_grp`` by
+    the detectors) are disjoint, so a class-tagged key aggregates both
+    levels in a single full-frame pass where the r11 shape ran the
+    identical aggregate twice (guide §2.1). The per-level join-backs
+    and the rename semantics are byte-identical to the sequential
+    form: splits are computed per (instance, case) and applied to
+    every row of that (instance, case), whatever the row's own class.
     """
-    rows = df.filter(analysis_rows & F.col(grp_col).isNotNull())
+    t_key = F.concat(F.lit("t\x1e"), F.col("_task_grp"))
+    s_key = F.concat(F.lit("s\x1e"), F.col("_sub_grp"))
+    rows = df.withColumn(
+        "_wkey",
+        F.when(F.col("_sub_type").isNull(), t_key).otherwise(s_key),
+    ).filter(F.col("_wkey").isNotNull())
+    grp_col = "_wkey"
     # Batch-case enabled = min enabled among rows at the case's min start
     # (utils.py:93-106); batch-case start = min start.
     per_case = (
@@ -497,14 +541,30 @@ def _split_wrong_enabled(df: DataFrame, ids: EventLogIDs, grp_col: str,
         .select(grp_col, F.col("_e.case").alias(ids.case),
                 F.col("_e._sub_idx").alias("_sub_idx"))
     )
-    out = df.join(splits, [grp_col, ids.case], "left")
-    return out.withColumn(
-        grp_col,
-        F.when(
-            F.col(grp_col).isNotNull(),
-            F.concat_ws("\x1d", grp_col, F.coalesce(F.col("_sub_idx"), F.lit(0)).cast("string")),
-        ),
-    ).drop("_sub_idx")
+    # Per-level join-backs, identical to running the pass per level:
+    # the splits frame is tiny (one row per (instance, case)), so the
+    # two broadcast joins cost nothing next to the saved full pass.
+    out = df
+    for level_tag, level_col in (("t\x1e", "_task_grp"),
+                                 ("s\x1e", "_sub_grp")):
+        level_splits = (
+            splits.filter(F.col(grp_col).startswith(level_tag))
+            .select(
+                F.expr(f"substring({grp_col}, 3)").alias(level_col),
+                ids.case, "_sub_idx",
+            )
+        )
+        out = out.join(level_splits, [level_col, ids.case], "left")
+        out = out.withColumn(
+            level_col,
+            F.when(
+                F.col(level_col).isNotNull(),
+                F.concat_ws("\x1d", level_col,
+                            F.coalesce(F.col("_sub_idx"),
+                                       F.lit(0)).cast("string")),
+            ),
+        ).drop("_sub_idx")
+    return out
 
 
 def _min_size_filter(df: DataFrame, ids: EventLogIDs, min_size: int) -> DataFrame:
@@ -642,6 +702,8 @@ def discover_batches(log: DataFrame, config: Configuration,
         # what detection saw, mirroring the reference end-to-end.
         for c in (ids.start_time, ids.end_time, ids.enabled_time):
             log = log.withColumn(c, F.date_trunc("second", F.col(c)))
+    jsc = log.sparkSession.sparkContext._jsc
+    det_before = set(jsc.getPersistentRDDs().keySet().toArray())
     df = detect_task_batches(log, ids, config.gap_seconds)
     if detect_case_level and config.subsequence_mode in ("all", "mined"):
         df = detect_case_batches_all(
@@ -657,6 +719,10 @@ def discover_batches(log: DataFrame, config: Configuration,
         df = df.withColumn("_sub_grp", F.lit(None).cast("string")).withColumn(
             "_sub_type", F.lit(None).cast("string")
         )
+    # The case detectors lazily checkpoint their shared pre-envelope
+    # frame (one execution for both join sides); once mid1 below is
+    # materialized (eagerly) nothing reads that intermediate again.
+    det_ids = set(jsc.getPersistentRDDs().keySet().toArray()) - det_before
     # Every repair pass below joins the frame against aggregates derived
     # FROM that same frame (a lineage diamond), and downstream consumers
     # (WT decomposition, reporting) fork it several more times. Plain
@@ -668,11 +734,11 @@ def discover_batches(log: DataFrame, config: Configuration,
     # durable storage if fault-tolerance across the discovery boundary
     # matters; the plan-truncation effect is the same.
     df, mid1 = checkpoint_tracked(df)
+    release_checkpoints(df, det_ids)  # mid1 is eager; the detect stage is dead
     df = _split_mixed_type_subprocess(df)
     # Resource split (discovery.py:84-114) is a no-op here: both detectors
     # already partition by resource, so an instance can never span two.
-    df = _split_wrong_enabled(df, ids, "_task_grp", F.col("_sub_type").isNull())
-    df = _split_wrong_enabled(df, ids, "_sub_grp", F.col("_sub_type").isNotNull())
+    df = _split_wrong_enabled_both(df, ids)
     # Same reasoning: min-size (2 forks) + unify (2 forks + a count
     # action) all branch off the post-split frame.
     df, mid2 = checkpoint_tracked(df)

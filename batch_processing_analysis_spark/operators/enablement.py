@@ -105,7 +105,8 @@ def add_enabled_times(
 
     The concurrency relation rides along in one of two shapes. Up to
     ``literal_pairs_limit`` directed pairs it is a literal in-expression
-    array — zero extra joins, right for process logs (|A| ≈ tens).
+    map activity → partner array, resolved into a ``_conc`` column once
+    per row — zero extra joins, right for process logs (|A| ≈ tens).
     Above the limit it becomes DATA: a broadcast-joined per-activity
     partner table, because Catalyst analysis cost grows with every
     literal in the expression tree (|A|² pairs on a 2k-activity log
@@ -115,10 +116,28 @@ def add_enabled_times(
     """
     pairs = concurrency_pairs(directly_follows_matrix(log, ids), concurrency_threshold)
     if len(pairs) <= literal_pairs_limit:
-        # Broadcast the relation as a literal set of "a\x1fb" keys.
+        # Literal per-activity partner map: partners_map[b] = sorted
+        # [a : (a, b) in pairs]. The r11 shape was one flat literal
+        # array of "a\x1fb" keys probed per (event, predecessor) with
+        # a string concat + a linear scan over ALL directed pairs —
+        # measured as the hottest CPU in the detection stages (guide
+        # §1.2 per-task work: 100k events x ~67 predecessors x
+        # |pairs| string compares). The map is resolved ONCE PER ROW
+        # into a `_partners` column below, so the per-predecessor
+        # check collapses to membership in this activity's (usually
+        # tiny) partner list. Identical relation, identical values.
+        partners_lit: dict[str, list[str]] = {}
+        for a, b in pairs:
+            partners_lit.setdefault(b, []).append(a)
         pair_keys = (
-            F.array(*[F.lit(a + "\x1f" + b) for a, b in sorted(pairs)])
-            if pairs else F.array().cast("array<string>")
+            F.create_map(*[
+                x
+                for act, ps in sorted(partners_lit.items())
+                for x in (F.lit(act),
+                          F.array(*[F.lit(p) for p in sorted(ps)]))
+            ])
+            if pairs else
+            F.create_map().cast("map<string,array<string>>")
         )
         conc_df = None
     else:
@@ -148,6 +167,11 @@ def add_enabled_times(
             F.broadcast(conc_df),
             F.col(ids.activity) == F.col("_conc_act"), "left",
         ).drop("_conc_act")
+    else:
+        # Literal path: resolve the partner list once per ROW (not per
+        # predecessor) — the HOF then probes a short array.
+        log = log.withColumn(
+            "_conc", F.element_at(pair_keys, F.col(ids.activity)))
 
     w_case = W.partitionBy(ids.case)
     # All (start, end, activity) triples of the case, then per row: max
@@ -168,13 +192,8 @@ def add_enabled_times(
     this_end = F.unix_micros(F.col(ids.end_time))
     this_act = F.col(ids.activity)
     is_self = lambda ev: (ev["s"] == this_start) & (ev["e"] == this_end) & (ev["act"] == this_act)  # noqa: E731
-    if pair_keys is not None:
-        is_conc = lambda ev: F.array_contains(  # noqa: E731
-            pair_keys, F.concat(ev["act"], F.lit("\x1f"), this_act)
-        )
-    else:
-        _partners = F.coalesce(F.col("_conc"), F.array().cast("array<string>"))
-        is_conc = lambda ev: F.array_contains(_partners, ev["act"])  # noqa: E731
+    _partners = F.coalesce(F.col("_conc"), F.array().cast("array<string>"))
+    is_conc = lambda ev: F.array_contains(_partners, ev["act"])  # noqa: E731
     enabler_end = F.array_max(
         F.transform(
             F.filter(
@@ -219,6 +238,10 @@ def _enabled_times_join(log: DataFrame, ids: EventLogIDs, pair_keys,
         ev = ev.join(
             F.broadcast(conc_df), F.col("_a") == F.col("_conc_act"), "left"
         ).drop("_conc_act")
+    else:
+        # Literal path: per-activity partner array resolved once per
+        # distinct event triple (see add_enabled_times).
+        ev = ev.withColumn("_conc", F.element_at(pair_keys, F.col("_a")))
     pred = log.select(
         F.col(ids.case).alias("_pc"),
         s_us.alias("_ps"),
@@ -230,15 +253,10 @@ def _enabled_times_join(log: DataFrame, ids: EventLogIDs, pair_keys,
         & (F.col("_pe") == F.col("_e"))
         & (F.col("_pa") == F.col("_a"))
     )
-    if pair_keys is not None:
-        is_conc = F.array_contains(
-            pair_keys, F.concat(F.col("_pa"), F.lit("\x1f"), F.col("_a"))
-        )
-    else:
-        is_conc = F.array_contains(
-            F.coalesce(F.col("_conc"), F.array().cast("array<string>")),
-            F.col("_pa"),
-        )
+    is_conc = F.array_contains(
+        F.coalesce(F.col("_conc"), F.array().cast("array<string>")),
+        F.col("_pa"),
+    )
     enab = (
         ev.join(
             pred,

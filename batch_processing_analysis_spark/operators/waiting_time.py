@@ -38,6 +38,16 @@ def add_waiting_times(log: DataFrame, config: Configuration) -> DataFrame:
         F.col(ids.batch_id).isNotNull(), F.col(ids.batch_id).cast("string")
     ).otherwise(F.concat(F.lit("\x00"), F.col(ids.case)))
     log = log.withColumn("_inst_key", inst_key)
+    # ONE exchange for both window passes: hash-partitioning on
+    # _inst_key alone satisfies the (instance, case) clustering of
+    # pass 1 AND the instance clustering of pass 2 (subset rule), so
+    # the explicit repartition replaces the two implicit exchanges
+    # the per-window requirements would otherwise insert — pass 2
+    # then runs sort- and shuffle-free on pass 1's layout (guide
+    # §2.4: two operations keyed the same way share one exchange).
+    # Skew is no worse than the old pass-2 exchange, which already
+    # partitioned by _inst_key alone (nulls are case-salted above).
+    log = log.repartition("_inst_key")
     w_case = W.partitionBy("_inst_key", ids.case)
     w_inst = W.partitionBy("_inst_key")
 

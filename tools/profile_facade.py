@@ -118,14 +118,17 @@ def main() -> None:
     new.sort(key=lambda s: -(s.get("executorRunTime", 0)))
     print(f"\n{label}: wall={wall:.3f}s, {len(new)} stages")
     print(f"{'stage':>5} {'tasks':>5} {'runMs':>7} {'cpuMs':>8} "
+          f"{'deserMs':>7} {'gcMs':>5} "
           f"{'shRead':>9} {'shWrite':>9} {'input':>10}  name")
     for s in new[:40]:
         print(f"{s['stageId']:>5} {s['numCompleteTasks']:>5} "
               f"{s.get('executorRunTime', 0):>7} "
               f"{s.get('executorCpuTime', 0) // 1000000:>8} "
+              f"{s.get('executorDeserializeTime', 0):>7} "
+              f"{s.get('jvmGcTime', 0):>5} "
               f"{s.get('shuffleReadBytes', 0):>9} "
               f"{s.get('shuffleWriteBytes', 0):>9} "
-              f"{s.get('inputBytes', 0):>10}  {s['name'][:58]}")
+              f"{s.get('inputBytes', 0):>10}  {s['name'][:52]}")
     total = sum(s.get("executorRunTime", 0) for s in new)
     print(f"total executorRunTime = {total} ms; wall {wall * 1000:.0f} ms")
     with urllib.request.urlopen(
