@@ -917,10 +917,15 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
     # Prefix rows: rank tokens within each doc by the global
     # (df asc, token asc) order; keep rank ≤ L − ceil(t·L) + 1.
-    # Staged: BOTH prefix tables (probe + index) and the optional
-    # guard's bound aggregate derive from ranked — without the lazy
-    # checkpoint each consumer re-runs the df join + rank window
-    # (measured 32 s vs 10 s at the sf1 blow-up with the guard on).
+    # Staged: BOTH prefix tables (probe + index), the optional guard's
+    # bound aggregate, and the verify's set arrays derive from ranked
+    # — without the lazy checkpoint each consumer re-runs the df join
+    # + rank window (measured 32 s vs 10 s at the sf1 blow-up with
+    # the guard on). A window-count form of _df/_n (no dfreq/sizes
+    # joins) was built and A/B-measured in r12: consistently SLOWER
+    # here — the count frames broadcast-join below their thresholds
+    # while the window form pays two full sorts of the token table —
+    # so the join shape is the keeper (OPTIMIZATION_r12.md).
     ranked = (
         tok.join(dfreq, "tk")
         .join(sizes, "gid")
@@ -949,10 +954,17 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
         "gid", "tk", "_n", "_rn"
     )
     if max_candidates is not None:
-        ca = pfx.groupBy("tk").agg(F.count(F.lit(1)).alias("_ca"))
-        cb = ipfx.groupBy("tk").agg(F.count(F.lit(1)).alias("_cb"))
+        # Σ_tk ca·cb in ONE aggregate pass over ranked: both prefix
+        # memberships are row-local predicates on ranked, so the
+        # per-token probe/index counts are conditional sums of the
+        # same groupBy — the r11 shape ran two aggregate passes and a
+        # join to multiply them (guide §2.1). Same bound, bit-exact.
+        is_pfx = F.col("_rn") <= F.col("_n") - ceil_tl + 1
+        is_ipfx = F.col("_rn") <= F.col("_n") - ceil_ix + 1
         bound = (
-            ca.join(cb, "tk")
+            ranked.groupBy("tk").agg(
+                F.sum(is_pfx.cast("long")).alias("_ca"),
+                F.sum(is_ipfx.cast("long")).alias("_cb"))
             .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_b"))
             .collect()[0]["_b"]
         ) or 0
@@ -997,7 +1009,9 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     # can carry millions of candidates and the explosion costs
     # |cand|·L intermediate rows — measured 136 s of a 137 s run at
     # the 10× blow-up vs ~8 s for the array kernel, same answer.
-    sets_arr = tok.groupBy("gid").agg(
+    # Arrays come off the ranked checkpoint (same (gid, tk) rows as
+    # tok; set semantics make row order irrelevant).
+    sets_arr = ranked.select("gid", "tk").groupBy("gid").agg(
         F.collect_list("tk").alias("_set"),
         F.count(F.lit(1)).alias("_n"),
     )
@@ -1193,6 +1207,11 @@ def edjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
             F.count(F.lit(1)).alias("_cc"))
         cnt_s = sub.groupBy("_ck", "_lx", "_i").agg(
             F.count(F.lit(1)).alias("_cs"))
+        # A side-tagged single-aggregation bound (one shuffle, no
+        # count join) was built and A/B-measured in r12: WORSE — see
+        # edjoin_increment_pairs. The count join below is
+        # co-partitioned post-aggregation (no extra exchange) and
+        # streams as a sort-merge sum.
         bound_pass_df = (
             cnt_c.join(cnt_s,
                        (F.col("_lc") == F.col("_lx"))
@@ -1350,20 +1369,14 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     tok = shingle_rows(lowered, id_col, text_col, k).select(
         F.col(id_col).alias("gid"), hash60(F.col("shingle")).alias("tk")
     ).distinct().localCheckpoint(eager=False)
-    # dfreq and sizes are each consumed from two different JOBS (the
-    # rank build runs inside ranked's checkpoint materialization; the
-    # guard and alltok live in the main/collect jobs), so exchange
-    # reuse cannot kick in across them and each consumer re-aggregated
-    # the full token table (r11-close duplicate-stage sweep,
-    # tools/find_dup_stages.py: byte-identical 21.7 MB-input stage
-    # pairs, ~19 s executor each for the df aggregation). Stage both
-    # tiny count frames once.
-    dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df")) \
-        .localCheckpoint(eager=False)
-    sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n")) \
-        .localCheckpoint(eager=False)
-    # Staged like ppjoin_pairs: prefix + guard bound share the rank
-    # window's output instead of re-running it.
+    # r12: the r11 shape checkpointed dfreq/sizes because the guard's
+    # cb and alltok re-aggregated them from separate jobs; both extra
+    # consumers are gone below (one-pass guard over ranked, alltok as
+    # a ranked projection), so the count frames are single-consumer
+    # build inputs again — no checkpoints. A window-count form of
+    # _df/_n was built and A/B-measured: slower (see ppjoin_pairs).
+    dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
     ranked = (
         tok.join(dfreq, "tk")
         .join(sizes, "gid")
@@ -1372,20 +1385,14 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
         .localCheckpoint(eager=False)
     )
     ceil_cl = F.floor((F.lit(c_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
-    pfx = ranked.filter(F.col("_rn") <= F.col("_n") - ceil_cl + 1).select(
-        "gid", "tk", "_n"
-    )
-    alltok = tok.join(sizes, "gid")
+    is_pfx = F.col("_rn") <= F.col("_n") - ceil_cl + 1
+    pfx = ranked.filter(is_pfx).select("gid", "tk", "_n")
+    alltok = ranked.select("gid", "tk", "_n")
     if max_candidates is not None:
-        ca = pfx.groupBy("tk").agg(F.count(F.lit(1)).alias("_ca"))
-        # cb ≡ dfreq: alltok = tok ⋈ sizes is 1:1 on gid (sizes is
-        # derived from tok, every gid present), so counting alltok
-        # rows per tk IS the token df — reuse the staged aggregate
-        # instead of re-running a full token-table pass (the second
-        # 19 s stage of the r11-close duplicate pair).
-        cb = dfreq.select("tk", F.col("_df").alias("_cb"))
         bound = (
-            ca.join(cb, "tk")
+            ranked.groupBy("tk").agg(
+                F.sum(is_pfx.cast("long")).alias("_ca"),
+                F.count(F.lit(1)).alias("_cb"))
             .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_b"))
             .collect()[0]["_b"]
         ) or 0
@@ -1405,7 +1412,7 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
         .distinct()
     )
-    sets_arr = tok.groupBy("gid").agg(
+    sets_arr = ranked.select("gid", "tk").groupBy("gid").agg(
         F.collect_list("tk").alias("_set"),
         F.count(F.lit(1)).alias("_n"),
     )

@@ -263,10 +263,12 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
     dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
     sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"),
                                    F.first("_delta").alias("_delta"))
-    # Staged: the delta prefix, the union prefix, and the guard's
-    # bound aggregate all derive from ranked (the ppjoin_pairs
-    # pattern — without it each consumer re-runs the df join + rank
-    # window; measured 96 s vs ~45 s at the sf1 blow-up).
+    # Staged: the delta prefix, the union prefix, the guard's bound
+    # aggregate, and the verify's set arrays all derive from ranked
+    # (the ppjoin_pairs pattern — without it each consumer re-runs the
+    # df join + rank window; measured 96 s vs ~45 s at the sf1
+    # blow-up). A window-count form of _df/_n was built and
+    # A/B-measured in r12: slower (see ppjoin_pairs).
     ranked = (
         tok.drop("_delta")
         .join(dfreq, "tk")
@@ -276,15 +278,19 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
         .localCheckpoint(eager=False)
     )
     ceil_tl = F.floor((F.lit(t_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
-    pfx_all = ranked.filter(
-        F.col("_rn") <= F.col("_n") - ceil_tl + 1
-    ).select("gid", "tk", "_n", "_rn", "_delta")
+    is_pfx = F.col("_rn") <= F.col("_n") - ceil_tl + 1
+    pfx_all = ranked.filter(is_pfx).select(
+        "gid", "tk", "_n", "_rn", "_delta")
     pfx_delta = pfx_all.filter(F.col("_delta"))
     if max_candidates is not None:
-        ca = pfx_delta.groupBy("tk").agg(F.count(F.lit(1)).alias("_ca"))
-        cb = pfx_all.groupBy("tk").agg(F.count(F.lit(1)).alias("_cb"))
+        # Σ_tk ca·cb in ONE aggregate pass over ranked (both prefix
+        # memberships are row-local predicates); the r11 shape ran two
+        # aggregate passes and a join. Same bound, bit-exact.
+        dpfx = is_pfx & F.col("_delta")
         bound = (
-            ca.join(cb, "tk")
+            ranked.groupBy("tk").agg(
+                F.sum(dpfx.cast("long")).alias("_ca"),
+                F.sum(is_pfx.cast("long")).alias("_cb"))
             .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_b"))
             .collect()[0]["_b"]
         ) or 0
@@ -333,7 +339,7 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
                 F.greatest(F.col("a.gid"), F.col("b.gid")).alias("id_b"))
         .distinct()
     )
-    sets_arr = tok.groupBy("gid").agg(
+    sets_arr = ranked.select("gid", "tk").groupBy("gid").agg(
         F.collect_list("tk").alias("_set"),
         F.count(F.lit(1)).alias("_n"),
     )
@@ -469,6 +475,9 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
     dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
     sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"),
                                    F.first("_delta").alias("_delta"))
+    # Join-based rank build (window-count form A/B-measured slower —
+    # see ppjoin_pairs); the one-pass guard and the ranked-derived
+    # all_union/sets below are the r12 changes.
     ranked = (
         tok.drop("_delta")
         .join(dfreq, "tk")
@@ -478,27 +487,29 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
         .localCheckpoint(eager=False)
     )
     ceil_cl = F.floor((F.lit(c_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
-    pfx_all = ranked.filter(
-        F.col("_rn") <= F.col("_n") - ceil_cl + 1
-    ).select("gid", "tk", F.col("_n").alias("n"), "_delta")
+    is_pfx = F.col("_rn") <= F.col("_n") - ceil_cl + 1
+    pfx_all = ranked.filter(is_pfx).select(
+        "gid", "tk", F.col("_n").alias("n"), "_delta")
     pfx_delta = pfx_all.filter(F.col("_delta"))
     pfx_base = pfx_all.filter(~F.col("_delta"))
     all_union = ranked.select("gid", "tk", F.col("_n").alias("n"),
                               "_delta")
     all_delta = all_union.filter(F.col("_delta"))
     if max_candidates is not None:
-        # Both joins' bounds in ONE job: per-token prefix counts split
-        # by side vs all-token counts split by side —
-        # Σ (pfx_delta·all_union + pfx_base·all_delta).
+        # Both joins' bounds in ONE aggregate pass over ranked —
+        # Σ_tk (pfx_delta·all_union + pfx_base·all_delta); all four
+        # per-token counts are conditional sums of row-local
+        # predicates (the r11 shape ran two aggregate passes and a
+        # join). Same bound, bit-exact.
         dflag = F.col("_delta").cast("long")
-        ca = pfx_all.groupBy("tk").agg(
-            F.sum(dflag).alias("_cad"),
-            F.sum(F.lit(1) - dflag).alias("_cab"))
-        cb = all_union.groupBy("tk").agg(
-            F.count(F.lit(1)).alias("_cu"),
-            F.sum(dflag).alias("_cud"))
         bound = (
-            ca.join(cb, "tk")
+            ranked.groupBy("tk").agg(
+                F.sum(F.when(is_pfx, dflag).otherwise(F.lit(0)))
+                .alias("_cad"),
+                F.sum(F.when(is_pfx, 1 - dflag).otherwise(F.lit(0)))
+                .alias("_cab"),
+                F.count(F.lit(1)).alias("_cu"),
+                F.sum(dflag).alias("_cud"))
             .agg(F.sum(F.col("_cad") * F.col("_cu")
                        + F.col("_cab") * F.col("_cud")).alias("_b"))
             .collect()[0]["_b"] or 0
@@ -513,7 +524,7 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
         .unionByName(_containment_cand(pfx_base, all_delta, c_pct))
         .distinct()
     )
-    sets_arr = tok.groupBy("gid").agg(
+    sets_arr = ranked.select("gid", "tk").groupBy("gid").agg(
         F.collect_list("tk").alias("set"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -1115,7 +1126,12 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
         # unguarded). The union runs the independent subtrees
         # concurrently (guide §2.6) and pays one driver trip. Still
         # raw-lineage: nothing is materialized on the refusal path
-        # (the §6.1d-r8 OOM constraint is untouched).
+        # (the §6.1d-r8 OOM constraint is untouched). A side-tagged
+        # single-aggregation form (one shuffle, no count join) was
+        # built and A/B-measured in r12: WORSE — the near-unique-key
+        # hash aggregate with four sum buffers loses to the old
+        # shape's streaming sort-merge sum over co-partitioned count
+        # tables (48.6 s vs 42.5 s executor; OPTIMIZATION_r12.md).
         parts = [_pass_bound_df(ch_d, sub_u), _pass_bound_df(ch_b, sub_d),
                  bound_tiny_df]
         tagged = parts[0].select(F.lit(0).alias("_k"), "_b")
