@@ -1,4 +1,5 @@
-"""Tracked localCheckpoint: eager lineage truncation WITH release.
+"""Tracked localCheckpoint: eager lineage truncation WITH release —
+plus the r12 barrier policy (VERDICT r11 task 8).
 
 ``DataFrame.localCheckpoint(eager=True)`` persists the frame's rows in
 the block manager but exposes no handle to free them — every iterative
@@ -14,15 +15,58 @@ again — i.e. after every downstream consumer is itself checkpointed.
 
 Driver-side bookkeeping only; single-threaded job submission assumed
 (concurrent checkpoint calls could interleave id snapshots).
+
+Barrier policy (SURVEY §6 policy table): local checkpoints store
+blocks on executors only and are NOT fault-tolerant — on any executor
+loss the job fails unrecoverably instead of recomputing. That is the
+right trade on the single-host bench topology (zero I/O to durable
+storage, and an executor loss kills local[N] anyway), and the wrong
+one on a cluster for DATA-SIZED staged frames (token tables, exploded
+(doc, gram) rows, full event frames), whose loss wastes the most work.
+``SPARK_GRAFT_CHECKPOINT=reliable`` swaps every barrier routed through
+:func:`data_barrier` / :func:`checkpoint_tracked` to a reliable
+``DataFrame.checkpoint()`` against ``SPARK_GRAFT_CHECKPOINT_DIR``
+(durable storage on a real cluster; defaults to a per-session temp dir
+so the mode is testable anywhere). Values are identical in both modes
+— only the storage medium and fault-tolerance change
+(tests/test_checkpoint_policy.py pins both).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame
+
+_MODE_ENV = "SPARK_GRAFT_CHECKPOINT"
+_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+
+def _reliable_mode() -> bool:
+    return os.environ.get(_MODE_ENV, "local") == "reliable"
+
+
+def _ensure_checkpoint_dir(df: DataFrame) -> None:
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        ckdir = os.environ.get(_DIR_ENV) or tempfile.mkdtemp(
+            prefix="bpa_reliable_ckpt_")
+        sc.setCheckpointDir(ckdir)
+
+
+def data_barrier(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Stage a DATA-SIZED frame (see the module docstring's policy):
+    ``localCheckpoint`` under the default local mode, reliable
+    ``checkpoint()`` under ``SPARK_GRAFT_CHECKPOINT=reliable``."""
+    if _reliable_mode():
+        _ensure_checkpoint_dir(df)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def checkpoint_tracked(df: DataFrame, eager: bool = True) -> tuple[DataFrame, set[int]]:
-    """``localCheckpoint`` + the ids of the RDDs it newly persisted.
+    """:func:`data_barrier` + the ids of the RDDs it newly persisted.
     The returned frame's plan is a flat scan of its own blocks — it
     never re-reads earlier checkpoints, so the caller may release those
     once this one exists.
@@ -34,7 +78,7 @@ def checkpoint_tracked(df: DataFrame, eager: bool = True) -> tuple[DataFrame, se
     "compute" into one job instead of two."""
     jsc = df.sparkSession.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint(eager=eager)
+    out = data_barrier(df, eager=eager)
     after = set(jsc.getPersistentRDDs().keySet().toArray())
     return out, after - before
 
@@ -42,7 +86,7 @@ def checkpoint_tracked(df: DataFrame, eager: bool = True) -> tuple[DataFrame, se
 def release_checkpoints(df: DataFrame, rdd_ids: set[int]) -> None:
     """Drop the block-manager storage of previously localCheckpointed
     intermediates (blocking=False). See module docstring for the safety
-    contract."""
+    contract. No-op on ids a reliable checkpoint did not persist."""
     jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
     for rid in rdd_ids:
         rdd = jmap.get(rid)

@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .checkpoints import data_barrier
+
 
 class CandidateVolumeExceeded(RuntimeError):
     """Raised by the exact joins' ``max_candidates`` guard: the
@@ -516,14 +518,14 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # plan audit can still build without executing; blocks are
     # reclaimed by the ContextCleaner once the result frame is dropped
     # (unlike the module-cached eager checkpoints).
-    ex = docs.select(
+    ex = data_barrier(docs.select(
         F.col(id_col).alias("gid"),
         F.explode(char_grams(F.col(text_col), n)).alias("g"),
-    ).localCheckpoint(eager=False)
+    ))
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    rare = ex.join(
+    rare = data_barrier(ex.join(
         dfreq.filter((F.col("df") >= 2) & (F.col("df") <= df_max)), "g"
-    ).select("gid", "g").localCheckpoint(eager=False)
+    ).select("gid", "g"))
     # rare staged too: both candidate-join sides consume it — unstaged,
     # the df join re-ran once per side (ex is materialized, but the
     # blocking join itself is a shuffle worth paying once).
@@ -910,9 +912,9 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"t_pct must be in [1, 100], got {t_pct}")
     lowered = docs.select(F.col(id_col),
                           F.lower(F.col(text_col)).alias(text_col))
-    tok = shingle_rows(lowered, id_col, text_col, k).select(
+    tok = data_barrier(shingle_rows(lowered, id_col, text_col, k).select(
         F.col(id_col).alias("gid"), hash60(F.col("shingle")).alias("tk")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct())
     dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
     sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
     # Prefix rows: rank tokens within each doc by the global
@@ -931,8 +933,8 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
         .join(sizes, "gid")
         .withColumn("_rn", F.row_number().over(
             W.partitionBy("gid").orderBy("_df", "tk")))
-        .localCheckpoint(eager=False)
     )
+    ranked = data_barrier(ranked)
     # Probing prefix: rank ≤ n − ⌈t·n⌉ + 1 (the basic prefix bound).
     # Indexing prefix (the probe/index asymmetry, Xiao et al. 2008
     # §3.3 / Vernica et al. SIGMOD 2010): the SMALLER record of a
@@ -1366,9 +1368,9 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"c_pct must be in [1, 100], got {c_pct}")
     lowered = docs.select(F.col(id_col),
                           F.lower(F.col(text_col)).alias(text_col))
-    tok = shingle_rows(lowered, id_col, text_col, k).select(
+    tok = data_barrier(shingle_rows(lowered, id_col, text_col, k).select(
         F.col(id_col).alias("gid"), hash60(F.col("shingle")).alias("tk")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct())
     # r12: the r11 shape checkpointed dfreq/sizes because the guard's
     # cb and alltok re-aggregated them from separate jobs; both extra
     # consumers are gone below (one-pass guard over ranked, alltok as
@@ -1382,8 +1384,8 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
         .join(sizes, "gid")
         .withColumn("_rn", F.row_number().over(
             W.partitionBy("gid").orderBy("_df", "tk")))
-        .localCheckpoint(eager=False)
     )
+    ranked = data_barrier(ranked)
     ceil_cl = F.floor((F.lit(c_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
     is_pfx = F.col("_rn") <= F.col("_n") - ceil_cl + 1
     pfx = ranked.filter(is_pfx).select("gid", "tk", "_n")

@@ -74,7 +74,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..config import BatchType, Configuration, EventLogIDs
-from .checkpoints import checkpoint_tracked, release_checkpoints
+from .checkpoints import checkpoint_tracked, data_barrier, release_checkpoints
 
 RAW_SIMULTANEOUS = "simultaneous"
 RAW_SEQUENTIAL = "sequential"
@@ -170,7 +170,7 @@ def _detect_barrier(df: DataFrame) -> DataFrame:
     sites for the overlap-vs-dedupe trade; discover_batches releases
     the blocks once its mid1 checkpoint is materialized."""
     if os.environ.get("SPARK_GRAFT_DETECT_BARRIER") == "1":
-        return df.localCheckpoint(eager=True)
+        return data_barrier(df, eager=True)
     return df
 
 
@@ -748,7 +748,7 @@ def discover_batches(log: DataFrame, config: Configuration,
     # min-size + unify (agg + join-back) from the checkpoint above.
     # Eager checkpoint = one execution — the same work a single consumer
     # would trigger anyway — so multi-fork callers get it 1× not 5×.
-    out = _unify(df, ids).localCheckpoint(eager=True)
+    out = data_barrier(_unify(df, ids), eager=True)
     # The two intermediates above exist only to serve THIS pipeline;
     # once `out` is materialized nothing can reference them again.
     release_checkpoints(out, mid1 | mid2)

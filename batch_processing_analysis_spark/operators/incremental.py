@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .checkpoints import data_barrier
 from .dedup import exact_dedup, lsh_candidate_pairs, minhash_signatures
 
 
@@ -255,10 +256,9 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
             F.lit(flag).alias("_delta"),
         )
 
-    tok = (
+    tok = data_barrier(
         _tok_side(base, False).unionByName(_tok_side(delta, True))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
     sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"),
@@ -275,8 +275,8 @@ def ppjoin_increment_pairs(base: DataFrame, delta: DataFrame,
         .join(sizes, "gid")
         .withColumn("_rn", F.row_number().over(
             W.partitionBy("gid").orderBy("_df", "tk")))
-        .localCheckpoint(eager=False)
     )
+    ranked = data_barrier(ranked)
     ceil_tl = F.floor((F.lit(t_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
     is_pfx = F.col("_rn") <= F.col("_n") - ceil_tl + 1
     pfx_all = ranked.filter(is_pfx).select(
@@ -467,10 +467,9 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
             F.lit(flag).alias("_delta"),
         )
 
-    tok = (
+    tok = data_barrier(
         _tok_side(base, False).unionByName(_tok_side(delta, True))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("_df"))
     sizes = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"),
@@ -484,8 +483,8 @@ def containment_increment_pairs(base: DataFrame, delta: DataFrame,
         .join(sizes, "gid")
         .withColumn("_rn", F.row_number().over(
             W.partitionBy("gid").orderBy("_df", "tk")))
-        .localCheckpoint(eager=False)
     )
+    ranked = data_barrier(ranked)
     ceil_cl = F.floor((F.lit(c_pct) * F.col("_n") + F.lit(99)) / F.lit(100))
     is_pfx = F.col("_rn") <= F.col("_n") - ceil_cl + 1
     pfx_all = ranked.filter(is_pfx).select(
@@ -1067,12 +1066,10 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
     if check_disjoint_ids:
         _check_disjoint_ids(base, delta, id_col, "edjoin_increment_pairs")
     cutoff = q * d + q - 1
-    t_b = (base.select(F.col(id_col), F.col(text_col))
-           .withColumn("_len", F.length(text_col))
-           .localCheckpoint(eager=False))
-    t_d = (delta.select(F.col(id_col), F.col(text_col))
-           .withColumn("_len", F.length(text_col))
-           .localCheckpoint(eager=False))
+    t_b = data_barrier(base.select(F.col(id_col), F.col(text_col))
+                       .withColumn("_len", F.length(text_col)))
+    t_d = data_barrier(delta.select(F.col(id_col), F.col(text_col))
+                       .withColumn("_len", F.length(text_col)))
     # Only t_b/t_d (small: id, text, len) persist; the chunk/substring
     # frames are cheap explodes with ≤2 consumers each (one guard
     # aggregate on raw lineage + one candidate join) — checkpointing
@@ -1159,7 +1156,7 @@ def edjoin_increment_pairs(base: DataFrame, delta: DataFrame,
     # regains the join-side reuse (the 1.4× q165 drift when the r8
     # restructure dropped these outright — measured,
     # BENCH_local_r08_sf01).
-    sub_d = sub_d.localCheckpoint(eager=False)
+    sub_d = data_barrier(sub_d)
     sub_u = sub_d.unionByName(
         passjoin_substring_rows(t_b, id_col, text_col, d))
     if nparts is not None:

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from .config import Configuration
+from .operators.checkpoints import data_barrier
 from .operators.discovery import discover_batches
 from .operators.enablement import add_enabled_times
 from .operators.reporting import batch_report, render_report
@@ -83,13 +84,14 @@ def corpus_feature_stage(docs: DataFrame) -> DataFrame:
     from .operators import text_analysis as TA
 
     cols = TA.quality_columns("text")
-    return docs.select(
+    out_ = docs.select(
         F.col("doc_id"),
         F.col("lang"),
         *[c.alias(n) for n, c in cols.items()],
         TA.char_trigrams(F.col("text")).alias("_tg"),
         F.md5(D.content_norm("text")).alias("_chash"),
-    ).localCheckpoint(eager=False)
+    )
+    return data_barrier(out_)
 
 
 def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
@@ -137,7 +139,7 @@ def prepare_corpus(docs: DataFrame, *, quality_min: float = 0.2,
         # distinct work, and carrying staged arrays through the
         # edge/ngram/resolve scans costs what the merged passes save
         # (the q44-vectors finding).
-        docs = docs.localCheckpoint(eager=False)
+        docs = data_barrier(docs)
         qual = TA.quality_features(docs).select(
             "doc_id", "n_tokens", "quality_score")
         pred = TA.language_id(docs).select("doc_id", "predicted_lang")

@@ -236,13 +236,39 @@ def _previous_bench(sf: float | None) -> dict:
     return prev
 
 
+def _scratch_dir() -> str | None:
+    """Shuffle/spill scratch location (spark.local.dir), r12.
+
+    Stage profiles attributed a ~50-150 ms PER-TASK constant in every
+    exchange's "shuffle write time" to this box's /tmp — a virtio ext4
+    whose small-file commit latency taxes each map task's data+index
+    file pair regardless of bytes (e.g. 3.4 s of write time on a
+    32-task stage shuffling 240 KB; the same stage on tmpfs measures
+    ~10 ms). Scratch placement is environment tuning, not an
+    algorithmic win, and is recorded as such in OPTIMIZATION_r12.md:
+    production nodes put spark.local.dir on fast NVMe as standard
+    practice (guide §1.3 names local shuffle disk as a first-class
+    limit); on this single host the RAM-backed /dev/shm is the
+    equivalent medium, and bench shuffle volumes (tens of MB at sf0.1,
+    ~GBs at sf1) sit far under its 126 GB. SPARK_GRAFT_LOCAL_DIR
+    overrides; an unwritable /dev/shm falls back to Spark's default.
+    No data survives a run — shuffle scratch is per-application and
+    removed on exit."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm/spark-local"
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("bench")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
@@ -266,8 +292,11 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .getOrCreate()
     )
+    scratch = _scratch_dir()
+    if scratch:
+        builder = builder.config("spark.local.dir", scratch)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod

@@ -25,9 +25,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    from bench import _scratch_dir
     from pyspark.sql import SparkSession
 
-    spark = (
+    _b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("explain")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
@@ -37,8 +38,11 @@ def main() -> None:
                 os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .getOrCreate()
     )
+    _scratch = _scratch_dir()
+    if _scratch:
+        _b = _b.config("spark.local.dir", _scratch)
+    spark = _b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod

@@ -85,8 +85,9 @@ def main() -> None:
     label = sys.argv[1] if len(sys.argv) > 1 else "analyze_batches_events"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from bench import _scratch_dir
     from pyspark.sql import SparkSession
-    spark = (
+    _b = (
         SparkSession.builder.master(f"local[{cpus}]").appName("profile")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -98,8 +99,11 @@ def main() -> None:
         .config("spark.ui.enabled", "true")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .getOrCreate()
     )
+    _scratch = _scratch_dir()
+    if _scratch:
+        _b = _b.config("spark.local.dir", _scratch)
+    spark = _b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     run_once = _facade_runner(spark, sf_dir, label)
     run_once()  # warm-up (parquet footers, codegen, worker pool)

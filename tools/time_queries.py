@@ -27,9 +27,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    from bench import _scratch_dir
     from pyspark.sql import SparkSession
 
-    spark = (
+    _b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("time_queries")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
@@ -41,8 +42,11 @@ def main() -> None:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .getOrCreate()
     )
+    _scratch = _scratch_dir()
+    if _scratch:
+        _b = _b.config("spark.local.dir", _scratch)
+    spark = _b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod
